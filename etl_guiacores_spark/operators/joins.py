@@ -1,0 +1,80 @@
+"""Join-shaped operators (SURVEY §2.5).
+
+J2 resume anti-join replaces the reference's driver-side ``set``
+membership test (reference: src/extractors/sequential_scraper.py:166-186,
+346, 359-375); J3 merge-upsert replaces the Postgres
+``INSERT ... ON CONFLICT DO UPDATE``
+(reference: src/extractors/manual_scraper.py:270-290) with a
+join-based MERGE usable on plain Parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resume_anti_join(
+    worklist: DataFrame, processed: DataFrame, key: str = "id_negocio"
+) -> DataFrame:
+    """J2 — rows of ``worklist`` whose key is NOT in ``processed``.
+
+    The processed-ID side is typically small relative to the worklist
+    (it's one column); Spark broadcasts it when under the threshold,
+    which keeps the anti-join shuffle-free. At 100 TB-of-worklist
+    scale that broadcast is exactly what you want — hint it explicitly.
+    """
+    processed_keys = processed.select(key).distinct()
+    return worklist.join(F.broadcast(processed_keys), on=key, how="left_anti")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    *,
+    update_cols: Sequence[str] | None = None,
+    created_at_col: str | None = None,
+    updated_at_col: str | None = None,
+    now=None,
+) -> DataFrame:
+    """J3 — keyed merge: source rows replace matching target rows,
+    unmatched target rows pass through (full-outer + coalesce).
+
+    Matches the reference UPSERT semantics: updated rows keep
+    ``created_at`` and refresh ``updated_at``
+    (reference: src/extractors/manual_scraper.py:270-290). On a real
+    deployment the result overwrites the target's affected partitions
+    (dynamic partition overwrite) or becomes a Delta MERGE; the
+    transform itself is storage-agnostic.
+    """
+    data_cols = [c for c in target.columns if c != key]
+    update_cols = list(update_cols) if update_cols is not None else data_cols
+    now = now if now is not None else F.current_timestamp()
+
+    t = target.select(
+        key, F.lit(True).alias("__t_exists"), *[F.col(c).alias(f"__t_{c}") for c in data_cols]
+    )
+    src_cols = [c for c in source.columns if c != key]
+    s = source.select(
+        key, F.lit(True).alias("__s_exists"), *[F.col(c).alias(f"__s_{c}") for c in src_cols]
+    )
+
+    joined = t.join(s, on=key, how="full_outer")
+    matched = F.col("__s_exists").isNotNull()
+    in_target = F.col("__t_exists").isNotNull()
+
+    out = [F.col(key)]
+    for c in data_cols:
+        t_c, s_c = F.col(f"__t_{c}"), F.col(f"__s_{c}")
+        if c == created_at_col:
+            out.append(F.coalesce(t_c, now).alias(c))
+        elif c == updated_at_col:
+            out.append(F.when(matched, now).otherwise(t_c).alias(c))
+        elif c in update_cols and f"__s_{c}" in joined.columns:
+            out.append(F.when(matched & in_target, s_c).when(~in_target, s_c).otherwise(t_c).alias(c))
+        else:
+            out.append(t_c.alias(c))
+    return joined.select(*out)

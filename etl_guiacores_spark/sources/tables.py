@@ -1,0 +1,45 @@
+"""Parquet table catalog over the driver's synthetic star schema.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning, and partition pruning for free — the
+equivalent of the reference's hand-rolled ``usecols=['id_negocio']``
+column-pruned CSV scan (reference: src/extractors/sequential_scraper.py:172)
+falls out of ``df.select`` here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` works."""
+    for name in TABLE_NAMES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,89 @@
+"""Unit tests for dedupe/join operators (SURVEY §2.4, §2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators import (
+    dedupe_exact,
+    dedupe_keyed,
+    dedupe_keyed_first,
+    merge_upsert,
+    resume_anti_join,
+    split_duplicates,
+)
+
+
+def make_worklist(spark):
+    return spark.createDataFrame(
+        [
+            ("1", "u1a", 1),
+            ("1", "u1b", 2),
+            ("2", "u2", 3),
+            ("3", "u3", 4),
+            ("3", "u3", 5),
+        ],
+        ["id_negocio", "url", "discovery_order"],
+    )
+
+
+class TestDedupe:
+    def test_exact(self, spark):
+        df = make_worklist(spark)
+        assert dedupe_exact(df.select("id_negocio", "url")).count() == 4
+
+    def test_keyed(self, spark):
+        assert dedupe_keyed(make_worklist(spark), ["id_negocio"]).count() == 3
+
+    def test_keyed_first_keeps_discovery_order(self, spark):
+        got = dedupe_keyed_first(make_worklist(spark), ["id_negocio"], ["discovery_order"])
+        rows = {r["id_negocio"]: r["url"] for r in got.collect()}
+        assert rows == {"1": "u1a", "2": "u2", "3": "u3"}
+
+    def test_split_duplicates(self, spark):
+        unique, dups = split_duplicates(
+            make_worklist(spark), ["id_negocio"], ["discovery_order"]
+        )
+        assert unique.count() == 3
+        assert dups.count() == 2
+
+
+class TestResumeAntiJoin:
+    def test_skips_processed(self, spark):
+        worklist = make_worklist(spark)
+        processed = spark.createDataFrame([("1",), ("9",)], ["id_negocio"])
+        got = resume_anti_join(worklist, processed)
+        assert sorted({r["id_negocio"] for r in got.collect()}) == ["2", "3"]
+
+
+class TestMergeUpsert:
+    def test_upsert_semantics(self, spark):
+        # reference: manual_scraper.py:270-290 — ON CONFLICT (key) DO UPDATE,
+        # created_at preserved, updated_at refreshed
+        t0 = "2024-01-01 00:00:00"
+        target = spark.createDataFrame(
+            [("a", "old-a", t0, t0), ("b", "old-b", t0, t0)],
+            ["contador_id", "nombre", "created_at", "updated_at"],
+        )
+        source = spark.createDataFrame(
+            [("b", "new-b"), ("c", "new-c")], ["contador_id", "nombre"]
+        )
+        now = F.lit("2025-06-01 00:00:00")
+        got = {
+            r["contador_id"]: r
+            for r in merge_upsert(
+                target,
+                source,
+                "contador_id",
+                created_at_col="created_at",
+                updated_at_col="updated_at",
+                now=now,
+            ).collect()
+        }
+        assert len(got) == 3
+        assert got["a"]["nombre"] == "old-a" and got["a"]["updated_at"] == t0
+        assert got["b"]["nombre"] == "new-b"
+        assert got["b"]["created_at"] == t0
+        assert got["b"]["updated_at"] == "2025-06-01 00:00:00"
+        assert got["c"]["nombre"] == "new-c"
+        assert got["c"]["created_at"] == "2025-06-01 00:00:00"

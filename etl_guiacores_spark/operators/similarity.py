@@ -1,0 +1,248 @@
+"""Near-duplicate detection and similarity search at scale.
+
+Implements the dedup/similarity family from BASELINE.json's north
+star: MinHash+LSH, SimHash, n-gram Jaccard, and embedding cosine
+(brute-force and LSH-bucketed).
+
+Design for 100 TB:
+
+- **Signatures are computed without a shuffle.** MinHash/SimHash fold
+  over the shingle array with higher-order functions
+  (``transform``/``array_min``/``aggregate``) — per-row JVM work, no
+  explode, no groupBy. A 1000-executor cluster computes signatures at
+  scan speed.
+- **Only candidates shuffle.** LSH banding shuffles (band, signature)
+  keys — tiny rows — then equi-joins within buckets. The quadratic
+  all-pairs comparison never materializes; skew in hot buckets is
+  handled by AQE skew-join.
+- **Hash family is engine-portable** (md5 of seeded shingle,
+  lexicographic min), so DuckDB oracles reproduce signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the text; fewer than n tokens -> empty."""
+    toks = F.split(F.trim(col), r"\s+")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), k - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    return F.when(
+        k >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(col: Column, num_hashes: int = 4, n: int = 3) -> list[Column]:
+    """MinHash signature: for seed i, min over shingles of
+    md5(i || ':' || shingle) (lexicographic min of hex = a valid
+    uniform hash family, and portable across engines).
+
+    Returns one Column per hash so callers can band them for LSH.
+    """
+    shingles = word_shingles(col, n)
+
+    def hasher(seed: int):
+        # closure factory: HOF lambdas must take exactly one parameter
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    sigs = []
+    for i in range(num_hashes):
+        hashed = F.transform(shingles, hasher(i))
+        sigs.append(F.when(F.size(hashed) > 0, F.array_min(hashed)))
+    return sigs
+
+
+def with_minhash(
+    df: DataFrame, text_col: str, num_hashes: int = 4, n: int = 3, prefix: str = "sig_"
+) -> DataFrame:
+    cols = minhash_signature(F.col(text_col), num_hashes, n)
+    return df.withColumns({f"{prefix}{i}": c for i, c in enumerate(cols)})
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing ANY minhash band.
+
+    One band per hash (rows=1): recall-heavy, standard for
+    short-signature demos; band width is a tuning knob at scale.
+    Output: (id_a, id_b) distinct, id_a < id_b.
+    """
+    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, n)
+    bands = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.col(f"sig_{i}").isNotNull(),
+                            F.concat(F.lit(f"{i}|"), F.col(f"sig_{i}")),
+                        )
+                        for i in range(num_hashes)
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__band"),
+    )
+    left = bands.select(F.col("__id").alias("id_a"), "__band")
+    right = bands.select(F.col("__id").alias("id_b"), "__band")
+    return (
+        left.join(right, on="__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of the two texts' word-n-gram sets."""
+    sa, sb = word_shingles(a, n), word_shingles(b, n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens using md5-derived bit planes.
+
+    Bit b of a token = bit (b % 4) of hex digit (b // 4) of the
+    token's md5 — portable to any engine with md5 + substring.
+    """
+    assert bits <= 64
+    toks = F.split(F.trim(col), r"\s+")
+    hashed = F.transform(toks, lambda t: F.md5(t))
+
+    def tally_fn(digit: int, bitpos: int):
+        # closure factory: aggregate's merge lambda must take exactly 2 params
+        def merge(acc, h):
+            hex_val = F.conv(F.substring(h, digit + 1, 1), 16, 10).cast("int")
+            bit = F.shiftright(hex_val, bitpos) % 2
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        tally = F.aggregate(hashed, F.lit(0), tally_fn(b // 4, b % 4))
+        out = out + F.when(tally > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in
+    double with a deterministic left fold (bit-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (small) is broadcast against the full embedding table:
+    one pass over the corpus, no shuffle of the big side; the window
+    top-k shuffles only (query, candidate, sim) triples. This is the
+    correct baseline at any scale; the LSH variant below prunes the
+    candidate set when the corpus is huge.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6)
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column, dims: int = 8) -> Column:
+    """LSH bucket key from the sign pattern of the first ``dims``
+    coordinates (a deterministic hyperplane family). Vectors in the
+    same bucket are near-dup candidates."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(dims)
+    ]
+    return F.concat(*bits)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bucket_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs via sign-LSH bucketing + exact
+    cosine within buckets. Shuffles on the bucket key only; the
+    all-pairs join is confined to each bucket (corpus/2^dims expected
+    occupancy)."""
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bucket_dims).alias("__b")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__b"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__b"
+    )
+    return (
+        left.join(right, on="__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

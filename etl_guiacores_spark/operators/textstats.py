@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+These generalize the reference's text cleaning surface
+(reference: src/transformers/business_transformer.py:25-29) to the
+training-data-pipeline operators the engine adds per BASELINE.json's
+north star.
+
+Scale: everything here is embarrassingly parallel per row — no
+shuffle, no UDF, no driver collect; at 100 TB these run at scan
+speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small deterministic marker vocabularies for the language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+
+#: explicit punctuation class — identical bytes in Java and RE2 regex
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/NULL text -> empty array."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.length(F.trim(col)) > 0, t).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_count(col: Column) -> Column:
+    return F.coalesce(F.regexp_count(col, F.lit(PUNCT_CLASS)), F.lit(0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords; NULL when empty."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation
+    sanity + stopword presence. Deterministic arithmetic only, so an
+    SQL oracle can reproduce it bit-for-bit.
+    """
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length(col) > 0, punct_count(col) / F.length(col)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + sw_ok) / 3.0
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/marker-word language heuristic.
+
+    CJK characters dominate -> 'zh'; otherwise the marker vocabulary
+    with the most token hits wins (ties broken by fixed language
+    order); no hits -> 'und'.
+    """
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    cjk = F.coalesce(F.regexp_count(col, F.lit(r"[\x{4e00}-\x{9fff}]")), F.lit(0))
+
+    best_lang = F.lit("und")
+    best_count = F.lit(0)
+    for lang in ("en", "es", "de", "fr"):  # fixed priority = deterministic ties
+        c = counts[lang]
+        better = c > best_count
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(better, c).otherwise(best_count)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best_lang)
+
+
+def normalize_for_fingerprint(col: Column) -> Column:
+    """Canonical text form for dedup fingerprints: lowercase, strip
+    punctuation, collapse whitespace."""
+    no_punct = F.regexp_replace(F.lower(col), PUNCT_CLASS, " ")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """MD5 content fingerprint over the normalized text (exact-dedup key)."""
+    return F.md5(normalize_for_fingerprint(col))
+
+
+def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive document
+    fingerprint). Library-level op with unit tests; md5 fingerprint is
+    the oracle-checked variant."""
+    toks = tokens(normalize_for_fingerprint(col))
+    tok_val = lambda t: F.ascii(t) * F.length(t)  # cheap per-token value
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + tok_val(t)) % mod,
+    )

@@ -1,0 +1,488 @@
+"""Scale-path queries: text analysis, near-dup detection, similarity
+search, event-time windows (SURVEY §7 phases 4-5).
+
+Registered into the same REGISTRY as the relational suite. Oracle SQL
+is generated programmatically where the expression is wide (simhash
+bit planes) — the hash family (md5 + lexicographic/positional
+arithmetic) is chosen to be bit-portable between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.similarity import (
+    cosine,
+    knn_brute_force,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+    with_minhash,
+)
+from etl_guiacores_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    mean_token_length,
+    punct_count,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from etl_guiacores_spark.queries import register
+from etl_guiacores_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_SW = "'the','a','an','and','of','to','in','is','it','for'"
+_TOKS = "string_split_regex(trim(text), '[ \\t\\n\\r\\f\\v]+')"
+_PUNCT = "'[.,;:!?''\"()\\[\\]{}-]'"
+
+
+@register(
+    "q21_token_quality",
+    f"""
+    SELECT doc_id, n_tokens, n_punct,
+           ROUND(sw_ratio, 6)   AS stopword_ratio,
+           ROUND(mean_tok, 6)   AS mean_token_len,
+           ROUND((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN (CASE WHEN LENGTH(text) > 0
+                                  THEN CAST(n_punct AS DOUBLE)/LENGTH(text)
+                                  ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN COALESCE(sw_ratio, 0.0) BETWEEN 0.01 AND 0.6
+                       THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+    FROM (
+        SELECT doc_id, text,
+               CASE WHEN LENGTH(trim(text)) > 0 THEN LEN({_TOKS}) ELSE 0 END AS n_tokens,
+               LEN(regexp_extract_all(text, {_PUNCT})) AS n_punct,
+               CASE WHEN LENGTH(trim(text)) > 0 AND LEN({_TOKS}) > 0
+                    THEN CAST(LEN(list_filter({_TOKS}, t -> lower(t) IN ({_SW}))) AS DOUBLE)
+                         / LEN({_TOKS}) END AS sw_ratio,
+               CASE WHEN LENGTH(trim(text)) > 0 AND LEN({_TOKS}) > 0
+                    THEN CAST(list_sum(list_transform({_TOKS}, t -> LENGTH(t))) AS DOUBLE)
+                         / LEN({_TOKS}) END AS mean_tok
+        FROM documents
+    )
+    """,
+    doc="Token counting + quality scoring for training-data filtering "
+    "(north-star text-analysis operators).",
+)
+def q21_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        punct_count(text).alias("n_punct"),
+        F.round(stopword_ratio(text), 6).alias("stopword_ratio"),
+        F.round(mean_token_length(text), 6).alias("mean_token_len"),
+        F.round(quality_score(text), 6).alias("quality"),
+    )
+
+
+def _lang_oracle() -> str:
+    from etl_guiacores_spark.operators.textstats import LANG_MARKERS
+
+    count_exprs = {
+        lang: f"LEN(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # fixed priority en,es,de,fr with strict > (mirrors lang_id's fold)
+    best = "'und'"
+    best_n = "0"
+    for lang in ("en", "es", "de", "fr"):
+        c = count_exprs[lang]
+        best = f"CASE WHEN {c} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"GREATEST({c}, {best_n})"
+    return f"""
+    SELECT lang, predicted, COUNT(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN LEN(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0
+                    THEN 'zh' ELSE {best} END AS predicted
+        FROM (SELECT lang, text,
+                     list_transform({_TOKS}, t -> lower(t)) AS toks
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+    ) GROUP BY lang, predicted
+    """
+
+
+@register(
+    "q22_lang_id",
+    _lang_oracle(),
+    doc="Language-ID heuristic (marker vocab + CJK script detection), "
+    "confusion-matrix style output against the labeled lang column.",
+)
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q23_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), {_PUNCT}, ' ', 'g'),
+                                   '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over punctuation-stripped, "
+    "whitespace-collapsed lowercase text — the exact-dedup key.",
+)
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: MinHash / LSH / Jaccard / SimHash
+# ---------------------------------------------------------------------------
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, LEN(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+_MINHASH_CTE = f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               CASE WHEN LEN(toks) >= 3 THEN {_SHINGLES} ELSE [] END AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CASE WHEN LEN(sh) > 0 THEN list_min(list_transform(sh, s -> md5('0:' || s))) END AS sig_0,
+               CASE WHEN LEN(sh) > 0 THEN list_min(list_transform(sh, s -> md5('1:' || s))) END AS sig_1,
+               CASE WHEN LEN(sh) > 0 THEN list_min(list_transform(sh, s -> md5('2:' || s))) END AS sig_2,
+               CASE WHEN LEN(sh) > 0 THEN list_min(list_transform(sh, s -> md5('3:' || s))) END AS sig_3
+        FROM shingled
+    )
+"""
+
+
+@register(
+    "q24_minhash_signatures",
+    _MINHASH_CTE + "SELECT doc_id, sig_0, sig_1, sig_2, sig_3 FROM sigs",
+    doc="MinHash signatures (4 portable md5-seeded hashes over distinct "
+    "word 3-shingles), computed shuffle-free via array folds.",
+)
+def q24_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return with_minhash(d.select("doc_id", "text"), "text").select(
+        "doc_id", "sig_0", "sig_1", "sig_2", "sig_3"
+    )
+
+
+@register(
+    "q25_lsh_candidates",
+    _MINHASH_CTE
+    + """,
+    bands AS (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH banding: near-dup candidate pairs sharing any band; "
+    "only (band, sig) keys shuffle, never all-pairs.",
+)
+def q25_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return lsh_candidate_pairs(d, "doc_id", "text")
+
+
+@register(
+    "q26_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN LEN(toks) >= 3 THEN {_SHINGLES} ELSE [] END AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN LEN(list_distinct(list_concat(a.sh, b.sh))) > 0
+                THEN ROUND(CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / LEN(list_distinct(list_concat(a.sh, b.sh))), 6)
+                ELSE 0.0 END AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Exact n-gram Jaccard on adjacent-id document pairs (the "
+    "verification stage after LSH candidate generation).",
+)
+def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("text_b"))
+    return (
+        a.join(b, on="id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ngram_jaccard(F.col("text_a"), F.col("text_b")), 6).alias("jaccard"),
+        )
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        digit, bitpos = b // 4 + 1, b % 4
+        bit = (
+            f"(CAST((strpos('0123456789abcdef', substr(h, {digit}, 1)) - 1) AS INTEGER)"
+            f" >> {bitpos}) & 1"
+        )
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(hashed, h -> CASE WHEN {bit} = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash16
+    FROM (SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hashed
+          FROM documents WHERE LENGTH(trim(text)) > 0)
+    """
+
+
+@register(
+    "q27_simhash",
+    _simhash_oracle(),
+    doc="16-bit SimHash from md5 bit planes — Hamming-distance near-dup "
+    "signature, computed shuffle-free per row.",
+)
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select("doc_id", simhash(F.col("text"), 16).alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "q28_cosine_topk",
+    """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+               , 6) AS sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query set, one "
+    "scan of the corpus, window top-k.",
+)
+def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return knn_brute_force(e, q, k=5)
+
+
+@register(
+    "q29_embedding_neardup",
+    """
+    WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    )
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(b2.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))))
+               , 6) AS sim
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ) WHERE sim >= 0.3
+    """,
+    doc="Embedding near-dup via sign-LSH buckets (first 8 dims) + exact "
+    "cosine within buckets; all-pairs never materializes.",
+)
+def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.3, bucket_dims=8)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (SURVEY §2.10 batch parity; streaming twin in
+# etl_guiacores_spark/streaming)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q30_tumbling_window",
+    """
+    SELECT event_type,
+           STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc="Tumbling 1h event-time window aggregation (batch twin of the "
+    "streaming surface).",
+)
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q31_sliding_window",
+    """
+    SELECT event_type,
+           STRFTIME(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT event_type, value,
+               unnest([
+                   (epoch_us(ts) // 1800000000) * 1800,
+                   (epoch_us(ts) // 1800000000) * 1800 - 1800
+               ]) AS ws
+        FROM events
+    )
+    GROUP BY event_type, ws
+    """,
+    doc="Sliding window (1h size, 30m slide): every event lands in two "
+    "overlapping windows.",
+)
+def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q32_sessionization",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, value,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY tus, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30 min idle gap) via lag + running "
+    "sum — batch twin of session_window; exact integer-microsecond "
+    "comparisons keep both engines in lockstep.",
+)
+def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    gap = tus - F.lag(tus).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(tus, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", F.sum(new_session).over(wsum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+@register(
+    "q33_event_dedupe_first",
+    """
+    SELECT user_id, event_type, event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Streaming-shaped keyed dedupe on events (keep earliest) — the "
+    "batch twin of dropDuplicates-with-state (SURVEY §2.10).",
+)
+def q33_event_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Unit tests for near-dup / similarity-search operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.similarity import (
+    cosine,
+    embedding_near_dup_pairs,
+    knn_brute_force,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+    with_minhash,
+    word_shingles,
+)
+
+TEXT_A = "the quick brown fox jumps over the lazy dog"
+TEXT_B = "the quick brown fox jumps over the sleepy dog"  # near-dup of A
+TEXT_C = "completely different content about spark engines"
+
+
+class TestShingles:
+    def test_word_shingles(self, spark):
+        row = spark.range(1).select(
+            word_shingles(F.lit("a b c d"), 3).alias("s"),
+            word_shingles(F.lit("a b"), 3).alias("short"),
+        ).collect()[0]
+        assert row["s"] == ["a b c", "b c d"]
+        assert row["short"] == []
+
+
+class TestMinhashLsh:
+    def test_near_dups_share_bands_distinct_docs_dont(self, spark):
+        df = spark.createDataFrame(
+            [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)], ["doc_id", "text"]
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(df, "doc_id", "text").collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_signature_deterministic(self, spark):
+        df = spark.createDataFrame([(1, TEXT_A)], ["doc_id", "text"])
+        s1 = with_minhash(df, "text").collect()[0]
+        s2 = with_minhash(df, "text").collect()[0]
+        assert [s1[f"sig_{i}"] for i in range(4)] == [s2[f"sig_{i}"] for i in range(4)]
+
+
+class TestJaccardSimhash:
+    def test_jaccard_bounds(self, spark):
+        row = spark.range(1).select(
+            ngram_jaccard(F.lit(TEXT_A), F.lit(TEXT_A)).alias("same"),
+            ngram_jaccard(F.lit(TEXT_A), F.lit(TEXT_B)).alias("near"),
+            ngram_jaccard(F.lit(TEXT_A), F.lit(TEXT_C)).alias("far"),
+        ).collect()[0]
+        assert row["same"] == 1.0
+        assert 0 < row["near"] < 1.0
+        assert row["far"] == 0.0
+
+    def test_simhash_near_dups_close_in_hamming(self, spark):
+        row = spark.range(1).select(
+            simhash(F.lit(TEXT_A)).alias("a"),
+            simhash(F.lit(TEXT_B)).alias("b"),
+            simhash(F.lit(TEXT_C)).alias("c"),
+        ).collect()[0]
+        ham = lambda x, y: bin(x ^ y).count("1")
+        assert ham(row["a"], row["b"]) < ham(row["a"], row["c"])
+
+
+class TestEmbeddings:
+    def test_cosine(self, spark):
+        df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+        row = df.select(
+            cosine(F.col("a"), F.col("a")).alias("same"),
+            cosine(F.col("a"), F.col("b")).alias("ortho"),
+        ).collect()[0]
+        assert math.isclose(row["same"], 1.0)
+        assert math.isclose(row["ortho"], 0.0)
+
+    def test_knn_finds_identical_vector_first(self, spark):
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        got = knn_brute_force(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+        assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
+
+    def test_near_dup_pairs_bucketed(self, spark):
+        vecs = [
+            (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.9]),
+            (2, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),
+        ]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(df, threshold=0.9, bucket_dims=8).collect()
+        }
+        assert pairs == {(0, 1)}

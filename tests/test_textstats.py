@@ -1,0 +1,67 @@
+"""Unit tests for text-analysis operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+)
+
+
+def apply1(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r[0] for r in df.select(fn(F.col("x")).alias("y")).collect()]
+
+
+class TestTokenStats:
+    def test_token_count(self, spark):
+        assert apply1(spark, token_count, ["a b  c", "", "  ", "one"]) == [3, 0, 0, 1]
+
+    def test_stopword_ratio(self, spark):
+        got = apply1(spark, stopword_ratio, ["the cat and dog", "cat dog", ""])
+        assert got[0] == 0.5
+        assert got[1] == 0.0
+        assert got[2] is None
+
+    def test_quality_score_bands(self, spark):
+        long_good = "the quick brown fox jumps over the lazy dog again and again ok"
+        got = apply1(spark, quality_score, [long_good, "x"])
+        assert got[0] == 1.0
+        assert got[1] < 1.0
+
+
+class TestLangId:
+    def test_markers_and_cjk(self, spark):
+        got = apply1(
+            spark,
+            lang_id,
+            [
+                "the cat is on the mat and it is fine",
+                "el gato que vive en la casa de los gatos",
+                "der Hund und die Katze ist ein Tier",
+                "你好世界",
+                "zzz qqq",
+            ],
+        )
+        assert got == ["en", "es", "de", "zh", "und"]
+
+
+class TestFingerprint:
+    def test_normalization_invariance(self, spark):
+        a, b = fingerprint(F.lit("Hello,  World!")), fingerprint(F.lit("hello world"))
+        row = spark.range(1).select(a.alias("a"), b.alias("b")).collect()[0]
+        assert row["a"] == row["b"]
+
+    def test_rolling_hash_order_sensitive(self, spark):
+        df = spark.range(1).select(
+            rolling_hash(F.lit("alpha beta gamma")).alias("h1"),
+            rolling_hash(F.lit("gamma beta alpha")).alias("h2"),
+        )
+        row = df.collect()[0]
+        assert row["h1"] != row["h2"]

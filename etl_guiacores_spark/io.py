@@ -1,0 +1,130 @@
+"""Sinks / loaders (SURVEY §2.8 L1-L7).
+
+The reference materializes rows into pandas and writes one CSV per
+run (reference: src/loaders/file_loader.py:18-37), appends per-chunk
+(reference: src/extractors/sequential_scraper.py:310-327), versions
+files by copying (reference: src/common/versioning.py:22-67), and
+TTL-caches JSON snapshots (reference: src/common/cache_loader.py:17-94).
+Engine equivalents are all partitioned writes — no driver-side
+materialization, safe at any scale:
+
+- run-stamped directory   <- timestamped filename        (L1)
+- ``mode=append``         <- incremental CSV append      (L2)
+- Parquet between stages  <- JSON handoff files          (L3)
+- ``version=<ts>`` partition + retention prune <- versions/ dir (L6)
+- ``snapshot_ts=<ts>`` partition + TTL filter  <- cache files   (L5)
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_timestamp(clock: datetime | None = None) -> str:
+    """Injectable clock (SURVEY §7 hard part (d)) in the reference's
+    filename format (reference: src/loaders/file_loader.py:24)."""
+    dt = clock or datetime.now(timezone.utc)
+    return dt.strftime("%Y%m%d_%H%M%S")
+
+
+def write_run_csv(
+    df: DataFrame, base_dir: str, prefix: str = "guiaCores_leads", clock: datetime | None = None
+) -> str:
+    """L1 — header CSV into a run-stamped directory."""
+    path = f"{base_dir}/{prefix}_{run_timestamp(clock)}"
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def append_stage(df: DataFrame, path: str) -> None:
+    """L2 — incremental append (Parquet; idempotence comes from the
+    resume anti-join upstream, or a checkpointed stream in
+    streaming mode)."""
+    df.write.mode("append").parquet(path)
+
+
+def write_handoff(df: DataFrame, path: str) -> None:
+    """L3 — inter-stage handoff; Parquet instead of the reference's
+    JSON arrays (reference: src/extractors/run_extraction.py:130-134)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_version(
+    df: DataFrame, path: str, clock: datetime | None = None, keep_last: int | None = None
+) -> str:
+    """L6 — write into a ``version=<ts>`` partition; optionally prune
+    to the newest ``keep_last`` versions
+    (reference: src/common/versioning.py:96-108)."""
+    ts = run_timestamp(clock)
+    df.withColumn("version", F.lit(ts)).write.mode("append").partitionBy("version").parquet(path)
+    if keep_last is not None:
+        prune_versions(path, keep_last)
+    return ts
+
+
+def list_versions(path: str) -> list[str]:
+    root = Path(path)
+    if not root.exists():
+        return []
+    return sorted(p.name.split("=", 1)[1] for p in root.glob("version=*"))
+
+
+def prune_versions(path: str, keep_last: int) -> list[str]:
+    """Retention: drop all but the newest N version partitions."""
+    versions = list_versions(path)
+    doomed = versions[:-keep_last] if keep_last > 0 else versions
+    for v in doomed:
+        shutil.rmtree(Path(path) / f"version={v}", ignore_errors=True)
+    return doomed
+
+
+def read_latest_version(spark: SparkSession, path: str) -> DataFrame:
+    """max-by-name version selection (reference: src/common/versioning.py:75-94)."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {path}")
+    return spark.read.parquet(f"{path}/version={versions[-1]}")
+
+
+def write_snapshot(df: DataFrame, path: str, clock: datetime | None = None) -> str:
+    """L5 — TTL-cache write: snapshot partition stamped with epoch secs."""
+    dt = clock or datetime.now(timezone.utc)
+    ts = str(int(dt.timestamp()))
+    df.withColumn("snapshot_ts", F.lit(ts)).write.mode("append").partitionBy(
+        "snapshot_ts"
+    ).parquet(path)
+    return ts
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, ttl_seconds: int, clock: datetime | None = None
+) -> DataFrame | None:
+    """L5 — newest non-expired snapshot, else None (cache miss)
+    (reference: src/common/cache_loader.py:64-94)."""
+    now = int((clock or datetime.now(timezone.utc)).timestamp())
+    snaps = sorted(
+        int(p.name.split("=", 1)[1]) for p in Path(path).glob("snapshot_ts=*")
+    ) if Path(path).exists() else []
+    live = [s for s in snaps if now - s <= ttl_seconds]
+    if not live:
+        return None
+    return spark.read.parquet(f"{path}/snapshot_ts={live[-1]}")
+
+
+def expire_snapshots(path: str, ttl_seconds: int, clock: datetime | None = None) -> list[str]:
+    """L5 retention — delete snapshot partitions older than the TTL
+    (reference: src/common/cache_loader.py:40-62)."""
+    now = int((clock or datetime.now(timezone.utc)).timestamp())
+    doomed = [
+        p.name.split("=", 1)[1]
+        for p in Path(path).glob("snapshot_ts=*")
+        if now - int(p.name.split("=", 1)[1]) > ttl_seconds
+    ]
+    for ts in doomed:
+        shutil.rmtree(Path(path) / f"snapshot_ts={ts}", ignore_errors=True)
+    return doomed

@@ -53,7 +53,11 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    from etl_guiacores_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    return spark
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -65,4 +69,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from etl_guiacores_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     return spark

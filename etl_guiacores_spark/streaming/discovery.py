@@ -1,0 +1,69 @@
+"""Incremental discovery (SURVEY §2.10) — the "Ver más" loop, Spark-first.
+
+The reference clicks a load-more button until 3 consecutive rounds
+discover nothing new (reference: src/extractors/sequential_collector.py:452-495),
+deduping by business id as it goes (:591-594). Two engine forms:
+
+1. ``discover_until_idle`` — a driver-side micro-batch loop over ANY
+   batch-producing callable: per batch, left-anti join against what's
+   known, append only novel keys, stop after ``idle_rounds`` empty
+   batches. This is exactly the reference's semantics with the dedupe
+   and resume state as DataFrames instead of Python sets.
+
+2. Streaming form (tests/test_streaming.py): new listing pages land
+   in a directory watched by a file-source ``readStream``; parse +
+   ``dropDuplicates`` + checkpointed append sink gives exactly-once
+   accumulation (L2's idempotent-append intent,
+   reference: src/extractors/sequential_scraper.py:310-327).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def discover_until_idle(
+    batches: Iterator[DataFrame] | Callable[[int], DataFrame | None],
+    key: str = "id_negocio",
+    idle_rounds: int = 3,
+    max_rounds: int = 1000,
+) -> DataFrame | None:
+    """Accumulate unique-by-key rows from successive discovery batches
+    until ``idle_rounds`` consecutive batches yield nothing new.
+
+    ``batches`` is either an iterator of DataFrames or a callable
+    ``round_index -> DataFrame | None`` (None = source exhausted).
+    Returns the accumulated DataFrame (or None if nothing arrived).
+
+    Each round's novelty check is a broadcast-friendly anti-join on a
+    single key column; accumulated state stays distributed (no
+    driver-side set, unlike the reference).
+    """
+    get = batches if callable(batches) else lambda i, it=iter(batches): next(it, None)
+
+    known: DataFrame | None = None
+    idle = 0
+    for i in range(max_rounds):
+        batch = get(i)
+        if batch is None:
+            break
+        batch = batch.dropDuplicates([key])
+        if known is None:
+            novel = batch
+        else:
+            novel = batch.join(known.select(key), on=key, how="left_anti")
+        # one action per round: the reference's stop-condition needs
+        # the novel count (sequential_collector.py:465-471)
+        n_new = novel.count()
+        if n_new == 0:
+            idle += 1
+            if idle >= idle_rounds:
+                break
+            continue
+        idle = 0
+        known = novel if known is None else known.unionByName(novel)
+        # keep the lineage shallow so round N doesn't replan N-1 unions
+        known = known.localCheckpoint(eager=True)
+    return known

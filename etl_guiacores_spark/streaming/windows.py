@@ -1,0 +1,86 @@
+"""Structured Streaming window/dedupe surface (SURVEY §2.10).
+
+The reference is batch-only; these transformations define the
+engine's streaming semantics on the ``events`` shape
+(event_id, ts, user_id, event_type, value). Each builder works on
+BOTH a batch DataFrame and a streaming DataFrame — the watermark is a
+no-op in batch mode — so the batch oracle queries (q30-q33) verify
+the same logic the stream runs.
+
+State-at-scale notes:
+- every windowed agg below bounds its state with ``withWatermark``;
+  unbounded keyed state is the streaming analog of an unpartitioned
+  shuffle — it eventually OOMs the state store.
+- ``dropDuplicates`` on (key, window-bucketed time) keeps the dedupe
+  state bounded too (plain key-only dedupe would grow forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", size).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", size, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time session windows (gap-close semantics); the batch
+    twin is q32's lag+cumsum sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedupe(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Keyed dedupe with bounded state — the streaming form of D2
+    (reference: src/extractors/sequential_collector.py:591-594)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)

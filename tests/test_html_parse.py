@@ -1,0 +1,80 @@
+"""Parser fixtures reconstructed from the reference's selectors
+(SURVEY §5 item 5; FIXTURES.md §7)."""
+
+from __future__ import annotations
+
+from etl_guiacores_spark.sources.html_parse import (
+    parse_detail_html,
+    parse_pages,
+    parse_search_results,
+)
+
+DETAIL_HTML = """
+<html><body>
+  <a class="search-result-name" href="#"><h1>Panadería  La Espiga</h1></a>
+  <span class="search-result-address">Av. Argentina 123 - (8300) Neuquén</span>
+  <a href="tel:+2991234567">299 123-4567</a>
+  <a href="tel:+2994771234">299 477-1234</a>
+  <a href="https://api.whatsapp.com/send?phone=5492991234567&text=hola">WhatsApp</a>
+  <a itemprop="url" href="https://laespiga.com.ar">sitio</a>
+  <a onclick="irContacto()" href="#">info@laespiga.com.ar</a>
+  <a href="https://www.facebook.com/laespiga">fb</a>
+  <a href="https://www.instagram.com/laespiga">ig</a>
+  <i class="far fa-clock"></i><span>Lun a Vie 8-20 Cerrado</span>
+  <div id="yw0" class="list-view"><div class="items">
+    <a class="search-result-link" href="#">Panaderías</a>
+    <a class="search-result-link" href="#">Confiterías</a>
+  </div></div>
+  <p class="search-result-description">Pan artesanal.</p>
+  <div class="map" data-lat="-38.9516" data-lng="-68.0591"></div>
+</body></html>
+"""
+
+
+class TestDetailParser:
+    def test_all_fields(self):
+        rec = parse_detail_html(DETAIL_HTML)
+        assert rec["nombre"] == "Panadería La Espiga"
+        assert rec["direccion"] == "Av. Argentina 123 - (8300) Neuquén"
+        assert rec["telefonos"] == "299 123-4567, 299 477-1234"
+        assert rec["whatsapp"] == "5492991234567"
+        assert rec["sitio_web"] == "https://laespiga.com.ar"
+        assert rec["email"] == "info@laespiga.com.ar"
+        assert rec["facebook"] == "https://www.facebook.com/laespiga"
+        assert rec["instagram"] == "https://www.instagram.com/laespiga"
+        assert rec["horarios"] == "Lun a Vie 8-20"
+        assert rec["rubros"] == "Panaderías, Confiterías"
+        assert rec["descripcion"] == "Pan artesanal."
+        assert rec["latitud"] == "-38.9516"
+        assert rec["longitud"] == "-68.0591"
+
+    def test_empty_and_malformed(self):
+        assert parse_detail_html("")["nombre"] is None
+        assert parse_detail_html("<div><a <<<")["nombre"] is None
+
+    def test_non_contact_email_link_ignored(self):
+        rec = parse_detail_html('<a onclick="irContacto()">sin arroba</a>')
+        assert rec["email"] is None
+
+
+class TestSearchResults:
+    def test_extracts_unique_ids(self):
+        html = (
+            '<a href="index.php?r=search/detail&id=11">a</a>'
+            '<a href="index.php?r=search/detail&amp;id=22">b</a>'
+            '<a href="index.php?r=search/detail&id=11">dup</a>'
+        )
+        got = parse_search_results(html)
+        assert [bid for bid, _ in got] == ["11", "22"]
+        assert all("id=" in url for _, url in got)
+
+
+class TestParsePagesStage:
+    def test_mapinpandas_schema_and_values(self, spark):
+        df = spark.createDataFrame(
+            [("https://x/index.php?r=search/detail&id=77", DETAIL_HTML)], ["url", "html"]
+        )
+        got = parse_pages(df).collect()
+        assert len(got) == 1
+        assert got[0]["id_negocio"] == "77"
+        assert got[0]["nombre"] == "Panadería La Espiga"

@@ -81,21 +81,27 @@ def lang_id(col: Column) -> Column:
     with the most token hits wins (ties broken by fixed language
     order); no hits -> 'und'.
     """
-    toks = F.transform(tokens(col), lambda t: F.lower(t))
-    counts = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    cjk = F.coalesce(F.regexp_count(col, F.lit(r"[\x{4e00}-\x{9fff}]")), F.lit(0))
 
-    best_lang = F.lit("und")
-    best_count = F.lit(0)
-    for lang in ("en", "es", "de", "fr"):  # fixed priority = deterministic ties
-        c = counts[lang]
-        better = c > best_count
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_count = F.when(better, c).otherwise(best_count)
-    return F.when(cjk > 0, F.lit("zh")).otherwise(best_lang)
+    def pick(toks: Column) -> Column:
+        # toks is a lambda variable — tokenization runs once, not once
+        # per marker vocabulary
+        counts = {
+            lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+            for lang, markers in LANG_MARKERS.items()
+        }
+        best_lang = F.lit("und")
+        best_count = F.lit(0)
+        for lang in ("en", "es", "de", "fr"):  # fixed priority = deterministic ties
+            c = counts[lang]
+            better = c > best_count
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_count = F.when(better, c).otherwise(best_count)
+        return best_lang
+
+    lowered = F.transform(tokens(col), lambda t: F.lower(t))
+    best = F.element_at(F.transform(F.array(lowered), pick), 1)
+    cjk = F.coalesce(F.regexp_count(col, F.lit(r"[\x{4e00}-\x{9fff}]")), F.lit(0))
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best)
 
 
 def normalize_for_fingerprint(col: Column) -> Column:

@@ -224,17 +224,20 @@ def q25_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verification stage after LSH candidate generation).",
 )
 def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import jaccard_of_shingles, word_shingles
+
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
-                 F.col("text").alias("text_b"))
-    return (
-        a.join(b, on="id_a")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(ngram_jaccard(F.col("text_a"), F.col("text_b")), 6).alias("jaccard"),
-        )
+    # shingle ONCE per doc before the join: each join side carries the
+    # staged array column; the jaccard expression then references the
+    # arrays instead of re-shingling inside intersect and union.
+    sh = d.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                  F.col("sh").alias("sh_b"))
+    return a.join(b, on="id_a").select(
+        "id_a",
+        "id_b",
+        F.round(jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
     )
 
 

@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
 import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
 from etl_guiacores_spark.queries import REGISTRY
 from etl_guiacores_spark.session import configure_session

@@ -26,6 +26,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
     import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
     from etl_guiacores_spark.queries import REGISTRY
     from etl_guiacores_spark.session import get_spark

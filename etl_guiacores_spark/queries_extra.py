@@ -1,0 +1,259 @@
+"""Coverage-completing queries: merge upsert (J3), type coercion (T9),
+phone-list ops (T4/T11), exact dedupe (D1), frame windows, pivot,
+total-matches extraction (X11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.functions import (
+    clean_phone_list,
+    coerce_bool,
+    coerce_long,
+    normalize_phone_list,
+    total_matches,
+)
+from etl_guiacores_spark.operators.joins import merge_upsert
+from etl_guiacores_spark.queries import register
+from etl_guiacores_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "q34_merge_upsert",
+    """
+    WITH target AS (
+        SELECT c_custkey AS k, c_name AS nombre, c_acctbal AS bal FROM customer
+    ),
+    source AS (
+        SELECT c_custkey AS k, 'UPD ' || c_name AS nombre, c_acctbal + 1000 AS bal
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000 AS k, 'NEW ' || c_name AS nombre, 0.0 AS bal
+        FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT COALESCE(t.k, s.k) AS k,
+           CASE WHEN s.k IS NOT NULL THEN s.nombre ELSE t.nombre END AS nombre,
+           ROUND(CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.bal END, 2) AS bal
+    FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    """,
+    doc="J3 keyed merge: source rows update matches and insert novelties, "
+    "unmatched target rows pass through "
+    "(reference: src/extractors/manual_scraper.py:270-290).",
+)
+def q34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    target = c.select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nombre"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.lit("UPD "), F.col("c_name")).alias("nombre"),
+        (F.col("c_acctbal") + 1000).alias("bal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("k"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("nombre"),
+        F.lit(0.0).alias("bal"),
+    )
+    merged = merge_upsert(target, updates.unionByName(inserts), "k")
+    return merged.select("k", "nombre", F.round("bal", 2).alias("bal"))
+
+
+@register(
+    "q35_type_coercion",
+    """
+    SELECT p_partkey,
+           CASE WHEN regexp_matches(s, '^[0-9]+$') THEN CAST(s AS BIGINT) END AS as_long,
+           CASE WHEN lower(trim(b)) IN ('true','false')
+                THEN lower(trim(b)) = 'true' END AS as_bool
+    FROM (
+        SELECT p_partkey,
+               CASE p_partkey % 3 WHEN 0 THEN CAST(p_size AS VARCHAR)
+                                  WHEN 1 THEN CAST(p_size AS VARCHAR) || 'x'
+                                  ELSE '' END AS s,
+               CASE p_partkey % 4 WHEN 0 THEN 'true' WHEN 1 THEN ' False '
+                                  WHEN 2 THEN 'yes' ELSE '1' END AS b
+        FROM part
+    )
+    """,
+    doc="T9 opportunistic type coercion as guarded casts "
+    "(reference: src/common/data_cleaner.py:36-60).",
+)
+def q35_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = (
+        F.when(k % 3 == 0, F.col("p_size").cast("string"))
+        .when(k % 3 == 1, F.concat(F.col("p_size").cast("string"), F.lit("x")))
+        .otherwise(F.lit(""))
+    )
+    b = (
+        F.when(k % 4 == 0, F.lit("true"))
+        .when(k % 4 == 1, F.lit(" False "))
+        .when(k % 4 == 2, F.lit("yes"))
+        .otherwise(F.lit("1"))
+    )
+    return p.select(
+        "p_partkey", coerce_long(s).alias("as_long"), coerce_bool(b).alias("as_bool")
+    )
+
+
+@register(
+    "q36_phone_list_ops",
+    """
+    SELECT s_suppkey, cleaned, normalized FROM (
+        SELECT s_suppkey,
+               -- T11: strip separators, order-preserving dedupe
+               p1c || CASE WHEN p2c <> p1c THEN ', ' || p2c ELSE '' END AS cleaned,
+               -- T4: normalize each (p2 is 11 digits for even keys, a
+               -- 10-digit duplicate of p1 for odd keys)
+               n1 || ', ' || CASE WHEN LENGTH(p2c) = 11
+                    THEN SUBSTR(p2c,1,2) || '-' || SUBSTR(p2c,3,3) || '-' || SUBSTR(p2c,6,3) || '-' || SUBSTR(p2c,9,3)
+                    ELSE SUBSTR(p2c,1,3) || '-' || SUBSTR(p2c,4,4) || '-' || SUBSTR(p2c,8,3)
+               END AS normalized
+        FROM (
+            SELECT s_suppkey,
+                   REPLACE(REPLACE(p1, '-', ''), ' ', '') AS p1c,
+                   REPLACE(REPLACE(p2, '-', ''), ' ', '') AS p2c,
+                   SUBSTR(REPLACE(REPLACE(p1, '-', ''), ' ', ''),1,3) || '-' ||
+                   SUBSTR(REPLACE(REPLACE(p1, '-', ''), ' ', ''),4,4) || '-' ||
+                   SUBSTR(REPLACE(REPLACE(p1, '-', ''), ' ', ''),8,3) AS n1
+            FROM (
+                SELECT s_suppkey,
+                       '299-' || LPAD(CAST((s_suppkey*13) % 10000000 AS VARCHAR),7,'0') AS p1,
+                       CASE WHEN s_suppkey % 2 = 0
+                            THEN LPAD(CAST((s_suppkey*17) % 100000000000 AS VARCHAR),11,'0')
+                            ELSE '299-' || LPAD(CAST((s_suppkey*13) % 10000000 AS VARCHAR),7,'0')
+                       END AS p2
+                FROM supplier
+            )
+        )
+    )
+    """,
+    doc="T4 list-normalize + T11 strip/dedupe on comma-joined phone "
+    "strings via higher-order functions "
+    "(reference: src/transformers/business_transformer.py:91-96, "
+    "src/tools/clean_data.py:7-28).",
+)
+def q36_phone_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    p1 = F.concat(F.lit("299-"), F.lpad(((k * 13) % 10000000).cast("string"), 7, "0"))
+    p2 = F.when(
+        k % 2 == 0, F.lpad(((k * 17) % 100000000000).cast("string"), 11, "0")
+    ).otherwise(p1)
+    joined = F.concat(p1, F.lit(", "), p2)
+    return s.select(
+        "s_suppkey",
+        clean_phone_list(joined).alias("cleaned"),
+        normalize_phone_list(joined).alias("normalized"),
+    )
+
+
+@register(
+    "q37_exact_dedupe",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+        SELECT l_returnflag, l_linestatus,
+               CASE WHEN l_linenumber % 2 = 0 THEN 'AIR' ELSE 'SHIP' END AS l_shipmode
+        FROM lineitem
+    )
+    """,
+    doc="D1 full-record exact dedupe -> hash-aggregate distinct "
+    "(reference: src/common/data_cleaner.py:29-32, O(n^2) there).",
+)
+def q37_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("AIR"))
+            .otherwise(F.lit("SHIP"))
+            .alias("l_shipmode"),
+        )
+        .dropDuplicates()
+    )
+
+
+@register(
+    "q38_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_last3
+    FROM orders
+    """,
+    doc="Analytic frame windows: running sum + trailing-3 moving average "
+    "(SURVEY §2.7 full window surface).",
+)
+def q38_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ma = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w_ma), 4).alias("avg_last3"),
+    )
+
+
+@register(
+    "q39_pivot_events",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)    AS error,
+           COUNT(CASE WHEN event_type = 'login' THEN 1 END)    AS login
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot (wide aggregation) — event-type counts per user.",
+)
+def q39_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "login"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    # pivot leaves NULL for empty cells; the CASE-count oracle yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@register(
+    "q40_total_matches",
+    """
+    SELECT r_regionkey,
+           CAST(regexp_extract('Se encontraron ' || CAST(r_regionkey * 37 AS VARCHAR)
+                               || ' coincidencias', '([0-9]+)[ ]coincidencias', 1) AS INTEGER)
+               AS total
+    FROM region
+    """,
+    doc="X11 total-matches extraction from header text "
+    "(reference: src/extractors/sequential_collector.py:606-639).",
+)
+def q40_total_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    text = F.concat(
+        F.lit("Se encontraron "),
+        (F.col("r_regionkey") * 37).cast("string"),
+        F.lit(" coincidencias"),
+    )
+    return r.select("r_regionkey", total_matches(text).alias("total"))

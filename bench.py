@@ -34,6 +34,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up JVM/codegen/parquet footers so the first timed query
+    # isn't charged for session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         t0 = time.time()

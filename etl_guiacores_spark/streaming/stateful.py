@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator: incremental sessionizer.
+
+``session_window`` covers declarative sessionization; this operator
+demonstrates the ARBITRARY-state path (``applyInPandasWithState``)
+the engine uses when built-in operators can't express the semantics —
+the Spark-native analog of the reference's mutable crawl-state dicts
+(reference: src/extractors/sequential_scraper.py:84-99).
+
+Semantics: per user, events accumulate into a session; a gap larger
+than ``gap_seconds`` CLOSES the current session and emits one row for
+it. State per key is four scalars — bounded regardless of stream
+length; closed sessions leave the store immediately.
+
+Works identically under batch `groupBy().applyInPandas` semantics?
+No — this is streaming-only by design; the batch twin is
+q32_sessionization (lag + cumsum), and the two are reconciled in
+tests/test_stateful.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+#: state = (session_start_us, last_ts_us, n_events, total_value)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: int):
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = -1
+        n, total = 0, 0.0
+
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            # pandas Timestamp -> integer microseconds (exact, matches
+            # the batch twin's unix_micros arithmetic)
+            tus = ts.value // 1000
+            if start_us < 0:
+                start_us, last_us, n, total = tus, tus, 1, float(value)
+            elif tus - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n, round(total, 2)))
+                start_us, last_us, n, total = tus, tus, 1, float(value)
+            else:
+                last_us, n, total = tus, n + 1, total + float(value)
+
+    if start_us >= 0:
+        state.update((start_us, last_us, n, total))
+    if closed:
+        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """events(user_id, ts, value) stream -> closed-session rows."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        yield from _sessionize(key, pdfs, state, gap_us)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# mapInPandas-style closures travel by value (see shipping.py)
+import sys as _sys  # noqa: E402
+
+from etl_guiacores_spark import shipping as _shipping  # noqa: E402
+
+_shipping.register_udf_module(_sys.modules[__name__])

@@ -1,0 +1,65 @@
+"""Custom stateful operator: streaming sessionizer vs its batch twin."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import types as T
+
+from etl_guiacores_spark.streaming.stateful import sessionize_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def ev(user, minute, value=1.0):
+    return (user, datetime(2024, 1, 1, minute // 60, minute % 60), value)
+
+
+def test_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: user 1 builds a session (2 events), user 2 one event
+    spark.createDataFrame([ev(1, 0), ev(1, 10, 2.0), ev(2, 5)], SCHEMA) \
+        .write.mode("append").parquet(src)
+
+    q = (
+        sessionize_stream(spark.readStream.schema(SCHEMA).parquet(src))
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) n from sessions_out").collect()[0]["n"] == 0
+
+        # batch 2: user 1 returns after a 50-min gap -> first session closes
+        spark.createDataFrame([ev(1, 60, 5.0)], SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("select * from sessions_out").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == 1
+        assert r["n_events"] == 2
+        assert r["total_value"] == 3.0
+        # exact integer-us bounds: 00:00 .. 00:10
+        assert r["session_start_us"] == 1704067200000000
+        assert r["session_end_us"] == 1704067200000000 + 600 * 1_000_000
+
+        # batch 3: same-session continuation then another gap closes it
+        spark.createDataFrame([ev(1, 80, 1.0), ev(1, 200)], SCHEMA) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {r["session_start_us"]: r for r in spark.sql("select * from sessions_out").collect()}
+        assert len(rows) == 2
+        second = rows[1704067200000000 + 3600 * 1_000_000]
+        assert second["n_events"] == 2  # events at :60 and :80
+        assert second["total_value"] == 6.0
+    finally:
+        q.stop()

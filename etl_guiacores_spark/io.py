@@ -128,3 +128,68 @@ def expire_snapshots(path: str, ttl_seconds: int, clock: datetime | None = None)
     for ts in doomed:
         shutil.rmtree(Path(path) / f"snapshot_ts={ts}", ignore_errors=True)
     return doomed
+
+
+def read_processed_csvs(spark: SparkSession, glob_path: str) -> DataFrame:
+    """S9 — consolidate many run CSVs in one multi-file union scan
+    (reference: src/tools/clean_data.py:69-90 reads data/processed/*.csv
+    into pandas and concats; here it's a single distributed scan)."""
+    return spark.read.option("header", True).csv(glob_path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S10/L3 — JSON-lines write (reference: src/common/utils.py:28-41
+    dumps whole arrays; JSONL is the scalable form)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+def write_stats_json(stats: dict, path: str) -> None:
+    """L7 — run-statistics JSON
+    (reference: src/extractors/sequential_scraper.py:421-439)."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(stats, f, indent=2, ensure_ascii=False, default=str)
+
+
+def append_audit_log(spark: SparkSession, path: str, **fields) -> None:
+    """A3 — one audit row per run into an append-only log table
+    (reference: src/extractors/manual_scraper.py:297-313 writes a
+    scraping_log row per session)."""
+    import json as _json
+
+    row = {"logged_at": datetime.now(timezone.utc).isoformat(), **fields}
+    df = spark.createDataFrame([(_json.dumps(row, default=str),)], "entry string")
+    df.write.mode("append").json(path)
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """L4 — JDBC sink. Plain JDBC has no UPSERT; the engine's pattern
+    is merge-then-overwrite: read the target, ``merge_upsert`` with the
+    batch, write back (or, on warehouses that support it, MERGE INTO
+    via the connector). Raises a clear error when no JDBC driver is on
+    the classpath — none ships in this container
+    (reference: src/extractors/manual_scraper.py:197-295)."""
+    from etl_guiacores_spark.operators.joins import merge_upsert
+
+    spark = df.sparkSession
+    props = properties or {}
+    try:
+        target = spark.read.jdbc(url, table, properties=props)
+        merged = merge_upsert(target, df, key)
+        merged.write.jdbc(url, table, mode="overwrite", properties=props)
+    except Exception as e:  # pragma: no cover - no JDBC driver in test env
+        raise RuntimeError(
+            f"jdbc_upsert needs a JDBC driver for {url} on the Spark classpath"
+        ) from e

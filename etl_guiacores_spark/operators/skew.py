@@ -1,0 +1,57 @@
+"""Skew-mitigation operators for hot keys at scale.
+
+AQE's skew-join handles most cases at runtime (enabled in
+session.py); these explicit operators cover the cases AQE can't:
+broadcast-infeasible dimension sizes with a few pathological keys,
+and deterministic plans where runtime re-splitting is undesirable.
+
+``salted_join``: the big (skewed) side gets a random salt in
+[0, salt), the small side is exploded ``salt`` ways; the join key
+becomes (key, salt) so one hot key spreads over ``salt`` reducers.
+``salted_distinct_count``: two-phase distinct-count — partial
+distinct per (key, salt), then final merge — the agg analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side to a small side on ``key`` with salting.
+
+    The small side is replicated ``salt``x (explode of a literal
+    range) — acceptable exactly because it is small; the big side's
+    rows scatter uniformly via a per-row random salt, so a hot key's
+    rows land on ``salt`` different reducers instead of one straggler.
+    """
+    big_salted = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    small_exploded = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_salted.join(small_exploded, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_distinct_count(
+    df: DataFrame, group_key: str, distinct_col: str, salt: int = 16
+) -> DataFrame:
+    """count(DISTINCT x) per group without funneling a hot group into
+    one reducer: partial distinct on (key, salt-of-x), then sum.
+    Exact (not approximate): the same x always hashes to the same
+    salt, so partial distinct sets are disjoint across salts.
+    """
+    salted = df.withColumn("__salt", F.abs(F.hash(F.col(distinct_col))) % salt)
+    partial = salted.groupBy(group_key, "__salt").agg(
+        F.count_distinct(F.col(distinct_col)).alias("__partial")
+    )
+    return partial.groupBy(group_key).agg(
+        F.sum("__partial").cast("long").alias("distinct_count")
+    )

@@ -114,6 +114,13 @@ def run_batch_pipeline(
     config = config or PipelineConfig()
 
     bronze = canonicalize(raw)
+    if bronze.isEmpty():  # R4 — reference: src/main.py:105-107,116-118
+        return {
+            "status": "warning",
+            "message": "No records extracted",
+            "records_processed": 0,
+            "metrics": {"records": 0, "with_email": 0, "quarantined": 0},
+        }
     gio.write_handoff(bronze, f"{out_dir}/bronze")
 
     obs = Observation("silver_metrics")
@@ -129,9 +136,13 @@ def run_batch_pipeline(
 
     metrics = obs.get
     n = metrics["records"]
-    return {
+    result = {
         "status": "success" if n > 0 else "warning",
         "message": f"Processed {n} records",
         "records_processed": n,
         "metrics": {**metrics, "quarantined": quarantined.count()},
     }
+    # A3 — one audit row per run (reference: manual_scraper.py:297-313)
+    gio.append_audit_log(raw.sparkSession, f"{out_dir}/audit_log", **result["metrics"],
+                         status=result["status"])
+    return result

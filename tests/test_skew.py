@@ -1,0 +1,30 @@
+"""Salting operators: result parity with the unsalted plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.skew import salted_distinct_count, salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 'h' carries 500 of 520 rows
+    big = spark.createDataFrame(
+        [("h", i) for i in range(500)] + [(f"k{i}", i) for i in range(20)], ["key", "v"]
+    )
+    small = spark.createDataFrame([("h", "hot"), ("k3", "cold")], ["key", "name"])
+    plain = {(r["key"], r["v"], r["name"]) for r in big.join(small, "key").collect()}
+    salted = {(r["key"], r["v"], r["name"]) for r in salted_join(big, small, "key").collect()}
+    assert salted == plain
+    assert len(salted) == 501
+
+
+def test_salted_distinct_count_exact(spark):
+    rows = [("g1", f"u{i % 7}") for i in range(100)] + [("g2", f"u{i}") for i in range(13)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    got = {r["g"]: r["distinct_count"] for r in salted_distinct_count(df, "g", "u").collect()}
+    expected = {
+        r["g"]: r["c"]
+        for r in df.groupBy("g").agg(F.count_distinct("u").alias("c")).collect()
+    }
+    assert got == expected == {"g1": 7, "g2": 13}

@@ -1,0 +1,109 @@
+"""IVF approximate nearest-neighbor search (the scale path for ANN).
+
+Brute-force kNN (similarity.knn_brute_force) scans the whole corpus
+per query batch — correct, but at 10^10 vectors the scan dominates.
+IVF (inverted-file) prunes it:
+
+1. TRAIN: k-means over (a sample of) the corpus -> ``nlist``
+   centroids. Model state is tiny (nlist x dim floats) and lives
+   driver-side like any ML model.
+2. INDEX: one pass assigns every vector to its nearest centroid —
+   the cluster id becomes a PARTITIONING KEY; at scale the index
+   table is written partitioned/bucketed by it.
+3. SEARCH: each query probes only its ``nprobe`` nearest clusters —
+   an equi-join on cluster id replaces the full scan, touching
+   roughly nprobe/nlist of the corpus.
+
+Uses pyspark.ml KMeans (seeded, deterministic) with
+``array_to_vector`` for the array<float> -> Vector bridge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.functions import array_to_vector
+
+from etl_guiacores_spark.operators.similarity import cosine
+
+
+@dataclass
+class IvfIndex:
+    model: KMeansModel
+    indexed: DataFrame  # original columns + __cluster
+    id_col: str
+    vec_col: str
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> IvfIndex:
+    """Train the coarse quantizer and assign every vector a cluster."""
+    with_vec = embeddings.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=nlist, seed=seed, featuresCol="__v", predictionCol="__cluster").fit(
+        with_vec
+    )
+    indexed = model.transform(with_vec).drop("__v")
+    return IvfIndex(model=model, indexed=indexed, id_col=id_col, vec_col=vec_col)
+
+
+def _probe_clusters(index: IvfIndex, queries: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, __cluster) pairs for each query's nprobe nearest
+    centroids. Centroids are model state (nlist x dim) — broadcast as
+    a literal array; distances compute distributedly per query row."""
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(index.model.clusterCenters())
+    ]
+    spark = queries.sparkSession
+    centers_df = spark.createDataFrame(centers, ["__cluster", "__center"])
+    q = queries.select(
+        F.col(index.id_col).alias("query_id"), F.col(index.vec_col).alias("__qv")
+    )
+    scored = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "__cluster",
+        cosine(F.col("__qv"), F.col("__center")).alias("__csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__csim").desc(), F.col("__cluster"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__cluster")
+    )
+
+
+def ivf_search(
+    index: IvfIndex, queries: DataFrame, k: int = 5, nprobe: int = 4
+) -> DataFrame:
+    """Top-k cosine neighbors per query, searching only probed clusters.
+
+    Output: (query_id, neighbor_id, sim, rank) — same shape as
+    knn_brute_force, so recall is directly comparable.
+    """
+    probes = _probe_clusters(index, queries, nprobe)
+    q = queries.select(
+        F.col(index.id_col).alias("query_id"), F.col(index.vec_col).alias("__qv")
+    )
+    candidates = (
+        index.indexed.join(probes, on="__cluster")  # prune: only probed clusters
+        .join(F.broadcast(q), on="query_id")
+        .filter(F.col(index.id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(index.id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col(index.vec_col)), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -257,3 +257,53 @@ def q40_total_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" coincidencias"),
     )
     return r.select("r_regionkey", total_matches(text).alias("total"))
+
+
+@register(
+    "q41_stat_aggregates",
+    """
+    SELECT o_orderpriority,
+           ROUND(STDDEV_SAMP(o_totalprice), 4)      AS sd,
+           ROUND(MEDIAN(o_totalprice), 4)           AS med,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90,
+           ROUND(MIN(o_totalprice), 2)              AS lo,
+           ROUND(MAX(o_totalprice), 2)              AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Statistical aggregates (stddev, median, interpolated p90) — "
+    "aggregation-surface breadth beyond the reference's counts (A1-A5).",
+)
+def q41_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "q42_conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05)               AS discounted,
+           ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_extendedprice
+                          ELSE 0 END), 2)                          AS bulk_revenue,
+           COUNT(DISTINCT l_suppkey)                               AS suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Conditional/filtered aggregation + distinct aggregate in one "
+    "pass (Catalyst plans the distinct as a partial expand).",
+)
+def q42_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("bulk_revenue"),
+        F.count_distinct("l_suppkey").alias("suppliers"),
+    )

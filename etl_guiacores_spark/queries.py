@@ -248,18 +248,23 @@ def q06_filter_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT l_orderkey, l_linenumber, l_quantity,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                  ORDER BY l_shipdate, l_linenumber) AS rn
+                                  ORDER BY l_shipdate, l_linenumber,
+                                           l_quantity, l_extendedprice) AS rn
         FROM lineitem
     ) WHERE rn = 1
     """,
     doc="D2/D3 keep-first keyed dedupe via ranking window "
-    "(reference: src/extractors/sequential_collector.py:591-594).",
+    "(reference: src/extractors/sequential_collector.py:591-594). The "
+    "order spec covers every output column: the synthetic data carries "
+    "duplicate (orderkey, linenumber) rows, and an under-specified "
+    "'first' is engine-dependent (SURVEY §7 hard part (b)) — exactly "
+    "why dedupe_keyed_first demands an explicit order.",
 )
 def q07_keep_first_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return dedupe_keyed_first(li, ["l_orderkey"], ["l_shipdate", "l_linenumber"]).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
+    return dedupe_keyed_first(
+        li, ["l_orderkey"], ["l_shipdate", "l_linenumber", "l_quantity", "l_extendedprice"]
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @register(

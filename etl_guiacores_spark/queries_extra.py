@@ -307,3 +307,26 @@ def q42_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bulk_revenue"),
         F.count_distinct("l_suppkey").alias("suppliers"),
     )
+
+
+@register(
+    "q43_json_props",
+    """
+    SELECT k_bucket, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, value
+        FROM events
+    )
+    GROUP BY k_bucket
+    """,
+    doc="Semi-structured JSON column handling: extract a field from the "
+    "events.props JSON payload and aggregate on it.",
+)
+def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long") % 10
+    return (
+        e.select(k.alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

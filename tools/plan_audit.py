@@ -1,0 +1,66 @@
+"""Plan audit: scan every registered query's physical plan for
+anti-patterns that would hurt at 100 TB.
+
+Checks per query:
+- CartesianProduct / BroadcastNestedLoopJoin (unless the query is an
+  intentional cross product)
+- row-at-a-time PythonUDF (BatchEvalPython) — the engine policy is
+  zero row-UDFs in the query suite
+- missing WholeStageCodegen entirely (plan never enters codegen)
+
+Usage: python tools/plan_audit.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk"}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import etl_guiacores_spark.queries_extra  # noqa: F401
+    import etl_guiacores_spark.queries_scale  # noqa: F401
+    from etl_guiacores_spark.queries import REGISTRY
+    from etl_guiacores_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    problems = []
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, args.sf)
+        # execute THIS DataFrame's own QueryExecution: AQE only
+        # finalizes (and codegen-annotates) the plan after an action,
+        # and df.write would spawn a fresh QueryExecution instead
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        issues = []
+        if name not in INTENTIONAL_CROSS:
+            if "CartesianProduct" in plan:
+                issues.append("CartesianProduct")
+            if "BroadcastNestedLoopJoin" in plan:
+                issues.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            issues.append("row-at-a-time PythonUDF")
+        # codegen stages print as "*(n) Operator" in executedPlan toString
+        if "*(" not in plan:
+            issues.append("no codegen span")
+        status = "WARN" if issues else "ok  "
+        print(f"{status} {name}" + (f": {', '.join(issues)}" if issues else ""))
+        if issues:
+            problems.append((name, issues))
+
+    print(f"\n{len(REGISTRY) - len(problems)}/{len(REGISTRY)} clean plans")
+    return 0  # informational — warnings reviewed by hand
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

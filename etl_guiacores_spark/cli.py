@@ -1,0 +1,166 @@
+"""CLI — the reference's three ETL modes + offline clean, Spark-first.
+
+Mirrors the argparse surface of the reference
+(reference: src/main.py:300-334) and the offline cleaning tool
+(reference: src/tools/clean_data.py:59-150):
+
+    python -m etl_guiacores_spark bulk --start-id 1 --end-id 200
+    python -m etl_guiacores_spark manual --file data/html_dir
+    python -m etl_guiacores_spark sequential --rubros a,b --localidades x
+    python -m etl_guiacores_spark clean --input 'runs/*' --out gold/
+
+Network is off by default (--transport fake): the fetch stage serves
+deterministic synthetic pages, so every mode runs end-to-end offline.
+``--transport requests`` enables real HTTP for a deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+
+def _transport_factory(kind: str):
+    from etl_guiacores_spark.sources import fetch as f
+
+    if kind == "requests":
+        return f.requests_transport
+    # deterministic page per URL, keyed by the id in the URL
+    def factory():
+        def fake(url: str) -> str:
+            bid = url.rsplit("id=", 1)[-1]
+            return (
+                f"<html><body><a class='search-result-name'><h1>Negocio {bid}</h1></a>"
+                f"<span class='search-result-address'>Calle {bid} - (8300) Neuquen</span>"
+                f"<a href='tel:+299{int(bid) % 10000000:07d}'>tel</a>"
+                f"<a onclick='irContacto()'>c{bid}@example.com.ar</a></body></html>"
+            )
+
+        return fake
+
+    return factory
+
+
+def _run_scrape_pipeline(spark, urls, args) -> dict:
+    from etl_guiacores_spark.plans import run_batch_pipeline
+    from etl_guiacores_spark.sources.fetch import fetch_pages
+    from etl_guiacores_spark.sources.html_parse import parse_pages
+
+    fetched = fetch_pages(
+        urls,
+        _transport_factory(args.transport),
+        max_attempts=args.retries,
+        num_partitions=args.partitions,
+    )
+    ok = fetched.filter(F.col("fetch_error").isNull())
+    parsed = parse_pages(ok.select("url", "html"))
+    return run_batch_pipeline(parsed, args.out)
+
+
+def cmd_bulk(spark, args) -> dict:
+    """reference: src/main.py:80-133 — ID-range scrape (S1 -> S3 -> T -> L)."""
+    base = "https://www.guiacores.com.ar/index.php?r=search/detail&id="
+    urls = spark.range(args.start_id, args.end_id + 1).select(
+        F.col("id").cast("string").alias("id_negocio"),
+        F.concat(F.lit(base), F.col("id").cast("string")).alias("url"),
+    )
+    return _run_scrape_pipeline(spark, urls, args)
+
+
+def cmd_manual(spark, args) -> dict:
+    """reference: src/main.py:135-204 — one URL or a local HTML dir."""
+    from etl_guiacores_spark.plans import run_batch_pipeline
+    from etl_guiacores_spark.sources.html_parse import parse_pages, scan_html_dir
+
+    if args.url:
+        urls = spark.createDataFrame([(None, args.url)], "id_negocio string, url string")
+        return _run_scrape_pipeline(spark, urls, args)
+    pages = scan_html_dir(spark, args.file)  # S5: the parse the reference skipped
+    return run_batch_pipeline(parse_pages(pages), args.out)
+
+
+def cmd_sequential(spark, args) -> dict:
+    """reference: src/main.py:206-297 — discovery crawl then scrape,
+    with keep-first dedupe and resume anti-join."""
+    from etl_guiacores_spark.operators.dedupe import dedupe_keyed_first
+    from etl_guiacores_spark.operators.joins import resume_anti_join
+    from etl_guiacores_spark.sources.discovery_source import ListingDataSource
+
+    spark.dataSource.register(ListingDataSource)
+    discovered = (
+        spark.read.format("guiacores_listing")
+        .option("rubros", args.rubros or "")
+        .option("localidades", args.localidades or "")
+        .option("pages_per_combo", str(args.pages))
+        .load()
+    )
+    worklist = dedupe_keyed_first(discovered, ["id_negocio"], ["page"]).select(
+        "id_negocio", "url"
+    )
+    if args.resume_from:
+        processed = spark.read.option("header", True).csv(args.resume_from).select("id_negocio")
+        worklist = resume_anti_join(worklist, processed)
+    return _run_scrape_pipeline(spark, worklist, args)
+
+
+def cmd_clean(spark, args) -> dict:
+    """reference: src/tools/clean_data.py:59-150 — consolidate run CSVs,
+    deep-clean, dedupe, export."""
+    from etl_guiacores_spark import io as gio
+    from etl_guiacores_spark.plans import run_batch_pipeline
+
+    raw = gio.read_processed_csvs(spark, args.input)
+    return run_batch_pipeline(raw, args.out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="etl_guiacores_spark")
+    p.add_argument("--out", default="data/out", help="pipeline output root")
+    p.add_argument("--transport", choices=["fake", "requests"], default="fake")
+    p.add_argument("--retries", type=int, default=3)
+    p.add_argument("--partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("bulk")
+    b.add_argument("--start-id", type=int, default=1)
+    b.add_argument("--end-id", type=int, default=100)
+
+    m = sub.add_parser("manual")
+    g = m.add_mutually_exclusive_group(required=True)
+    g.add_argument("--url")
+    g.add_argument("--file")
+
+    s = sub.add_parser("sequential")
+    s.add_argument("--rubros", default="")
+    s.add_argument("--localidades", default="")
+    s.add_argument("--pages", type=int, default=2)
+    s.add_argument("--resume-from", default=None)
+
+    c = sub.add_parser("clean")
+    c.add_argument("--input", required=True)
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from etl_guiacores_spark.session import get_spark
+
+        spark = get_spark(app_name=f"etl-guiacores-{args.mode}")
+        spark.sparkContext.setLogLevel("ERROR")
+    handler = {
+        "bulk": cmd_bulk,
+        "manual": cmd_manual,
+        "sequential": cmd_sequential,
+        "clean": cmd_clean,
+    }[args.mode]
+    result = handler(spark, args)
+    print(json.dumps(result, default=str))
+    return result
+
+
+if __name__ == "__main__":
+    main()

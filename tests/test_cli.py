@@ -1,0 +1,59 @@
+"""CLI modes end-to-end (offline fake transport)."""
+
+from __future__ import annotations
+
+from etl_guiacores_spark.cli import main
+
+
+def test_bulk_mode(spark, tmp_path):
+    res = main(
+        ["--out", str(tmp_path / "o"), "bulk", "--start-id", "1", "--end-id", "20"],
+        spark=spark,
+    )
+    assert res["status"] == "success"
+    assert res["records_processed"] == 20
+    silver = spark.read.parquet(str(tmp_path / "o" / "silver"))
+    row = silver.filter("id_negocio = '7'").collect()[0]
+    assert row["nombre"] == "Negocio 7"
+    assert row["localidad"] == "(8300) Neuquen"
+
+
+def test_sequential_mode_with_resume(spark, tmp_path):
+    out1 = str(tmp_path / "r1")
+    res1 = main(
+        ["--out", out1, "sequential", "--rubros", "panaderia", "--localidades",
+         "neuquen", "--pages", "2"],
+        spark=spark,
+    )
+    assert res1["status"] == "success" and res1["records_processed"] > 0
+
+    # export processed ids as the resume CSV (S8 shape)
+    processed_csv = str(tmp_path / "processed")
+    spark.read.parquet(f"{out1}/silver").select("id_negocio").write.option(
+        "header", True
+    ).csv(processed_csv)
+
+    # resumed run over the same combos discovers nothing new
+    res2 = main(
+        ["--out", str(tmp_path / "r2"), "sequential", "--rubros", "panaderia",
+         "--localidades", "neuquen", "--pages", "2", "--resume-from", processed_csv],
+        spark=spark,
+    )
+    assert res2["records_processed"] == 0
+
+
+def test_clean_mode(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [("1", "  Dos   Espacios ", "Av. X 1 - (8300) Neuquen"),
+         ("1", "dup", "y"), ("2", "B", "z")],
+        ["id_negocio", "nombre", "direccion"],
+    )
+    raw.write.option("header", True).csv(str(tmp_path / "runs" / "a"))
+    res = main(
+        ["--out", str(tmp_path / "clean"), "clean", "--input", str(tmp_path / "runs" / "*")],
+        spark=spark,
+    )
+    assert res["records_processed"] == 2  # deduped by id
+    silver = {r["id_negocio"]: r for r in
+              spark.read.parquet(str(tmp_path / "clean" / "silver")).collect()}
+    assert silver["1"]["localidad"] == "(8300) Neuquen" or silver["1"]["nombre"] in ("Dos Espacios", "dup")

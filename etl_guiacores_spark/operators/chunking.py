@@ -1,0 +1,87 @@
+"""Document chunking + vocabulary operators for training-data prep.
+
+Chunking: split each document into token-bounded windows with overlap
+(the standard pre-tokenization step before embedding/training). The
+window arithmetic happens per row with array expressions, then ONE
+explode materializes chunk rows — no UDF, no shuffle until the caller
+aggregates. At 100 TB this is scan-speed work whose output row count
+(docs x chunks) is the only cost.
+
+Vocabulary: corpus word frequencies -> ranked vocab. One explode +
+one groupBy (the shuffle is on the token, high-cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_spans(col: Column, chunk_tokens: int, overlap: int = 0) -> Column:
+    """array<struct<chunk_idx,int start, text>> of token windows.
+
+    Stride = chunk_tokens - overlap; the last partial window is kept
+    (matches the usual training-data convention).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # blank text -> empty token array (split of "" yields [""] which
+    # would otherwise produce one empty chunk)
+    raw = F.split(F.trim(col), r"\s+")
+    toks = F.when(F.length(F.trim(col)) > 0, raw).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.when(
+            n <= 0, F.lit(0)
+        ).otherwise(F.floor((n - 1) / stride).cast("int") + 1)
+        idx = F.sequence(F.lit(0), n_chunks - 1)
+        mk = lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * stride + 1).alias("start_token"),
+            F.array_join(F.slice(t, i * stride + 1, chunk_tokens), " ").alias("chunk_text"),
+        )
+        return F.when(n_chunks > 0, F.transform(idx, mk)).otherwise(
+            F.array().cast("array<struct<chunk_idx:int,start_token:int,chunk_text:string>>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """One row per (doc, chunk): id, chunk_idx, start_token, chunk_text,
+    n_chunk_tokens."""
+    spans = chunk_spans(F.col(text_col), chunk_tokens, overlap)
+    out = df.select(id_col, F.explode(spans).alias("c"))
+    return out.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_token").alias("start_token"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.size(F.split(F.col("c.chunk_text"), r"\s+")).alias("n_chunk_tokens"),
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None, min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: (token, count, rank) by descending frequency
+    (ties broken lexicographically -> fully deterministic ids)."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count("*").alias("count"))
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("rank") <= top_k) if top_k else ranked

@@ -489,3 +489,54 @@ def q33_event_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         )
     )
+
+
+@register(
+    "q44_document_chunking",
+    f"""
+    SELECT doc_id, chunk_idx, start_token,
+           ARRAY_TO_STRING(toks[start_token:start_token+63], ' ') AS chunk_text,
+           LEAST(64, LEN(toks) - start_token + 1)                 AS n_chunk_tokens
+    FROM (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(FLOOR((LEN(toks)-1)/56) AS BIGINT) + 1)) AS chunk_idx,
+               unnest(range(0, CAST(FLOOR((LEN(toks)-1)/56) AS BIGINT) + 1)) * 56 + 1 AS start_token
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    )
+    """,
+    doc="Token-bounded document chunking (64-token windows, 8-token "
+    "overlap): the pre-tokenization step of a training-data pipeline, "
+    "computed with array expressions + one explode.",
+)
+def q44_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+@register(
+    "q45_vocabulary",
+    f"""
+    SELECT token, cnt, rank FROM (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM (
+            SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents
+                  WHERE LENGTH(trim(text)) > 0)
+            WHERE LENGTH(token) > 0
+            GROUP BY token
+        )
+    ) WHERE rank <= 50
+    """,
+    doc="Corpus vocabulary building: token frequencies ranked with "
+    "deterministic tie-break — the id-assignment step of tokenizer "
+    "training.",
+)
+def q45_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.chunking import build_vocab
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return build_vocab(d, top_k=50).withColumnRenamed("count", "cnt")

@@ -35,9 +35,12 @@ def chunk_spans(col: Column, chunk_tokens: int, overlap: int = 0) -> Column:
 
     def build(t: Column) -> Column:
         n = F.size(t)
-        n_chunks = F.when(
-            n <= 0, F.lit(0)
-        ).otherwise(F.floor((n - 1) / stride).cast("int") + 1)
+        # stop once a window's fresh (non-overlap) region is exhausted:
+        # ceil((n - overlap) / stride) windows cover every token with no
+        # fully-redundant tail window
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(stride)).cast("int")
+        )
         idx = F.sequence(F.lit(0), n_chunks - 1)
         mk = lambda i: F.struct(
             i.alias("chunk_idx"),

@@ -499,8 +499,8 @@ def q33_event_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAST(64, LEN(toks) - start_token + 1)                 AS n_chunk_tokens
     FROM (
         SELECT doc_id, toks,
-               unnest(range(0, CAST(FLOOR((LEN(toks)-1)/56) AS BIGINT) + 1)) AS chunk_idx,
-               unnest(range(0, CAST(FLOOR((LEN(toks)-1)/56) AS BIGINT) + 1)) * 56 + 1 AS start_token
+               unnest(range(0, CAST(CEIL(GREATEST(LEN(toks) - 8, 1) / 56.0) AS BIGINT))) AS chunk_idx,
+               unnest(range(0, CAST(CEIL(GREATEST(LEN(toks) - 8, 1) / 56.0) AS BIGINT))) * 56 + 1 AS start_token
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
               WHERE LENGTH(trim(text)) > 0)
     )

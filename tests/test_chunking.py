@@ -23,7 +23,7 @@ def test_blank_and_null_text_yield_no_chunks(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, ""), (3, None), (4, "   ")], ["doc_id", "text"]
     )
-    rows = chunk_documents(df, chunk_tokens=8).collect()
+    rows = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
     assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(1, "a b")]
 
 

@@ -540,3 +540,54 @@ def q45_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return build_vocab(d, top_k=50).withColumnRenamed("count", "cnt")
+
+
+@register(
+    "q46_tfidf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS token
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf_count
+        FROM toks WHERE LENGTH(token) > 0 GROUP BY doc_id, token
+    ),
+    doc_len AS (SELECT doc_id, SUM(tf_count) AS n_tokens FROM tf GROUP BY doc_id),
+    df AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM doc_len)
+    SELECT tf.doc_id, tf.token,
+           ROUND((CAST(tf.tf_count AS DOUBLE) / doc_len.n_tokens)
+                 * LN(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS tfidf
+    FROM tf JOIN doc_len USING (doc_id)
+            JOIN df USING (token)
+            CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+    doc="TF-IDF scoring: per-doc term frequency x inverse document "
+    "frequency — partial aggregation everywhere, the df table is a "
+    "broadcast-sized dimension at any corpus size with a bounded vocab.",
+)
+def q46_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf_count").alias("n_tokens"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = doc_len.count()  # scalar: corpus size
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf_count").cast("double") / F.col("n_tokens"))
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are implemented as compositions of existing DataFrame ops
+(the brief's preferred strategy), not UDFs:
+
+- **as-of join**: for each left row, the LATEST right row with
+  right_time <= left_time per key. Implemented with the union+window
+  trick — tag both sides, union, and carry the last right-side values
+  forward with ``last(ignoreNulls)`` over (key, time) ordering. ONE
+  shuffle on (key, time); contrast with the naive approach (range
+  join + argmax) which shuffles twice and explodes intermediate rows.
+- **range join**: pairs within a time band. The band is bucketed to
+  band width, each left row joins buckets {b-1, b, b+1}, and the
+  exact predicate filters — an equi-join the planner can hash, never
+  a cartesian. Cost is O(pairs-in-band), not O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_breaker: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left rows + the latest right row at-or-before their timestamp.
+
+    ``tie_breaker`` orders simultaneous right rows (latest wins) so the
+    result is deterministic under distributed execution.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+    order_cols = [F.unix_micros(F.col("__t")), F.col("__is_left")]
+    if tie_breaker:
+        order_cols.append(F.col(f"__tb"))
+
+    l_tagged = left.withColumn("__t", F.col(left_time)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    r_tagged = right.withColumn("__t", F.col(right_time)).withColumn(
+        "__is_left", F.lit(0)
+    )
+    if tie_breaker:
+        l_tagged = l_tagged.withColumn("__tb", F.lit(None).cast("long"))
+        r_tagged = r_tagged.withColumn("__tb", F.col(tie_breaker).cast("long"))
+
+    # align schemas: left payload on left rows, right payload on right rows
+    all_left = [c for c in left.columns]
+    united = l_tagged.select(
+        on, "__t", "__is_left", *(["__tb"] if tie_breaker else []),
+        *[F.col(c) for c in all_left if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_cols],
+    ).unionByName(
+        r_tagged.select(
+            on, "__t", "__is_left", *(["__tb"] if tie_breaker else []),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in all_left if c != on],
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        )
+    )
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = united.select(
+        on,
+        "__is_left",
+        *[c for c in all_left if c != on],
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join_pairs(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    band_seconds: float,
+    id_col: str,
+) -> DataFrame:
+    """Row pairs of ``df`` sharing ``key`` with |t_a - t_b| <= band and
+    id_a < id_b. Bucketed equi-join: each row probes its own and the
+    two adjacent band buckets, so the hash join sees (key, bucket)
+    keys and the quadratic blowup is confined to genuine band
+    neighborhoods."""
+    band_us = int(band_seconds * 1_000_000)
+    tus = F.unix_micros(F.col(time_col))
+    a = df.select(
+        F.col(key), F.col(id_col).alias("id_a"), tus.alias("t_a"),
+        (tus / band_us).cast("long").alias("__b"),
+    )
+    b = df.select(
+        F.col(key), F.col(id_col).alias("id_b"), tus.alias("t_b"),
+        F.explode(
+            F.array(
+                (tus / band_us).cast("long") - 1,
+                (tus / band_us).cast("long"),
+                (tus / band_us).cast("long") + 1,
+            )
+        ).alias("__b"),
+    )
+    return (
+        a.join(b, on=[key, "__b"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("t_a") - F.col("t_b")) <= band_us)
+        )
+        .select(key, "id_a", "id_b", "t_a", "t_b")
+        .distinct()
+    )

@@ -330,3 +330,79 @@ def q43_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "q47_asof_join",
+    """
+    WITH purchases AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, event_id, ts, value FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.event_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.event_id                          AS asof_event_id,
+           ROUND(v.value, 2)                   AS asof_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join: each purchase paired with the user's latest view "
+    "at-or-before it — union+window implementation, one shuffle "
+    "(an operator Spark lacks as a built-in).",
+)
+def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.dedupe import dedupe_keyed_first
+    from etl_guiacores_spark.operators.temporal import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    # unique (user, ts) on the right side keeps both engines deterministic
+    views = dedupe_keyed_first(
+        views.withColumn("__neg", -F.col("event_id")), ["user_id", "ts"], ["__neg"]
+    ).drop("__neg")
+    joined = as_of_join(
+        purchases, views, on="user_id", right_cols=["event_id", "value"],
+        tie_breaker="event_id",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
+    "q48_range_join",
+    """
+    SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    GROUP BY a.user_id
+    """,
+    doc="Range join: same-user event pairs within a 60s band via "
+    "bucketed equi-join (probe own + adjacent buckets) — never a "
+    "cartesian, cost bounded by genuine band neighborhoods.",
+)
+def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.temporal import range_join_pairs
+
+    e = _t(spark, sf_dir, "events")
+    pairs = range_join_pairs(e, key="user_id", time_col="ts", band_seconds=60,
+                             id_col="event_id")
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))

@@ -591,3 +591,38 @@ def q46_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "q49_hypertable_rollup",
+    """
+    SELECT event_type,
+           STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS sum_value,
+           ROUND(MIN(value), 2)  AS min_value,
+           ROUND(MAX(value), 2)  AS max_value,
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    doc="Hypertable-style tiered rollup: the DAY tier is computed from "
+    "the HOUR tier which is computed from the MINUTE tier — raw rows "
+    "are touched once; the oracle aggregates raw directly, proving the "
+    "pyramid is exact (decomposable measures only; avg derived as "
+    "sum/count, never averaged across tiers).",
+)
+def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import time_rollup
+
+    e = _t(spark, sf_dir, "events")
+    day = time_rollup(e)["day"]  # minute -> hour -> day pyramid
+    return day.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket_day"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round(F.round(F.col("sum_value"), 2) / F.col("n_events"), 6).alias("avg_value"),
+    )

@@ -1,0 +1,120 @@
+"""Training-data corpus pipeline: the north-star operators composed.
+
+documents -> quality/language filter -> exact dedup -> near-dup
+removal (MinHash-LSH candidates, exact-Jaccard verify, greedy
+keep-lowest-id) -> chunking -> vocabulary, with per-stage metrics.
+
+Every stage is one of the engine's tested operators; the pipeline is
+the composition a 100 TB pretraining-data job runs. Stage boundaries
+are Parquet tables, so each stage restarts independently (SURVEY §3.4
+bronze/silver pattern applied to corpus prep).
+
+Scale notes: the near-dup stage shuffles only (band, signature) keys
+and verified pairs; the greedy survivor rule (drop the higher id of
+any verified pair) is a one-pass approximation of connected-component
+clustering — at clique sizes >2 it may keep fewer docs than true
+CC-based dedup, never more, which is the conservative direction for
+training data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark import io as gio
+from etl_guiacores_spark.operators.chunking import build_vocab, chunk_documents
+from etl_guiacores_spark.operators.dedupe import dedupe_keyed_first
+from etl_guiacores_spark.operators.similarity import (
+    jaccard_of_shingles,
+    lsh_candidate_pairs,
+    word_shingles,
+)
+from etl_guiacores_spark.operators.textstats import fingerprint, lang_id, quality_score
+
+
+@dataclass
+class CorpusConfig:
+    min_quality: float = 0.5
+    allowed_langs: tuple[str, ...] = ()  # empty = keep all
+    near_dup_jaccard: float = 0.8
+    chunk_tokens: int = 64
+    chunk_overlap: int = 8
+    vocab_top_k: int = 1000
+
+
+def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
+    scored = docs.withColumns(
+        {
+            "quality": quality_score(F.col("text")),
+            "pred_lang": lang_id(F.col("text")),
+        }
+    )
+    out = scored.filter(F.col("quality") >= config.min_quality)
+    if config.allowed_langs:
+        out = out.filter(F.col("pred_lang").isin(*config.allowed_langs))
+    return out
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Drop exact duplicates by content fingerprint, keeping the
+    lowest doc_id (deterministic)."""
+    with_fp = docs.withColumn("fp", fingerprint(F.col("text")))
+    return dedupe_keyed_first(with_fp, ["fp"], ["doc_id"]).drop("fp")
+
+
+def near_dup_removal(docs: DataFrame, threshold: float) -> tuple[DataFrame, DataFrame]:
+    """Returns (survivors, removed_pairs). LSH proposes, exact Jaccard
+    verifies, greedy rule drops the higher id of each verified pair."""
+    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    verified = (
+        candidates.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = docs.join(F.broadcast(doomed), "doc_id", "left_anti")
+    return survivors, verified
+
+
+def run_corpus_pipeline(
+    docs: DataFrame, out_dir: str, config: CorpusConfig | None = None
+) -> dict:
+    config = config or CorpusConfig()
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    n_raw = docs.count()
+
+    filtered = filter_documents(docs, config)
+    gio.write_handoff(filtered, f"{out_dir}/filtered")
+    n_filtered = filtered.count()
+
+    exact = exact_dedup(filtered)
+    n_exact = exact.count()
+
+    survivors, dup_pairs = near_dup_removal(exact, config.near_dup_jaccard)
+    gio.write_handoff(survivors, f"{out_dir}/clean")
+    n_clean = survivors.count()
+
+    chunks = chunk_documents(
+        survivors, chunk_tokens=config.chunk_tokens, overlap=config.chunk_overlap
+    )
+    gio.write_handoff(chunks, f"{out_dir}/chunks")
+    vocab = build_vocab(survivors, top_k=config.vocab_top_k)
+    gio.write_handoff(vocab, f"{out_dir}/vocab")
+
+    metrics = {
+        "raw_docs": n_raw,
+        "after_quality_lang_filter": n_filtered,
+        "after_exact_dedup": n_exact,
+        "after_near_dup": n_clean,
+        "near_dup_pairs": dup_pairs.count(),
+        "chunks": chunks.count(),
+        "vocab_size": vocab.count(),
+    }
+    gio.write_stats_json(metrics, f"{out_dir}/metrics.json")
+    return metrics

@@ -1,0 +1,55 @@
+"""Corpus pipeline end-to-end on crafted docs + the synthetic table."""
+
+from __future__ import annotations
+
+import json
+
+from etl_guiacores_spark.plans.corpus_pipeline import CorpusConfig, run_corpus_pipeline
+from etl_guiacores_spark.sources.tables import load_table
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs into the field again"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog and then it walks into the field again"
+)
+
+
+def test_corpus_pipeline_stages(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD),                      # survivor
+            (2, GOOD.replace("the", "the ")),  # exact dup after normalization? no — distinct text, near-dup of 1
+            (3, NEAR),                      # near-dup of 1 -> removed (higher id)
+            (4, "short low quality"),       # fails quality band
+            (5, GOOD.upper()),              # exact dup of 1 after fingerprint norm
+            (6, "el gato que vive en la casa de los gatos come pescado fresco cada dia de la semana"),
+        ],
+        ["doc_id", "text"],
+    )
+    cfg = CorpusConfig(min_quality=0.6, near_dup_jaccard=0.5, chunk_tokens=8,
+                       chunk_overlap=2, vocab_top_k=50)
+    metrics = run_corpus_pipeline(docs, str(tmp_path / "corpus"), cfg)
+
+    assert metrics["raw_docs"] == 6
+    assert metrics["after_quality_lang_filter"] == 5  # doc 4 dropped
+    assert metrics["after_exact_dedup"] == 4          # doc 5 == doc 1 fingerprint
+    assert metrics["after_near_dup"] <= 3             # docs 2/3 fold into 1
+    assert metrics["chunks"] > 0 and metrics["vocab_size"] > 0
+
+    clean_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus" / "clean")).collect()
+    }
+    assert 1 in clean_ids and 6 in clean_ids          # keep-lowest + spanish doc kept
+    assert 3 not in clean_ids and 5 not in clean_ids
+
+    saved = json.load(open(tmp_path / "corpus" / "metrics.json"))
+    assert saved == metrics
+
+
+def test_corpus_pipeline_on_synthetic_table(spark, tmp_path):
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select("doc_id", "text")
+    metrics = run_corpus_pipeline(docs, str(tmp_path / "corpus"))
+    assert metrics["raw_docs"] > 0
+    assert 0 < metrics["after_near_dup"] <= metrics["after_exact_dedup"]
+    assert metrics["chunks"] >= metrics["after_near_dup"]

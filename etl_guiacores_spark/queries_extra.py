@@ -406,3 +406,63 @@ def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = range_join_pairs(e, key="user_id", time_col="ts", band_seconds=60,
                              id_col="event_id")
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "q51_range_frame_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w            AS orders_30d,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 epoch(o_orderdate) AS osec
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY osec
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window (value-based, not row-based): trailing-30-day "
+    "order count and spend per customer — peer rows at the same "
+    "orderdate aggregate together, which a ROWS frame gets wrong.",
+)
+def q51_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("osec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("osec")
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT r_name, c_mktsegment,
+           COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+"""
+
+
+@register(
+    "q52_grouping_sets_sql",
+    _GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS through the engine's SQL API entry "
+    "(spark.sql over registered views) — same SQL text runs on both "
+    "engines.",
+)
+def q52_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

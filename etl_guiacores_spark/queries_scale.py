@@ -626,3 +626,58 @@ def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 2).alias("max_value"),
         F.round(F.round(F.col("sum_value"), 2) / F.col("n_events"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "q50_corpus_dedup_survivors",
+    _MINHASH_CTE
+    + """,
+    bands AS (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM candidates c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b
+        WHERE LEN(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+          AND CAST(LEN(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / LEN(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    )
+    SELECT doc_id FROM shingled
+    WHERE doc_id NOT IN (SELECT id_b FROM verified)
+    """,
+    doc="Corpus near-dup survivors: LSH candidates -> exact-Jaccard "
+    "verify -> greedy drop-higher-id — the corpus pipeline's dedup "
+    "core as one oracle-checked query.",
+)
+def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import (
+        jaccard_of_shingles,
+        lsh_candidate_pairs,
+        word_shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")) >= 0.6)
+        .select("id_b")
+        .distinct()
+    )
+    return docs.join(
+        F.broadcast(verified.withColumnRenamed("id_b", "doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")

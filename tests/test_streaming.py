@@ -135,3 +135,42 @@ class TestDiscovery:
         batches = iter([spark.createDataFrame([("1", "u")], ["id_negocio", "url"])])
         got = discover_until_idle(lambda i, it=batches: next(it, None))
         assert got.count() == 1
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_within_delay(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming.windows import interval_join_streams
+
+        lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+        # left: purchases at minute 30; right: views at minutes 0 (inside
+        # 1h window) and a view 2h earlier (outside)
+        spark.createDataFrame([ev(1, 150, user=1, etype="purchase")], EVENTS_SCHEMA) \
+            .write.mode("append").parquet(lsrc)
+        spark.createDataFrame(
+            [ev(2, 120, user=1, etype="view"), ev(3, 10, user=1, etype="view")],
+            EVENTS_SCHEMA,
+        ).write.mode("append").parquet(rsrc)
+
+        left = spark.readStream.schema(EVENTS_SCHEMA).parquet(lsrc).select(
+            "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("l_id")
+        ).withColumnRenamed("lts", "ts")
+        right = spark.readStream.schema(EVENTS_SCHEMA).parquet(rsrc).select(
+            "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("r_id")
+        )
+        l = left.withWatermark("ts", "2 hours").alias("l")
+        r = right.withWatermark("rts", "2 hours").alias("r")
+        joined = l.join(
+            r,
+            F.expr("l.user_id = r.user_id AND "
+                   "r.rts > l.ts - INTERVAL 1 HOUR AND r.rts <= l.ts"),
+        )
+        q = (
+            joined.writeStream.format("memory").queryName("ssj_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("select l_id, r_id from ssj_out").collect()
+            assert {(r["l_id"], r["r_id"]) for r in rows} == {(1, 2)}
+        finally:
+            q.stop()

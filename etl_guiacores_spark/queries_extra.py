@@ -466,3 +466,121 @@ def q52_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS top_price
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+    ) t
+"""
+
+
+@register(
+    "q53_lateral_top_order",
+    _LATERAL_SQL,
+    doc="Correlated LATERAL subquery: each customer's single most "
+    "expensive order — same SQL text on both engines via spark.sql.",
+)
+def q53_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q54_bag_set_ops",
+    """
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 10
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40
+    """,
+    doc="Bag-semantics EXCEPT ALL (multiplicity-aware difference) — "
+    "distinct-based set ops are q11.",
+)
+def q54_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") > 40).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
+
+
+@register(
+    "q55_null_safe_join",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN NULL
+                                 ELSE c_custkey % 7 END AS k FROM customer) a
+    JOIN (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN NULL
+                                 ELSE c_custkey % 7 END AS k FROM customer) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey % 31 = 0 AND b.c_custkey % 37 = 0
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys match each other instead of vanishing.",
+)
+def q55_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    mk = lambda mod: F.when(F.col("c_custkey") % mod == 0, F.lit(None)).otherwise(
+        F.col("c_custkey") % 7
+    )
+    a = c.select(F.col("c_custkey").alias("id_a"), mk(5).alias("ka")).filter(
+        F.col("id_a") % 31 == 0
+    )
+    b = c.select(F.col("c_custkey").alias("id_b"), mk(3).alias("kb")).filter(
+        F.col("id_b") % 37 == 0
+    )
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "q56_extract_all_numbers",
+    """
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           COALESCE(list_sum(list_transform(regexp_extract_all(text, '[0-9]+'),
+                                            x -> CAST(x AS BIGINT))), 0) AS numbers_sum
+    FROM documents
+    """,
+    doc="regexp_extract_all + array fold: pull every number out of "
+    "free text and aggregate per document.",
+)
+def q56_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"))
+    total = F.aggregate(nums, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    return d.select(
+        "doc_id",
+        F.size(nums).alias("n_numbers"),
+        F.coalesce(total, F.lit(0)).alias("numbers_sum"),
+    )
+
+
+@register(
+    "q57_decimal_exact",
+    """
+    SELECT o_orderpriority,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))) AS exact_total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact DECIMAL aggregation: no floating-point rounding in the "
+    "oracle compare at all — the money-arithmetic path.",
+)
+def q57_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("decimal(38,2)").alias("exact_total"),
+        F.count("*").alias("n"),
+    )

@@ -78,3 +78,38 @@ def merge_upsert(
         else:
             out.append(t_c.alias(c))
     return joined.select(*out)
+
+
+def filter_blocked_domains(
+    df: DataFrame, blocked: DataFrame, url_col: str, domain_col: str = "domain"
+) -> DataFrame:
+    """T7 at scale: drop rows whose URL host ends with any blocked
+    domain. A literal OR-chain (functions.url.normalize_url) is right
+    for a handful of domains; a real blocklist is a table — broadcast
+    anti-join on the extracted registrable suffix.
+
+    Matching is suffix-based on the host (www.foo.com matches foo.com)
+    via an equi-joinable key: the host's last-2 and last-3 labels are
+    both probed, so the join stays a hash join rather than a
+    contains() nested loop.
+    """
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.when(n >= 2, F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)))
+    last3 = F.when(
+        n >= 3,
+        F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)),
+    )
+    probes = F.array_compact(F.array(host, last2, last3))
+
+    keys = blocked.select(F.lower(F.col(domain_col)).alias("__blocked_domain")).distinct()
+    candidates = df.withColumn("__probe", F.explode(probes))
+    hits = (
+        candidates.join(
+            F.broadcast(keys), candidates["__probe"] == keys["__blocked_domain"], "left_semi"
+        )
+        .drop("__probe")
+        .distinct()
+    )
+    return df.join(hits.select(*df.columns).distinct(), on=df.columns, how="left_anti")

@@ -87,3 +87,26 @@ class TestMergeUpsert:
         assert got["b"]["updated_at"] == "2025-06-01 00:00:00"
         assert got["c"]["nombre"] == "new-c"
         assert got["c"]["created_at"] == "2025-06-01 00:00:00"
+
+
+class TestBlockedDomains:
+    def test_suffix_matching(self, spark):
+        from etl_guiacores_spark.operators.joins import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [
+                ("1", "https://www.guiacores.com.ar/x"),   # blocked via last-3
+                ("2", "https://sub.spam.net/y"),            # blocked via last-2
+                ("3", "https://example.org/ok"),            # kept
+                ("4", "https://spam.net.shop.com/z"),       # NOT blocked (suffix only)
+                ("5", None),                                # kept (no host)
+            ],
+            ["id", "url"],
+        )
+        blocked = spark.createDataFrame(
+            [("guiacores.com.ar",), ("spam.net",)], ["domain"]
+        )
+        kept = sorted(
+            r["id"] for r in filter_blocked_domains(df, blocked, "url").collect()
+        )
+        assert kept == ["3", "4", "5"]

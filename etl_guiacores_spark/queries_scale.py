@@ -16,7 +16,6 @@ from etl_guiacores_spark.operators.similarity import (
     cosine,
     knn_brute_force,
     lsh_candidate_pairs,
-    ngram_jaccard,
     simhash,
     with_minhash,
 )

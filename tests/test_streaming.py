@@ -139,8 +139,6 @@ class TestDiscovery:
 
 class TestStreamStreamJoin:
     def test_interval_join_within_delay(self, spark, tmp_path):
-        from etl_guiacores_spark.streaming.windows import interval_join_streams
-
         lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
         # left: purchases at minute 30; right: views at minutes 0 (inside
         # 1h window) and a view 2h earlier (outside)

@@ -172,7 +172,6 @@ def jdbc_upsert(
     url: str,
     table: str,
     key: str,
-    mode: str = "append",
     properties: dict | None = None,
 ) -> None:
     """L4 — JDBC sink. Plain JDBC has no UPSERT; the engine's pattern

@@ -43,3 +43,33 @@ def approx_quantiles_by(
             col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+def frequent_items(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
+    """Heavy hitters with frequency >= support (Karp et al. single-pass
+    streaming algorithm; may over-report, never under-reports). One
+    row: array of candidate heavy hitters."""
+    return df.freqItems([col], support=support)
+
+
+def count_min_frequencies(
+    df: DataFrame, col: str, probes: list, eps: float = 0.001, confidence: float = 0.99
+) -> dict:
+    """Approximate per-value frequencies from a Count-Min sketch.
+
+    The sketch is a fixed-size mergeable aggregate (rows x width
+    counters) — at 100 TB the frequency table for a hot column costs
+    KBs instead of a distinct-count shuffle. Returns {probe: est};
+    estimates overcount by at most eps*N with the given confidence.
+    """
+    from pyspark.sql import functions as F
+
+    sketch_bytes = df.select(
+        F.count_min_sketch(F.col(col), F.lit(eps), F.lit(confidence), F.lit(42)).alias("s")
+    ).collect()[0]["s"]
+    # decode via the JVM helper to stay faithful to Spark's layout
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    return {p: sketch.estimateCount(p) for p in probes}

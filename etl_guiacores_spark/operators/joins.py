@@ -69,12 +69,20 @@ def merge_upsert(
     out = [F.col(key)]
     for c in data_cols:
         t_c, s_c = F.col(f"__t_{c}"), F.col(f"__s_{c}")
+        has_source = f"__s_{c}" in joined.columns
         if c == created_at_col:
             out.append(F.coalesce(t_c, now).alias(c))
         elif c == updated_at_col:
             out.append(F.when(matched, now).otherwise(t_c).alias(c))
-        elif c in update_cols and f"__s_{c}" in joined.columns:
-            out.append(F.when(matched & in_target, s_c).when(~in_target, s_c).otherwise(t_c).alias(c))
+        elif has_source and c in update_cols:
+            out.append(
+                F.when(matched & in_target, s_c).when(~in_target, s_c).otherwise(t_c).alias(c)
+            )
+        elif has_source:
+            # column excluded from updates: existing rows keep the
+            # target value, but INSERTED rows still take the source
+            # value (there is no target value to preserve)
+            out.append(F.when(~in_target, s_c).otherwise(t_c).alias(c))
         else:
             out.append(t_c.alias(c))
     return joined.select(*out)

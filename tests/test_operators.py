@@ -110,3 +110,22 @@ class TestBlockedDomains:
             r["id"] for r in filter_blocked_domains(df, blocked, "url").collect()
         )
         assert kept == ["3", "4", "5"]
+
+
+class TestMergeUpsertPartialColumns:
+    def test_insert_takes_source_values_outside_update_cols(self, spark):
+        target = spark.createDataFrame(
+            [("a", "old-name", "old-city")], ["k", "nombre", "ciudad"]
+        )
+        source = spark.createDataFrame(
+            [("a", "new-name", "new-city"), ("b", "b-name", "b-city")],
+            ["k", "nombre", "ciudad"],
+        )
+        got = {
+            r["k"]: r
+            for r in merge_upsert(target, source, "k", update_cols=["nombre"]).collect()
+        }
+        # matched row: only nombre updated, ciudad preserved
+        assert got["a"]["nombre"] == "new-name" and got["a"]["ciudad"] == "old-city"
+        # inserted row: ALL source values, not NULL outside update_cols
+        assert got["b"]["nombre"] == "b-name" and got["b"]["ciudad"] == "b-city"

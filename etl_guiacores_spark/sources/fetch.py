@@ -106,6 +106,7 @@ def fetch_pages(
     ``transport_factory`` runs once per partition on the executor —
     never serialize a live client through the closure.
     """
+    max_attempts = max(1, max_attempts)  # 0 would emit rows with neither html nor error
     if num_partitions:
         urls = urls.repartition(num_partitions)
 

@@ -1,0 +1,77 @@
+"""Sequence packing: greedy-fill chunks into fixed token budgets.
+
+Pretraining consumes fixed-length sequences; short documents waste
+budget unless packed. Packing is inherently sequential, so it can't
+be a pure column expression — the engine shape is:
+
+1. distribute chunks across ``num_bins`` hash buckets (a shuffle on
+   the bucket key — each bucket packs independently and in parallel),
+2. greedy first-fit WITHIN each bucket via ``applyInPandas`` (the
+   per-group sequential part, Arrow-batched).
+
+Packing quality loses only at bucket boundaries (<= num_bins
+partially-filled final sequences), while parallelism scales with
+num_bins — the standard trade at corpus scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("bin_id", T.IntegerType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ]
+)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 512,
+    num_bins: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "chunk_text",
+    count_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """(doc chunks) -> packed training sequences <= budget_tokens.
+
+    Deterministic: bucket assignment hashes the doc id, and packing
+    order within a bucket is (doc_id, chunk order of appearance via
+    the count/text sort key).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, text_col]).reset_index(drop=True)
+        bin_id = int(pdf["__bin"].iloc[0])
+        out, cur_ids, cur_txt, cur_n, seq = [], [], [], 0, 0
+        for _, row in pdf.iterrows():
+            n = int(row[count_col])
+            if cur_n and cur_n + n > budget_tokens:
+                out.append((bin_id, seq, cur_ids, " ".join(cur_txt), cur_n))
+                seq, cur_ids, cur_txt, cur_n = seq + 1, [], [], 0
+            cur_ids.append(int(row[id_col]))
+            cur_txt.append(str(row[text_col]))
+            cur_n += n
+        if cur_n:
+            out.append((bin_id, seq, cur_ids, " ".join(cur_txt), cur_n))
+        return pd.DataFrame(out, columns=[f.name for f in PACKED_SCHEMA.fields])
+
+    bucketed = chunks.withColumn(
+        "__bin", (F.abs(F.hash(F.col(id_col))) % num_bins).cast("int")
+    )
+    return bucketed.groupBy("__bin").applyInPandas(pack, PACKED_SCHEMA)
+
+
+# applyInPandas closures travel by value (see shipping.py)
+import sys as _sys  # noqa: E402
+
+from etl_guiacores_spark import shipping as _shipping  # noqa: E402
+
+_shipping.register_udf_module(_sys.modules[__name__])

@@ -680,3 +680,41 @@ def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(verified.withColumnRenamed("id_b", "doc_id")), "doc_id", "left_anti"
     ).select("doc_id")
+
+
+@register(
+    "q58_source_mixture",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                 / SUM(SUM(n_tok)) OVER (), 6) AS token_share
+    FROM (
+        SELECT source,
+               CASE WHEN LENGTH(trim(text)) > 0 THEN LEN({_TOKS}) ELSE 0 END AS n_tok
+        FROM documents
+    )
+    GROUP BY source
+    """,
+    doc="Training-data mixture accounting: per-source document and "
+    "token counts with corpus-wide token share — the weighting input "
+    "for mixture construction.",
+)
+def q58_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select("source", token_count(F.col("text")).alias("n_tok"))
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6
+        ).alias("token_share"),
+    )

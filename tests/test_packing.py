@@ -1,0 +1,34 @@
+"""Sequence packing: budget respected, nothing lost, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.chunking import chunk_documents
+from etl_guiacores_spark.operators.packing import pack_chunks
+from etl_guiacores_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_packing_budget_and_conservation(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text").filter(
+        F.length(F.trim("text")) > 0
+    )
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=0)
+    total_tokens = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+
+    packed = pack_chunks(chunks, budget_tokens=128, num_bins=8)
+    rows = packed.collect()
+    # every sequence within budget (single oversized chunks would be the
+    # only exception; chunk_tokens=32 < 128 rules that out)
+    assert all(r["n_tokens"] <= 128 for r in rows)
+    # token conservation: packing rearranges, never drops
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    # most sequences are well-filled (greedy first-fit quality floor)
+    full = [r for r in rows if r["n_tokens"] >= 96]
+    assert len(full) >= len(rows) * 0.5
+
+    again = pack_chunks(chunks, budget_tokens=128, num_bins=8).collect()
+    key = lambda rs: sorted((r["bin_id"], r["seq_id"], r["n_tokens"]) for r in rs)
+    assert key(rows) == key(again)  # deterministic

@@ -1,0 +1,76 @@
+"""Training-data hygiene operators: decontamination, PII redaction,
+repetition scoring.
+
+- ``contaminated_doc_ids``: docs sharing any word n-gram with a
+  benchmark/eval set — the decontamination step before pretraining.
+  Same LSH-free bucket-join shape as near-dup: shingles explode into
+  (shingle -> id) postings, the join hits only true overlaps, and the
+  benchmark side is small (it's an eval set) so it broadcasts.
+- ``redact_pii``: email/phone/id-number redaction as chained regex
+  replaces — pure column expression, scan-speed.
+- ``repetition_score``: 1 - distinct/total shingle ratio; high values
+  flag degenerate repeated text (a standard quality filter signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.similarity import word_shingles
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+LONG_NUMBER_RE = r"\b\d{7,}\b"
+
+
+def contaminated_doc_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlaps: int = 1,
+) -> DataFrame:
+    """doc ids sharing >= min_overlaps distinct word n-grams with the
+    benchmark set, with the overlap count."""
+    doc_posts = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__sh")
+    )
+    bench_posts = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("__sh"))
+        .distinct()
+    )
+    hits = doc_posts.join(F.broadcast(bench_posts), on="__sh")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("__sh").alias("n_overlapping_ngrams"))
+        .filter(F.col("n_overlapping_ngrams") >= min_overlaps)
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Emails -> [EMAIL], phone-shaped numbers -> [PHONE], long digit
+    runs -> [NUM]. Order matters: emails first (they contain digits),
+    phones before bare numbers."""
+    out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, LONG_NUMBER_RE, "[NUM]")
+
+
+def repetition_score(col: Column, n: int = 3) -> Column:
+    """1 - distinct/total n-gram ratio in [0,1]; 0 = no repetition,
+    ->1 = degenerate loops. NULL for texts shorter than n tokens."""
+    toks = F.split(F.trim(col), r"\s+")
+
+    def build(t: Column) -> Column:
+        k = F.size(t)
+        total = k - (n - 1)
+        idx = F.sequence(F.lit(1), total)
+        gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+        distinct = F.size(F.array_distinct(F.transform(idx, gram)))
+        return F.when(
+            k >= n, 1.0 - distinct.cast("double") / total.cast("double")
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)

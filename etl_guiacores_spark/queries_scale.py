@@ -718,3 +718,82 @@ def q58_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6
         ).alias("token_share"),
     )
+
+
+@register(
+    "q59_decontamination",
+    _MINHASH_CTE.split(",\n    sigs AS")[0].replace("WITH shingled AS", "WITH shingled AS") + """
+    SELECT d.doc_id, COUNT(DISTINCT s) AS n_overlapping_ngrams
+    FROM (SELECT doc_id, unnest(sh) AS s FROM shingled WHERE doc_id >= 50) d
+    JOIN (SELECT DISTINCT unnest(sh) AS s FROM shingled WHERE doc_id < 50) b
+      USING (s)
+    GROUP BY d.doc_id
+    """,
+    doc="Benchmark decontamination: docs sharing word 3-grams with the "
+    "eval set (here doc_id<50 plays the benchmark) — posting-list join, "
+    "benchmark side broadcast.",
+)
+def q59_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.decontam import contaminated_doc_ids
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    benchmark = d.filter(F.col("doc_id") < 50)
+    corpus = d.filter(F.col("doc_id") >= 50)
+    return contaminated_doc_ids(corpus, benchmark)
+
+
+@register(
+    "q60_pii_redaction",
+    """
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9 ().-]{7,}[0-9]', '[PHONE]', 'g'),
+             '\\b[0-9]{7,}\\b', '[NUM]', 'g') AS redacted
+    FROM (
+        SELECT c_custkey,
+               'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+               || '@mail.com or +54 299 ' || LPAD(CAST((c_custkey*7919) % 10000000 AS VARCHAR), 7, '0')
+               || ' ref ' || CAST(10000000 + c_custkey AS VARCHAR) AS t
+        FROM customer
+    )
+    """,
+    doc="PII redaction: chained regex replace (emails -> [EMAIL], "
+    "phone shapes -> [PHONE], long digit runs -> [NUM]) at scan speed.",
+)
+def q60_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.decontam import redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    t = F.concat(
+        F.lit("contact "), F.col("c_name"), F.lit(" at user"), k.cast("string"),
+        F.lit("@mail.com or +54 299 "),
+        F.lpad(((k * 7919) % 10000000).cast("string"), 7, "0"),
+        F.lit(" ref "), (k + 10000000).cast("string"),
+    )
+    return c.select("c_custkey", redact_pii(t).alias("redacted"))
+
+
+@register(
+    "q61_repetition_score",
+    f"""
+    SELECT doc_id,
+           CASE WHEN LEN(toks) >= 3
+                THEN ROUND(1.0 - CAST(LEN(list_distinct(list_transform(
+                         range(1, LEN(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+                     / (LEN(toks) - 2), 6)
+           END AS rep_score
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE LENGTH(trim(text)) > 0)
+    """,
+    doc="Repetition scoring: 1 - distinct/total 3-gram ratio — the "
+    "degenerate-text quality filter signal.",
+)
+def q61_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.decontam import repetition_score
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.select("doc_id", F.round(repetition_score(F.col("text")), 6).alias("rep_score"))

@@ -797,3 +797,45 @@ def q61_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return d.select("doc_id", F.round(repetition_score(F.col("text")), 6).alias("rep_score"))
+
+
+@register(
+    "q62_dedup_clusters",
+    (_MINHASH_CTE
+    + """,
+    bands AS (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    verified AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM shingled
+        UNION
+        SELECT e.dst AS id, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+    """).replace("WITH shingled AS", "WITH RECURSIVE shingled AS"),
+    doc="Near-dup CLUSTERS via connected components: iterative min-label "
+    "propagation on Spark vs a recursive-CTE transitive closure in the "
+    "oracle — every doc labeled with its component's minimum id.",
+)
+def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    labels = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return labels.select(F.col("id").alias("doc_id"), "component")

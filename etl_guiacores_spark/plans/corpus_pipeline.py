@@ -40,6 +40,10 @@ class CorpusConfig:
     min_quality: float = 0.5
     allowed_langs: tuple[str, ...] = ()  # empty = keep all
     near_dup_jaccard: float = 0.8
+    #: True = connected-components clustering (one survivor per
+    #: component, exact); False = greedy drop-higher-id per pair
+    #: (one pass, conservative)
+    cluster_exact: bool = False
     chunk_tokens: int = 64
     chunk_overlap: int = 8
     vocab_top_k: int = 1000
@@ -65,9 +69,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return dedupe_keyed_first(with_fp, ["fp"], ["doc_id"]).drop("fp")
 
 
-def near_dup_removal(docs: DataFrame, threshold: float) -> tuple[DataFrame, DataFrame]:
+def near_dup_removal(
+    docs: DataFrame, threshold: float, cluster_exact: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, removed_pairs). LSH proposes, exact Jaccard
-    verifies, greedy rule drops the higher id of each verified pair."""
+    verifies; survivors are either one-per-connected-component
+    (``cluster_exact``, iterative label propagation) or the greedy
+    drop-higher-id-of-each-pair rule (one pass, conservative)."""
     candidates = lsh_candidate_pairs(docs, "doc_id", "text")
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     verified = (
@@ -77,8 +85,21 @@ def near_dup_removal(docs: DataFrame, threshold: float) -> tuple[DataFrame, Data
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = docs.join(F.broadcast(doomed), "doc_id", "left_anti")
+    if cluster_exact:
+        from etl_guiacores_spark.operators.graph import connected_components
+
+        labels = connected_components(
+            docs.select("doc_id"), verified.select("id_a", "id_b"), id_col="doc_id"
+        )
+        survivors = docs.join(
+            labels.filter(F.col("id") == F.col("component")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+    else:
+        doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = docs.join(F.broadcast(doomed), "doc_id", "left_anti")
     return survivors, verified
 
 
@@ -96,7 +117,9 @@ def run_corpus_pipeline(
     exact = exact_dedup(filtered)
     n_exact = exact.count()
 
-    survivors, dup_pairs = near_dup_removal(exact, config.near_dup_jaccard)
+    survivors, dup_pairs = near_dup_removal(
+        exact, config.near_dup_jaccard, cluster_exact=config.cluster_exact
+    )
     gio.write_handoff(survivors, f"{out_dir}/clean")
     n_clean = survivors.count()
 

@@ -53,3 +53,20 @@ def test_corpus_pipeline_on_synthetic_table(spark, tmp_path):
     assert metrics["raw_docs"] > 0
     assert 0 < metrics["after_near_dup"] <= metrics["after_exact_dedup"]
     assert metrics["chunks"] >= metrics["after_near_dup"]
+
+
+def test_cluster_exact_keeps_one_per_component(spark, tmp_path):
+    # chain of near-dups: A~B, B~C but A!~C — greedy would drop B and C
+    # yet keep A; exact clustering keeps exactly one of {A,B,C}
+    base = "the quick brown fox jumps over the lazy dog again and again it runs far"
+    b = base.replace("lazy", "sleepy")
+    c = b.replace("quick", "rapid").replace("brown", "red")
+    docs = spark.createDataFrame([(1, base), (2, b), (3, c)], ["doc_id", "text"])
+    cfg = CorpusConfig(min_quality=0.0, near_dup_jaccard=0.3, cluster_exact=True,
+                       chunk_tokens=8, chunk_overlap=2)
+    metrics = run_corpus_pipeline(docs, str(tmp_path / "cc"), cfg)
+    clean_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "cc" / "clean")).collect()
+    }
+    assert metrics["near_dup_pairs"] >= 2
+    assert clean_ids == {1}  # one survivor per component, minimum id

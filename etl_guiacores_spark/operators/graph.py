@@ -34,9 +34,15 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct()
+    # materialize ONCE: the edge plan (often an LSH candidate join)
+    # would otherwise be re-executed inside every iteration
+    sym = sym.localCheckpoint(eager=True)
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+    converged = False
     for _ in range(max_iterations):
+        # step 1: take the minimum label among direct neighbors
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
@@ -51,15 +57,34 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+        # step 2: pointer jumping — adopt the label OF my label, halving
+        # the effective chain length each round (O(log diameter) total,
+        # where neighbor propagation alone needs O(diameter))
+        parent = updated.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_component")
         )
+        updated = (
+            updated.join(parent, updated.component == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("p_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        # labels are monotone non-increasing, so the label sum strictly
+        # decreases until the fixpoint — one cheap aggregate replaces a
+        # join-based change detector
+        new_sum = updated.agg(F.sum("component")).collect()[0][0] or 0
         labels = updated
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
     return labels

@@ -19,6 +19,31 @@ from etl_guiacores_spark.session import configure_session
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Round 1's driver CORRECTNESS run truncated after 50 of 62 registry
+# entries, leaving the 12 newest queries untested (plus one hash
+# mismatch, since fixed). Emit those 12 first so that even a truncated
+# run confirms them; the displaced queries all hold round-1 passes.
+_FIRST = [
+    "q32_sessionization",
+    "q33_event_dedupe_first",
+    "q44_document_chunking",
+    "q45_vocabulary",
+    "q46_tfidf",
+    "q49_hypertable_rollup",
+    "q50_corpus_dedup_survivors",
+    "q58_source_mixture",
+    "q59_decontamination",
+    "q60_pii_redaction",
+    "q61_repetition_score",
+    "q62_dedup_clusters",
+    "q56_extract_all_numbers",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _FIRST if n in REGISTRY]
+    return head + [n for n in REGISTRY if n not in _FIRST]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing summary, TPC-H Q1 shape) on sf0.001."""
@@ -36,11 +61,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
+    return {name: wrap(REGISTRY[name].fn) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted -> rows-only check)."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }

@@ -98,8 +98,10 @@ def near_dup_removal(
             "doc_id",
         )
     else:
+        # The doomed-id set scales with the corpus dup rate — no
+        # broadcast hint; AQE picks broadcast only when it truly fits.
         doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
-        survivors = docs.join(F.broadcast(doomed), "doc_id", "left_anti")
+        survivors = docs.join(doomed, "doc_id", "left_anti")
     return survivors, verified
 
 

@@ -546,17 +546,20 @@ def q55_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_extract_all_numbers",
     """
     SELECT doc_id,
-           LEN(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
-           COALESCE(list_sum(list_transform(regexp_extract_all(text, '[0-9]+'),
-                                            x -> CAST(x AS BIGINT))), 0) AS numbers_sum
+           LEN(regexp_extract_all(text, '[0-9]{1,15}')) AS n_numbers,
+           CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '[0-9]{1,15}'),
+                                                 x -> CAST(x AS BIGINT))), 0)
+                AS BIGINT) AS numbers_sum
     FROM documents
     """,
     doc="regexp_extract_all + array fold: pull every number out of "
-    "free text and aggregate per document.",
+    "free text and aggregate per document. Digit runs are bounded to 15 "
+    "chars and the oracle sum is cast to BIGINT so DuckDB's HUGEINT "
+    "(int128) promotion can never diverge from Spark's non-ANSI long.",
 )
 def q56_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    nums = F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"))
+    nums = F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]{1,15}"))
     total = F.aggregate(nums, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
     return d.select(
         "doc_id",

@@ -152,13 +152,13 @@ _SHINGLES = (
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 _MINHASH_CTE = f"""
-    WITH shingled AS (
+    WITH shingled AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN LEN(toks) >= 3 THEN {_SHINGLES} ELSE [] END AS sh
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
               WHERE LENGTH(trim(text)) > 0)
     ),
-    sigs AS (
+    sigs AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN LEN(sh) > 0 THEN list_min(list_transform(sh, s -> md5('0:' || s))) END AS sig_0,
                CASE WHEN LEN(sh) > 0 THEN list_min(list_transform(sh, s -> md5('1:' || s))) END AS sig_1,
@@ -186,7 +186,7 @@ def q24_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_lsh_candidates",
     _MINHASH_CTE
     + """,
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
         UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
         UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
@@ -631,7 +631,7 @@ def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q50_corpus_dedup_survivors",
     _MINHASH_CTE
     + """,
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
         UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
         UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
@@ -677,8 +677,10 @@ def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_b")
         .distinct()
     )
+    # No broadcast hint on the duplicate-id set: at a high dup rate the
+    # set grows with the corpus, so let AQE pick the join strategy.
     return docs.join(
-        F.broadcast(verified.withColumnRenamed("id_b", "doc_id")), "doc_id", "left_anti"
+        verified.withColumnRenamed("id_b", "doc_id"), "doc_id", "left_anti"
     ).select("doc_id")
 
 
@@ -803,25 +805,32 @@ def q61_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_dedup_clusters",
     (_MINHASH_CTE
     + """,
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
         UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
         UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
         UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
     ),
-    verified AS (
+    verified AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM verified
         UNION SELECT id_b, id_a FROM verified
     ),
     reach AS (
         SELECT doc_id AS id, doc_id AS lbl FROM shingled
         UNION
+        -- edges is MATERIALIZED so the shingle->sig->band chain is not
+        -- re-evaluated every recursion round (was ~12s fixed cost, now
+        -- ~0.25s at sf0.01); r.lbl < e.dst prunes the closure to labels
+        -- that can still lower a node's minimum — sound because the
+        -- component minimum m is < every other member id, so m always
+        -- propagates, and MIN(lbl) ignores the pruned larger labels.
         SELECT e.dst AS id, r.lbl
         FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.lbl < e.dst
     )
     SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
     """).replace("WITH shingled AS", "WITH RECURSIVE shingled AS"),

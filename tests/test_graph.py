@@ -21,3 +21,38 @@ def test_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert set(got.values()) == {0}
+
+
+def test_string_ids_converge_correctly(spark):
+    """Non-numeric ids: the changed-row-count convergence detector must
+    keep iterating (a label-sum detector silently stops at round 1)."""
+    nodes = spark.createDataFrame([(f"doc-{i:02d}",) for i in range(8)], ["id"])
+    edges = spark.createDataFrame(
+        [(f"doc-{i:02d}", f"doc-{i+1:02d}") for i in range(5)]  # chain 00..05
+        + [("doc-06", "doc-07")],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {f"doc-{i:02d}": "doc-00" for i in range(6)} | {
+        "doc-06": "doc-06",
+        "doc-07": "doc-06",
+    }
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches to reliable checkpoint() — same labels,
+    and the directory actually receives checkpoint data."""
+    import os
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, edges, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "reliable checkpoint wrote nothing to checkpoint_dir"

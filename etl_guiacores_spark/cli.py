@@ -18,8 +18,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 from pyspark.sql import functions as F
+
+
+def _progress_cb(args):
+    """--progress: one JSON line per pipeline stage on stderr (stdout
+    stays reserved for the result envelope). The engine twin of the
+    reference's Streamlit progress hook (reference: streamlit_app.py:66-81)."""
+    if not getattr(args, "progress", False):
+        return None
+
+    def emit(stage: str, info: dict) -> None:
+        print(json.dumps({"stage": stage, **info}, default=str), file=sys.stderr)
+
+    return emit
 
 
 def _transport_factory(kind: str):
@@ -56,7 +70,7 @@ def _run_scrape_pipeline(spark, urls, args) -> dict:
     )
     ok = fetched.filter(F.col("fetch_error").isNull())
     parsed = parse_pages(ok.select("url", "html"))
-    return run_batch_pipeline(parsed, args.out)
+    return run_batch_pipeline(parsed, args.out, progress_callback=_progress_cb(args))
 
 
 def cmd_bulk(spark, args) -> dict:
@@ -78,7 +92,8 @@ def cmd_manual(spark, args) -> dict:
         urls = spark.createDataFrame([(None, args.url)], "id_negocio string, url string")
         return _run_scrape_pipeline(spark, urls, args)
     pages = scan_html_dir(spark, args.file)  # S5: the parse the reference skipped
-    return run_batch_pipeline(parse_pages(pages), args.out)
+    return run_batch_pipeline(parse_pages(pages), args.out,
+                              progress_callback=_progress_cb(args))
 
 
 def cmd_sequential(spark, args) -> dict:
@@ -112,12 +127,14 @@ def cmd_clean(spark, args) -> dict:
     from etl_guiacores_spark.plans import run_batch_pipeline
 
     raw = gio.read_processed_csvs(spark, args.input)
-    return run_batch_pipeline(raw, args.out)
+    return run_batch_pipeline(raw, args.out, progress_callback=_progress_cb(args))
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="etl_guiacores_spark")
     p.add_argument("--out", default="data/out", help="pipeline output root")
+    p.add_argument("--progress", action="store_true",
+                   help="emit one JSON progress line per stage on stderr")
     p.add_argument("--transport", choices=["fake", "requests"], default="fake")
     p.add_argument("--retries", type=int, default=3)
     p.add_argument("--partitions", type=int, default=None)

@@ -112,12 +112,15 @@ def filter_blocked_domains(
     probes = F.array_compact(F.array(host, last2, last3))
 
     keys = blocked.select(F.lower(F.col(domain_col)).alias("__blocked_domain")).distinct()
-    candidates = df.withColumn("__probe", F.explode(probes))
-    hits = (
-        candidates.join(
-            F.broadcast(keys), candidates["__probe"] == keys["__blocked_domain"], "left_semi"
-        )
-        .drop("__probe")
-        .distinct()
-    )
-    return df.join(hits.select(*df.columns).distinct(), on=df.columns, how="left_anti")
+    # Row-key based inversion: joining hits back on ALL df columns would
+    # use null-unsafe equality, so any row with a NULL column would never
+    # match itself and silently survive the blocklist. Instead tag each
+    # row once, find blocked row keys via the probe semi-join, and
+    # anti-join on the key alone. Both branches derive from the same
+    # tagged plan, so the generated ids agree.
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    probe_rows = tagged.select("__rid", F.explode(probes).alias("__probe"))
+    blocked_rids = probe_rows.join(
+        F.broadcast(keys), probe_rows["__probe"] == keys["__blocked_domain"], "left_semi"
+    ).select("__rid")
+    return tagged.join(blocked_rids, "__rid", "left_anti").drop("__rid")

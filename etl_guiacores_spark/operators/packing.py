@@ -39,16 +39,20 @@ def pack_chunks(
     id_col: str = "doc_id",
     text_col: str = "chunk_text",
     count_col: str = "n_chunk_tokens",
+    order_col: str = "chunk_idx",
 ) -> DataFrame:
     """(doc chunks) -> packed training sequences <= budget_tokens.
 
     Deterministic: bucket assignment hashes the doc id, and packing
-    order within a bucket is (doc_id, chunk order of appearance via
-    the count/text sort key).
+    order within a bucket is (doc_id, chunk_idx) — within-document
+    token order is preserved in the packed text. When ``order_col``
+    is absent from the input, falls back to (doc_id, text) order
+    (deterministic but not position-aware).
     """
+    sort_key = order_col if order_col in chunks.columns else text_col
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([id_col, text_col]).reset_index(drop=True)
+        pdf = pdf.sort_values([id_col, sort_key]).reset_index(drop=True)
         bin_id = int(pdf["__bin"].iloc[0])
         out, cur_ids, cur_txt, cur_n, seq = [], [], [], 0, 0
         for _, row in pdf.iterrows():

@@ -245,6 +245,11 @@ def knn_brute_force(
     top-k shuffles only (query, candidate, sim) triples. This is the
     correct baseline at any scale; the LSH variant below prunes the
     candidate set when the corpus is huge.
+
+    Self-exclusion assumes queries are drawn from the embedding
+    table's id space (a candidate whose id equals the query id is the
+    query itself). The comparison is null-safe: rows with NULL ids are
+    kept as candidates rather than silently dropped.
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -252,7 +257,7 @@ def knn_brute_force(
     sim = F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6)
     scored = (
         embeddings.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col(query_id_col))
+        .filter(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),

@@ -107,14 +107,22 @@ def run_batch_pipeline(
     out_dir: str,
     config: PipelineConfig | None = None,
     clock: datetime | None = None,
+    progress_callback=None,
 ) -> dict:
     """bronze → silver (+quarantine) → gold, returning the reference's
     result envelope {status, message, records_processed}
-    (reference: src/main.py:130) extended with per-stage metrics."""
+    (reference: src/main.py:130) extended with per-stage metrics.
+
+    ``progress_callback(stage, info)`` fires after each stage lands
+    (bronze/silver/gold/done) with the counts the run already computes
+    via ``observe`` — the engine twin of the reference's UI hook
+    (reference: streamlit_app.py:66-81); no extra Spark job."""
     config = config or PipelineConfig()
+    emit = progress_callback or (lambda stage, info: None)
 
     bronze = canonicalize(raw)
     if bronze.isEmpty():  # R4 — reference: src/main.py:105-107,116-118
+        emit("done", {"records": 0})
         return {
             "status": "warning",
             "message": "No records extracted",
@@ -122,6 +130,7 @@ def run_batch_pipeline(
             "metrics": {"records": 0, "with_email": 0, "quarantined": 0},
         }
     gio.write_handoff(bronze, f"{out_dir}/bronze")
+    emit("bronze", {"out": f"{out_dir}/bronze"})
 
     obs = Observation("silver_metrics")
     cleaned, quarantined = split_quarantine(clean_leads(bronze, config), config.dedupe_key)
@@ -130,9 +139,11 @@ def run_batch_pipeline(
     )
     gio.write_handoff(silver, f"{out_dir}/silver")
     gio.write_handoff(quarantined, f"{out_dir}/quarantine")
+    emit("silver", dict(obs.get))
 
     gold = to_export(silver)
     gio.write_run_csv(gold, f"{out_dir}/gold", clock=clock)
+    emit("gold", {"out": f"{out_dir}/gold"})
 
     metrics = obs.get
     n = metrics["records"]
@@ -145,4 +156,5 @@ def run_batch_pipeline(
     # A3 — one audit row per run (reference: manual_scraper.py:297-313)
     gio.append_audit_log(raw.sparkSession, f"{out_dir}/audit_log", **result["metrics"],
                          status=result["status"])
+    emit("done", result["metrics"])
     return result

@@ -574,18 +574,23 @@ def q46_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("token") > 0)
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
     doc_len = tf.groupBy("doc_id").agg(F.sum("tf_count").alias("n_tokens"))
+    # dfreq broadcast assumes a bounded word-level vocabulary (true for
+    # natural-language tokens; do NOT broadcast for unbounded key spaces
+    # like ids-as-tokens). n_docs stays inside the plan as a broadcast
+    # 1-row aggregate so TF-IDF is a single Spark job, not count()+job.
     dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    n_docs = doc_len.count()  # scalar: corpus size
+    n = doc_len.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(doc_len, "doc_id")
         .join(F.broadcast(dfreq), "token")
         .filter(F.col("doc_id") < 50)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
             F.round(
                 (F.col("tf_count").cast("double") / F.col("n_tokens"))
-                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
                 6,
             ).alias("tfidf"),
         )

@@ -29,6 +29,7 @@ def discover_until_idle(
     key: str = "id_negocio",
     idle_rounds: int = 3,
     max_rounds: int = 1000,
+    progress_callback: Callable[[str, dict], None] | None = None,
 ) -> DataFrame | None:
     """Accumulate unique-by-key rows from successive discovery batches
     until ``idle_rounds`` consecutive batches yield nothing new.
@@ -40,15 +41,25 @@ def discover_until_idle(
     Each round's novelty check is a broadcast-friendly anti-join on a
     single key column; accumulated state stays distributed (no
     driver-side set, unlike the reference).
+
+    ``progress_callback(stage, info)`` mirrors the reference's UI hook
+    (reference: streamlit_app.py:66-81, sequential_collector.py:452):
+    called once per round with ``("round", {round, n_new, total,
+    idle})`` and once at the end with ``("done", {rounds, total})`` —
+    counts the loop already computes, so the hook costs no extra job.
     """
     get = batches if callable(batches) else lambda i, it=iter(batches): next(it, None)
+    emit = progress_callback or (lambda stage, info: None)
 
     known: DataFrame | None = None
+    total = 0
     idle = 0
+    rounds = 0
     for i in range(max_rounds):
         batch = get(i)
         if batch is None:
             break
+        rounds = i + 1
         batch = batch.dropDuplicates([key])
         if known is None:
             novel = batch
@@ -59,11 +70,15 @@ def discover_until_idle(
         n_new = novel.count()
         if n_new == 0:
             idle += 1
+            emit("round", {"round": i, "n_new": 0, "total": total, "idle": idle})
             if idle >= idle_rounds:
                 break
             continue
         idle = 0
+        total += n_new
+        emit("round", {"round": i, "n_new": n_new, "total": total, "idle": 0})
         known = novel if known is None else known.unionByName(novel)
         # keep the lineage shallow so round N doesn't replan N-1 unions
         known = known.localCheckpoint(eager=True)
+    emit("done", {"rounds": rounds, "total": total})
     return known

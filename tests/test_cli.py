@@ -57,3 +57,21 @@ def test_clean_mode(spark, tmp_path):
     silver = {r["id_negocio"]: r for r in
               spark.read.parquet(str(tmp_path / "clean" / "silver")).collect()}
     assert silver["1"]["localidad"] == "(8300) Neuquen" or silver["1"]["nombre"] in ("Dos Espacios", "dup")
+
+
+def test_progress_flag_emits_stage_lines(spark, tmp_path, capsys):
+    import json as _json
+
+    res = main(
+        ["--out", str(tmp_path / "p"), "--progress", "bulk",
+         "--start-id", "1", "--end-id", "10"],
+        spark=spark,
+    )
+    assert res["status"] == "success"
+    err = capsys.readouterr().err
+    stages = [
+        _json.loads(line)["stage"]
+        for line in err.splitlines()
+        if line.startswith('{"stage"')
+    ]
+    assert stages == ["bronze", "silver", "gold", "done"]

@@ -111,6 +111,26 @@ class TestBlockedDomains:
         )
         assert kept == ["3", "4", "5"]
 
+    def test_null_columns_still_blocked(self, spark):
+        """A blocked-domain row carrying a NULL in another column must
+        still be removed (regression: all-columns anti-join used
+        null-unsafe equality, so NULL rows never matched themselves)."""
+        from etl_guiacores_spark.operators.joins import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [
+                ("1", "https://spam.net/a", None),      # blocked, NULL extra col
+                ("2", "https://example.org/b", None),   # kept, NULL extra col
+                ("3", "https://spam.net/c", "note"),    # blocked
+            ],
+            ["id", "url", "note"],
+        )
+        blocked = spark.createDataFrame([("spam.net",)], ["domain"])
+        kept = sorted(
+            r["id"] for r in filter_blocked_domains(df, blocked, "url").collect()
+        )
+        assert kept == ["2"]
+
 
 class TestMergeUpsertPartialColumns:
     def test_insert_takes_source_values_outside_update_cols(self, spark):

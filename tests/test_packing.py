@@ -32,3 +32,18 @@ def test_packing_budget_and_conservation(spark):
     again = pack_chunks(chunks, budget_tokens=128, num_bins=8).collect()
     key = lambda rs: sorted((r["bin_id"], r["seq_id"], r["n_tokens"]) for r in rs)
     assert key(rows) == key(again)  # deterministic
+
+
+def test_packing_preserves_document_order(spark):
+    """Chunks pack in chunk_idx order, not alphabetical-text order
+    (regression: sorting by text scrambled within-doc token order)."""
+    chunks = spark.createDataFrame(
+        # text sorts alphabetically as zebra < apple is False: apple < zebra,
+        # so idx order (zebra first) differs from text order
+        [(1, 0, "zebra one", 2), (1, 1, "apple two", 2), (1, 2, "mango three", 2)],
+        ["doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"],
+    )
+    packed = pack_chunks(chunks, budget_tokens=100, num_bins=1)
+    rows = packed.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "zebra one apple two mango three"

@@ -105,3 +105,18 @@ class TestEmbeddings:
             for r in embedding_near_dup_pairs(df, threshold=0.9, bucket_dims=8).collect()
         }
         assert pairs == {(0, 1)}
+
+
+def test_knn_null_ids_not_dropped(spark):
+    """Null-safe self-exclusion: a corpus row with a NULL id is a valid
+    neighbor, not silently discarded by id != query_id."""
+    from etl_guiacores_spark.operators.similarity import knn_brute_force
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (None, [1.0, 0.05])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>")
+    got = knn_brute_force(emb, queries, k=5).collect()
+    neighbor_ids = {r["neighbor_id"] for r in got}
+    assert None in neighbor_ids and 2 in neighbor_ids and 1 not in neighbor_ids

@@ -19,6 +19,12 @@ import sys
 sys.path.insert(0, ".")
 
 INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk"}
+# Scalar-join pattern: a cross join whose build side is a broadcast
+# 1-row ungrouped aggregate (e.g. q46's in-plan n_docs). The resulting
+# BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the
+# price of keeping the scalar inside the plan instead of a driver
+# count() + literal (one Spark job instead of two).
+SCALAR_CROSS = {"q46_tfidf"}
 
 
 def main() -> int:
@@ -46,7 +52,7 @@ def main() -> int:
         if name not in INTENTIONAL_CROSS:
             if "CartesianProduct" in plan:
                 issues.append("CartesianProduct")
-            if "BroadcastNestedLoopJoin" in plan:
+            if "BroadcastNestedLoopJoin" in plan and name not in SCALAR_CROSS:
                 issues.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             issues.append("row-at-a-time PythonUDF")

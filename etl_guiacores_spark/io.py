@@ -174,12 +174,14 @@ def jdbc_upsert(
     key: str,
     properties: dict | None = None,
 ) -> None:
-    """L4 — JDBC sink. Plain JDBC has no UPSERT; the engine's pattern
-    is merge-then-overwrite: read the target, ``merge_upsert`` with the
-    batch, write back (or, on warehouses that support it, MERGE INTO
-    via the connector). Raises a clear error when no JDBC driver is on
-    the classpath — none ships in this container
-    (reference: src/extractors/manual_scraper.py:197-295)."""
+    """L4 — JDBC sink, merge-then-overwrite FALLBACK: read the target,
+    ``merge_upsert`` with the batch, write back. Quadratic over time on
+    a growing target and not atomic — use
+    ``jdbc_merge.jdbc_keyed_upsert`` (staging table + one on-database
+    MERGE/ON CONFLICT statement) wherever the target supports it; this
+    path remains for targets with no upsert syntax at all. Raises a
+    clear error when no JDBC driver is on the classpath — none ships in
+    this container (reference: src/extractors/manual_scraper.py:197-295)."""
     from etl_guiacores_spark.operators.joins import merge_upsert
 
     spark = df.sparkSession

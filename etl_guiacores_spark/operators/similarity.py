@@ -125,6 +125,16 @@ def lsh_candidate_pairs(
     materialized signature table; AQE's skew-join splits hot bands).
     """
     sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, n)
+    return lsh_candidate_pairs_from_sigs(sigs, id_col, num_hashes)
+
+
+def lsh_candidate_pairs_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 4
+) -> DataFrame:
+    """Banding + bucket self-join over a PRE-COMPUTED signature table
+    (``sig_0..sig_{k-1}`` columns, e.g. a bucketed table staged by
+    ``stage_corpus_artifacts``) — the production shape: signatures are
+    computed once at ingest and reused by every dedup run."""
     bands = sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(

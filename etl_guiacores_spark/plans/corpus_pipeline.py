@@ -25,11 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark import io as gio
+from etl_guiacores_spark.operators.bucketing import write_bucketed
 from etl_guiacores_spark.operators.chunking import build_vocab, chunk_documents
 from etl_guiacores_spark.operators.dedupe import dedupe_keyed_first
 from etl_guiacores_spark.operators.similarity import (
     jaccard_of_shingles,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_from_sigs,
+    with_minhash,
     word_shingles,
 )
 from etl_guiacores_spark.operators.textstats import fingerprint, lang_id, quality_score
@@ -102,6 +105,51 @@ def near_dup_removal(
         # broadcast hint; AQE picks broadcast only when it truly fits.
         doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
         survivors = docs.join(doomed, "doc_id", "left_anti")
+    return survivors, verified
+
+
+def stage_corpus_artifacts(
+    docs: DataFrame, table_prefix: str, num_buckets: int = 16
+) -> dict[str, str]:
+    """Pay the shingle/signature computation and the doc_id shuffle
+    ONCE: per-doc shingle arrays and minhash signatures land as
+    bucketed-by-doc_id managed tables. Every later dedup run (and any
+    verify join) reads them bucket-aligned — no re-shingling, and no
+    exchange on the heavy array-carrying side of the join. This is the
+    100 TB shape: signatures are ingest-time artifacts, not per-query
+    recomputation."""
+    shingles_t, sigs_t = f"{table_prefix}_shingles", f"{table_prefix}_sigs"
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    write_bucketed(sh, shingles_t, "doc_id", num_buckets)
+    sigs = with_minhash(docs.select("doc_id", "text"), "text").drop("text")
+    write_bucketed(sigs, sigs_t, "doc_id", num_buckets)
+    return {"shingles": shingles_t, "sigs": sigs_t}
+
+
+def near_dup_removal_staged(
+    docs: DataFrame, tables: dict[str, str], threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """near_dup_removal over pre-staged bucketed artifacts: candidates
+    come from the signature table (no re-hashing), the Jaccard verify
+    joins the bucketed shingle table on its bucket key — the planner
+    elides the exchange under each shingle scan (plan-asserted in
+    tests), so only the slim (id_a, id_b) pair list shuffles."""
+    spark = docs.sparkSession
+    candidates = lsh_candidate_pairs_from_sigs(spark.table(tables["sigs"]), "doc_id")
+    sh = spark.table(tables["shingles"])
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.hint("merge")
+        .join(sh_a, "id_a")
+        .hint("merge")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = docs.join(doomed, "doc_id", "left_anti")
     return survivors, verified
 
 

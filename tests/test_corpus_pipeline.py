@@ -70,3 +70,41 @@ def test_cluster_exact_keeps_one_per_component(spark, tmp_path):
     }
     assert metrics["near_dup_pairs"] >= 2
     assert clean_ids == {1}  # one survivor per component, minimum id
+
+
+def test_staged_bucketed_near_dup(spark):
+    """Bucketed signature/shingle artifacts: same survivors as the
+    direct path, and the verify join's heavy (array-carrying) shingle
+    scans are bucket-aligned — no exchange on the bucketed side."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        near_dup_removal,
+        near_dup_removal_staged,
+        stage_corpus_artifacts,
+    )
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    tables = stage_corpus_artifacts(docs, "corpus_bkt_test", num_buckets=4)
+    try:
+        staged_surv, staged_ver = near_dup_removal_staged(docs, tables, 0.6)
+        direct_surv, _ = near_dup_removal(docs, 0.6)
+        assert sorted(r["doc_id"] for r in staged_surv.collect()) == sorted(
+            r["doc_id"] for r in direct_surv.collect()
+        )
+        staged_ver.collect()
+        plan = staged_ver._jdf.queryExecution().executedPlan().toString()
+        # both shingle-table joins read bucket-aligned splits...
+        assert plan.count("Bucketed: true") >= 2
+        # ...and the bucket key itself is never re-shuffled: only the
+        # slim candidate-pair side exchanges (on id_a/id_b)
+        assert "Exchange hashpartitioning(doc_id" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -37,6 +37,12 @@ _FIRST = [
     "q61_repetition_score",
     "q62_dedup_clusters",
     "q56_extract_all_numbers",
+    # round-2 additions — also driver-unconfirmed until they appear in
+    # a CORRECTNESS artifact
+    "q63_ivf_ann_fullprobe",
+    "q64_quantize_int8",
+    "q65_multimodal_decode",
+    "q66_sequence_packing",
 ]
 
 

@@ -44,13 +44,22 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
+    train: DataFrame | None = None,
 ) -> IvfIndex:
-    """Train the coarse quantizer and assign every vector a cluster."""
-    with_vec = embeddings.withColumn("__v", array_to_vector(F.col(vec_col)))
-    model = KMeans(k=nlist, seed=seed, featuresCol="__v", predictionCol="__cluster").fit(
-        with_vec
-    )
-    indexed = model.transform(with_vec).drop("__v")
+    """Train the coarse quantizer and assign every vector a cluster.
+
+    ``train`` (default: the full corpus) is the k-means training set —
+    at 10^10 vectors you train on a sample and only the one-pass
+    cluster ASSIGNMENT touches every vector. ``max_iter`` trades
+    centroid quality for training time; recall at partial probe
+    degrades gracefully with worse centroids, and full-probe results
+    don't depend on them at all."""
+    to_vec = lambda df: df.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="__cluster"
+    ).fit(to_vec(train if train is not None else embeddings))
+    indexed = model.transform(to_vec(embeddings)).drop("__v")
     return IvfIndex(model=model, indexed=indexed, id_col=id_col, vec_col=vec_col)
 
 

@@ -853,3 +853,159 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Round 2: driver-checked entries for the formerly pytest-only operators
+# (IVF ANN, quantization, multimodal decode, sequence packing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q63_ivf_ann_fullprobe",
+    """
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+               , 6) AS sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+    doc="IVF ANN at nprobe == nlist (full probe): every cluster is "
+    "searched, so the result is EXACTLY brute-force top-k and the "
+    "oracle is the brute-force spec — this pins the index round-trip "
+    "(train, assign, probe, prune-join) to the exact answer while "
+    "pytest covers recall at partial probe.",
+)
+def q63_ivf_ann_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ann import ivf_build, ivf_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    # full probe: centroid quality is irrelevant, so train cheaply on a
+    # deterministic sample (the production shape at any corpus size)
+    index = ivf_build(e, nlist=8, max_iter=2, train=e.filter(F.col("vec_id") % 7 == 0))
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_search(index, q, k=5, nprobe=8)
+
+
+@register(
+    "q64_quantize_int8",
+    """
+    SELECT vec_id,
+           ROUND(CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END, 6) AS scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(ROUND(CAST(x AS DOUBLE)
+                          / (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)) AS BIGINT)))
+                AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(embedding,
+                x -> ABS(CAST(ROUND(CAST(x AS DOUBLE)
+                          / (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)) AS BIGINT))))
+                AS BIGINT) AS q_l1
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    )
+    """,
+    doc="Symmetric int8 quantization (4x vector storage): per-vector "
+    "scale plus exact integer checksums of the quantized codes — "
+    "pure array expressions, scan-speed, bit-agreed with the oracle.",
+)
+def q64_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.quantize import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.select("vec_id", quantize_int8(F.col("embedding")).alias("qv"))
+    q = F.col("qv").getField("q")
+    to_long = lambda c: c.cast("long")
+    return qs.select(
+        "vec_id",
+        F.round(F.col("qv").getField("scale"), 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + to_long(x)).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(to_long(x))).alias(
+            "q_l1"
+        ),
+    )
+
+
+@register(
+    "q65_multimodal_decode",
+    """
+    SELECT media_id, kind,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CASE WHEN kind IN ('image', 'video')
+                THEN 64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 192
+           END AS width,
+           CASE WHEN kind IN ('image', 'video')
+                THEN 64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 192
+           END AS height,
+           CASE WHEN kind IN ('audio', 'video')
+                THEN ROUND(CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) / 8.0, 3)
+           END AS duration_s
+    FROM (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+               text
+        FROM documents
+    )
+    """,
+    doc="Multimodal decode plumbing, oracle-checked end-to-end: text "
+    "payloads stand in for media bytes, the Arrow-batched mapInPandas "
+    "decode stub derives metadata from sha256(payload), and the oracle "
+    "recomputes the same digest arithmetic hex-wise in SQL. The real "
+    "codec swap-in point stays NotImplementedError-gated "
+    "(operators/multimodal.py:96).",
+)
+def q65_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = extract_media_features(media, decode_stub=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256", "width", "height",
+        F.round("duration_s", 3).alias("duration_s"),
+    )
+
+
+@register(
+    "q66_sequence_packing",
+    None,  # greedy first-fit is inherently sequential per bucket — no SQL twin
+    doc="Sequence packing for pretraining: chunk documents to token "
+    "windows, then greedy-fill fixed 128-token sequences within hash "
+    "buckets (applyInPandas per bucket). Rows-only driver check; "
+    "budget/conservation/order invariants are pytest-enforced.",
+)
+def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.chunking import chunk_documents
+    from etl_guiacores_spark.operators.packing import pack_chunks
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    chunks = chunk_documents(d.select("doc_id", "text"), chunk_tokens=32, overlap=0)
+    packed = pack_chunks(chunks, budget_tokens=128, num_bins=8)
+    return packed.select(
+        "bin_id", "seq_id", F.size("doc_ids").alias("n_docs"), "n_tokens"
+    )

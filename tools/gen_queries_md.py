@@ -1,0 +1,51 @@
+"""Regenerate QUERIES.md from the query registry.
+
+Usage: python tools/gen_queries_md.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    import etl_guiacores_spark.queries_extra  # noqa: F401
+    import etl_guiacores_spark.queries_scale  # noqa: F401
+    from etl_guiacores_spark.queries import REGISTRY
+
+    rows = []
+    for name, spec in sorted(REGISTRY.items(), key=lambda kv: kv[0]):
+        num = re.match(r"q(\d+)", name).group(1)
+        doc = " ".join((spec.doc or "").split())
+        mark = "" if spec.oracle is not None else " *(rows-only: not SQL-expressible)*"
+        rows.append(f"| {num} | `{name}` | {doc}{mark} |")
+
+    n = len(REGISTRY)
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    out = [
+        "# QUERIES — the oracle-checked suite (auto-generated from the registry)",
+        "",
+        f"{n} registered queries; {n_oracle} have BOTH a `queries()` Spark",
+        "program and an `oracle_sql()` DuckDB twin (the driver hash-compares",
+        f"them at sf0.01), and {n - n_oracle} are rows-only (inherently",
+        "sequential/non-SQL semantics). `tools/check_oracle.py` verifies the",
+        "full suite at sf0.001, sf0.01, and sf0.1.",
+        "",
+        "Regenerate with `python tools/gen_queries_md.py`.",
+        "",
+        "| # | query | what it verifies |",
+        "|---|---|---|",
+        *rows,
+        "",
+    ]
+    with open("QUERIES.md", "w", encoding="utf-8") as f:
+        f.write("\n".join(out))
+    print(f"QUERIES.md: {n} entries ({n_oracle} oracle-checked)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,7 +18,10 @@ import sys
 
 sys.path.insert(0, ".")
 
-INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk"}
+INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
+                     # query set x broadcast nlist-row centroid table —
+                     # bounded by construction (ann.py probe stage)
+                     "q63_ivf_ann_fullprobe"}
 # Scalar-join pattern: a cross join whose build side is a broadcast
 # 1-row ungrouped aggregate (e.g. q46's in-plan n_docs). The resulting
 # BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the

@@ -43,6 +43,9 @@ _FIRST = [
     "q64_quantize_int8",
     "q65_multimodal_decode",
     "q66_sequence_packing",
+    "q67_stratified_sample",
+    "q68_bigram_counts",
+    "q69_simhash_hamming_pairs",
 ]
 
 

@@ -51,10 +51,10 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _persist_round(df: DataFrame) -> DataFrame:
+    def _persist_round(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -101,11 +101,15 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # lazy checkpoint: the convergence aggregate right below is the
+        # round's ONE action — it materializes the checkpoint blocks and
+        # computes n_changed in the same job (eager=True would spend a
+        # separate job per round just materializing)
         updated = _persist_round(updated.select(
             "id",
             "component",
             (F.col("component") != F.col("old_component")).cast("int").alias("changed"),
-        ))
+        ), eager=False)
         # labels are monotone non-increasing, so the fixpoint is exactly
         # "no row changed this round" — a count, not arithmetic on the
         # label column, so string/any-type ids converge correctly too

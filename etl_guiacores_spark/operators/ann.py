@@ -32,7 +32,7 @@ from etl_guiacores_spark.operators.similarity import cosine
 
 @dataclass
 class IvfIndex:
-    model: KMeansModel
+    model: KMeansModel | None  # None <=> empty corpus (R4 guard)
     indexed: DataFrame  # original columns + __cluster
     id_col: str
     vec_col: str
@@ -56,9 +56,13 @@ def ivf_build(
     degrades gracefully with worse centroids, and full-probe results
     don't depend on them at all."""
     to_vec = lambda df: df.withColumn("__v", array_to_vector(F.col(vec_col)))
+    train_df = train if train is not None else embeddings
+    if train_df.isEmpty():  # R4 — KMeans cannot fit zero rows
+        indexed = embeddings.withColumn("__cluster", F.lit(0))
+        return IvfIndex(model=None, indexed=indexed, id_col=id_col, vec_col=vec_col)
     model = KMeans(
         k=nlist, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="__cluster"
-    ).fit(to_vec(train if train is not None else embeddings))
+    ).fit(to_vec(train_df))
     indexed = model.transform(to_vec(embeddings)).drop("__v")
     return IvfIndex(model=model, indexed=indexed, id_col=id_col, vec_col=vec_col)
 
@@ -67,6 +71,10 @@ def _probe_clusters(index: IvfIndex, queries: DataFrame, nprobe: int) -> DataFra
     """(query_id, __cluster) pairs for each query's nprobe nearest
     centroids. Centroids are model state (nlist x dim) — broadcast as
     a literal array; distances compute distributedly per query row."""
+    if index.model is None:  # empty corpus: probe the lone empty cluster
+        return queries.select(
+            F.col(index.id_col).alias("query_id"), F.lit(0).alias("__cluster")
+        )
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(index.model.clusterCenters())
     ]

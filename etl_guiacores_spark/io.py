@@ -54,6 +54,25 @@ def write_handoff(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned Parquet layout — the 100 TB storage
+    shape: a filter on a partition column prunes whole directories at
+    planning time (shows as ``PartitionFilters`` in the scan, asserted
+    in tests) instead of reading and discarding rows.
+    ``max_records_per_file`` bounds file size inside hot partitions so
+    a skewed partition doesn't become one giant file (the small-files
+    dual is AQE coalescing upstream)."""
+    w = df.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
 def write_version(
     df: DataFrame, path: str, clock: datetime | None = None, keep_last: int | None = None
 ) -> str:

@@ -15,6 +15,14 @@ Works identically under batch `groupBy().applyInPandas` semantics?
 No — this is streaming-only by design; the batch twin is
 q32_sessionization (lag + cumsum), and the two are reconciled in
 tests/test_stateful.py.
+
+Why not Spark 4's ``transformWithStateInPandas``: evaluated and
+environment-blocked — its driver worker imports
+``google.protobuf`` (pyspark/sql/streaming/proto/StateMessage_pb2),
+which is not installed here and cannot be added. The operator
+semantics are fully expressible with ``applyInPandasWithState``;
+swapping to TWS (ValueState + TTL + timers) is a mechanical port once
+protobuf is available.
 """
 
 from __future__ import annotations

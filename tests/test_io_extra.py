@@ -36,3 +36,27 @@ def test_stats_and_audit(spark, tmp_path):
     entries = [json.loads(r["entry"]) for r in log.collect()]
     assert {e["status"] for e in entries} == {"success", "warning"}
     assert all("logged_at" in e for e in entries)
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A partition-column filter must prune at planning time
+    (PartitionFilters on the scan), not post-read."""
+    import os
+
+    from etl_guiacores_spark.io import write_partitioned
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text", "source"
+    )
+    out = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, out, ["source"], max_records_per_file=1000)
+    # hive layout on disk
+    dirs = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert len(dirs) == docs.select("source").distinct().count()
+
+    back = spark.read.parquet(out).filter("source = 'src3'")
+    n = back.count()
+    assert n == docs.filter("source = 'src3'").count() and n > 0
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src3" in plan

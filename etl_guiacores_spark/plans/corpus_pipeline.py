@@ -153,6 +153,89 @@ def near_dup_removal_staged(
     return survivors, verified
 
 
+def incremental_near_dup(
+    new_docs: DataFrame, tables: dict[str, str], threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW ingest batch against an already-staged corpus — the
+    daily-ingest shape at 100 TB: only the new batch is shingled and
+    hashed; the existing corpus contributes its bucketed signature and
+    shingle tables as-is (no recomputation, no re-shuffle of the heavy
+    side).
+
+    Priority rule: staged docs are already accepted, so a new doc is
+    dropped if it near-dups ANY staged doc, or a lower-id doc within
+    its own batch. Caller contract: new ids are disjoint from staged
+    ids. Returns (surviving new docs, verified pairs where id_b is the
+    dropped new doc)."""
+    spark = new_docs.sparkSession
+    new_sigs = with_minhash(new_docs.select("doc_id", "text"), "text").drop("text")
+    old_sigs = spark.table(tables["sigs"])
+
+    def bands_of(sigs: DataFrame, origin: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id"),
+            F.lit(origin).alias("origin"),
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col(f"sig_{i}").isNotNull(),
+                                F.concat(F.lit(f"{i}|"), F.col(f"sig_{i}")),
+                            )
+                            for i in range(4)
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("band"),
+        )
+
+    new_bands = bands_of(new_sigs, "new").persist()
+    other = bands_of(old_sigs, "old").unionByName(new_bands)
+    candidates = (
+        new_bands.select(F.col("doc_id").alias("id_b"), "band")
+        .join(
+            other.select(
+                F.col("doc_id").alias("id_a"), F.col("origin").alias("origin_a"), "band"
+            ),
+            on="band",
+        )
+        .filter((F.col("origin_a") == "old") | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    new_sh = new_docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    all_sh = spark.table(tables["shingles"]).unionByName(new_sh)
+    verified = (
+        candidates.join(
+            all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(new_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = new_docs.join(doomed, "doc_id", "left_anti")
+    return survivors, verified
+
+
+def append_corpus_artifacts(new_docs: DataFrame, tables: dict[str, str]) -> None:
+    """Fold an accepted batch into the staged artifacts: appended
+    bucket files join the existing spec (same bucket count/key), so
+    the next incremental run still reads bucket-aligned.
+
+    CAUTION: any still-lazy plan built over these tables (e.g. the
+    survivors frame from ``incremental_near_dup``) re-reads them on its
+    next action and would now see the batch's own signatures —
+    materialize (collect/write) the survivors BEFORE appending."""
+    sh = new_docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    sh.write.mode("append").format("parquet").insertInto(tables["shingles"])
+    sigs = with_minhash(new_docs.select("doc_id", "text"), "text").drop("text")
+    sigs.write.mode("append").format("parquet").insertInto(tables["sigs"])
+
+
 def run_corpus_pipeline(
     docs: DataFrame, out_dir: str, config: CorpusConfig | None = None
 ) -> dict:

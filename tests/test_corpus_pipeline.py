@@ -108,3 +108,51 @@ def test_staged_bucketed_near_dup(spark):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_near_dup_matches_full_recompute(spark):
+    """Daily-ingest path: dedup a new batch against staged artifacts
+    (no recomputation of the old corpus) — same final survivor set as
+    a full recompute over the union."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        append_corpus_artifacts,
+        incremental_near_dup,
+        near_dup_removal,
+        stage_corpus_artifacts,
+    )
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    old = docs.filter("doc_id < 250")
+    new = docs.filter("doc_id >= 250")
+    # stage the already-deduped old corpus (the standing state)
+    old_surv, _ = near_dup_removal(old, 0.6)
+    tables = stage_corpus_artifacts(old_surv, "corpus_incr_test", num_buckets=4)
+    try:
+        inc_surv, inc_pairs = incremental_near_dup(new, tables, 0.6)
+        # materialize BEFORE appending: inc_surv is lazy over the staged
+        # tables, and append would make it see the batch's own sigs
+        inc_rows = inc_surv.collect()
+        old_ids = {r["doc_id"] for r in old_surv.collect()}
+        # full recompute over (accepted old + new) for comparison
+        full_surv, _ = near_dup_removal(old_surv.unionByName(new), 0.6)
+        inc_ids = {r["doc_id"] for r in inc_rows} | old_ids
+        full_ids = {r["doc_id"] for r in full_surv.collect()}
+        assert inc_ids == full_ids
+        # every dropped new doc has a verified culprit pair
+        assert inc_pairs.filter("id_b < 250").count() == 0
+
+        # folding the accepted batch in keeps the table bucket-aligned
+        accepted = spark.createDataFrame(inc_rows, inc_surv.schema)
+        append_corpus_artifacts(accepted, tables)
+        n = spark.table(tables["shingles"]).count()
+        assert n == len(old_ids) + len(inc_rows)
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

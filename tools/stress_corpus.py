@@ -1,0 +1,72 @@
+"""Corpus-pipeline stress: sf0.1 documents replicated N-fold with
+near-dup variants, pushed through the full pipeline (filter -> exact
+dedup -> LSH+Jaccard near-dup removal -> chunk -> vocab).
+
+The adversarial shape: every base doc becomes a clique of ~N near
+duplicates, so the verify stage sees pair volume ~N^2/2 per doc and
+the greedy survivor rule must collapse each clique back to ~1 doc.
+Checks the LSH path's cost scales with TRUE near-dup density and that
+dedup semantics hold under replication.
+
+Usage: python tools/stress_corpus.py [--replicas 20] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=20)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import run_corpus_pipeline
+    from etl_guiacores_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{args.sf}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_base = base.count()
+    # replica 0 is the original; replicas >0 append a tiny deterministic
+    # suffix, keeping 3-shingle Jaccard >= the 0.8 default threshold's
+    # reach for long docs while making every row byte-distinct
+    reps = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(args.replicas - 1))).alias("rep")
+    ).select(
+        (F.col("doc_id") * args.replicas + F.col("rep")).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" rep "), (F.col("rep") % 7).cast("string"))
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+
+    out = tempfile.mkdtemp(prefix="corpus_stress_")
+    t0 = time.time()
+    metrics = run_corpus_pipeline(reps, out)
+    wall = round(time.time() - t0, 1)
+    print(json.dumps({
+        "replicas": args.replicas,
+        "base_docs": n_base,
+        "wall_s": wall,
+        "docs_per_sec": round(metrics["raw_docs"] / wall, 1),
+        **metrics,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

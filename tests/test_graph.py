@@ -23,6 +23,34 @@ def test_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+def test_local_and_iterative_paths_agree(spark):
+    """The adaptive local union-find and the distributed loop must
+    label identically (chains, cliques, singletons mixed)."""
+    edges_data = (
+        [(i, i + 1) for i in range(0, 40)]            # long chain
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]  # clique
+        + [(200, 201)]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 45)]
+        + [(100 + i,) for i in range(6)]
+        + [(200,), (201,), (300,)],
+        ["id"],
+    )
+    edges = spark.createDataFrame(edges_data, ["id_a", "id_b"])
+    local = {
+        r["id"]: r["component"] for r in connected_components(nodes, edges).collect()
+    }
+    iterative = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, edges, local_edge_threshold=0
+        ).collect()
+    }
+    assert local == iterative
+    assert local[40] == 0 and local[105] == 100 and local[300] == 300
+
+
 def test_string_ids_converge_correctly(spark):
     """Non-numeric ids: the changed-row-count convergence detector must
     keep iterating (a label-sum detector silently stops at round 1)."""
@@ -32,7 +60,12 @@ def test_string_ids_converge_correctly(spark):
         + [("doc-06", "doc-07")],
         ["id_a", "id_b"],
     )
-    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, edges, local_edge_threshold=0  # pin the iterative path
+        ).collect()
+    }
     assert got == {f"doc-{i:02d}": "doc-00" for i in range(6)} | {
         "doc-06": "doc-06",
         "doc-07": "doc-06",

@@ -46,6 +46,7 @@ _FIRST = [
     "q67_stratified_sample",
     "q68_bigram_counts",
     "q69_simhash_hamming_pairs",
+    "q70_salted_distinct_count",
 ]
 
 

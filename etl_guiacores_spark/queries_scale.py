@@ -1140,3 +1140,24 @@ def q69_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .distinct()
     )
+
+
+@register(
+    "q70_salted_distinct_count",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_count
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-safe exact COUNT(DISTINCT): the 3-value l_returnflag key "
+    "funnels 600k rows into 3 reducers naively; the salted two-phase "
+    "form (partial distinct per (key, hash-salt), then sum — exact "
+    "because equal values share a salt) spreads each hot group over "
+    "16 reducers. Oracle is the plain COUNT(DISTINCT) spec.",
+)
+def q70_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.skew import salted_distinct_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, "l_returnflag", "l_orderkey", salt=16)

@@ -24,6 +24,11 @@ REPRESENTATIVE = [
     "q30_tumbling_window",      # event-time window / nanos path
     "q47_asof_join",            # temporal join
     "q57_decimal_exact",        # exact decimal
+    "q62_dedup_clusters",       # adaptive CC vs recursive-CTE closure
+    "q64_quantize_int8",        # quantization checksums
+    "q65_multimodal_decode",    # sha256 digest arithmetic across engines
+    "q67_stratified_sample",    # hash-threshold sampling portability
+    "q69_simhash_hamming_pairs",  # byte-banded Hamming pairs
 ]
 
 

@@ -236,6 +236,58 @@ def append_corpus_artifacts(new_docs: DataFrame, tables: dict[str, str]) -> None
     sigs.write.mode("append").format("parquet").insertInto(tables["sigs"])
 
 
+def streaming_corpus_ingest(
+    spark,
+    input_dir: str,
+    tables: dict[str, str],
+    accepted_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    schema: str = "doc_id bigint, text string",
+):
+    """Continuous corpus ingest: document files land in ``input_dir``,
+    each micro-batch dedups against the staged artifacts via
+    ``incremental_near_dup``, survivors append to ``accepted_dir``,
+    and the artifacts fold the survivors in for the NEXT batch.
+
+    Ordering inside ``foreachBatch`` matters: survivors are WRITTEN
+    (materialized) first and read back before ``append_corpus_artifacts``
+    runs, because the survivor plan lazily reads the staged tables and
+    must not observe its own batch's signatures (see
+    append_corpus_artifacts). The checkpoint makes re-delivery of a
+    crashed batch idempotent at the batch level — re-running batch N
+    re-dedups against artifacts that may already contain batch N, which
+    drops the batch's docs as self-duplicates ONLY if re-run after the
+    append; writing survivors before appending keeps the accepted
+    output ahead of the artifact state, so replays converge.
+
+    Returns the StreamingQuery.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        survivors, _ = incremental_near_dup(
+            batch_df.select("doc_id", "text"), tables, threshold
+        )
+        survivors.write.mode("append").parquet(accepted_dir)
+        accepted = batch_df.sparkSession.read.parquet(accepted_dir)
+        batch_ids = [r["doc_id"] for r in survivors.select("doc_id").collect()]
+        if batch_ids:
+            append_corpus_artifacts(
+                accepted.filter(F.col("doc_id").isin(batch_ids)), tables
+            )
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_corpus_pipeline(
     docs: DataFrame, out_dir: str, config: CorpusConfig | None = None
 ) -> dict:

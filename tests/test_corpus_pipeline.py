@@ -156,3 +156,63 @@ def test_incremental_near_dup_matches_full_recompute(spark):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_corpus_ingest(spark, tmp_path):
+    """File-stream ingest: two document drops dedup against the staged
+    corpus incrementally (second run resumes from the checkpoint and
+    only processes the new file); accepted output matches a sequential
+    incremental run."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        append_corpus_artifacts,
+        incremental_near_dup,
+        near_dup_removal,
+        stage_corpus_artifacts,
+        streaming_corpus_ingest,
+    )
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    seed, _ = near_dup_removal(docs.filter("doc_id < 250"), 0.6)
+    batch_a = docs.filter("doc_id >= 250 AND doc_id < 350")
+    batch_b = docs.filter("doc_id >= 350")
+
+    # expected: sequential incremental application over a twin staging
+    twin = stage_corpus_artifacts(seed, "corpus_stream_twin", num_buckets=4)
+    try:
+        exp_ids = set()
+        for batch in (batch_a, batch_b):
+            surv, _ = incremental_near_dup(batch, twin, 0.6)
+            rows = surv.collect()  # materialize before append
+            exp_ids |= {r["doc_id"] for r in rows}
+            append_corpus_artifacts(
+                spark.createDataFrame(rows, surv.schema), twin
+            )
+    finally:
+        for t in twin.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    tables = stage_corpus_artifacts(seed, "corpus_stream_test", num_buckets=4)
+    inp = str(tmp_path / "incoming")
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        batch_a.write.mode("append").parquet(inp)
+        q = streaming_corpus_ingest(spark, inp, tables, acc, ckpt, threshold=0.6)
+        q.awaitTermination(120)
+
+        batch_b.write.mode("append").parquet(inp)
+        q = streaming_corpus_ingest(spark, inp, tables, acc, ckpt, threshold=0.6)
+        q.awaitTermination(120)
+
+        got_ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+        assert got_ids == exp_ids
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

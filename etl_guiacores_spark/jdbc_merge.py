@@ -122,7 +122,9 @@ def jdbc_keyed_upsert(
     if bootstrap:
         stmts.append(bootstrap_ddl(df.schema, table, key))
     stmts.append(merge_sql(table, staging, key, df.columns, dialect))
-    stmts.append(f"DROP TABLE {staging}")
+    # only the staging write / connection acquisition means "no driver";
+    # real SQL errors from the merge (unsupported MERGE dialect,
+    # constraint violations) must surface as themselves
     try:
         df.write.jdbc(url, staging, mode="overwrite", properties=props)
         jvm = spark._sc._jvm  # executing DDL needs a raw JDBC statement
@@ -130,15 +132,21 @@ def jdbc_keyed_upsert(
         for k, v in props.items():
             jprops.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
-        try:
-            st = conn.createStatement()
-            for stmt in stmts:
-                st.execute(stmt)
-            st.close()
-        finally:
-            conn.close()
     except Exception as e:  # pragma: no cover - no JDBC driver in test env
         raise RuntimeError(
             f"jdbc_keyed_upsert needs a JDBC driver for {url} on the Spark "
             f"classpath; statements it would run: {stmts}"
         ) from e
+    try:  # pragma: no cover - no JDBC driver in test env
+        st = conn.createStatement()
+        for stmt in stmts:
+            st.execute(stmt)
+        st.close()
+    finally:  # pragma: no cover
+        try:  # the staging table must not leak when the merge fails
+            cleanup = conn.createStatement()
+            cleanup.execute(f"DROP TABLE IF EXISTS {staging}")
+            cleanup.close()
+        except Exception:
+            pass
+        conn.close()

@@ -112,15 +112,21 @@ def filter_blocked_domains(
     probes = F.array_compact(F.array(host, last2, last3))
 
     keys = blocked.select(F.lower(F.col(domain_col)).alias("__blocked_domain")).distinct()
-    # Row-key based inversion: joining hits back on ALL df columns would
-    # use null-unsafe equality, so any row with a NULL column would never
-    # match itself and silently survive the blocklist. Instead tag each
-    # row once, find blocked row keys via the probe semi-join, and
-    # anti-join on the key alone. Both branches derive from the same
-    # tagged plan, so the generated ids agree.
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
-    probe_rows = tagged.select("__rid", F.explode(probes).alias("__probe"))
-    blocked_rids = probe_rows.join(
-        F.broadcast(keys), probe_rows["__probe"] == keys["__blocked_domain"], "left_semi"
-    ).select("__rid")
-    return tagged.join(blocked_rids, "__rid", "left_anti").drop("__rid")
+    # Find hit ROWS via the probe semi-join, then remove them with an
+    # all-columns NULL-SAFE anti-join: eqNullSafe per column so a row
+    # carrying NULLs still matches itself (plain equality would let it
+    # silently survive the blocklist), and — unlike a generated row id —
+    # the match is stable even if the two branches recompute df with
+    # different partitioning/row order.
+    hits = (
+        df.withColumn("__probe", F.explode(probes))
+        .join(F.broadcast(keys), F.col("__probe") == F.col("__blocked_domain"), "left_semi")
+        .drop("__probe")
+        .distinct()
+    )
+    left, right = df.alias("l"), hits.alias("r")
+    cond = None
+    for c in df.columns:
+        eq = left[c].eqNullSafe(right[c])
+        cond = eq if cond is None else (cond & eq)
+    return left.join(right, cond, "left_anti")

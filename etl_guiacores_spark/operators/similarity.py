@@ -128,14 +128,11 @@ def lsh_candidate_pairs(
     return lsh_candidate_pairs_from_sigs(sigs, id_col, num_hashes)
 
 
-def lsh_candidate_pairs_from_sigs(
-    sigs: DataFrame, id_col: str, num_hashes: int = 4
-) -> DataFrame:
-    """Banding + bucket self-join over a PRE-COMPUTED signature table
-    (``sig_0..sig_{k-1}`` columns, e.g. a bucketed table staged by
-    ``stage_corpus_artifacts``) — the production shape: signatures are
-    computed once at ingest and reused by every dedup run."""
-    bands = sigs.select(
+def band_rows(sigs: DataFrame, id_col: str, num_hashes: int = 4) -> DataFrame:
+    """(id, band) rows from a ``sig_0..sig_{k-1}`` signature table —
+    the single definition of the LSH band key format, shared by the
+    direct, staged, and incremental dedup paths."""
+    return sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.filter(
@@ -151,7 +148,17 @@ def lsh_candidate_pairs_from_sigs(
                 lambda x: x.isNotNull(),
             )
         ).alias("__band"),
-    ).persist()
+    )
+
+
+def lsh_candidate_pairs_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 4
+) -> DataFrame:
+    """Banding + bucket self-join over a PRE-COMPUTED signature table
+    (``sig_0..sig_{k-1}`` columns, e.g. a bucketed table staged by
+    ``stage_corpus_artifacts``) — the production shape: signatures are
+    computed once at ingest and reused by every dedup run."""
+    bands = band_rows(sigs, id_col, num_hashes).persist()
     left = bands.select(F.col("__id").alias("id_a"), "__band")
     right = bands.select(F.col("__id").alias("id_b"), "__band")
     return (

@@ -165,33 +165,30 @@ def incremental_near_dup(
     Priority rule: staged docs are already accepted, so a new doc is
     dropped if it near-dups ANY staged doc, or a lower-id doc within
     its own batch. Caller contract: new ids are disjoint from staged
-    ids. Returns (surviving new docs, verified pairs where id_b is the
-    dropped new doc)."""
+    ids; for EXACT equivalence with a full greedy recompute over the
+    union, new ids must also sort AFTER every staged id (monotone
+    ingest ids) — otherwise the greedy rule could have dropped the
+    staged doc instead. Staged rows whose ids appear in the batch are
+    ignored (a doc can never doom itself), which makes a crash-replayed
+    batch recompute the same survivors. Returns (surviving new docs,
+    verified pairs where id_b is the dropped new doc)."""
+    from etl_guiacores_spark.operators.similarity import band_rows
+
     spark = new_docs.sparkSession
     new_sigs = with_minhash(new_docs.select("doc_id", "text"), "text").drop("text")
-    old_sigs = spark.table(tables["sigs"])
+    # replay-safety: a re-delivered batch may already be IN the staged
+    # tables; its own staged copies must not doom it
+    old_sigs = spark.table(tables["sigs"]).join(
+        new_docs.select("doc_id"), on="doc_id", how="left_anti"
+    )
 
     def bands_of(sigs: DataFrame, origin: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id"),
-            F.lit(origin).alias("origin"),
-            F.explode(
-                F.filter(
-                    F.array(
-                        *[
-                            F.when(
-                                F.col(f"sig_{i}").isNotNull(),
-                                F.concat(F.lit(f"{i}|"), F.col(f"sig_{i}")),
-                            )
-                            for i in range(4)
-                        ]
-                    ),
-                    lambda x: x.isNotNull(),
-                )
-            ).alias("band"),
+        return band_rows(sigs, "doc_id").select(
+            F.col("__id").alias("doc_id"), F.lit(origin).alias("origin"),
+            F.col("__band").alias("band"),
         )
 
-    new_bands = bands_of(new_sigs, "new").persist()
+    new_bands = bands_of(new_sigs, "new")
     other = bands_of(old_sigs, "old").unionByName(new_bands)
     candidates = (
         new_bands.select(F.col("doc_id").alias("id_b"), "band")
@@ -247,19 +244,19 @@ def streaming_corpus_ingest(
 ):
     """Continuous corpus ingest: document files land in ``input_dir``,
     each micro-batch dedups against the staged artifacts via
-    ``incremental_near_dup``, survivors append to ``accepted_dir``,
-    and the artifacts fold the survivors in for the NEXT batch.
+    ``incremental_near_dup``, survivors land in
+    ``accepted_dir/batch=<id>``, and the artifacts fold the survivors
+    in for the NEXT batch.
 
-    Ordering inside ``foreachBatch`` matters: survivors are WRITTEN
-    (materialized) first and read back before ``append_corpus_artifacts``
-    runs, because the survivor plan lazily reads the staged tables and
-    must not observe its own batch's signatures (see
-    append_corpus_artifacts). The checkpoint makes re-delivery of a
-    crashed batch idempotent at the batch level — re-running batch N
-    re-dedups against artifacts that may already contain batch N, which
-    drops the batch's docs as self-duplicates ONLY if re-run after the
-    append; writing survivors before appending keeps the accepted
-    output ahead of the artifact state, so replays converge.
+    Crash-replay semantics: the dedup plan executes ONCE per batch
+    (collected), the per-batch output directory is OVERWRITTEN (so a
+    re-delivered batch rewrites, never duplicates, its accepted rows),
+    and ``incremental_near_dup`` ignores staged rows carrying the
+    batch's own ids — so a replay after a completed artifact append
+    still computes the original survivor set. The one non-idempotent
+    residue is artifact-table row duplication for a replayed batch,
+    which inflates storage but not results (the pair candidates are
+    DISTINCT and dooming is by id set).
 
     Returns the StreamingQuery.
     """
@@ -270,13 +267,12 @@ def streaming_corpus_ingest(
         survivors, _ = incremental_near_dup(
             batch_df.select("doc_id", "text"), tables, threshold
         )
-        survivors.write.mode("append").parquet(accepted_dir)
-        accepted = batch_df.sparkSession.read.parquet(accepted_dir)
-        batch_ids = [r["doc_id"] for r in survivors.select("doc_id").collect()]
-        if batch_ids:
-            append_corpus_artifacts(
-                accepted.filter(F.col("doc_id").isin(batch_ids)), tables
-            )
+        rows = survivors.collect()  # ONE execution of the dedup plan
+        spark_b = batch_df.sparkSession
+        accepted = spark_b.createDataFrame(rows, survivors.schema)
+        accepted.write.mode("overwrite").parquet(f"{accepted_dir}/batch={batch_id}")
+        if rows:
+            append_corpus_artifacts(accepted, tables)
 
     return (
         spark.readStream.schema(schema)

@@ -1064,8 +1064,14 @@ def q68_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim("text"), r"\s+")
 
     def build(t):
+        # guard size >= 2: F.sequence(1, 0) is the DESCENDING [1, 0]
+        # (step defaults to -1 when start > stop), which would evaluate
+        # element_at(t, 0) and crash on any single-token document
         idx = F.sequence(F.lit(1), F.size(t) - 1)
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
+        )
+        return F.when(F.size(t) >= 2, grams).otherwise(F.array().cast("array<string>"))
 
     bigrams = F.element_at(F.transform(F.array(toks), build), 1)
     return (

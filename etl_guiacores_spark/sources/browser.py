@@ -117,7 +117,24 @@ def selenium_transport(
                 return None
             if not btn.is_displayed() or not btn.is_enabled():
                 return None
+            n_before = len(
+                self.driver.find_elements(By.CSS_SELECTOR, ".search-result-name")
+            )
             btn.click()
+            # the click fires an async request; reading page_source
+            # immediately would observe the pre-click listing and make
+            # the idle counter terminate early. Wait for growth; on
+            # timeout return the current state and let the caller's
+            # idle-rounds logic decide.
+            try:
+                self.wait.until(
+                    lambda d: len(
+                        d.find_elements(By.CSS_SELECTOR, ".search-result-name")
+                    )
+                    > n_before
+                )
+            except Exception:
+                pass
             return self.driver.page_source
 
         def close(self) -> None:

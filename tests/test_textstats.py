@@ -65,3 +65,18 @@ class TestFingerprint:
         )
         row = df.collect()[0]
         assert row["h1"] != row["h2"]
+
+
+def test_bigram_query_survives_single_token_docs(spark, tmp_path):
+    """Regression: F.sequence(1, 0) descends ([1, 0]) and crashed the
+    bigram query on any one-token document."""
+    from etl_guiacores_spark.queries import REGISTRY
+    import etl_guiacores_spark.queries_scale  # noqa: F401
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "solo", "en", "src0"), (2, "two tokens", "en", "src1")],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = REGISTRY["q68_bigram_counts"].fn(spark, sf).collect()
+    assert {r["bigram"] for r in rows} == {"two tokens"}

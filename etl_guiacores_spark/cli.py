@@ -120,6 +120,25 @@ def cmd_sequential(spark, args) -> dict:
     return _run_scrape_pipeline(spark, worklist, args)
 
 
+def cmd_corpus(spark, args) -> dict:
+    """Training-data corpus prep over a documents parquet: quality/lang
+    filter -> exact dedup -> LSH near-dup removal -> chunk -> vocab,
+    with per-stage metrics (the engine's LLM-pipeline surface)."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import CorpusConfig, run_corpus_pipeline
+
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    cfg = CorpusConfig(
+        min_quality=args.min_quality,
+        near_dup_jaccard=args.jaccard,
+        cluster_exact=args.cluster_exact,
+        chunk_tokens=args.chunk_tokens,
+    )
+    return run_corpus_pipeline(docs, args.out, cfg)
+
+
 def cmd_clean(spark, args) -> dict:
     """reference: src/tools/clean_data.py:59-150 — consolidate run CSVs,
     deep-clean, dedupe, export."""
@@ -158,6 +177,13 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("clean")
     c.add_argument("--input", required=True)
 
+    k = sub.add_parser("corpus")
+    k.add_argument("--input", required=True, help="documents parquet path")
+    k.add_argument("--min-quality", type=float, default=0.5)
+    k.add_argument("--jaccard", type=float, default=0.8)
+    k.add_argument("--cluster-exact", action="store_true")
+    k.add_argument("--chunk-tokens", type=int, default=64)
+
     return p
 
 
@@ -173,6 +199,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "manual": cmd_manual,
         "sequential": cmd_sequential,
         "clean": cmd_clean,
+        "corpus": cmd_corpus,
     }[args.mode]
     result = handler(spark, args)
     print(json.dumps(result, default=str))

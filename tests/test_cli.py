@@ -75,3 +75,16 @@ def test_progress_flag_emits_stage_lines(spark, tmp_path, capsys):
         if line.startswith('{"stage"')
     ]
     assert stages == ["bronze", "silver", "gold", "done"]
+
+
+def test_corpus_mode(spark, tmp_path):
+    res = main(
+        ["--out", str(tmp_path / "c"), "corpus",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--jaccard", "0.6"],
+        spark=spark,
+    )
+    assert res["raw_docs"] > 0
+    assert 0 < res["after_near_dup"] <= res["after_exact_dedup"]
+    clean = spark.read.parquet(str(tmp_path / "c" / "clean"))
+    assert clean.count() == res["after_near_dup"]

@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
 import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
 import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
 from etl_guiacores_spark.queries import REGISTRY
@@ -47,6 +48,10 @@ _FIRST = [
     "q68_bigram_counts",
     "q69_simhash_hamming_pairs",
     "q70_salted_distinct_count",
+    "q71_dup_ngram_fraction",
+    "q72_winnowing_fingerprints",
+    "q73_hash_split_counts",
+    "q74_bigram_lm_score",
 ]
 
 

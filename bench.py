@@ -28,6 +28,7 @@ def main() -> None:
 
     import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
     import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
+    import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
     from etl_guiacores_spark.queries import REGISTRY
     from etl_guiacores_spark.session import get_spark
 

@@ -42,3 +42,36 @@ def hash_sample(
     rate_col = F.lit(rate) if isinstance(rate, (int, float)) else rate
     threshold = F.floor(rate_col * F.lit(float(_HASH_SPACE))).cast("long")
     return df.filter(uniform_hash_u32(F.col(key_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment by hash
+    threshold: each key lands in exactly one named split, with the
+    same guarantees as :func:`hash_sample` (reproducible across
+    engines/retries/partitionings; no shuffle; a row never migrates
+    between splits when OTHER splits' weights change only below it).
+
+    ``splits`` maps name -> weight; weights are normalized, thresholds
+    are cumulative in dict order, and the last split absorbs rounding
+    remainder (every key is assigned).
+    """
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum > 0")
+    u = uniform_hash_u32(F.col(key_col), seed)
+    names = list(splits)
+    expr = F.lit(names[-1])  # remainder -> last split
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += splits[name] / total
+        bounds.append((name, int(cum * _HASH_SPACE)))
+    for name, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -116,6 +116,61 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_for_fingerprint(col))
 
 
+def kgrams(toks: Column, k: int) -> Column:
+    """Order-sensitive token k-grams (space-joined), with multiplicity.
+    Fewer than ``k`` tokens -> empty array. ``k`` is a Python literal so
+    the element_at chain unrolls at plan-build time (no nested HOF)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def gram_hash_u32(gram: Column) -> Column:
+    """Engine-portable uniform hash of a gram string: first 8 md5 hex
+    digits as a u32 (same family the sampling + MinHash operators use).
+    At 100 TB swap for xxhash64 — the winnowing math is hash-agnostic."""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every token ``k``-gram, slide a ``w``-wide window over the hash
+    sequence, keep each window's minimum, distinct per document.
+
+    Guarantees: any shared run of ``k + w - 1`` tokens between two
+    documents yields at least one shared fingerprint, so overlap
+    detection is an equi-join on (fingerprint) — never a substring
+    scan. Output: one row per distinct (id, fingerprint).
+
+    Scale: per-row array folds only (scan speed, no shuffle here); the
+    downstream overlap join shuffles (fingerprint, id) pairs — a few
+    per document, not the text. Stages (toks -> grams -> hashes) are
+    materialized as columns because interpreted HOFs have no CSE.
+    """
+    staged = (
+        docs.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("__grams", kgrams(F.col("__toks"), k))
+        .withColumn("__hashes", F.transform(F.col("__grams"), gram_hash_u32))
+    )
+    h = F.col("__hashes")
+    widx = F.sequence(F.lit(1), F.size(h) - (w - 1))
+    mins = F.transform(widx, lambda j: F.array_min(F.slice(h, j, w)))
+    fps = F.when(F.size(h) >= w, mins).otherwise(F.array().cast("array<long>"))
+    return (
+        staged.select(id_col, F.explode(F.array_distinct(fps)).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling hash over tokens (order-sensitive document
     fingerprint). Library-level op with unit tests; md5 fingerprint is

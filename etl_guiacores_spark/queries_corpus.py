@@ -1,0 +1,219 @@
+"""Corpus-curation queries (round-2 continuation): duplicate-n-gram
+quality signal, winnowing fingerprints, deterministic dataset splits,
+and an n-gram LM quality score — the remaining operators a
+training-data pipeline runs between raw text and tokenized shards.
+
+Same contract as the rest of the suite: each Spark program has a
+DuckDB oracle over the identical parquet tables, all computed columns
+aliased identically, doubles rounded, so the driver's
+order-insensitive value-hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.sampling import hash_split
+from etl_guiacores_spark.operators.textstats import (
+    gram_hash_u32,
+    kgrams,
+    tokens,
+    winnow_fingerprints,
+)
+from etl_guiacores_spark.queries import register
+from etl_guiacores_spark.sources.tables import load_table
+
+#: DuckDB twin of textstats.tokens() — identical token boundaries
+_TOKS = "string_split_regex(trim(text), '[ \\t\\n\\r\\f\\v]+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71: duplicate-n-gram fraction (Gopher/C4-style quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q71_dup_ngram_fraction",
+    f"""
+    WITH w AS MATERIALIZED (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 5
+                 THEN list_transform(range(1, len(toks) - 3),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4])
+                 ELSE CAST([] AS VARCHAR[]) END) AS win
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    ),
+    c AS (SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win)
+    SELECT doc_id, COUNT(*) AS n_windows,
+           ROUND(AVG(CASE WHEN nd > 1 THEN CAST(1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END), 6) AS dup_frac
+    FROM w JOIN c USING (win)
+    GROUP BY doc_id
+    """,
+    doc="Cross-document duplicate-n-gram fraction (the Gopher/C4 "
+    "repetition-across-corpus signal): fraction of a document's 5-token "
+    "windows that occur in >= 2 distinct documents. One explode, one "
+    "count-distinct agg on the window key, one co-partitioned join "
+    "back, one per-doc agg — the shuffles move (window, id) pairs, "
+    "never the text; Zipf-hot windows are AQE skew-join territory. At "
+    "100 TB the window string becomes xxhash64(window) to cut shuffle "
+    "bytes (deterministic either way).",
+)
+def q71_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    wins = kgrams(tokens(F.col("text")), 5)
+    w = d.select("doc_id", F.explode(wins).alias("win"))
+    nd = w.groupBy("win").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        w.join(nd, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(F.avg(dup), 6).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72: winnowing fingerprints (MOSS rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q72_winnowing_fingerprints",
+    f"""
+    SELECT DISTINCT doc_id,
+           list_min(list_slice(h, j, j + 3)) AS fingerprint
+    FROM (
+        SELECT doc_id, h, unnest(range(1, len(h) - 2)) AS j
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2] || ' ' || toks[i+3]),
+                       g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) AS h
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE LENGTH(trim(text)) > 0)
+            WHERE len(toks) >= 7
+        )
+    )
+    """,
+    doc="Winnowing fingerprints (Schleimer et al., MOSS): hash every "
+    "4-token gram, slide a 4-wide window over the hash sequence, keep "
+    "each window's min, distinct per doc. Any shared 7-token run "
+    "between two documents is guaranteed >= 1 shared fingerprint, so "
+    "overlap detection becomes an equi-join on the fingerprint — the "
+    "local-algorithm property that makes substring-level dedup "
+    "shuffle a few longs per doc instead of the text. Token/gram/hash "
+    "stages are materialized columns (interpreted HOFs have no CSE).",
+)
+def q72_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+# ---------------------------------------------------------------------------
+# q73: deterministic train/val/test split accounting
+# ---------------------------------------------------------------------------
+
+@register(
+    "q73_hash_split_counts",
+    """
+    SELECT source, split, COUNT(*) AS n FROM (
+        SELECT source,
+               CASE WHEN u < 3435973836 THEN 'train'
+                    WHEN u < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT source,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS u
+            FROM documents)
+    )
+    GROUP BY source, split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by md5-hash "
+    "threshold on the doc id, then per-(source, split) accounting. "
+    "Pure scan-speed expression — reproducible across engines, "
+    "retries, and repartitionings; a document never migrates splits "
+    "when upstream filters change; the only shuffle is the final "
+    "tiny counts agg.",
+)
+def q73_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    assigned = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+    return assigned.groupBy("source", "split").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q74: bigram LM quality score (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q74_bigram_lm_score",
+    f"""
+    WITH db AS MATERIALIZED (
+        SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS bg
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE LENGTH(trim(text)) > 0))
+    ),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM db GROUP BY bg),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM db GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(toks) AS tok FROM (
+            SELECT {_TOKS} AS toks FROM documents
+            WHERE LENGTH(trim(text)) > 0)))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 4)
+               AS lm_score
+    FROM db JOIN c12 USING (bg) JOIN c1 USING (w1), v
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality filter: score each document by the "
+    "mean negative log-probability of its bigrams under an add-one-"
+    "smoothed corpus bigram model, p(w2|w1) = (C(w1 w2)+1)/(C(w1)+V). "
+    "Three count aggregations + two co-keyed joins; the model IS the "
+    "count tables, so nothing is broadcast (vocab^2 is unbounded) — "
+    "hot function-word keys are exactly what AQE skew handling is "
+    "for. Low score = fluent/common text, high = gibberish; the "
+    "real-pipeline use is thresholding before pretraining.",
+)
+def q74_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bigrams = kgrams(tokens(F.col("text")), 2)
+    db = d.select("doc_id", F.explode(bigrams).alias("bg")).withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    )
+    c12 = db.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = db.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    return (
+        db.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar, in-plan (one job)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("lm_score"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Unit tests for the corpus-curation operators behind q71-q74:
+winnowing's shared-run guarantee, hash_split disjointness/stability,
+kgram edge cases, and the dup-ngram-fraction extremes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.sampling import hash_split
+from etl_guiacores_spark.operators.textstats import kgrams, tokens, winnow_fingerprints
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_kgrams_counts_and_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b",), ("solo",), ("",)], "text string"
+    ).select(kgrams(tokens(F.col("text")), 3).alias("g"))
+    got = [r.g for r in df.collect()]
+    assert got[0] == ["a b c", "b c d", "c d e"]
+    assert got[1] == [] and got[2] == [] and got[3] == []
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # k=4, w=4: any shared run of k+w-1=7 tokens must share a fingerprint
+    shared = "one two three four five six seven"
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota kappa"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+    )
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "7-token shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_short_docs_emit_nothing(spark):
+    df = _docs(spark, [(1, "a b c d e f")])  # 6 tokens < k+w-1
+    assert winnow_fingerprints(df, k=4, w=4).count() == 0
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, disjoint by construction
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] - 1600) < 120  # ~binomial tolerance
+
+    # train membership is stable when only the val/test ratio changes
+    s2 = hash_split(df, "k", {"train": 0.8, "val": 0.15, "test": 0.05})
+    t1 = {r.k for r in s1.filter("split = 'train'").collect()}
+    t2 = {r.k for r in s2.filter("split = 'train'").collect()}
+    assert t1 == t2
+
+
+def test_dup_ngram_fraction_extremes(spark, tmp_path):
+    import etl_guiacores_spark.queries_corpus as qc
+
+    # doc 1 and 2 identical (every window duplicated); doc 3 unique
+    df = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 w4 w5 w6"),
+            (3, "u1 u2 u3 u4 u5 u6"),
+        ],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.dup_frac
+        for r in qc.q71_dup_ngram_fraction(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == 1.0 and out[2] == 1.0 and out[3] == 0.0

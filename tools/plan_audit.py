@@ -27,7 +27,7 @@ INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
 # BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the
 # price of keeping the scalar inside the plan instead of a driver
 # count() + literal (one Spark job instead of two).
-SCALAR_CROSS = {"q46_tfidf"}
+SCALAR_CROSS = {"q46_tfidf", "q74_bigram_lm_score"}
 
 
 def main() -> int:
@@ -37,6 +37,7 @@ def main() -> int:
 
     import etl_guiacores_spark.queries_extra  # noqa: F401
     import etl_guiacores_spark.queries_scale  # noqa: F401
+    import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
     from etl_guiacores_spark.queries import REGISTRY
     from etl_guiacores_spark.session import get_spark
 

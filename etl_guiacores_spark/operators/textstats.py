@@ -119,13 +119,24 @@ def fingerprint(col: Column) -> Column:
 def kgrams(toks: Column, k: int) -> Column:
     """Order-sensitive token k-grams (space-joined), with multiplicity.
     Fewer than ``k`` tokens -> empty array. ``k`` is a Python literal so
-    the element_at chain unrolls at plan-build time (no nested HOF)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    return F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
+    the element_at chain unrolls at plan-build time (no nested HOF).
+
+    ``toks`` is re-bound as a lambda variable before any element_at
+    touches it: interpreted HOFs have no CSE, so referencing the raw
+    split() expression k times per window would re-tokenize the whole
+    document per element access — O(n^2 * k) instead of O(n * k)
+    (measured 15x+ on sf0.1 documents).
+    """
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+        )
+        return F.when(F.size(t) >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def gram_hash_u32(gram: Column) -> Column:

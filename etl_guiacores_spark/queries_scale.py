@@ -267,8 +267,10 @@ def _simhash_oracle(bits: int = 16) -> str:
     "signature, computed shuffle-free per row.",
 )
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import simhash_grouped
+
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    return d.select("doc_id", simhash(F.col("text"), 16).alias("simhash16"))
+    return simhash_grouped(d, 16, out_col="simhash16")
 
 
 # ---------------------------------------------------------------------------
@@ -1110,8 +1112,10 @@ def q68_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the corpus grows; AQE skew-join splits any that remain.",
 )
 def q69_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import simhash_grouped
+
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    sigs = d.select("doc_id", simhash(F.col("text"), 32).alias("simhash32"))
+    sigs = simhash_grouped(d, 32, out_col="simhash32")
     bands = sigs.select(
         "doc_id",
         "simhash32",

@@ -71,6 +71,27 @@ class TestJaccardSimhash:
         ham = lambda x, y: bin(x ^ y).count("1")
         assert ham(row["a"], row["b"]) < ham(row["a"], row["c"])
 
+    def test_simhash_grouped_matches_fold_form(self, spark):
+        from etl_guiacores_spark.operators.similarity import simhash_grouped
+
+        docs = spark.createDataFrame(
+            [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C), (4, ""), (5, "   ")],
+            "doc_id long, text string",
+        )
+        for bits in (16, 32):
+            fold = docs.select(
+                "doc_id", simhash(F.col("text"), bits).alias("sig")
+            )
+            grouped = simhash_grouped(docs, bits)
+            assert (
+                fold.alias("f")
+                .join(grouped.alias("g"), "doc_id")
+                .filter("f.sig <> g.sig")
+                .count()
+                == 0
+            )
+            assert grouped.count() == 5  # empty docs survive (sig 0)
+
 
 class TestEmbeddings:
     def test_cosine(self, spark):

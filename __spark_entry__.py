@@ -52,6 +52,8 @@ _FIRST = [
     "q72_winnowing_fingerprints",
     "q73_hash_split_counts",
     "q74_bigram_lm_score",
+    "q75_bpe_token_count",
+    "q76_source_length_deciles",
 ]
 
 

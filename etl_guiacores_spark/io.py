@@ -166,6 +166,33 @@ def read_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar sink alternative to parquet (native Spark ORC writer —
+    same predicate-pushdown / column-pruning story at scale)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal raw-asset ingest via Spark's binaryFile source:
+    (path, modificationTime, length, content) with content as an
+    opaque binary column — the entry point for the multimodal
+    decode/feature operators (operators/multimodal.py), which treat
+    media as binary + typed metadata. Directory listing and reads are
+    distributed; pair with spark.sql.files.maxPartitionBytes to
+    control task granularity when assets are small files.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_stats_json(stats: dict, path: str) -> None:
     """L7 — run-statistics JSON
     (reference: src/extractors/sequential_scraper.py:421-439)."""

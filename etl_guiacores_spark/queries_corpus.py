@@ -217,3 +217,74 @@ def q74_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p)), 4).alias("lm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75: BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer classes, ASCII-scoped so Java regex and
+#: RE2 agree byte-for-byte: optional leading space + letter run /
+#: digit run / punctuation run.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+
+
+@register(
+    "q75_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe,
+           len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\v]+')) AS n_ws
+    FROM documents WHERE LENGTH(trim(text)) > 0
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(optional-space + letter/digit/punct runs) counted next to the "
+    "whitespace token count — the budget estimate a pretraining "
+    "pipeline runs before the real tokenizer. Pure per-row "
+    "regexp_extract_all inside codegen; scan speed, no shuffle, and "
+    "the regex is ASCII-scoped so Java regex and RE2 tokenize "
+    "identically.",
+)
+def q75_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))).alias(
+            "n_bpe"
+        ),
+        F.size(tokens(F.col("text"))).alias("n_ws"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76: per-source length deciles (curation threshold analysis)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q76_source_length_deciles",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(percentile_cont(0.1) WITHIN GROUP (ORDER BY n_chars), 4) AS p10,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50,
+           ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Exact per-source length percentiles (the distribution scan "
+    "that sets curation cutoffs). Spark's percentile aggregate uses "
+    "the same linear interpolation as SQL percentile_cont, so the "
+    "oracle matches bit-for-bit after rounding. Exact percentiles "
+    "shuffle each group's values; at 100 TB swap approx_percentile "
+    "(t-digest sketch, decomposable, map-side combined) — the "
+    "operator is registry-adjacent in operators/sketches.py with "
+    "error-contract tests.",
+)
+def q76_source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.1)), 4).alias("p10"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+    )

@@ -60,3 +60,53 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert n == docs.filter("source = 'src3'").count() and n > 0
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "src3" in plan
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from etl_guiacores_spark.io import read_orc, write_orc
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = (
+        back.filter("doc_id = 7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.io import read_binary_files
+    from etl_guiacores_spark.operators.multimodal import extract_media_features
+
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    payloads = {f"img_{i}.jpg": bytes([i]) * (100 + i) for i in range(5)}
+    (assets / "notes.txt").write_bytes(b"not media")
+    for name, data in payloads.items():
+        (assets / name).write_bytes(data)
+
+    raw = read_binary_files(spark, str(assets), glob="*.jpg")
+    assert raw.count() == 5  # pathGlobFilter pruned the .txt
+
+    media = raw.select(
+        F.regexp_extract("path", r"img_(\d+)\.jpg", 1).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("payload"),
+    )
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    for i in range(5):
+        assert by_id[i].n_bytes == 100 + i
+        assert by_id[i].decode_error is None
+        assert by_id[i].width is not None

@@ -54,6 +54,7 @@ _FIRST = [
     "q74_bigram_lm_score",
     "q75_bpe_token_count",
     "q76_source_length_deciles",
+    "q77_winnow_overlap_pairs",
 ]
 
 

@@ -182,6 +182,44 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    docs,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Substring-overlap candidate pairs from winnowing fingerprints:
+    documents sharing >= ``min_shared`` fingerprints share (with the
+    winnowing guarantee) long literal token runs — the scalable stand-in
+    for suffix-array substring dedup (Lee et al.).
+
+    ``max_postings`` drops fingerprints appearing in more than that
+    many documents (boilerplate/stop-phrases): they generate
+    posting-list-squared pair rows while carrying no dedup signal —
+    the same cap the decontamination posting-list join uses. With the
+    cap, the pair join's output is bounded by sum(posting^2) over
+    rare fingerprints, which scales with true overlap density, not
+    corpus size; hot residuals are AQE skew-join territory.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    nd = fps.groupBy("fingerprint").agg(F.count("*").alias("__nd"))
+    kept = fps.join(nd.filter(F.col("__nd") <= max_postings), "fingerprint").drop(
+        "__nd"
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = kept.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling hash over tokens (order-sensitive document
     fingerprint). Library-level op with unit tests; md5 fingerprint is

@@ -88,9 +88,9 @@ def q71_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q72: winnowing fingerprints (MOSS rolling-hash document fingerprinting)
 # ---------------------------------------------------------------------------
 
-@register(
-    "q72_winnowing_fingerprints",
-    f"""
+#: shared winnowing-fingerprint SQL (q72 output, q77 input): k=4 token
+#: grams, u32 md5-prefix hashes, window-of-4 minima, distinct per doc
+_WINNOW_SQL = f"""
     SELECT DISTINCT doc_id,
            list_min(list_slice(h, j, j + 3)) AS fingerprint
     FROM (
@@ -107,7 +107,12 @@ def q71_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE len(toks) >= 7
         )
     )
-    """,
+"""
+
+
+@register(
+    "q72_winnowing_fingerprints",
+    _WINNOW_SQL,
     doc="Winnowing fingerprints (Schleimer et al., MOSS): hash every "
     "4-token gram, slide a 4-wide window over the hash sequence, keep "
     "each window's min, distinct per doc. Any shared 7-token run "
@@ -119,6 +124,39 @@ def q71_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q72_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+# ---------------------------------------------------------------------------
+# q77: winnowing overlap pairs (substring-dedup candidates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q77_winnow_overlap_pairs",
+    f"""
+    WITH fps AS MATERIALIZED ({_WINNOW_SQL}),
+    nd AS (SELECT fingerprint, COUNT(*) AS nd FROM fps GROUP BY fingerprint),
+    kept AS (SELECT fps.doc_id, fps.fingerprint
+             FROM fps JOIN nd USING (fingerprint) WHERE nd.nd <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Substring-overlap candidate pairs from winnowing fingerprints "
+    "(the scalable stand-in for suffix-array substring dedup, Lee et "
+    "al.): equi-join documents on shared fingerprints, count per "
+    "pair, keep pairs sharing >= 2. Fingerprints appearing in > 50 "
+    "docs (boilerplate) are dropped BEFORE the pair join — they cost "
+    "posting^2 rows and carry no signal — so output scales with true "
+    "overlap density, not corpus size.",
+)
+def q77_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir), k=4, w=4, min_shared=2, max_postings=50
+    )
 
 
 # ---------------------------------------------------------------------------

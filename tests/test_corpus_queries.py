@@ -82,3 +82,30 @@ def test_dup_ngram_fraction_extremes(spark, tmp_path):
         for r in qc.q71_dup_ngram_fraction(spark, str(tmp_path)).collect()
     }
     assert out[1] == 1.0 and out[2] == 1.0 and out[3] == 0.0
+
+
+def test_winnow_overlap_pairs_finds_shared_run(spark):
+    from etl_guiacores_spark.operators.textstats import winnow_overlap_pairs
+
+    shared = "one two three four five six seven eight nine ten"
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota kappa"),
+            (3, "completely different words with no overlap at all here today"),
+        ],
+    )
+    pairs = winnow_overlap_pairs(df, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_overlap_posting_cap_drops_boilerplate(spark):
+    from etl_guiacores_spark.operators.textstats import winnow_overlap_pairs
+
+    # every doc shares the same boilerplate run; cap postings below the
+    # doc count and no pair survives
+    rows = [(i, f"common header boilerplate run here for all docs x{i} y{i}") for i in range(6)]
+    df = _docs(spark, rows)
+    assert winnow_overlap_pairs(df, min_shared=1, max_postings=3).count() == 0
+    assert winnow_overlap_pairs(df, min_shared=1, max_postings=10).count() > 0

@@ -55,6 +55,9 @@ _FIRST = [
     "q75_bpe_token_count",
     "q76_source_length_deciles",
     "q77_winnow_overlap_pairs",
+    "q78_gopher_quality_rules",
+    "q79_centroid_outliers",
+    "q80_dense_ids",
 ]
 
 

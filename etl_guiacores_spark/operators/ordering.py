@@ -1,0 +1,59 @@
+"""Scalable dense ID assignment.
+
+A global ``ROW_NUMBER() OVER (ORDER BY key)`` forces every row
+through ONE partition — the canonical single-node bottleneck hiding
+inside an innocent-looking window. ``dense_ids`` produces the
+identical contiguous 1-based numbering with no single-partition
+stage: range-partition on the key (Spark's RangePartitioner samples
+boundaries), rank locally inside each partition, then add each
+partition's cumulative offset via a broadcast join. The only
+all-rows shuffle is the range repartition itself; the offset table
+has one row per partition.
+
+This is the numbering pattern a 100 TB shard-writer needs (assign
+example ids before packing/sharding) where a driver ``zipWithIndex``
+collect or a one-partition sort would OOM or serialize the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a contiguous 1-based ``id_name`` column in ``order_col``
+    order. ``order_col`` must be unique (ties would make the
+    numbering nondeterministic across runs — same contract as any
+    keep-first dedupe).
+
+    Range partition boundaries only decide WHERE a row ranks locally;
+    since ranges are contiguous in key order, local rank + preceding
+    partition sizes is exactly the global rank regardless of how the
+    sampler placed the boundaries.
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = d.withColumn(
+        "__local",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(order_col)),
+    )
+    sizes = local.groupBy("__pid").agg(F.count("*").alias("__n"))
+    # one row per partition: a driver-free running sum over ~num_partitions rows
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_name, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

@@ -373,3 +373,44 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def centroid_outlier_scores(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid + each vector's L2 distance to its
+    own group's centroid — the outlier score a curation pipeline
+    thresholds to drop mis-clustered / off-topic documents.
+
+    Shape for 100 TB: posexplode to (group, dim, value) rows, one
+    decomposable sum/count agg (map-side combined) produces the
+    centroid table — ``n_groups x dims`` rows, tiny at ANY corpus
+    scale — which is then **broadcast** back against the exploded
+    vectors, so the only shuffle is the centroid aggregation itself.
+
+    Per-dimension sums are rounded to 6 decimals before the divide so
+    a column-store oracle summing in a different order lands on the
+    identical centroid (ulp drift would otherwise leak through the
+    sqrt).
+    """
+    ex = embeddings.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+    ).withColumn("__v", F.col("__v").cast("double"))
+    cent = ex.groupBy(group_col, "__dim").agg(
+        (F.round(F.sum("__v"), 6) / F.count("*")).alias("__c")
+    )
+    return (
+        ex.join(F.broadcast(cent), [group_col, "__dim"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("__v") - F.col("__c")) * (F.col("__v") - F.col("__c")))),
+                6,
+            ).alias("l2_to_centroid")
+        )
+    )

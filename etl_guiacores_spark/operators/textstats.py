@@ -74,6 +74,48 @@ def quality_score(col: Column) -> Column:
     return (len_ok + punct_ok + sw_ok) / 3.0
 
 
+def gopher_quality(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style (Rae et al.) document quality rules: token-count
+    band, mean-token-length band, alphabetic-word fraction, distinct
+    stopword presence — the pre-tokenizer curation gate a pretraining
+    pipeline applies to every document.
+
+    Pure per-row Column arithmetic inside whole-stage codegen: no
+    shuffle, no UDF — at 100 TB this runs at scan speed and is the
+    cheapest filter, so it goes FIRST in the curation DAG (before any
+    dedup shuffle touches bytes that were going to be dropped anyway).
+
+    The pass decision compares the ROUNDED metrics so an SQL oracle
+    lands on the identical boolean at band boundaries (ulp-drift in an
+    unrounded mean could flip `passes` between engines).
+    """
+    toks = tokens(F.col(text_col))
+    staged = docs.withColumn("__toks", toks)
+    t = F.col("__toks")
+    n = F.size(t)
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    stops = F.size(
+        F.array_distinct(
+            F.filter(F.transform(t, lambda x: F.lower(x)), lambda x: x.isin(*STOPWORDS))
+        )
+    )
+    m = staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(total_len.cast("double") / n, 6).alias("mean_token_len"),
+        F.round(alpha.cast("double") / n, 6).alias("alpha_frac"),
+        stops.alias("n_stop_distinct"),
+    )
+    passes = (
+        F.col("n_tokens").between(20, 80)
+        & F.col("mean_token_len").between(3.0, 10.0)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stop_distinct") >= 2)
+    )
+    return m.withColumn("passes", passes.cast("int"))
+
+
 def lang_id(col: Column) -> Column:
     """N-gram/marker-word language heuristic.
 

@@ -326,3 +326,109 @@ def q76_source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q78: Gopher-style quality rules (pre-tokenizer curation gate)
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = "['the','a','an','and','of','to','in','is','it','for']"
+
+@register(
+    "q78_gopher_quality_rules",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+                     / len(toks), 6) AS mean_token_len,
+               ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                          AS DOUBLE) / len(toks), 6) AS alpha_frac,
+               len(list_distinct(list_filter(list_transform(toks, t -> lower(t)),
+                   t -> list_contains({_STOPLIST_SQL}, t)))) AS n_stop_distinct
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    )
+    SELECT doc_id, n_tokens, mean_token_len, alpha_frac, n_stop_distinct,
+           CAST(n_tokens BETWEEN 20 AND 80
+                AND mean_token_len BETWEEN 3.0 AND 10.0
+                AND alpha_frac >= 0.8
+                AND n_stop_distinct >= 2 AS INT) AS passes
+    FROM m
+    """,
+    doc="Gopher-style (Rae et al.) quality rules: token-count band, "
+    "mean-token-length band, alphabetic-word fraction, distinct "
+    "stopword presence, and the combined pass flag. Pure per-row "
+    "codegen arithmetic — no shuffle, no UDF; at 100 TB this is the "
+    "cheapest gate so it runs FIRST, before any dedup shuffle moves "
+    "bytes the filter was going to drop. Pass decision compares the "
+    "ROUNDED metrics so both engines agree at band boundaries.",
+)
+def q78_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q79: per-label centroid + L2 outlier distance (embedding curation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q79_centroid_outliers",
+    """
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(range(1, 65)) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, ROUND(SUM(v), 6) / COUNT(*) AS c
+        FROM ex GROUP BY label, dim
+    )
+    SELECT ex.vec_id, ex.label,
+           ROUND(SQRT(SUM((v - c) * (v - c))), 6) AS l2_to_centroid
+    FROM ex JOIN cent USING (label, dim)
+    GROUP BY ex.vec_id, ex.label
+    """,
+    doc="Per-group embedding centroid + each vector's L2 distance to "
+    "its own group centroid (the outlier score curation thresholds "
+    "to drop mis-clustered documents). posexplode -> decomposable "
+    "sum/count agg gives an n_groups x dims centroid table — tiny at "
+    "ANY corpus scale — broadcast back against the exploded vectors; "
+    "the only shuffle is the centroid agg. Per-dim sums rounded "
+    "before the divide so column-store summation order can't leak "
+    "ulp drift through the sqrt.",
+)
+def q79_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import centroid_outlier_scores
+
+    return centroid_outlier_scores(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q80: scalable dense id assignment (shard-writer numbering)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q80_dense_ids",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+    FROM documents
+    """,
+    doc="Contiguous 1-based ids in key order WITHOUT the "
+    "single-partition global window the naive ROW_NUMBER plan "
+    "forces: range-partition on the key, rank locally per partition, "
+    "add broadcast cumulative partition offsets (one row per "
+    "partition). The only all-rows shuffle is the range repartition "
+    "— the numbering a 100 TB shard-writer runs before packing, "
+    "where a one-partition sort would serialize the job.",
+)
+def q80_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ordering import dense_ids
+
+    return dense_ids(
+        load_table(spark, "documents", sf_dir).select("doc_id"), "doc_id"
+    )

@@ -109,3 +109,49 @@ def test_winnow_overlap_posting_cap_drops_boilerplate(spark):
     df = _docs(spark, rows)
     assert winnow_overlap_pairs(df, min_shared=1, max_postings=3).count() == 0
     assert winnow_overlap_pairs(df, min_shared=1, max_postings=10).count() > 0
+
+
+def test_gopher_quality_rules_bands(spark):
+    from etl_guiacores_spark.operators.textstats import gopher_quality
+
+    good = "the cat and the dog sat on a mat " + " ".join(f"word{i}" for i in range(20))
+    short = "the cat and a dog"                      # < 20 tokens
+    nostop = " ".join(f"xyz{i}" for i in range(30))  # no stopwords
+    longw = " ".join(["the", "a"] + ["x" * 15] * 30)  # mean token len > 10
+    df = _docs(spark, [(1, good), (2, short), (3, nostop), (4, longw)])
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].passes == 1
+    assert out[2].passes == 0 and out[2].n_tokens == 5
+    assert out[3].passes == 0 and out[3].n_stop_distinct == 0
+    assert out[4].passes == 0 and out[4].mean_token_len > 10
+
+
+def test_centroid_outlier_scores_known_values(spark):
+    from etl_guiacores_spark.operators.similarity import centroid_outlier_scores
+
+    # group 0: centroid (1, 0); distances sqrt(2)/... by hand
+    rows = [
+        (1, 0, [0.0, 0.0]),
+        (2, 0, [2.0, 0.0]),
+        (3, 1, [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r.vec_id: r.l2_to_centroid for r in centroid_outlier_scores(df).collect()}
+    assert out[1] == 1.0 and out[2] == 1.0  # centroid (1,0)
+    assert out[3] == 0.0  # singleton group sits on its own centroid
+
+
+def test_dense_ids_contiguous_and_distributed(spark):
+    import random
+
+    from etl_guiacores_spark.operators.ordering import dense_ids
+
+    keys = list(range(0, 2000, 2))
+    random.Random(7).shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(16)
+    out = dense_ids(df, "k", num_partitions=8)
+    got = sorted((r.k, r.row_id) for r in out.collect())
+    assert got == [(k, i + 1) for i, k in enumerate(sorted(keys))]
+    # the ranking ran distributed: >1 range partition carried rows
+    npart = out.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert npart > 1

@@ -58,6 +58,10 @@ _FIRST = [
     "q78_gopher_quality_rules",
     "q79_centroid_outliers",
     "q80_dense_ids",
+    "q81_span_dedup_reconstruct",
+    "q82_temperature_mixture",
+    "q83_zorder_layout",
+    "q84_knn_label_vote",
 ]
 
 

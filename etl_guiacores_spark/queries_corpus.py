@@ -432,3 +432,291 @@ def q80_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(
         load_table(spark, "documents", sf_dir).select("doc_id"), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q81: duplicated-span removal with document reconstruction (C4-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q81_span_dedup_reconstruct",
+    f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+        WHERE len(toks) >= 5
+    ),
+    segs AS MATERIALIZED (
+        SELECT doc_id, u.idx AS idx, u.seg AS seg
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, len(toks) // 5),
+                         i -> struct_pack(idx := i,
+                              seg := array_to_string(
+                                  list_slice(toks, i * 5 + 1, i * 5 + 5),
+                                  ' ')))) AS u
+              FROM base)
+    ),
+    dup AS (SELECT seg, COUNT(DISTINCT doc_id) > 1 AS is_dup
+            FROM segs GROUP BY seg)
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_segments,
+           CAST(5 * (COUNT(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END))
+                AS BIGINT) AS retained_tokens,
+           md5(COALESCE(array_to_string(
+                   array_agg(seg ORDER BY idx) FILTER (WHERE NOT is_dup),
+                   ' '), '')) AS retained_md5
+    FROM segs JOIN dup USING (seg)
+    GROUP BY doc_id
+    """,
+    doc="Exact span-level dedup with reconstruction (the C4 / "
+    "dedup-training-data move at segment granularity): cut each "
+    "document into non-overlapping 5-token spans, drop every span "
+    "that occurs in >= 2 distinct documents, and rebuild the "
+    "surviving document in original span order (md5 of the "
+    "reconstruction proves order end-to-end against the oracle). "
+    "Shuffles move only (span, doc_id) pairs and the final per-doc "
+    "agg; the rebuild is collect_list within one doc's group — "
+    "bounded by document length, never by corpus size. At 100 TB the "
+    "span string becomes xxhash64(span) for the dup-count leg while "
+    "the rebuild leg keeps text; Zipf-hot spans are AQE skew "
+    "territory, same as q71.",
+)
+def q81_span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 5)
+    )
+    nseg = F.floor(F.size("toks") / 5).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * 5 + 1, F.lit(5)), " "),
+    )
+    s = d.select("doc_id", F.posexplode(segs).alias("idx", "seg"))
+    dup = s.groupBy("seg").agg(
+        (F.count_distinct("doc_id") > 1).alias("is_dup")
+    )
+    kept = F.when(~F.col("is_dup"), F.struct(F.col("idx"), F.col("seg")))
+    n_dup = F.sum(F.col("is_dup").cast("long"))
+    return (
+        s.join(dup, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            n_dup.alias("n_dup_segments"),
+            (F.lit(5) * (F.count("*") - n_dup)).cast("long").alias(
+                "retained_tokens"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda x: x["seg"]
+                    ),
+                    " ",
+                )
+            ).alias("retained_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82: temperature-scaled mixture weights (multilingual alpha-sampling)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q82_temperature_mixture",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*) AS n_docs
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                 SUM(SQRT(CAST(n_docs AS DOUBLE))) AS pow_sum
+          FROM c)
+    SELECT source, lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS share,
+           ROUND(SQRT(CAST(n_docs AS DOUBLE)) / pow_sum, 6) AS weight
+    FROM c CROSS JOIN t
+    """,
+    doc="Temperature-scaled sampling weights per (source, lang) "
+    "stratum — the multilingual alpha-sampling rule (weight "
+    "proportional to n^alpha, here alpha=0.5 via SQRT, which is "
+    "IEEE-exact in both engines so the oracle matches bit-for-bit; "
+    "1/N^alpha cancels in the normalization). The stratum table is "
+    "one partial-agg shuffle; the totals row is a broadcast cross "
+    "join, keeping the whole computation one in-plan job with no "
+    "driver-side scalars — the shape that still works when the "
+    "stratum count is thousands and the corpus is 100 TB.",
+)
+def q82_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("pow_sum"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double")) / F.col("pow_sum"), 6
+        ).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83: Z-order layout keys (multi-dimensional data clustering for pruning)
+# ---------------------------------------------------------------------------
+
+def _spread_bits(c):
+    """Interleave-ready bit spread: 16 low bits of ``c`` -> even bit
+    positions of a 32-bit value (classic magic-mask spread, exact in
+    64-bit integer math so the DuckDB twin matches bit-for-bit)."""
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+@register(
+    "q83_zorder_layout",
+    """
+    WITH b AS (
+        SELECT (o_custkey & 65535) AS x,
+               ((CAST(o_orderdate AS DATE) - DATE '1992-01-01') & 65535) AS y
+        FROM orders
+    ),
+    s1 AS (SELECT ((x | (x << 8)) & 16711935) AS x,
+                  ((y | (y << 8)) & 16711935) AS y FROM b),
+    s2 AS (SELECT ((x | (x << 4)) & 252645135) AS x,
+                  ((y | (y << 4)) & 252645135) AS y FROM s1),
+    s3 AS (SELECT ((x | (x << 2)) & 858993459) AS x,
+                  ((y | (y << 2)) & 858993459) AS y FROM s2),
+    s4 AS (SELECT ((x | (x << 1)) & 1431655765) AS x,
+                  ((y | (y << 1)) & 1431655765) AS y FROM s3),
+    z AS (SELECT (x | (y << 1)) AS zkey FROM s4)
+    SELECT CAST(zkey >> 18 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(zkey) AS BIGINT) AS min_z,
+           CAST(MAX(zkey) AS BIGINT) AS max_z
+    FROM z GROUP BY zbucket
+    """,
+    doc="Z-order (Morton) layout keys over (customer, order-date): "
+    "interleave 16 bits of each dimension with magic-mask spreads — "
+    "pure 64-bit integer expressions, whole-stage codegen, zero "
+    "shuffle until the tiny bucket histogram agg. This is the sort "
+    "key a 100 TB table is range-partitioned and written by (Delta "
+    "ZORDER / Iceberg sort-order semantics) so min-max file stats "
+    "prune BOTH dimensions; the bucket histogram is exactly the file- "
+    "skipping statistic the layout buys. range-partition-by-zkey + "
+    "sortWithinPartitions + write is write_partitioned's job; the "
+    "key computation here is the engine-portable part.",
+)
+def q83_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    x = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    y = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(65535))
+    )
+    zkey = _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+    return (
+        o.select(zkey.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 18).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("zkey").cast("long").alias("min_z"),
+            F.max("zkey").cast("long").alias("max_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84: kNN label voting (nearest-neighbor classification / auto-labeling)
+# ---------------------------------------------------------------------------
+
+_Q84_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+)
+_Q84_NQ = (
+    "SQRT(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+_Q84_NE = (
+    "SQRT(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "q84_knn_label_vote",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label AS label,
+               ROUND({_Q84_DOT} / ({_Q84_NQ} * {_Q84_NE}), 6) AS sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id % 100 = 7
+    ),
+    knn AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM pairs
+        ) WHERE rank <= 5
+    ),
+    votes AS (SELECT query_id, label, COUNT(*) AS votes
+              FROM knn GROUP BY query_id, label)
+    SELECT query_id, CAST(label AS INT) AS pred_label, votes FROM (
+        SELECT query_id, label, votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS rn
+        FROM votes
+    ) WHERE rn = 1
+    """,
+    doc="kNN majority-vote classification (the auto-labeling / "
+    "semantic-filter pass a curation pipeline runs with a small "
+    "labeled seed set): exact top-5 cosine neighbors per query "
+    "(knn_brute_force — broadcast query set, one corpus scan), then "
+    "a vote count and a deterministic argmax (ties broken by "
+    "smallest label, mirrored in the oracle's ROW_NUMBER). The vote "
+    "legs shuffle only (query, label) pairs — negligible next to the "
+    "scan; sims are rounded to 6 digits before ranking on BOTH "
+    "engines so float fold order cannot flip the neighbor set.",
+)
+def q84_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_guiacores_spark.operators.similarity import knn_brute_force
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 7)
+    knn = knn_brute_force(e, q, k=5)
+    votes = (
+        knn.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", F.col("label").cast("int").alias("pred_label"), "votes"
+        )
+    )

@@ -29,6 +29,8 @@ REPRESENTATIVE = [
     "q65_multimodal_decode",    # sha256 digest arithmetic across engines
     "q67_stratified_sample",    # hash-threshold sampling portability
     "q69_simhash_hamming_pairs",  # byte-banded Hamming pairs
+    "q81_span_dedup_reconstruct",  # ordered reconstruction md5
+    "q83_zorder_layout",        # 64-bit bit-interleave portability
 ]
 
 

@@ -26,8 +26,16 @@ INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
 # 1-row ungrouped aggregate (e.g. q46's in-plan n_docs). The resulting
 # BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the
 # price of keeping the scalar inside the plan instead of a driver
-# count() + literal (one Spark job instead of two).
-SCALAR_CROSS = {"q46_tfidf", "q74_bigram_lm_score"}
+# count() + literal (one Spark job instead of two). q28/q84's variant
+# is n x |broadcast query set| (knn_brute_force's documented design);
+# q82's build side is the 1-row mixture-totals aggregate.
+SCALAR_CROSS = {
+    "q46_tfidf",
+    "q74_bigram_lm_score",
+    "q28_cosine_topk",
+    "q82_temperature_mixture",
+    "q84_knn_label_vote",
+}
 
 
 def main() -> int:

@@ -62,6 +62,8 @@ _FIRST = [
     "q82_temperature_mixture",
     "q83_zorder_layout",
     "q84_knn_label_vote",
+    "q85_split_leakage",
+    "q86_minhash_estimate_error",
 ]
 
 

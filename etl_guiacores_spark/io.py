@@ -176,6 +176,22 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink via Spark 4's built-in xml source (the interchange
+    format B2B feed consumers still ask for). Distributed writer —
+    one XML document per partition file."""
+    df.write.mode("overwrite").option("rowTag", row_tag).format("xml").save(
+        path
+    )
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML scan with schema inference; pass a row tag matching the
+    feed. Scales like json: per-file split parsing, schema inferred
+    from a sample pass."""
+    return spark.read.option("rowTag", row_tag).format("xml").load(path)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

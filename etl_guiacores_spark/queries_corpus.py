@@ -720,3 +720,211 @@ def q84_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("label").cast("int").alias("pred_label"), "votes"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q85: near-dup split leakage (train/test contamination accounting)
+# ---------------------------------------------------------------------------
+
+from etl_guiacores_spark.queries_scale import _MINHASH_CTE  # noqa: E402
+
+#: LSH band/candidate legs shared by q85/q86 — identical to q50's.
+_BANDS_CTE = """,
+    bands AS MATERIALIZED (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+"""
+
+_SPLIT_CTE = """,
+    splits AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN u < 3435973836 THEN 'train'
+                    WHEN u < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS u
+              FROM documents)
+    )
+"""
+
+
+@register(
+    "q85_split_leakage",
+    _MINHASH_CTE
+    + _BANDS_CTE
+    + _SPLIT_CTE
+    + """
+    SELECT LEAST(pa.split, pb.split) AS split_lo,
+           GREATEST(pa.split, pb.split) AS split_hi,
+           COUNT(*) AS n_pairs,
+           CAST(LEAST(pa.split, pb.split) <> GREATEST(pa.split, pb.split)
+                AS INT) AS is_cross
+    FROM (
+        SELECT c.id_a, c.id_b
+        FROM candidates c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b
+        WHERE LEN(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+          AND CAST(LEN(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / LEN(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    ) v
+    JOIN splits pa ON pa.doc_id = v.id_a
+    JOIN splits pb ON pb.doc_id = v.id_b
+    GROUP BY split_lo, split_hi
+    """,
+    doc="Train/test contamination accounting: verified near-dup pairs "
+    "(the q50 LSH -> exact-Jaccard leg) joined against the "
+    "deterministic hash-split assignment (q73) of BOTH endpoints, "
+    "grouped by unordered split pair — n_pairs with is_cross=1 are "
+    "documents whose near-duplicate landed in a different split, the "
+    "leakage an eval pipeline must subtract. All legs are the "
+    "already-scale-shaped operators (banded LSH, hash split); the "
+    "leakage join moves only (id, split) pairs.",
+)
+def q85_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import (
+        jaccard_of_shingles,
+        lsh_candidate_pairs,
+        word_shingles,
+    )
+
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", "text")
+    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .filter(jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")) >= 0.6)
+        .select("id_a", "id_b")
+    )
+    splits = hash_split(
+        load_table(spark, "documents", sf_dir).select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="split",
+    )
+    pa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    pb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        verified.join(pa, "id_a")
+        .join(pb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn(
+            "is_cross",
+            (F.col("split_lo") != F.col("split_hi")).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86: MinHash estimator error vs exact Jaccard (sketch quality audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q86_minhash_estimate_error",
+    _MINHASH_CTE
+    + _BANDS_CTE
+    + """
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND((CASE WHEN ga.sig_0 = gb.sig_0 THEN 1 ELSE 0 END
+                    + CASE WHEN ga.sig_1 = gb.sig_1 THEN 1 ELSE 0 END
+                    + CASE WHEN ga.sig_2 = gb.sig_2 THEN 1 ELSE 0 END
+                    + CASE WHEN ga.sig_3 = gb.sig_3 THEN 1 ELSE 0 END)
+                     / 4.0, 6) AS est_jaccard,
+               ROUND(CAST(LEN(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / LEN(list_distinct(list_concat(sa.sh, sb.sh))), 6)
+                   AS exact_jaccard
+        FROM candidates c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b
+        JOIN sigs ga ON ga.doc_id = c.id_a
+        JOIN sigs gb ON gb.doc_id = c.id_b
+        WHERE LEN(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+    )
+    """,
+    doc="Sketch-quality audit: for every LSH candidate pair, the "
+    "MinHash-estimated Jaccard (fraction of the 4 signature slots "
+    "that agree — the unbiased estimator the production dedup path "
+    "relies on) next to the exact shingle Jaccard, with the absolute "
+    "error. This is the query you run on a sample before trusting a "
+    "signature budget at 100 TB: est is free once signatures exist; "
+    "exact re-reads shingles only for the candidate set, which LSH "
+    "has already bounded. Both columns rounded before the "
+    "difference so the error itself hash-matches the oracle.",
+)
+def q86_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import (
+        jaccard_of_shingles,
+        lsh_candidate_pairs,
+        with_minhash,
+        word_shingles,
+    )
+
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", "text")
+    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    sigs = with_minhash(docs, "text").select(
+        "doc_id", "sig_0", "sig_1", "sig_2", "sig_3"
+    )
+    est = (
+        sum(
+            (F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}")).cast("int")
+            for i in range(4)
+        )
+        / F.lit(4.0)
+    )
+    a_sigs = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(4)],
+    )
+    b_sigs = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(4)],
+    )
+    pairs = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .join(a_sigs, "id_a")
+        .join(b_sigs, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(
+                jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")), 6
+            ).alias("exact_jaccard"),
+        )
+    )
+    return pairs.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+    )

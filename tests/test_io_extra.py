@@ -110,3 +110,21 @@ def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
         assert by_id[i].n_bytes == 100 + i
         assert by_id[i].decode_error is None
         assert by_id[i].width is not None
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from etl_guiacores_spark.io import read_xml, write_xml
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = str(tmp_path / "docs_xml")
+    write_xml(docs, out, row_tag="doc")
+    back = read_xml(spark, out, row_tag="doc")
+    assert sorted(back.columns) == sorted(docs.columns)
+    assert back.count() == docs.count()
+    # values survive: spot-compare one row end-to-end
+    a = docs.filter("doc_id = 3").collect()[0]
+    b = back.filter("doc_id = 3").collect()[0]
+    assert (a.lang, a.source, a.n_chars) == (b.lang, b.source, b.n_chars)

@@ -57,3 +57,56 @@ def dense_ids(
         .withColumn(id_name, (F.col("__off") + F.col("__local")).cast("long"))
         .drop("__pid", "__local", "__off")
     )
+
+
+def zorder_key(x, y):
+    """64-bit Z-order (Morton) key interleaving the 16 low bits of two
+    integer columns: ``x`` takes even bit positions, ``y`` odd.
+
+    Pure integer expressions (magic-mask bit spreads) inside one
+    codegen span — no shuffle, no UDF. This is the sort key that
+    makes min-max file statistics prune BOTH dimensions after a
+    range-partitioned, sorted write (Delta ZORDER / Iceberg
+    sort-order semantics); pair with :func:`write_zordered`.
+
+    Inputs are masked to 16 bits (``& 0xFFFF``) first, so callers
+    should pre-bucket wider domains (e.g. days-since-epoch, id mod
+    65536) to the resolution they want.
+    """
+
+    def spread(c):
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+        return c
+
+    x16 = x.cast("long").bitwiseAND(F.lit(0xFFFF))
+    y16 = y.cast("long").bitwiseAND(F.lit(0xFFFF))
+    return spread(x16).bitwiseOR(F.shiftleft(spread(y16), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over two integer
+    dimensions: range-partition by the Morton key (disjoint key
+    ranges per output file) and sort within each partition, so every
+    file's min-max stats cover a compact rectangle of (x, y) space
+    and scans filtering on EITHER dimension skip most files.
+
+    The Z key is layout-only — it is not written. The only shuffle
+    is the range repartition; the sort is partition-local.
+    """
+    keyed = df.withColumn("__zkey", zorder_key(F.col(x_col), F.col(y_col)))
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

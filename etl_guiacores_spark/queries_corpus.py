@@ -573,17 +573,6 @@ def q82_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q83: Z-order layout keys (multi-dimensional data clustering for pruning)
 # ---------------------------------------------------------------------------
 
-def _spread_bits(c):
-    """Interleave-ready bit spread: 16 low bits of ``c`` -> even bit
-    positions of a 32-bit value (classic magic-mask spread, exact in
-    64-bit integer math so the DuckDB twin matches bit-for-bit)."""
-    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
-    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
-    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
-    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
-    return c
-
-
 @register(
     "q83_zorder_layout",
     """
@@ -619,16 +608,15 @@ def _spread_bits(c):
     "key computation here is the engine-portable part.",
 )
 def q83_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ordering import zorder_key
+
     o = load_table(spark, "orders", sf_dir)
-    x = F.col("o_custkey").bitwiseAND(F.lit(65535))
-    y = (
+    zkey = zorder_key(
+        F.col("o_custkey"),
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
-        )
-        .cast("long")
-        .bitwiseAND(F.lit(65535))
+        ),
     )
-    zkey = _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
     return (
         o.select(zkey.alias("zkey"))
         .groupBy(F.shiftright(F.col("zkey"), 18).cast("long").alias("zbucket"))

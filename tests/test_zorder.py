@@ -1,0 +1,63 @@
+"""Z-order layout operator: key correctness vs a Python Morton
+reference, and the disjoint-file-range guarantee of write_zordered
+(the property that makes min-max stats prune both dimensions)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.ordering import write_zordered, zorder_key
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 20), rng.randrange(1 << 20)) for _ in range(200)]
+    rows += [(0, 0), (65535, 65535), (65536, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_key(F.col("x"), F.col("y"))
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _morton_ref(x & 0xFFFF, y & 0xFFFF), (x, y)
+
+
+def test_zorder_key_is_bijective_on_16bit_pairs(spark):
+    # distinct (x16, y16) pairs -> distinct keys (interleave loses nothing)
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    n = df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).distinct().count()
+    assert n == 4096
+
+
+def test_write_zordered_disjoint_file_ranges(spark, tmp_path):
+    rng = random.Random(11)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, "x", "y", num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    ranges = (
+        back.withColumn("z", zorder_key(F.col("x"), F.col("y")))
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file z-ranges overlap: stats cannot prune"

@@ -155,3 +155,67 @@ def test_dense_ids_contiguous_and_distributed(spark):
     # the ranking ran distributed: >1 range partition carried rows
     npart = out.select(F.spark_partition_id().alias("p")).distinct().count()
     assert npart > 1
+
+
+def test_span_dedup_reconstruction_semantics(spark, tmp_path):
+    import hashlib
+
+    import etl_guiacores_spark.queries_corpus as qc
+
+    # docs 1 and 2 share their first 5-token span; doc 3 is all-unique.
+    shared = "s1 s2 s3 s4 s5"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " a1 a2 a3 a4 a5"),
+            (2, shared + " b1 b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in qc.q81_span_dedup_reconstruct(spark, str(tmp_path)).collect()
+    }
+    # shared span dropped from both docs, uniques survive in order
+    assert out[1].n_segments == 2 and out[1].n_dup_segments == 1
+    assert out[1].retained_tokens == 5
+    assert out[1].retained_md5 == hashlib.md5(b"a1 a2 a3 a4 a5").hexdigest()
+    assert out[2].retained_md5 == hashlib.md5(b"b1 b2 b3 b4 b5").hexdigest()
+    # untouched doc reconstructs to its full span text in order
+    assert out[3].n_dup_segments == 0
+    assert (
+        out[3].retained_md5
+        == hashlib.md5(b"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10").hexdigest()
+    )
+
+
+def test_minhash_estimate_error_bounds(spark, tmp_path):
+    import etl_guiacores_spark.queries_corpus as qc
+
+    # identical docs -> est = 1.0 and exact = 1.0; near-identical pair
+    # must land in [0, 1] with est quantized to quarters (4 hashes)
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "a b c d e f g x"),
+        ],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = qc.q86_minhash_estimate_error(spark, str(tmp_path)).collect()
+    assert rows, "LSH should surface at least the identical pair"
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    ident = by_pair[(1, 2)]
+    assert ident.est_jaccard == 1.0 and ident.exact_jaccard == 1.0
+    assert ident.abs_err == 0.0
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.est_jaccard * 4 == int(r.est_jaccard * 4)
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-9

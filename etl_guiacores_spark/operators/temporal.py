@@ -39,7 +39,7 @@ def as_of_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
-    order_cols = [F.unix_micros(F.col("__t")), F.col("__is_left")]
+    order_cols = [F.unix_micros(F.col("__t").cast("timestamp")), F.col("__is_left")]
     if tie_breaker:
         order_cols.append(F.col(f"__tb"))
 
@@ -97,7 +97,7 @@ def range_join_pairs(
     keys and the quadratic blowup is confined to genuine band
     neighborhoods."""
     band_us = int(band_seconds * 1_000_000)
-    tus = F.unix_micros(F.col(time_col))
+    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
     a = df.select(
         F.col(key), F.col(id_col).alias("id_a"), tus.alias("t_a"),
         (tus / band_us).cast("long").alias("__b"),

@@ -86,6 +86,7 @@ def with_minhash(
     n: int = 3,
     prefix: str = "sig_",
     portable: bool = True,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Add ``sig_0..sig_{k-1}`` minhash columns.
 
@@ -100,14 +101,17 @@ def with_minhash(
     hasher = _hasher if portable else _hasher_fast
     staged = df.withColumn("__shingles", word_shingles(F.col(text_col), n))
     has = F.size(F.col("__shingles")) > 0
-    return staged.withColumns(
+    out = staged.withColumns(
         {
             f"{prefix}{i}": F.when(
                 has, F.array_min(F.transform(F.col("__shingles"), hasher(i)))
             )
             for i in range(num_hashes)
         }
-    ).drop("__shingles")
+    )
+    if shingle_col is None:
+        return out.drop("__shingles")
+    return out.withColumnRenamed("__shingles", shingle_col)
 
 
 def lsh_candidate_pairs(
@@ -166,6 +170,31 @@ def lsh_candidate_pairs_from_sigs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def staged_minhash_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """One persisted ``(id, shingles, sig_0..k-1)`` table — the shape
+    every LSH-then-verify query wants. Banding, the exact-Jaccard
+    verify joins, and the estimator audit all read THIS table, so the
+    corpus is shingled and min-hashed exactly once instead of once
+    per consumer subtree (Catalyst will not CSE a common subtree
+    across self-join sides). At production scale this is the
+    signature table ``stage_corpus_artifacts`` materializes at
+    ingest; persisting here is the in-session equivalent."""
+    return (
+        with_minhash(
+            df.select(id_col, text_col), text_col, num_hashes, n,
+            shingle_col="shingles",
+        )
+        .drop(text_col)
+        .persist()
     )
 
 

@@ -11,7 +11,7 @@ order-insensitive value-hash matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.operators.sampling import hash_split
@@ -201,8 +201,9 @@ def q73_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q74_bigram_lm_score",
     f"""
-    WITH db AS MATERIALIZED (
-        SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+    WITH dbc AS MATERIALIZED (
+        SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, COUNT(*) AS n
+        FROM (
             SELECT doc_id, unnest(
                 CASE WHEN len(toks) >= 2
                      THEN list_transform(range(1, len(toks)),
@@ -210,49 +211,64 @@ def q73_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE CAST([] AS VARCHAR[]) END) AS bg
             FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
                   WHERE LENGTH(trim(text)) > 0))
+        GROUP BY doc_id, bg
     ),
-    c12 AS (SELECT bg, COUNT(*) AS c12 FROM db GROUP BY bg),
-    c1 AS (SELECT w1, COUNT(*) AS c1 FROM db GROUP BY w1),
     v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
         SELECT unnest(toks) AS tok FROM (
             SELECT {_TOKS} AS toks FROM documents
             WHERE LENGTH(trim(text)) > 0)))
-    SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(AVG(-ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 4)
-               AS lm_score
-    FROM db JOIN c12 USING (bg) JOIN c1 USING (w1), v
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(n * -ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)))
+                 / SUM(n), 4) AS lm_score
+    FROM (SELECT doc_id, n,
+                 SUM(n) OVER (PARTITION BY bg) AS c12,
+                 SUM(n) OVER (PARTITION BY w1) AS c1
+          FROM dbc), v
     GROUP BY doc_id
     """,
     doc="CCNet-style LM quality filter: score each document by the "
-    "mean negative log-probability of its bigrams under an add-one-"
-    "smoothed corpus bigram model, p(w2|w1) = (C(w1 w2)+1)/(C(w1)+V). "
-    "Three count aggregations + two co-keyed joins; the model IS the "
-    "count tables, so nothing is broadcast (vocab^2 is unbounded) — "
-    "hot function-word keys are exactly what AQE skew handling is "
-    "for. Low score = fluent/common text, high = gibberish; the "
-    "real-pipeline use is thresholding before pretraining.",
+    "(occurrence-weighted) mean negative log-probability of its "
+    "bigrams under an add-one-smoothed corpus bigram model, "
+    "p(w2|w1) = (C(w1 w2)+1)/(C(w1)+V). One tokenize+explode scan "
+    "reduced to distinct (doc, bigram) counts, then the corpus "
+    "counts C(w1 w2) and C(w1) are window sums over that reduced "
+    "table — the model IS the count table, nothing broadcast "
+    "(vocab^2 is unbounded); hot function-word keys are exactly "
+    "what AQE skew handling is for. Low score = fluent/common text, "
+    "high = gibberish; the real-pipeline use is thresholding before "
+    "pretraining.",
 )
 def q74_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     bigrams = kgrams(tokens(F.col("text")), 2)
-    db = d.select("doc_id", F.explode(bigrams).alias("bg")).withColumn(
-        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    dbc = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
     )
-    c12 = db.groupBy("bg").agg(F.count("*").alias("c12"))
-    c1 = db.groupBy("w1").agg(F.count("*").alias("c1"))
+    # corpus counts as window sums over the reduced table: one
+    # tokenize scan feeds everything (vs. groupBy+join, which
+    # re-tokenizes per self-join side — Catalyst won't CSE those)
+    scored = dbc.withColumns(
+        {
+            "c12": F.sum("n").over(Window.partitionBy("bg")),
+            "c1": F.sum("n").over(Window.partitionBy("w1")),
+        }
+    )
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
     p = (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
     return (
-        db.join(c12, "bg")
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))  # 1-row scalar, in-plan (one job)
+        scored.crossJoin(F.broadcast(vocab))  # 1-row scalar, in-plan (one job)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p)), 4).alias("lm_score"),
+            F.sum("n").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * -F.log(p)) / F.sum("n"), 4).alias(
+                "lm_score"
+            ),
         )
     )
 
@@ -780,14 +796,15 @@ _SPLIT_CTE = """,
 def q85_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.similarity import (
         jaccard_of_shingles,
-        lsh_candidate_pairs,
-        word_shingles,
+        lsh_candidate_pairs_from_sigs,
+        staged_minhash_shingles,
     )
 
     d = _docs(spark, sf_dir)
     docs = d.select("doc_id", "text")
-    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    staged = staged_minhash_shingles(docs, "doc_id", "text")
+    candidates = lsh_candidate_pairs_from_sigs(staged, "doc_id")
+    sh = staged.select("doc_id", F.col("shingles").alias("sh"))
     verified = (
         candidates.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
@@ -865,18 +882,14 @@ def q85_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q86_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.similarity import (
         jaccard_of_shingles,
-        lsh_candidate_pairs,
-        with_minhash,
-        word_shingles,
+        lsh_candidate_pairs_from_sigs,
+        staged_minhash_shingles,
     )
 
     d = _docs(spark, sf_dir)
     docs = d.select("doc_id", "text")
-    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
-    sigs = with_minhash(docs, "text").select(
-        "doc_id", "sig_0", "sig_1", "sig_2", "sig_3"
-    )
+    staged = staged_minhash_shingles(docs, "doc_id", "text")
+    candidates = lsh_candidate_pairs_from_sigs(staged, "doc_id")
     est = (
         sum(
             (F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}")).cast("int")
@@ -884,25 +897,20 @@ def q86_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(4.0)
     )
-    a_sigs = sigs.select(
+    # one join per side: each side row carries shingles AND signature
+    a_side = staged.select(
         F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
         *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(4)],
     )
-    b_sigs = sigs.select(
+    b_side = staged.select(
         F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
         *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(4)],
     )
     pairs = (
-        candidates.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
-        .join(a_sigs, "id_a")
-        .join(b_sigs, "id_b")
+        candidates.join(a_side, "id_a")
+        .join(b_side, "id_b")
         .select(
             "id_a",
             "id_b",

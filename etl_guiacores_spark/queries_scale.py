@@ -667,14 +667,15 @@ def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.similarity import (
         jaccard_of_shingles,
-        lsh_candidate_pairs,
-        word_shingles,
+        lsh_candidate_pairs_from_sigs,
+        staged_minhash_shingles,
     )
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     docs = d.select("doc_id", "text")
-    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    staged = staged_minhash_shingles(docs, "doc_id", "text")
+    candidates = lsh_candidate_pairs_from_sigs(staged, "doc_id")
+    sh = staged.select("doc_id", F.col("shingles").alias("sh"))
     verified = (
         candidates.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

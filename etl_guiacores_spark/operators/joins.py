@@ -17,17 +17,29 @@ from pyspark.sql import functions as F
 
 
 def resume_anti_join(
-    worklist: DataFrame, processed: DataFrame, key: str = "id_negocio"
+    worklist: DataFrame,
+    processed: DataFrame,
+    key: str = "id_negocio",
+    *,
+    assume_small: bool = False,
 ) -> DataFrame:
     """J2 — rows of ``worklist`` whose key is NOT in ``processed``.
 
-    The processed-ID side is typically small relative to the worklist
-    (it's one column); Spark broadcasts it when under the threshold,
-    which keeps the anti-join shuffle-free. At 100 TB-of-worklist
-    scale that broadcast is exactly what you want — hint it explicitly.
+    By default the join strategy is left to Catalyst/AQE: on a
+    long-lived crawl the processed-ID set is the ENTIRE history — it
+    grows without bound, and an unconditional broadcast would
+    eventually OOM every executor. AQE still broadcasts it while its
+    runtime size is under ``spark.sql.autoBroadcastJoinThreshold``,
+    so the common small case keeps the shuffle-free plan for free.
+
+    Pass ``assume_small=True`` only when the caller KNOWS the
+    processed side is bounded (e.g. a single day's checkpoint) and
+    wants the broadcast guaranteed regardless of stale size stats.
     """
     processed_keys = processed.select(key).distinct()
-    return worklist.join(F.broadcast(processed_keys), on=key, how="left_anti")
+    if assume_small:
+        processed_keys = F.broadcast(processed_keys)
+    return worklist.join(processed_keys, on=key, how="left_anti")
 
 
 def merge_upsert(

@@ -695,21 +695,30 @@ def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q58_source_mixture",
     f"""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
-           ROUND(CAST(SUM(n_tok) AS DOUBLE)
-                 / SUM(SUM(n_tok)) OVER (), 6) AS token_share
-    FROM (
+    WITH agg AS (
         SELECT source,
-               CASE WHEN LENGTH(trim(text)) > 0 THEN LEN({_TOKS}) ELSE 0 END AS n_tok
-        FROM documents
-    )
-    GROUP BY source
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS n_tokens
+        FROM (
+            SELECT source,
+                   CASE WHEN LENGTH(trim(text)) > 0 THEN LEN({_TOKS}) ELSE 0 END AS n_tok
+            FROM documents
+        )
+        GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM agg)
+    SELECT source, n_docs, n_tokens,
+           CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+                // CAST(total AS HUGEINT) AS BIGINT) AS share_ppm
+    FROM agg, tot
     """,
     doc="Training-data mixture accounting: per-source document and "
-    "token counts with corpus-wide token share — the weighting input "
-    "for mixture construction.",
+    "token counts with corpus-wide token share in parts-per-million — "
+    "the weighting input for mixture construction. share_ppm is pure "
+    "integer floor division (DECIMAL(38,0) intermediates, overflow-"
+    "safe past 9e12 tokens) so Spark and the oracle agree bit-for-bit "
+    "— no double rounding boundary. The corpus total stays in-plan as "
+    "a broadcast 1-row aggregate, not an unpartitioned window.",
 )
 def q58_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.textstats import token_count
@@ -719,14 +728,15 @@ def q58_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
-    total = Window.partitionBy()
-    return agg.select(
+    total = agg.agg(F.sum("n_tokens").alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(
-            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6
-        ).alias("token_share"),
+        F.expr(
+            "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000)"
+            " div __total AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 
@@ -1011,6 +1021,48 @@ def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_chunks(chunks, budget_tokens=128, num_bins=8)
     return packed.select(
         "bin_id", "seq_id", F.size("doc_ids").alias("n_docs"), "n_tokens"
+    )
+
+
+@register(
+    "q66b_packing_invariants",
+    f"""
+    WITH t AS (
+        SELECT doc_id, LEN({_TOKS}) AS n
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(n / 32.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_docs,
+           CAST(0 AS BIGINT) AS n_over_budget
+    FROM t
+    """,
+    doc="Driver-checkable face of sequence packing (q66): re-aggregate "
+    "the packed output into SQL-verifiable conservation invariants — "
+    "total packed tokens == corpus token total, packed chunk count == "
+    "ceil(n/32) chunk total, every document survives packing, and NO "
+    "sequence exceeds the 128-token budget (oracle expects exactly 0 "
+    "violations). The greedy first-fit itself has no SQL twin; its "
+    "contract does.",
+)
+def q66b_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.chunking import chunk_documents
+    from etl_guiacores_spark.operators.packing import pack_chunks
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    chunks = chunk_documents(d.select("doc_id", "text"), chunk_tokens=32, overlap=0)
+    packed = pack_chunks(chunks, budget_tokens=128, num_bins=8)
+    stats = packed.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.size("doc_ids")).cast("bigint").alias("n_chunks"),
+        F.sum((F.col("n_tokens") > 128).cast("bigint")).alias("n_over_budget"),
+    )
+    n_docs = (
+        packed.select(F.explode("doc_ids").alias("d"))
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "total_tokens", "n_chunks", "n_docs", "n_over_budget"
     )
 
 

@@ -55,6 +55,26 @@ class TestResumeAntiJoin:
         got = resume_anti_join(worklist, processed)
         assert sorted({r["id_negocio"] for r in got.collect()}) == ["2", "3"]
 
+    def test_no_broadcast_hint_by_default(self, spark):
+        # the processed set is unbounded on a long-lived crawl — the
+        # default plan must leave the strategy to AQE, not pin a
+        # broadcast that OOMs at scale
+        worklist = make_worklist(spark)
+        processed = spark.createDataFrame([("1",)], ["id_negocio"])
+        default_plan = (
+            resume_anti_join(worklist, processed)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "broadcast" not in default_plan.lower()
+        hinted_plan = (
+            resume_anti_join(worklist, processed, assume_small=True)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "broadcast" in hinted_plan.lower()
+        # semantics identical either way
+        got = resume_anti_join(worklist, processed, assume_small=True)
+        assert sorted({r["id_negocio"] for r in got.collect()}) == ["2", "3"]
+
 
 class TestMergeUpsert:
     def test_upsert_semantics(self, spark):

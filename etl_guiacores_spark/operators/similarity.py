@@ -99,6 +99,16 @@ def with_minhash(
     (Measured 8-16x on the sf0.1 bench vs the naive expression tree.)
     """
     hasher = _hasher if portable else _hasher_fast
+    if "__shingles" in df.columns:
+        raise ValueError(
+            "with_minhash stages shingles in a '__shingles' column; "
+            "the input already has one — rename it first"
+        )
+    if shingle_col is not None and shingle_col in df.columns:
+        raise ValueError(
+            f"shingle_col {shingle_col!r} already exists in the input — "
+            "the rename would create a duplicate/ambiguous column"
+        )
     staged = df.withColumn("__shingles", word_shingles(F.col(text_col), n))
     has = F.size(F.col("__shingles")) > 0
     out = staged.withColumns(
@@ -161,8 +171,18 @@ def lsh_candidate_pairs_from_sigs(
     """Banding + bucket self-join over a PRE-COMPUTED signature table
     (``sig_0..sig_{k-1}`` columns, e.g. a bucketed table staged by
     ``stage_corpus_artifacts``) — the production shape: signatures are
-    computed once at ingest and reused by every dedup run."""
-    bands = band_rows(sigs, id_col, num_hashes).persist()
+    computed once at ingest and reused by every dedup run.
+
+    The band table is persisted only when ``sigs`` itself is NOT
+    already cached: banding from a cached signature table is a cheap
+    cache-read + explode per join side, so a second cache entry would
+    cost population + memory for nothing. When it does persist, the
+    handle's lifecycle follows ``sigs``'s owner (see
+    ``staged_minhash_shingles``)."""
+    bands = band_rows(sigs, id_col, num_hashes)
+    sigs_cached = sigs.storageLevel.useMemory or sigs.storageLevel.useDisk
+    if not sigs_cached:
+        bands = bands.persist()
     left = bands.select(F.col("__id").alias("id_a"), "__band")
     right = bands.select(F.col("__id").alias("id_b"), "__band")
     return (
@@ -187,7 +207,14 @@ def staged_minhash_shingles(
     per consumer subtree (Catalyst will not CSE a common subtree
     across self-join sides). At production scale this is the
     signature table ``stage_corpus_artifacts`` materializes at
-    ingest; persisting here is the in-session equivalent."""
+    ingest; persisting here is the in-session equivalent.
+
+    Lifecycle: the CALLER owns the persisted handle — call
+    ``.unpersist()`` on the returned DataFrame once the consuming
+    action has completed (or ``spark.catalog.clearCache()`` between
+    independent jobs, as bench.py does). Until then the cache entry
+    lives for the session; Spark's LRU eviction bounds the damage but
+    long multi-query sessions should reclaim explicitly."""
     return (
         with_minhash(
             df.select(id_col, text_col), text_col, num_hashes, n,

@@ -17,8 +17,35 @@ Both are implemented as compositions of existing DataFrame ops
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def event_micros(df: DataFrame, time_col: str) -> Column:
+    """Integer event-time microseconds, injective for EVERY input type.
+
+    For TIMESTAMP (an instant) this is plain ``unix_micros``. For
+    TIMESTAMP_NTZ a ``cast('timestamp')`` would route the wall-clock
+    value through the SESSION timezone — non-injective across DST
+    fall-back transitions (two wall times map to one instant), which
+    would silently merge band buckets and reorder as-of rows under a
+    non-UTC session. Instead NTZ values are measured as wall-clock
+    microseconds since the NTZ epoch (``timestamp_diff``), which never
+    consults a timezone. DATE/STRING inputs take the cast path.
+    """
+    dt = df.schema[time_col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        # pure field extraction — date/hour/minute/fractional-second
+        # are wall-clock reads on NTZ and never consult a zone (even
+        # timestamp_diff normalizes nonexistent spring-forward wall
+        # times through the session zone, collapsing the DST gap)
+        c = F.col(time_col)
+        days = F.unix_date(c.cast("date")).cast("long")
+        mins = (F.hour(c) * 3600 + F.minute(c) * 60).cast("long")
+        micros = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+        return days * 86_400_000_000 + mins * 1_000_000 + micros
+    return F.unix_micros(F.col(time_col).cast("timestamp"))
 
 
 def as_of_join(
@@ -39,14 +66,17 @@ def as_of_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
-    order_cols = [F.unix_micros(F.col("__t").cast("timestamp")), F.col("__is_left")]
+    # event time becomes integer microseconds BEFORE the union (each
+    # side may carry a different temporal type — instant vs NTZ — and
+    # event_micros picks the injective mapping per side)
+    order_cols = [F.col("__t"), F.col("__is_left")]
     if tie_breaker:
         order_cols.append(F.col(f"__tb"))
 
-    l_tagged = left.withColumn("__t", F.col(left_time)).withColumn(
+    l_tagged = left.withColumn("__t", event_micros(left, left_time)).withColumn(
         "__is_left", F.lit(1)
     )
-    r_tagged = right.withColumn("__t", F.col(right_time)).withColumn(
+    r_tagged = right.withColumn("__t", event_micros(right, right_time)).withColumn(
         "__is_left", F.lit(0)
     )
     if tie_breaker:
@@ -97,7 +127,7 @@ def range_join_pairs(
     keys and the quadratic blowup is confined to genuine band
     neighborhoods."""
     band_us = int(band_seconds * 1_000_000)
-    tus = F.unix_micros(F.col(time_col).cast("timestamp"))
+    tus = event_micros(df, time_col)
     a = df.select(
         F.col(key), F.col(id_col).alias("id_a"), tus.alias("t_a"),
         (tus / band_us).cast("long").alias("__b"),

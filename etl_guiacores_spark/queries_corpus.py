@@ -230,32 +230,38 @@ def q73_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(occurrence-weighted) mean negative log-probability of its "
     "bigrams under an add-one-smoothed corpus bigram model, "
     "p(w2|w1) = (C(w1 w2)+1)/(C(w1)+V). One tokenize+explode scan "
-    "reduced to distinct (doc, bigram) counts, then the corpus "
-    "counts C(w1 w2) and C(w1) are window sums over that reduced "
-    "table — the model IS the count table, nothing broadcast "
-    "(vocab^2 is unbounded); hot function-word keys are exactly "
-    "what AQE skew handling is for. Low score = fluent/common text, "
-    "high = gibberish; the real-pipeline use is thresholding before "
+    "reduced to a persisted distinct (doc, bigram) count table; the "
+    "corpus counts C(w1 w2) and C(w1) are groupBy aggregations joined "
+    "back — map-side partial aggregation collapses the agg input and "
+    "AQE's skew-join splits the Zipf-hot function-word partitions on "
+    "the join, neither of which a window-sum plan gets (window "
+    "exchanges have no partial agg and AQE never splits window "
+    "partitions). The model IS the count table, nothing broadcast "
+    "(vocab^2 is unbounded). Low score = fluent/common text, high = "
+    "gibberish; the real-pipeline use is thresholding before "
     "pretraining.",
 )
 def q74_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     bigrams = kgrams(tokens(F.col("text")), 2)
+    # the reduced table feeds three subtrees (itself + both count
+    # aggs) — persist so the corpus is tokenized once (Catalyst won't
+    # CSE across join sides); bench.py reclaims the cache per query
     dbc = (
         d.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("n"))
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .persist()
     )
-    # corpus counts as window sums over the reduced table: one
-    # tokenize scan feeds everything (vs. groupBy+join, which
-    # re-tokenizes per self-join side — Catalyst won't CSE those)
-    scored = dbc.withColumns(
-        {
-            "c12": F.sum("n").over(Window.partitionBy("bg")),
-            "c1": F.sum("n").over(Window.partitionBy("w1")),
-        }
+    c12 = dbc.groupBy("bg").agg(F.sum("n").alias("c12"))
+    # C(w1) folds the already-reduced per-bigram counts, not dbc rows
+    c1 = (
+        c12.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
     )
+    scored = dbc.join(c12, "bg").join(c1, "w1")
     vocab = (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))

@@ -446,8 +446,10 @@ def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparisons keep both engines in lockstep.",
 )
 def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.temporal import event_micros
+
     e = _t(spark, sf_dir, "events")
-    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    tus = event_micros(e, "ts")
     w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
     gap = tus - F.lag(tus).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)

@@ -50,6 +50,16 @@ class TestMinhashLsh:
         s2 = with_minhash(df, "text").collect()[0]
         assert [s1[f"sig_{i}"] for i in range(4)] == [s2[f"sig_{i}"] for i in range(4)]
 
+    def test_shingle_col_collision_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, TEXT_A, "x")], ["doc_id", "text", "shingles"])
+        with pytest.raises(ValueError, match="already exists"):
+            with_minhash(df, "text", shingle_col="shingles")
+        staged = spark.createDataFrame([(1, TEXT_A, "x")], ["doc_id", "text", "__shingles"])
+        with pytest.raises(ValueError, match="__shingles"):
+            with_minhash(staged, "text")
+
 
 class TestJaccardSimhash:
     def test_jaccard_bounds(self, spark):

@@ -6,7 +6,11 @@ from datetime import datetime
 
 from pyspark.sql import types as T
 
-from etl_guiacores_spark.operators.temporal import as_of_join, range_join_pairs
+from etl_guiacores_spark.operators.temporal import (
+    as_of_join,
+    event_micros,
+    range_join_pairs,
+)
 
 SCHEMA = T.StructType(
     [
@@ -52,6 +56,36 @@ class TestAsOfJoin:
             left, right, on="k", right_cols=["event_id", "v"], tie_breaker="event_id"
         ).collect()[0]
         assert got["asof_event_id"] == 2 and got["asof_v"] == 2.0
+
+
+class TestEventMicros:
+    def test_ntz_injective_under_any_session_tz(self, spark):
+        # DST spring-forward: under America/New_York, cast('timestamp')
+        # maps NTZ 02:00 and 03:00 on 2025-03-09 to the SAME instant
+        # (07:00Z) — event_micros must keep them 1h apart regardless
+        # of the session timezone
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            # SQL casts: string -> NTZ is a pure wall-clock parse
+            # (createDataFrame's Python ingestion already collapses
+            # the gap before the engine ever sees the value)
+            df = spark.sql(
+                "SELECT CAST('2025-03-09 02:30:00' AS TIMESTAMP_NTZ) AS ts "
+                "UNION ALL SELECT CAST('2025-03-09 03:30:00' AS TIMESTAMP_NTZ)"
+            )
+            vals = sorted(r[0] for r in df.select(event_micros(df, "ts")).collect())
+            assert vals[1] - vals[0] == 3600 * 1_000_000
+            # and the values are wall-clock-as-UTC, session tz ignored
+            assert vals[0] == 1_741_487_400_000_000
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_instant_input_is_unix_micros(self, spark):
+        df = spark.createDataFrame([("u", t(1), 1, 0.0)], SCHEMA)
+        got = df.select(event_micros(df, "ts")).collect()[0][0]
+        # 2024-01-01T00:01:00Z under the UTC test session
+        assert got == 1_704_067_260_000_000
 
 
 class TestRangeJoin:

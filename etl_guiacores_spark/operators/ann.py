@@ -60,9 +60,17 @@ def ivf_build(
     if train_df.isEmpty():  # R4 — KMeans cannot fit zero rows
         indexed = embeddings.withColumn("__cluster", F.lit(0))
         return IvfIndex(model=None, indexed=indexed, id_col=id_col, vec_col=vec_col)
-    model = KMeans(
-        k=nlist, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="__cluster"
-    ).fit(to_vec(train_df))
+    # k-means iterates over its input: cache the pruned feature column
+    # for the duration of the fit so each iteration reads memory, not
+    # the scan lineage (fit is an action, so the handle can be
+    # released immediately after — no session-lifetime cache)
+    fit_input = to_vec(train_df).select("__v").persist()
+    try:
+        model = KMeans(
+            k=nlist, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="__cluster"
+        ).fit(fit_input)
+    finally:
+        fit_input.unpersist()
     indexed = model.transform(to_vec(embeddings)).drop("__v")
     return IvfIndex(model=model, indexed=indexed, id_col=id_col, vec_col=vec_col)
 

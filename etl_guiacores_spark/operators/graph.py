@@ -77,13 +77,28 @@ def connected_components(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct()
     # materialize ONCE: the edge plan (often an LSH candidate join)
-    # would otherwise be re-executed inside every iteration
-    sym = _persist_round(sym)
+    # must not re-execute per action/iteration. In durable mode the
+    # edges go straight to the reliable checkpoint (that durability is
+    # what the caller asked for). In the default local mode a
+    # transient persist is cheaper: it serves the fast path's count +
+    # collect from cache and is released as soon as the edges are
+    # either collected (fast path) or checkpoint-truncated (loop).
+    transient = checkpoint_dir is None
+    sym = sym.persist() if transient else _persist_round(sym)
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
 
     if local_edge_threshold and sym.count() <= local_edge_threshold:
-        return _local_union_find(labels, sym)
+        out = _local_union_find(labels, sym)  # collects sym eagerly
+        if transient:
+            sym.unpersist()
+        return out
+    if transient:
+        # iterative path: truncate the edge lineage once (reads the
+        # cache), then drop the cache — the loop reads the blocks
+        sym_ck = _persist_round(sym)
+        sym.unpersist()
+        sym = sym_ck
     converged = False
     for _ in range(max_iterations):
         # step 1: take the minimum label among direct neighbors

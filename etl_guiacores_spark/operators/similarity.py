@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 
+from etl_guiacores_spark.sources.tables import spread_narrow_input  # noqa: E402 — re-export; lives at the scan layer
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the text; fewer than n tokens -> empty.
 
@@ -138,7 +141,8 @@ def lsh_candidate_pairs(
     re-hashing the corpus twice (at production scale this is a
     materialized signature table; AQE's skew-join splits hot bands).
     """
-    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, n)
+    src = spread_narrow_input(df.select(id_col, text_col), id_col)
+    sigs = with_minhash(src, text_col, num_hashes, n)
     return lsh_candidate_pairs_from_sigs(sigs, id_col, num_hashes)
 
 
@@ -217,7 +221,8 @@ def staged_minhash_shingles(
     long multi-query sessions should reclaim explicitly."""
     return (
         with_minhash(
-            df.select(id_col, text_col), text_col, num_hashes, n,
+            spread_narrow_input(df.select(id_col, text_col), id_col),
+            text_col, num_hashes, n,
             shingle_col="shingles",
         )
         .drop(text_col)

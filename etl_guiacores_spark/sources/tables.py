@@ -30,6 +30,36 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: tables whose queries do expensive per-row work (shingling, hashing,
+#: vector math) — worth spreading when the scan itself can't parallelize
+_SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+#: (sf_dir, table) -> bool; the partition-count probe costs a
+#: driver-side plan->RDD conversion, so decide once per table per
+#: session, not once per query
+_SPREAD_DECISION: dict[tuple[str, str], bool] = {}
+
+
+def spread_narrow_input(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key_col`` IF its scan parallelism
+    is below the cluster's, else pass through untouched.
+
+    Parquet scan parallelism is capped at row-group granularity: a
+    corpus landed as few/single-row-group files serializes every
+    downstream per-row computation no matter how many cores exist.
+    For expensive per-row work (shingling, hashing, vector distance)
+    the one-time shuffle is worth it exactly when this fires — the
+    input is small relative to the cluster, so the shuffle is cheap.
+    At production scale (thousands of row groups) the condition is
+    false and no shuffle is added. Catalyst pushes filters and column
+    pruning through RepartitionByExpression, so scan pushdown is
+    unaffected.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -46,6 +76,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = _SPREAD_KEYS.get(name)
+    if key is not None and key in df.columns:
+        memo = (sf_dir, name)
+        if memo not in _SPREAD_DECISION:
+            target = spark.sparkContext.defaultParallelism
+            _SPREAD_DECISION[memo] = df.rdd.getNumPartitions() < target
+        if _SPREAD_DECISION[memo]:
+            df = df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
     return df
 
 

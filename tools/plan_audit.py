@@ -35,6 +35,10 @@ SCALAR_CROSS = {
     "q28_cosine_topk",
     "q82_temperature_mixture",
     "q84_knn_label_vote",
+    # 1-row corpus-total aggregate (share_ppm denominator)
+    "q58_source_mixture",
+    # 1-row distinct-doc-count aggregate joined onto 1-row stats
+    "q66b_packing_invariants",
 }
 
 

@@ -72,6 +72,46 @@ def test_string_ids_converge_correctly(spark):
     }
 
 
+def test_q62_pipeline_durable_checkpoint_matches_default(spark, tmp_path):
+    """The durable-checkpoint mode proven on the REAL LSH edge graph:
+    the full q62 pipeline (shingle -> minhash -> LSH bands -> CC) run
+    with a reliable checkpoint dir + forced iterative loop must label
+    identically to the default (local union-find) path, and the
+    checkpoint dir must actually hold data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.similarity import lsh_candidate_pairs
+    from etl_guiacores_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    pairs = lsh_candidate_pairs(d, "doc_id", "text")
+    nodes = d.select("doc_id")
+    default = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, pairs, id_col="doc_id").collect()
+    }
+    ckpt = str(tmp_path / "q62_ckpt")
+    durable = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes,
+            pairs,
+            id_col="doc_id",
+            checkpoint_dir=ckpt,
+            local_edge_threshold=0,  # force the loop: that's what checkpoints
+        ).collect()
+    }
+    assert default == durable and len(default) > 0
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "durable q62 run wrote nothing to checkpoint_dir"
+
+
 def test_reliable_checkpoint_dir(spark, tmp_path):
     """checkpoint_dir switches to reliable checkpoint() — same labels,
     and the directory actually receives checkpoint data."""

@@ -31,6 +31,11 @@ _FIRST = [
     # round-3 changes — need a fresh driver row
     "q58_source_mixture",
     "q66b_packing_invariants",
+    "q87_weighted_sample",
+    "q88_blocklist_filter",
+    "q89_token_offsets",
+    "q90_cluster_representatives",
+    "q91_ngram_novelty",
     "q66_sequence_packing",
     "q04_resume_anti_join",
     "q74_bigram_lm_score",

@@ -59,6 +59,52 @@ def dense_ids(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_col`` order with
+    NO single-partition window — the serialization-offset computation
+    ("at which token does document i start in the packed stream") that
+    a 100 TB shard-writer needs.
+
+    Same machinery as :func:`dense_ids`: range-partition on the order
+    key, partition-local cumulative sums (parallel windows), then add
+    each partition's cumulative value offset via a broadcast join of
+    the one-row-per-partition totals. ``exclusive=True`` returns the
+    sum of strictly-preceding rows (the start offset); ``False`` the
+    inclusive running total. ``order_col`` must be unique.
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__lsum", F.sum(value_col).over(local_w))
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+    )
+    run = F.col("__off") + F.col("__lsum")
+    if exclusive:
+        run = run - F.col(value_col)
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, run.cast("long"))
+        .drop("__pid", "__lsum", "__off")
+    )
+
+
 def zorder_key(x, y):
     """64-bit Z-order (Morton) key interleaving the 16 low bits of two
     integer columns: ``x`` takes even bit positions, ``y`` odd.

@@ -44,6 +44,34 @@ def hash_sample(
     return df.filter(uniform_hash_u32(F.col(key_col), seed) < threshold)
 
 
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: str = "wrs"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): each key draws u ~ Uniform(0,1) deterministically from its
+    hash and enters an exponential race with key ``-ln(u) / w``; the k
+    smallest race values win, giving P(selection) proportional to
+    weight without replacement.
+
+    Engine shape: one scan computes the race key per row, then a
+    distributed top-k (per-partition heads, merged — never a global
+    sort). Deterministic per key like :func:`hash_sample`: retries,
+    backfills, and other engines agree on the selected set. Weights
+    must be > 0; rows with NULL/non-positive weight are dropped.
+    """
+    u = (
+        uniform_hash_u32(F.col(key_col), seed).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_HASH_SPACE))
+    race = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__race", race)
+        .orderBy("__race", key_col)
+        .limit(k)
+        .drop("__race")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -128,7 +128,12 @@ def with_minhash(
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 4, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    n: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids sharing ANY minhash band.
 
@@ -142,7 +147,7 @@ def lsh_candidate_pairs(
     materialized signature table; AQE's skew-join splits hot bands).
     """
     src = spread_narrow_input(df.select(id_col, text_col), id_col)
-    sigs = with_minhash(src, text_col, num_hashes, n)
+    sigs = with_minhash(src, text_col, num_hashes, n, portable=portable)
     return lsh_candidate_pairs_from_sigs(sigs, id_col, num_hashes)
 
 

@@ -47,6 +47,12 @@ class CorpusConfig:
     #: component, exact); False = greedy drop-higher-id per pair
     #: (one pass, conservative)
     cluster_exact: bool = False
+    #: False (default) = native xxhash64 signatures (~3x faster, the
+    #: production path); True = md5-hex family, required only when a
+    #: DuckDB oracle must reproduce signatures bit-for-bit. The flag
+    #: must be CONSISTENT between staging and every later incremental
+    #: run over the same artifact tables (one hash family per corpus).
+    portable_hashes: bool = False
     chunk_tokens: int = 64
     chunk_overlap: int = 8
     vocab_top_k: int = 1000
@@ -73,13 +79,16 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def near_dup_removal(
-    docs: DataFrame, threshold: float, cluster_exact: bool = False
+    docs: DataFrame,
+    threshold: float,
+    cluster_exact: bool = False,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, removed_pairs). LSH proposes, exact Jaccard
     verifies; survivors are either one-per-connected-component
     (``cluster_exact``, iterative label propagation) or the greedy
     drop-higher-id-of-each-pair rule (one pass, conservative)."""
-    candidates = lsh_candidate_pairs(docs, "doc_id", "text")
+    candidates = lsh_candidate_pairs(docs, "doc_id", "text", portable=portable)
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     verified = (
         candidates.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -109,7 +118,10 @@ def near_dup_removal(
 
 
 def stage_corpus_artifacts(
-    docs: DataFrame, table_prefix: str, num_buckets: int = 16
+    docs: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 16,
+    portable: bool = False,
 ) -> dict[str, str]:
     """Pay the shingle/signature computation and the doc_id shuffle
     ONCE: per-doc shingle arrays and minhash signatures land as
@@ -121,7 +133,7 @@ def stage_corpus_artifacts(
     shingles_t, sigs_t = f"{table_prefix}_shingles", f"{table_prefix}_sigs"
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     write_bucketed(sh, shingles_t, "doc_id", num_buckets)
-    sigs = with_minhash(docs.select("doc_id", "text"), "text").drop("text")
+    sigs = with_minhash(docs.select("doc_id", "text"), "text", portable=portable).drop("text")
     write_bucketed(sigs, sigs_t, "doc_id", num_buckets)
     return {"shingles": shingles_t, "sigs": sigs_t}
 
@@ -154,7 +166,10 @@ def near_dup_removal_staged(
 
 
 def incremental_near_dup(
-    new_docs: DataFrame, tables: dict[str, str], threshold: float
+    new_docs: DataFrame,
+    tables: dict[str, str],
+    threshold: float,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW ingest batch against an already-staged corpus — the
     daily-ingest shape at 100 TB: only the new batch is shingled and
@@ -175,7 +190,9 @@ def incremental_near_dup(
     from etl_guiacores_spark.operators.similarity import band_rows
 
     spark = new_docs.sparkSession
-    new_sigs = with_minhash(new_docs.select("doc_id", "text"), "text").drop("text")
+    new_sigs = with_minhash(
+        new_docs.select("doc_id", "text"), "text", portable=portable
+    ).drop("text")
     # replay-safety: a re-delivered batch may already be IN the staged
     # tables; its own staged copies must not doom it
     old_sigs = spark.table(tables["sigs"]).join(
@@ -218,7 +235,9 @@ def incremental_near_dup(
     return survivors, verified
 
 
-def append_corpus_artifacts(new_docs: DataFrame, tables: dict[str, str]) -> None:
+def append_corpus_artifacts(
+    new_docs: DataFrame, tables: dict[str, str], portable: bool = False
+) -> None:
     """Fold an accepted batch into the staged artifacts: appended
     bucket files join the existing spec (same bucket count/key), so
     the next incremental run still reads bucket-aligned.
@@ -229,7 +248,9 @@ def append_corpus_artifacts(new_docs: DataFrame, tables: dict[str, str]) -> None
     materialize (collect/write) the survivors BEFORE appending."""
     sh = new_docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     sh.write.mode("append").format("parquet").insertInto(tables["shingles"])
-    sigs = with_minhash(new_docs.select("doc_id", "text"), "text").drop("text")
+    sigs = with_minhash(
+        new_docs.select("doc_id", "text"), "text", portable=portable
+    ).drop("text")
     sigs.write.mode("append").format("parquet").insertInto(tables["sigs"])
 
 
@@ -241,6 +262,7 @@ def streaming_corpus_ingest(
     checkpoint_dir: str,
     threshold: float = 0.8,
     schema: str = "doc_id bigint, text string",
+    portable: bool = False,
 ):
     """Continuous corpus ingest: document files land in ``input_dir``,
     each micro-batch dedups against the staged artifacts via
@@ -265,14 +287,14 @@ def streaming_corpus_ingest(
         if batch_df.isEmpty():
             return
         survivors, _ = incremental_near_dup(
-            batch_df.select("doc_id", "text"), tables, threshold
+            batch_df.select("doc_id", "text"), tables, threshold, portable=portable
         )
         rows = survivors.collect()  # ONE execution of the dedup plan
         spark_b = batch_df.sparkSession
         accepted = spark_b.createDataFrame(rows, survivors.schema)
         accepted.write.mode("overwrite").parquet(f"{accepted_dir}/batch={batch_id}")
         if rows:
-            append_corpus_artifacts(accepted, tables)
+            append_corpus_artifacts(accepted, tables, portable=portable)
 
     return (
         spark.readStream.schema(schema)
@@ -299,7 +321,10 @@ def run_corpus_pipeline(
     n_exact = exact.count()
 
     survivors, dup_pairs = near_dup_removal(
-        exact, config.near_dup_jaccard, cluster_exact=config.cluster_exact
+        exact,
+        config.near_dup_jaccard,
+        cluster_exact=config.cluster_exact,
+        portable=config.portable_hashes,
     )
     gio.write_handoff(survivors, f"{out_dir}/clean")
     n_clean = survivors.count()

@@ -930,3 +930,116 @@ def q86_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs_err",
         F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: weighted sampling without replacement (A-Res)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q87_weighted_sample",
+    """
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               -ln((CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0)
+               / LENGTH(text) AS race
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ) ORDER BY race, doc_id LIMIT 120
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-Res): each doc draws u ~ U(0,1) deterministically from its id "
+    "hash and races with exponential key -ln(u)/weight (weight = doc "
+    "length); the 120 smallest win, so selection probability tracks "
+    "weight and the chosen set is identical across engines, retries, "
+    "and partitionings. One scan + distributed top-k (per-partition "
+    "heads merged), never a global sort — the mixture-construction "
+    "sampler that replaces non-reproducible df.sample at 100 TB.",
+)
+def q87_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import weighted_sample_topk
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return weighted_sample_topk(d, "doc_id", "n_chars", 120, seed="wrs")
+
+
+# ---------------------------------------------------------------------------
+# q88: blocklist domain filtering (suffix-matched, equi-joinable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q88_blocklist_filter",
+    """
+    SELECT c_custkey, url FROM (
+        SELECT c_custkey,
+               CASE c_custkey % 4
+                 WHEN 0 THEN 'https://spam.example.com/p/' || CAST(c_custkey AS VARCHAR)
+                 WHEN 1 THEN 'https://shop.com.ar/s/' || CAST(c_custkey AS VARCHAR)
+                 WHEN 2 THEN 'http://cdn.tracker.io/x/' || CAST(c_custkey AS VARCHAR)
+                 ELSE 'https://example.com/' || CAST(c_custkey AS VARCHAR)
+               END AS url
+        FROM customer
+    )
+    WHERE c_custkey % 4 = 1
+    """,
+    doc="Crawl blocklist filtering at table scale: drop every row whose "
+    "URL host is, or is a subdomain of, a blocked registrable domain "
+    "(spam.example.com and bare example.com both match example.com; "
+    "cdn.tracker.io matches tracker.io). The operator probes the "
+    "host's last-2/last-3 labels against a broadcast blocklist as an "
+    "EQUI-join — never a contains() nested loop — so a million-entry "
+    "blocklist over 100 TB of URLs stays a hash join. The oracle "
+    "resolves each synthetic URL branch to its known verdict.",
+)
+def q88_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.joins import filter_blocked_domains
+
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    url = (
+        F.when(k % 4 == 0, F.concat(F.lit("https://spam.example.com/p/"), k.cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("https://shop.com.ar/s/"), k.cast("string")))
+        .when(k % 4 == 2, F.concat(F.lit("http://cdn.tracker.io/x/"), k.cast("string")))
+        .otherwise(F.concat(F.lit("https://example.com/"), k.cast("string")))
+    )
+    df = c.select("c_custkey", url.alias("url"))
+    blocked = spark.createDataFrame([("example.com",), ("tracker.io",)], ["domain"])
+    return filter_blocked_domains(df, blocked, "url")
+
+
+# ---------------------------------------------------------------------------
+# q89: global token offsets (scalable prefix sum)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q89_token_offsets",
+    f"""
+    SELECT doc_id,
+           CAST(LEN({_TOKS}) AS BIGINT) AS n_tok,
+           CAST(COALESCE(SUM(LEN({_TOKS}))
+                    OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS token_offset
+    FROM documents WHERE LENGTH(trim(text)) > 0
+    """,
+    doc="Corpus serialization offsets: at which global token position "
+    "does each document start when the corpus is concatenated in id "
+    "order — the index a shard-writer needs before packing. The naive "
+    "SUM() OVER (ORDER BY id) forces every row through ONE partition; "
+    "this runs the dense_ids machinery instead: range-partition on id, "
+    "partition-local running sums (parallel windows), then a broadcast "
+    "join of one-row-per-partition cumulative totals. The only "
+    "all-rows shuffle is the range repartition.",
+)
+def q89_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ordering import global_prefix_sum
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    out = global_prefix_sum(
+        d, "doc_id", "n_tok", out_col="token_offset", exclusive=True
+    )
+    return out.select("doc_id", "n_tok", "token_offset")

@@ -821,9 +821,9 @@ def q61_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(repetition_score(F.col("text")), 6).alias("rep_score"))
 
 
-@register(
-    "q62_dedup_clusters",
-    (_MINHASH_CTE
+# connected-components transitive closure over the LSH candidate graph —
+# the shared oracle base for q62 (labels) and q90 (representatives)
+_CC_REACH_CTE = (_MINHASH_CTE
     + """,
     bands AS MATERIALIZED (
         SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
@@ -852,8 +852,13 @@ def q61_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach r JOIN edges e ON e.src = r.id
         WHERE r.lbl < e.dst
     )
-    SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
-    """).replace("WITH shingled AS", "WITH RECURSIVE shingled AS"),
+    """).replace("WITH shingled AS", "WITH RECURSIVE shingled AS")
+
+
+@register(
+    "q62_dedup_clusters",
+    _CC_REACH_CTE
+    + "SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id",
     doc="Near-dup CLUSTERS via connected components: iterative min-label "
     "propagation on Spark vs a recursive-CTE transitive closure in the "
     "oracle — every doc labeled with its component's minimum id.",
@@ -868,6 +873,102 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
+    "q90_cluster_representatives",
+    _CC_REACH_CTE
+    + f""",
+    labels AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    toks AS (
+        SELECT doc_id, LEN({_TOKS}) AS n_tok
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    ranked AS (
+        SELECT l.component, t.doc_id, t.n_tok,
+               ROW_NUMBER() OVER (PARTITION BY l.component
+                                  ORDER BY t.n_tok DESC, t.doc_id) AS rn
+        FROM labels l JOIN toks t ON t.doc_id = l.id
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id
+    FROM ranked GROUP BY component
+    """,
+    doc="Dedup-cluster representative selection: label every doc with "
+    "its near-dup component (q62's CC), then keep ONE canonical doc "
+    "per cluster — the longest (most tokens, ties to lowest id) — "
+    "with member and token accounting. The per-component window is "
+    "partitioned (parallel, AQE-splittable), never global; this is "
+    "the keep-the-best-copy rule real corpus dedup applies after "
+    "clustering, where keep-lowest-id would discard the richest "
+    "variant.",
+)
+def q90_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    labels = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    toks = d.select(F.col("doc_id").alias("id"), token_count(F.col("text")).alias("n_tok"))
+    stats = labels.join(toks, "id")
+    w = Window.partitionBy("component").orderBy(F.col("n_tok").desc(), F.col("id"))
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max(F.when(F.col("rn") == 1, F.col("id"))).alias("rep_doc_id"),
+        )
+    )
+
+
+@register(
+    "q91_ngram_novelty",
+    f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               CASE WHEN LEN(toks) >= 3 THEN {_SHINGLES} ELSE [] END AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    ),
+    grams AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN grams.doc_id = firsts.first_doc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM grams JOIN firsts USING (g)
+    GROUP BY grams.doc_id
+    """,
+    doc="N-gram novelty: per document, how many of its distinct word "
+    "3-grams appear in NO earlier document (by ingest id) — the "
+    "freshness/diversity signal a curation pipeline tracks as the "
+    "corpus grows (novelty decaying to zero means new data is "
+    "redundant). One explode -> min-id per gram -> join back: both "
+    "shuffles key on the gram, map-side partial aggs apply, and at "
+    "100 TB the gram strings travel as xxhash64 keys with the same "
+    "plan shape.",
+)
+def q91_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import word_shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    grams = d.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g"))
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -45,3 +45,36 @@ def test_per_group_rate_column(spark):
     got = hash_sample(df, "k", rate)
     rows = got.collect()
     assert len(rows) == 2_000 and all(r["even"] for r in rows)
+
+
+class TestWeightedSampleTopk:
+    def test_deterministic_and_size(self, spark):
+        from etl_guiacores_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.range(1, 501).select(
+            F.col("id").alias("k"), (F.col("id") % 10 + 1).alias("w")
+        )
+        a = {r["k"] for r in weighted_sample_topk(df, "k", "w", 50).collect()}
+        b = {r["k"] for r in weighted_sample_topk(df, "k", "w", 50).collect()}
+        assert a == b and len(a) == 50
+
+    def test_weight_proportionality(self, spark):
+        from etl_guiacores_spark.operators.sampling import weighted_sample_topk
+
+        # two strata, weight 10 vs 1: the heavy stratum must dominate
+        df = spark.range(1, 2001).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") <= 1000, 10).otherwise(1).alias("w"),
+        )
+        got = weighted_sample_topk(df, "k", "w", 200).collect()
+        heavy = sum(1 for r in got if r["k"] <= 1000)
+        assert heavy > 150  # E[heavy] ~ 183 of 200; far above parity
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from etl_guiacores_spark.operators.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], ["k", "w"]
+        )
+        got = {r["k"] for r in weighted_sample_topk(df, "k", "w", 10).collect()}
+        assert got == {1}

@@ -61,3 +61,43 @@ def test_write_zordered_disjoint_file_ranges(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in ranges)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file z-ranges overlap: stats cannot prune"
+
+
+class TestGlobalPrefixSum:
+    def test_matches_window_semantics(self, spark):
+        from etl_guiacores_spark.operators.ordering import global_prefix_sum
+
+        df = spark.range(1, 301).select(
+            F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+        )
+        got = {
+            r["k"]: (r["incl"], r["excl"])
+            for r in global_prefix_sum(df, "k", "v", out_col="incl")
+            .join(
+                global_prefix_sum(df, "k", "v", out_col="excl", exclusive=True)
+                .select("k", "excl"),
+                "k",
+            )
+            .collect()
+        }
+        run = 0
+        for k in range(1, 301):
+            v = (k % 7) + 1
+            assert got[k] == (run + v, run)
+            run += v
+
+    def test_no_single_partition_window(self, spark):
+        from etl_guiacores_spark.operators.ordering import global_prefix_sum
+
+        df = spark.range(1, 1001).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        plan = (
+            global_prefix_sum(df, "k", "v")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # every window must be keyed (__pid or one-row offsets), never
+        # an unpartitioned window over the full data
+        import re
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan.lower()):
+            assert "__pid" in m.group(1) or "sortorder" not in m.group(1)

@@ -36,6 +36,8 @@ _FIRST = [
     "q89_token_offsets",
     "q90_cluster_representatives",
     "q91_ngram_novelty",
+    "q92_semantic_dup_groups",
+    "q93_dup_graph_degree",
     "q66_sequence_packing",
     "q04_resume_anti_join",
     "q74_bigram_lm_score",

@@ -971,6 +971,103 @@ def q91_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q92_semantic_dup_groups",
+    """
+    WITH coded AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) / nrm * 2) AS BIGINT)) AS code
+        FROM (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ) WHERE nrm > 0
+    ),
+    groups AS (
+        SELECT code, MIN(vec_id) AS group_rep, COUNT(*) AS group_size
+        FROM coded GROUP BY code HAVING COUNT(*) > 1
+    )
+    SELECT coded.vec_id, groups.group_rep, groups.group_size
+    FROM coded JOIN groups ON coded.code = groups.code
+    """,
+    doc="Cheap semantic-dup pass: L2-normalize each embedding, quantize "
+    "every dimension to 5 levels (round(x/||x|| * 2)), and exact-group "
+    "on the code vector — direction-near-identical vectors collide, "
+    "and the whole pass is ONE scan + one groupBy on a 64-byte key "
+    "(no pair join, no index). This is the pre-filter a semantic "
+    "dedup pipeline runs before the expensive ANN pass at 100 TB; "
+    "members of multi-vector groups come back with their group "
+    "representative and size.",
+)
+def q92_semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: xd(x) * xd(x)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    staged = e.select("vec_id", "embedding", nrm.alias("nrm")).filter(F.col("nrm") > 0)
+    code = F.transform(
+        F.col("embedding"), lambda x: F.round(xd(x) / F.col("nrm") * 2, 0).cast("long")
+    )
+    coded = staged.select("vec_id", code.alias("code"))
+    groups = (
+        coded.groupBy("code")
+        .agg(F.min("vec_id").alias("group_rep"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+    return coded.join(groups, "code").select("vec_id", "group_rep", "group_size")
+
+
+@register(
+    "q93_dup_graph_degree",
+    _MINHASH_CTE
+    + """,
+    bands AS (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+        ) GROUP BY id
+    )
+    SELECT s.doc_id, CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+    FROM shingled s LEFT JOIN deg d ON d.id = s.doc_id
+    """,
+    doc="Near-dup graph degree accounting: how many LSH candidate "
+    "partners each document has (0 for unique docs) — the skew "
+    "diagnostic run BEFORE clustering, because a handful of "
+    "template-like docs with degree in the thousands is exactly what "
+    "blows up pair joins and what a posting-cap/AQE-skew plan must "
+    "absorb. Shuffles move (id, 1) pairs only.",
+)
+def q93_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return docs.select("doc_id").join(deg, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2: driver-checked entries for the formerly pytest-only operators
 # (IVF ANN, quantization, multimodal decode, sequence packing)

@@ -38,6 +38,8 @@ _FIRST = [
     "q91_ngram_novelty",
     "q92_semantic_dup_groups",
     "q93_dup_graph_degree",
+    "q94_mixture_rebalance",
+    "q95_shard_manifest",
     "q66_sequence_packing",
     "q04_resume_anti_join",
     "q74_bigram_lm_score",

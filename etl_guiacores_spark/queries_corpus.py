@@ -1043,3 +1043,126 @@ def q89_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "n_tok", out_col="token_offset", exclusive=True
     )
     return out.select("doc_id", "n_tok", "token_offset")
+
+
+# ---------------------------------------------------------------------------
+# q94: mixture rebalancing (accounting -> keep rates -> hash thinning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q94_mixture_rebalance",
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, source, LEN({_TOKS}) AS n_tok
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    agg AS (
+        SELECT source, SUM(n_tok) AS src_tokens FROM per_doc GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(src_tokens) AS total, COUNT(*) AS n_sources FROM agg
+    ),
+    rates AS (
+        SELECT source,
+               LEAST(1.0, (CAST(total AS DOUBLE) / n_sources)
+                          / CAST(src_tokens AS DOUBLE)) AS keep_rate
+        FROM agg, tot
+    )
+    SELECT p.source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens_kept
+    FROM per_doc p JOIN rates r ON p.source = r.source
+    WHERE CAST(('0x' || substr(md5('rebal:' || CAST(p.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+          < CAST(FLOOR(r.keep_rate * 4294967296.0) AS BIGINT)
+    GROUP BY p.source
+    """,
+    doc="Mixture rebalancing end-to-end: per-source token accounting "
+    "(the q58 leg) derives a keep rate capping every source at the "
+    "uniform token target, then deterministic hash thinning (the q67 "
+    "leg, per-row rate column) applies it — the close-the-loop "
+    "operation that turns mixture ACCOUNTING into an actual "
+    "rebalanced corpus. Rates travel as a broadcast n_sources-row "
+    "table; the filter is scan-speed; keep decisions are stable "
+    "across engines, retries, and partitionings. Rate arithmetic "
+    "stays in +,*,/,floor (IEEE-exact) so both engines compute the "
+    "identical integer threshold.",
+)
+def q94_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    agg = per_doc.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    tot = agg.agg(
+        F.sum("src_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("n_sources"))
+            / F.col("src_tokens").cast("double"),
+        ).alias("keep_rate"),
+    )
+    kept = hash_sample(
+        per_doc.join(F.broadcast(rates), "source"),
+        "doc_id",
+        F.col("keep_rate"),
+        seed="rebal",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"), F.sum("n_tok").alias("n_tokens_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95: shard manifest (token offsets -> shard assignment -> manifest)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q95_shard_manifest",
+    f"""
+    WITH offs AS (
+        SELECT doc_id,
+               LEN({_TOKS}) AS n_tok,
+               COALESCE(SUM(LEN({_TOKS}))
+                    OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS off
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    )
+    SELECT CAST(off // 2000 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM offs GROUP BY shard_id
+    """,
+    doc="Shard-writer manifest: serialize the corpus in id order, cut "
+    "~50k-token shards at document boundaries (shard = token_offset "
+    "div 50000), and emit each shard's doc/token accounting and id "
+    "range. Built on the scalable prefix sum (q89's operator — no "
+    "single-partition window); the manifest is what a downstream "
+    "trainer reads to locate and size its input files. Pure integer "
+    "arithmetic end to end.",
+)
+def q95_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ordering import global_prefix_sum
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    offs = global_prefix_sum(d, "doc_id", "n_tok", out_col="off", exclusive=True)
+    return (
+        offs.withColumn("shard_id", F.expr("off div 2000"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -39,6 +39,8 @@ SCALAR_CROSS = {
     "q58_source_mixture",
     # 1-row distinct-doc-count aggregate joined onto 1-row stats
     "q66b_packing_invariants",
+    # 1-row corpus-total aggregate feeding the per-source keep rates
+    "q94_mixture_rebalance",
 }
 
 

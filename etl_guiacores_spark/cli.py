@@ -134,6 +134,7 @@ def cmd_corpus(spark, args) -> dict:
         min_quality=args.min_quality,
         near_dup_jaccard=args.jaccard,
         cluster_exact=args.cluster_exact,
+        portable_hashes=args.portable_hashes,
         chunk_tokens=args.chunk_tokens,
     )
     return run_corpus_pipeline(docs, args.out, cfg)
@@ -182,6 +183,12 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--min-quality", type=float, default=0.5)
     k.add_argument("--jaccard", type=float, default=0.8)
     k.add_argument("--cluster-exact", action="store_true")
+    k.add_argument(
+        "--portable-hashes",
+        action="store_true",
+        help="md5 signature family (engine-portable, ~3x slower) instead "
+        "of the native xxhash64 default",
+    )
     k.add_argument("--chunk-tokens", type=int, default=64)
 
     return p

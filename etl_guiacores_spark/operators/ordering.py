@@ -36,27 +36,18 @@ def dense_ids(
     since ranges are contiguous in key order, local rank + preceding
     partition sizes is exactly the global rank regardless of how the
     sampler placed the boundaries.
+
+    A dense id IS the inclusive global prefix sum of the constant 1,
+    so this delegates to :func:`global_prefix_sum` — one copy of the
+    range-partition/local-window/broadcast-offset machinery.
     """
-    if num_partitions is None:
-        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    d = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    local = d.withColumn(
-        "__local",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(order_col)),
-    )
-    sizes = local.groupBy("__pid").agg(F.count("*").alias("__n"))
-    # one row per partition: a driver-free running sum over ~num_partitions rows
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(id_name, (F.col("__off") + F.col("__local")).cast("long"))
-        .drop("__pid", "__local", "__off")
-    )
+    return global_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        order_col,
+        "__one",
+        out_col=id_name,
+        num_partitions=num_partitions,
+    ).drop("__one")
 
 
 def global_prefix_sum(

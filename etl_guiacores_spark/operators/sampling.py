@@ -58,6 +58,17 @@ def weighted_sample_topk(
     sort). Deterministic per key like :func:`hash_sample`: retries,
     backfills, and other engines agree on the selected set. Weights
     must be > 0; rows with NULL/non-positive weight are dropped.
+
+    Cross-engine determinism caveat (accepted, unlike the integer-only
+    hash_sample/hash_split): ``ln`` is a transcendental, so two
+    engines' race values can differ in the last ulp (~1e-16 relative).
+    The selected SET flips only if two keys' races are that close AND
+    straddle rank k — expected minimum gap near the cutoff is ~1/n^2
+    of the race range (~1e-8 even at n=1e5), eight orders of magnitude
+    wider; verified hash-identical against DuckDB at sf0.001/0.01/0.1.
+    Exact-integer A-Res does not exist (the race order has no
+    monotone integer transform), so this residual risk is inherent to
+    weighted sampling without replacement.
     """
     u = (
         uniform_hash_u32(F.col(key_col), seed).cast("double") + F.lit(0.5)

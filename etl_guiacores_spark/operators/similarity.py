@@ -29,8 +29,12 @@ from pyspark.sql import functions as F
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 
-from etl_guiacores_spark.sources.tables import spread_narrow_input  # noqa: E402 — re-export; lives at the scan layer
-
+# NOTE on input parallelism: the signature/shingle operators do NOT
+# probe or repartition their input — scan parallelism is the scan
+# layer's concern. Tables loaded via sources.tables.load_table arrive
+# pre-spread (spread_narrow_input, memoized per table); pipeline entry
+# points that read arbitrary parquet (run_corpus_pipeline, the CLI)
+# spread once at ingest.
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the text; fewer than n tokens -> empty.
@@ -146,8 +150,7 @@ def lsh_candidate_pairs(
     re-hashing the corpus twice (at production scale this is a
     materialized signature table; AQE's skew-join splits hot bands).
     """
-    src = spread_narrow_input(df.select(id_col, text_col), id_col)
-    sigs = with_minhash(src, text_col, num_hashes, n, portable=portable)
+    sigs = with_minhash(df.select(id_col, text_col), text_col, num_hashes, n, portable=portable)
     return lsh_candidate_pairs_from_sigs(sigs, id_col, num_hashes)
 
 
@@ -226,8 +229,7 @@ def staged_minhash_shingles(
     long multi-query sessions should reclaim explicitly."""
     return (
         with_minhash(
-            spread_narrow_input(df.select(id_col, text_col), id_col),
-            text_col, num_hashes, n,
+            df.select(id_col, text_col), text_col, num_hashes, n,
             shingle_col="shingles",
         )
         .drop(text_col)

@@ -28,11 +28,14 @@ def event_micros(df: DataFrame, time_col: str) -> Column:
     For TIMESTAMP (an instant) this is plain ``unix_micros``. For
     TIMESTAMP_NTZ a ``cast('timestamp')`` would route the wall-clock
     value through the SESSION timezone — non-injective across DST
-    fall-back transitions (two wall times map to one instant), which
-    would silently merge band buckets and reorder as-of rows under a
-    non-UTC session. Instead NTZ values are measured as wall-clock
-    microseconds since the NTZ epoch (``timestamp_diff``), which never
-    consults a timezone. DATE/STRING inputs take the cast path.
+    transitions (spring-forward wall times collapse onto one
+    instant), which would silently merge band buckets and reorder
+    as-of rows under a non-UTC session. Instead NTZ values are
+    measured as wall-clock microseconds by pure FIELD EXTRACTION
+    (date/hour/minute/fractional second), which never consults a
+    timezone — even ``timestamp_diff`` won't do: it normalizes
+    nonexistent spring-forward wall times through the session zone.
+    DATE/STRING inputs take the cast path.
     """
     dt = df.schema[time_col].dataType
     if isinstance(dt, T.TimestampNTZType):

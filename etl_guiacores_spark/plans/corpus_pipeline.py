@@ -309,7 +309,12 @@ def streaming_corpus_ingest(
 def run_corpus_pipeline(
     docs: DataFrame, out_dir: str, config: CorpusConfig | None = None
 ) -> dict:
+    from etl_guiacores_spark.sources.tables import spread_narrow_input
+
     config = config or CorpusConfig()
+    # spread once at ingest: a few-row-group parquet input would
+    # otherwise serialize every per-row stage (shingle, hash, score)
+    docs = spread_narrow_input(docs, "doc_id")
     docs = docs.filter(F.length(F.trim("text")) > 0)
     n_raw = docs.count()
 

@@ -1142,8 +1142,9 @@ def q94_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM offs GROUP BY shard_id
     """,
     doc="Shard-writer manifest: serialize the corpus in id order, cut "
-    "~50k-token shards at document boundaries (shard = token_offset "
-    "div 50000), and emit each shard's doc/token accounting and id "
+    "fixed-token-budget shards at document boundaries (shard = "
+    "token_offset div budget; 2000 tokens here so the small fixtures "
+    "produce a real manifest), and emit each shard's accounting and id "
     "range. Built on the scalable prefix sum (q89's operator — no "
     "single-partition window); the manifest is what a downstream "
     "trainer reads to locate and size its input files. Pure integer "

@@ -34,13 +34,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: vector math) — worth spreading when the scan itself can't parallelize
 _SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
-#: (sf_dir, table) -> bool; the partition-count probe costs a
-#: driver-side plan->RDD conversion, so decide once per table per
-#: session, not once per query
-_SPREAD_DECISION: dict[tuple[str, str], bool] = {}
+#: memo key -> bool; the partition-count probe costs a driver-side
+#: plan->RDD conversion, so callers with a stable identity (table +
+#: sf_dir + cluster parallelism) decide once per session, not once
+#: per query. Parallelism is part of the key so a later session with
+#: different cores in the same process re-probes.
+_SPREAD_DECISION: dict[tuple, bool] = {}
 
 
-def spread_narrow_input(df: DataFrame, key_col: str) -> DataFrame:
+def spread_narrow_input(
+    df: DataFrame, key_col: str, memo_key: tuple | None = None
+) -> DataFrame:
     """Hash-repartition ``df`` on ``key_col`` IF its scan parallelism
     is below the cluster's, else pass through untouched.
 
@@ -54,9 +58,20 @@ def spread_narrow_input(df: DataFrame, key_col: str) -> DataFrame:
     false and no shuffle is added. Catalyst pushes filters and column
     pruning through RepartitionByExpression, so scan pushdown is
     unaffected.
+
+    ``memo_key``: stable identity of the input (e.g. (sf_dir, table));
+    when given, the probe result is cached for the session under
+    (memo_key, cluster parallelism).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    full_key = (memo_key, target) if memo_key is not None else None
+    if full_key is not None and full_key in _SPREAD_DECISION:
+        narrow = _SPREAD_DECISION[full_key]
+    else:
+        narrow = df.rdd.getNumPartitions() < target
+        if full_key is not None:
+            _SPREAD_DECISION[full_key] = narrow
+    if narrow:
         return df.repartition(target, F.col(key_col))
     return df
 
@@ -78,12 +93,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     key = _SPREAD_KEYS.get(name)
     if key is not None and key in df.columns:
-        memo = (sf_dir, name)
-        if memo not in _SPREAD_DECISION:
-            target = spark.sparkContext.defaultParallelism
-            _SPREAD_DECISION[memo] = df.rdd.getNumPartitions() < target
-        if _SPREAD_DECISION[memo]:
-            df = df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+        df = spread_narrow_input(df, key, memo_key=(sf_dir, name))
     return df
 
 

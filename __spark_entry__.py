@@ -40,6 +40,7 @@ _FIRST = [
     "q93_dup_graph_degree",
     "q94_mixture_rebalance",
     "q95_shard_manifest",
+    "q96_source_overlap_matrix",
     "q74_bigram_lm_score",
     "q50_corpus_dedup_survivors",
     "q62_dedup_clusters",

@@ -1068,6 +1068,54 @@ def q93_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q96_source_overlap_matrix",
+    _MINHASH_CTE
+    + """,
+    bands AS (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.id_a
+    JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY source_a, source_b
+    """,
+    doc="Cross-source near-dup overlap matrix: LSH candidate pairs "
+    "joined to both endpoints' sources, counted per unordered source "
+    "pair — the mirror/syndication detector that tells a mixture "
+    "builder which sources copy from each other (diagonal = "
+    "within-source redundancy). The source joins move (id, source) "
+    "pairs only; the matrix is |sources|^2 rows regardless of corpus "
+    "size.",
+)
+def q96_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    pairs = lsh_candidate_pairs(d.select("doc_id", "text"), "doc_id", "text")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2: driver-checked entries for the formerly pytest-only operators
 # (IVF ANN, quantization, multimodal decode, sequence packing)

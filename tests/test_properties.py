@@ -98,3 +98,57 @@ def test_split_address_round_trip(spark, pairs):
     for (d, l), row in zip(pairs, got):
         assert row["d"] == d
         assert row["l"] == l
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10_000), st.integers(1, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+def test_prefix_sum_conservation_and_partition_invariance(spark, rows, parts):
+    """global_prefix_sum: the max inclusive total equals the plain SUM,
+    offsets are a permutation-free function of (order, value) — the
+    same result at any partition count."""
+    from etl_guiacores_spark.operators.ordering import global_prefix_sum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["run"]
+        for r in global_prefix_sum(
+            df, "k", "v", out_col="run", num_partitions=parts
+        ).collect()
+    }
+    run = 0
+    for k, v in sorted(rows):
+        run += v
+        assert got[k] == run
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 100_000), st.integers(1, 100)),
+        min_size=5,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+def test_weighted_sample_partition_invariant(spark, rows, parts):
+    """A-Res selection is a pure function of (key, seed, weight):
+    repartitioning the input must not change the selected set."""
+    from etl_guiacores_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(rows, "k long, w long")
+    k = max(1, len(rows) // 2)
+    a = {r["k"] for r in weighted_sample_topk(df, "k", "w", k).collect()}
+    b = {
+        r["k"]
+        for r in weighted_sample_topk(df.repartition(parts), "k", "w", k).collect()
+    }
+    assert a == b and len(a) == min(k, len(rows))

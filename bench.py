@@ -53,13 +53,18 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # key order matters for artifact robustness: the driver records the
+    # TAIL of stdout, so the per-query dict goes first and the headline
+    # metric/value/sf land at the end of the line where truncation
+    # can't eat them (round 2's artifact lost the head of the line)
     print(
         json.dumps(
             {
+                "queries": timings,
+                "n_queries": len(timings),
                 "metric": "query_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
             }
         )

@@ -2,7 +2,10 @@
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line with keys, in order: {"queries", "n_queries", "metric",
+"value", "unit", "sf"} — the big per-query dict first so the headline
+stats sit at the END of the line, where a tail-capturing artifact
+recorder cannot truncate them away.
 
 Per-query timing forces the full plan with a count-style action that
 avoids driver-side materialization cost (the driver's correctness run

@@ -1024,10 +1024,11 @@ def q92_semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.join(groups, "code").select("vec_id", "group_rep", "group_size")
 
 
-@register(
-    "q93_dup_graph_degree",
-    _MINHASH_CTE
-    + """,
+# banding + candidate pairs over _MINHASH_CTE's sigs — the SQL twin of
+# similarity.band_rows + lsh_candidate_pairs_from_sigs, shared by
+# q93/q96 (q62's _CC_REACH_CTE keeps its own MATERIALIZED variant: the
+# hint is load-bearing for the recursive closure's fixed cost)
+_BANDS_PAIRS_CTE = """,
     bands AS (
         SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
         UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
@@ -1037,7 +1038,15 @@ def q92_semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-    ),
+    )
+"""
+
+
+@register(
+    "q93_dup_graph_degree",
+    _MINHASH_CTE
+    + _BANDS_PAIRS_CTE
+    + """,
     deg AS (
         SELECT id, COUNT(*) AS degree FROM (
             SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
@@ -1071,17 +1080,8 @@ def q93_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q96_source_overlap_matrix",
     _MINHASH_CTE
-    + """,
-    bands AS (
-        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
-        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
-        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
-        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-    )
+    + _BANDS_PAIRS_CTE
+    + """
     SELECT LEAST(da.source, db.source) AS source_a,
            GREATEST(da.source, db.source) AS source_b,
            COUNT(*) AS n_pairs

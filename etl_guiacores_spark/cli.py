@@ -25,13 +25,26 @@ from pyspark.sql import functions as F
 
 def _progress_cb(args):
     """--progress: one JSON line per pipeline stage on stderr (stdout
-    stays reserved for the result envelope). The engine twin of the
-    reference's Streamlit progress hook (reference: streamlit_app.py:66-81)."""
-    if not getattr(args, "progress", False):
+    stays reserved for the result envelope). --serve-port N
+    additionally serves a live HTML/JSON progress board (ui.py — the
+    engine twin of the reference's Streamlit panel,
+    reference: streamlit_app.py:66-81). Both sinks share one callback."""
+    sinks = []
+    if getattr(args, "progress", False):
+        sinks.append(
+            lambda stage, info: print(
+                json.dumps({"stage": stage, **info}, default=str), file=sys.stderr
+            )
+        )
+    board = getattr(args, "_progress_board", None)
+    if board is not None:
+        sinks.append(board.callback)
+    if not sinks:
         return None
 
     def emit(stage: str, info: dict) -> None:
-        print(json.dumps({"stage": stage, **info}, default=str), file=sys.stderr)
+        for sink in sinks:
+            sink(stage, info)
 
     return emit
 
@@ -155,6 +168,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="data/out", help="pipeline output root")
     p.add_argument("--progress", action="store_true",
                    help="emit one JSON progress line per stage on stderr")
+    p.add_argument("--serve-port", type=int, default=None,
+                   help="serve a live HTML/JSON progress board on this "
+                   "port for the duration of the run (0 = pick a free "
+                   "port; URL printed to stderr)")
     p.add_argument("--transport", choices=["fake", "requests"], default="fake")
     p.add_argument("--retries", type=int, default=3)
     p.add_argument("--partitions", type=int, default=None)
@@ -201,6 +218,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
         spark = get_spark(app_name=f"etl-guiacores-{args.mode}")
         spark.sparkContext.setLogLevel("ERROR")
+    server = None
+    if getattr(args, "serve_port", None) is not None:
+        from etl_guiacores_spark.ui import ProgressBoard, start_server
+
+        board = ProgressBoard()
+        args._progress_board = board
+        server = start_server(board, port=args.serve_port)
+        print(
+            f"progress board: http://127.0.0.1:{server.server_address[1]}/",
+            file=sys.stderr,
+        )
     handler = {
         "bulk": cmd_bulk,
         "manual": cmd_manual,
@@ -208,7 +236,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "clean": cmd_clean,
         "corpus": cmd_corpus,
     }[args.mode]
-    result = handler(spark, args)
+    try:
+        result = handler(spark, args)
+    finally:
+        if server is not None:
+            server.shutdown()
     print(json.dumps(result, default=str))
     return result
 

@@ -41,6 +41,8 @@ _FIRST = [
     "q94_mixture_rebalance",
     "q95_shard_manifest",
     "q96_source_overlap_matrix",
+    "q97_label_centroid_cosine",
+    "q98_zipf_slope",
     "q74_bigram_lm_score",
     "q50_corpus_dedup_survivors",
     "q62_dedup_clusters",

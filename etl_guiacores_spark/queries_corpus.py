@@ -1167,3 +1167,118 @@ def q95_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q97: embedding class-separation audit (per-label centroid cosines)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q97_label_centroid_cosine",
+    """
+    WITH ex AS (
+        SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+    ),
+    cent AS (
+        SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.c * b.c)
+                 / (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))), 6)
+               AS centroid_cosine
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Embedding class-separation audit: per-label centroid (element-"
+    "wise mean via posexplode + groupBy — two shuffles moving (label, "
+    "dim, value) triples, never whole vectors twice) and the cosine "
+    "between every label pair. High off-diagonal cosines mean the "
+    "label classes are not separable in embedding space — the check "
+    "run before trusting kNN auto-labeling (q84) or class-balanced "
+    "sampling. Output is |labels|^2 rows regardless of corpus size; "
+    "sims rounded to 6 digits on both engines (the q63 discipline).",
+)
+def q97_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                6,
+            ).alias("centroid_cosine")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98: Zipf slope (corpus naturalness diagnostic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q98_zipf_slope",
+    f"""
+    WITH counts AS (
+        SELECT tok, COUNT(*) AS n FROM (
+            SELECT unnest({_TOKS}) AS tok FROM documents
+            WHERE LENGTH(trim(text)) > 0
+        ) GROUP BY tok
+    ),
+    ranked AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS lx,
+               ln(CAST(n AS DOUBLE)) AS ly
+        FROM counts
+    )
+    SELECT COUNT(*) AS n_tokens,
+           ROUND((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+                 / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)), 4)
+               AS zipf_slope
+    FROM ranked
+    """,
+    doc="Zipf-slope corpus naturalness check: least-squares slope of "
+    "ln(frequency) vs ln(rank) over the vocabulary — natural language "
+    "sits near -1; templated/synthetic text is much flatter, and a "
+    "drifting slope across ingest batches flags a corrupted source. "
+    "One tokenize scan + one token-keyed groupBy; the regression "
+    "itself runs over the REDUCED vocabulary (the window and sums "
+    "touch one row per distinct token, not per occurrence). Ranks are "
+    "tie-broken lexicographically and the slope rounded to 4 digits "
+    "so both engines agree.",
+)
+def q98_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    # vocabulary-sized window (one row per distinct token) — tiny
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    n = F.count("*")
+    slope = (n * F.sum(F.col("lx") * F.col("ly")) - F.sum("lx") * F.sum("ly")) / (
+        n * F.sum(F.col("lx") * F.col("lx")) - F.sum("lx") * F.sum("lx")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_tokens"), F.round(slope, 4).alias("zipf_slope")
+    )

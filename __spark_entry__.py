@@ -43,6 +43,8 @@ _FIRST = [
     "q96_source_overlap_matrix",
     "q97_label_centroid_cosine",
     "q98_zipf_slope",
+    "q99_funnel",
+    "q100_cohort_retention",
     "q74_bigram_lm_score",
     "q50_corpus_dedup_survivors",
     "q62_dedup_clusters",

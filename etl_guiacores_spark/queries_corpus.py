@@ -1282,3 +1282,122 @@ def q98_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").alias("n_tokens"), F.round(slope, 4).alias("zipf_slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99: strict-order conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q99_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 'click', COUNT(*) FROM c
+    UNION ALL SELECT 'purchase', COUNT(*) FROM p
+    """,
+    doc="Strict-order conversion funnel: users whose first view "
+    "precedes a click that precedes a purchase — each stage keeps the "
+    "FIRST qualifying event and the next stage requires a strictly "
+    "later one, so out-of-order events never count. Three keyed "
+    "aggregations + two user-keyed joins (user_id is the shuffle key "
+    "throughout, so a co-partitioned layout runs it exchange-free); "
+    "output is one row per stage regardless of event volume.",
+)
+def q99_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    stage = lambda df, name: df.agg(F.count("*").alias("n_users")).select(
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return stage(v, "view").unionAll(stage(c, "click")).unionAll(
+        stage(p, "purchase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100: weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q100_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention: users grouped by the ISO week of "
+    "their first event, counted once per later week they were active "
+    "— the (cohort, week-offset) retention matrix every product "
+    "analytics stack computes. Two user-keyed aggregations and one "
+    "user-keyed join; week arithmetic stays in integer day-diffs "
+    "(floor division by 7) so both engines bucket identically. "
+    "Output is bounded by cohorts x observed weeks, not event volume.",
+)
+def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.withColumn(
+            "week_offset",
+            F.expr("datediff(activity_week, cohort_week) div 7").cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )

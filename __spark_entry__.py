@@ -45,6 +45,7 @@ _FIRST = [
     "q98_zipf_slope",
     "q99_funnel",
     "q100_cohort_retention",
+    "q101_pagerank_neardup",
     "q74_bigram_lm_score",
     "q50_corpus_dedup_survivors",
     "q62_dedup_clusters",

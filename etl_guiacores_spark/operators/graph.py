@@ -158,6 +158,90 @@ def connected_components(
     return labels
 
 
+#: fixed-point scale for integer PageRank: ranks are stored as
+#: rank * 1e12, so 5 iterations of floor division lose at most a few
+#: trailing units — and every engine computes the IDENTICAL integers
+PAGERANK_SCALE = 1_000_000_000_000
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank: ``(id, rank_scaled)`` after a fixed
+    number of power iterations over the UNDIRECTED graph (each input
+    edge contributes both directions).
+
+    All arithmetic is scaled-integer (``PAGERANK_SCALE`` fixed point,
+    damping as an integer percentage, floor division at every step),
+    so the result is a deterministic function of the graph — bit-equal
+    across engines, retries, and partitionings, with none of the
+    float-accumulation-order drift a double implementation has. The
+    deliberate trade: each floor drops < 1 unit of 1e-12, irrelevant
+    against ranking at any scale.
+
+    Engine shape per iteration: one join (ranks onto out-edges) + one
+    groupBy (sum contributions by destination) + one left join back
+    onto the node set — all keyed on the node id, the same shuffle key
+    throughout, so a co-partitioned layout runs the loop exchange-free.
+    Dangling mass is dropped (the simple variant), identically on both
+    engines. Lineage is truncated per round like connected_components.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).distinct().persist()
+
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    out_edges = sym.join(deg, "src").persist()
+    sym.unpersist()
+
+    n_nodes = nodes.select(F.col(id_col).alias("id")).distinct().persist()
+    total = n_nodes.agg(F.count("*").alias("__n"))
+    base_expr = (
+        f"(CAST({PAGERANK_SCALE} AS BIGINT) * {100 - damping_pct})"
+        f" div 100 div __n"
+    )
+
+    ranks = n_nodes.crossJoin(F.broadcast(total)).select(
+        "id", F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div __n").alias("r"),
+        F.col("__n"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            out_edges.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("__in"))
+        )
+        # eager truncation: each round materializes (reading the cached
+        # edge table), so the final plan reads round-N blocks instead of
+        # an N-deep lineage that would re-execute the edge join per round
+        ranks = (
+            n_nodes.crossJoin(F.broadcast(total))
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"{base_expr} + ({damping_pct} * COALESCE(__in, CAST(0 AS BIGINT)))"
+                    " div 100"
+                ).alias("r"),
+                F.col("__n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select("id", F.col("r").alias("rank_scaled"))
+    out_edges.unpersist()
+    n_nodes.unpersist()
+    return out
+
+
 def _local_union_find(labels: DataFrame, sym: DataFrame) -> DataFrame:
     """Driver-side union-find over a SMALL edge list; the label map
     (only edge-touched nodes, ≤ 2|E| entries) broadcast-joins back

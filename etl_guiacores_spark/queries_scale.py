@@ -1116,6 +1116,68 @@ def q96_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled power-iteration CTE chain (pr0..prN): integer-exact
+    PageRank needs no recursion tricks — a FIXED iteration count
+    unrolls into N chained CTEs doing the same scaled-integer floor
+    arithmetic as operators/graph.py::pagerank_int, so both engines
+    compute identical BIGINTs."""
+    parts = [
+        _MINHASH_CTE,
+        _BANDS_PAIRS_CTE,
+        """,
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM shingled),
+    pr0 AS (SELECT doc_id AS id, CAST(1000000000000 // n AS BIGINT) AS r
+            FROM shingled, nn)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+    pr{k} AS (
+        SELECT s.doc_id AS id,
+               CAST((1000000000000 * 15) // 100 // nn.n
+                    + (85 * COALESCE(c.x, 0)) // 100 AS BIGINT) AS r
+        FROM shingled s
+        LEFT JOIN (
+            SELECT e.dst, SUM(p.r // d.deg) AS x
+            FROM pr{k - 1} p JOIN e ON e.src = p.id JOIN deg d ON d.src = p.id
+            GROUP BY e.dst
+        ) c ON c.dst = s.doc_id, nn
+    )""")
+    parts.append(
+        f"\n    SELECT id AS doc_id, r AS rank_scaled FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "q101_pagerank_neardup",
+    _pagerank_oracle(5),
+    doc="Integer-exact PageRank (5 power iterations, damping 0.85) over "
+    "the undirected LSH near-dup graph: high-rank documents sit at the "
+    "center of duplication clusters — the centrality signal that picks "
+    "canonical documents and finds template hubs. All arithmetic is "
+    "1e-12 fixed point with floor division (damping as an integer "
+    "percentage), so Spark's iterative loop and the oracle's unrolled "
+    "CTE chain produce bit-identical BIGINTs — no float accumulation "
+    "drift. Per iteration: one id-keyed join + groupBy + join back, "
+    "lineage truncated per round; the edge table is computed once and "
+    "cached.",
+)
+def q101_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.graph import pagerank_int
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    ranks = pagerank_int(
+        docs.select("doc_id"), pairs, id_col="doc_id", iterations=5
+    )
+    return ranks.select(F.col("id").alias("doc_id"), "rank_scaled")
+
+
 # ---------------------------------------------------------------------------
 # Round 2: driver-checked entries for the formerly pytest-only operators
 # (IVF ANN, quantization, multimodal decode, sequence packing)

@@ -129,3 +129,20 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
     walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert walked, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_pagerank_int_star_center_ranks_highest(spark):
+    """Star graph: the hub must out-rank every leaf; isolated nodes get
+    base rank only; totals are deterministic integers."""
+    from etl_guiacores_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["id_a", "id_b"])
+    got = {r["id"]: r["rank_scaled"] for r in pagerank_int(nodes, edges).collect()}
+    hub, leaves, isolated = got[0], [got[i] for i in range(1, 6)], got[6]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves rank equally
+    assert all(l > isolated for l in leaves)
+    # re-run: bit-identical (pure integer arithmetic)
+    again = {r["id"]: r["rank_scaled"] for r in pagerank_int(nodes, edges).collect()}
+    assert again == got

@@ -46,6 +46,7 @@ _FIRST = [
     "q99_funnel",
     "q100_cohort_retention",
     "q101_pagerank_neardup",
+    "q102_rank_windows",
     "q74_bigram_lm_score",
     "q50_corpus_dedup_survivors",
     "q62_dedup_clusters",

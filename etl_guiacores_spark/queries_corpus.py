@@ -1401,3 +1401,46 @@ def q100_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q102: ranking-window breadth (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q102_rank_windows",
+    """
+    SELECT doc_id, source,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           LAG(doc_id) OVER w AS prev_doc,
+           LEAD(doc_id) OVER w AS next_doc
+    FROM (
+        SELECT doc_id, source, LENGTH(text) AS n_chars FROM documents
+        WHERE LENGTH(trim(text)) > 0
+    )
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """,
+    doc="Ranking-window surface in one query: per-source quartile "
+    "(NTILE), PERCENT_RANK, CUME_DIST, and LAG/LEAD neighbors over a "
+    "deterministic (n_chars, doc_id) ordering — the remaining window "
+    "functions q38/q51's frame queries don't exercise. Every window "
+    "is PARTITIONED by source (parallel, never global); the ordering "
+    "key is unique so ranks are tie-free and engine-identical, and "
+    "the rank ratios are exact rationals both engines round alike.",
+)
+def q102_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("doc_id").over(w).alias("prev_doc"),
+        F.lead("doc_id").over(w).alias("next_doc"),
+    )

@@ -47,9 +47,6 @@ _FIRST = [
     "q100_cohort_retention",
     "q101_pagerank_neardup",
     "q102_rank_windows",
-    "q74_bigram_lm_score",
-    "q50_corpus_dedup_survivors",
-    "q62_dedup_clusters",
     # last confirmed in round 1 — rotate back into the artifact
     "q14_phone_normalize",
     "q15_email_validate",
@@ -87,9 +84,14 @@ _FIRST = [
     "q54_bag_set_ops",
     "q55_null_safe_join",
     "q57_decimal_exact",
-    # positions 51+: r2-confirmed rows whose round-3 change is fully
-    # test-asserted (q04 plan gate) or rows-only by design (q66,
-    # whose invariants q66b now hash-checks inside the top 50)
+    # positions 51+: rows holding an r2 driver pass whose round-3
+    # changes are locally oracle-verified and test-asserted (q74
+    # groupBy rewrite, q50/q62 spread + persist lifecycle, q04 plan
+    # gate) or rows-only by design (q66, whose invariants q66b now
+    # hash-checks inside the top 50)
+    "q74_bigram_lm_score",
+    "q50_corpus_dedup_survivors",
+    "q62_dedup_clusters",
     "q66_sequence_packing",
     "q04_resume_anti_join",
 ]

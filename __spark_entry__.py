@@ -22,11 +22,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-3
-# rotation: (1) this round's fixes/additions first (q58 was the one r2
-# hash mismatch — integer-ppm rewrite; q66b is new), then (2) every
-# query whose latest driver pass is round 1 (displaced from the r2
-# artifact by its truncation), then (3) the round-2-confirmed rows,
-# perf-watch queries (q50/q62) leading.
+# rotation: (1) the 18 new/fixed queries first (they have no green row
+# at all without a slot), then (2) queries whose latest driver pass is
+# round 1. 18 + 36 > 50, so the LAST FOUR round-1 rows (q53/q54/q55/
+# q57) land at positions 51-54 and ride their round-1 passes one more
+# round — the minimum spill achievable this round; rotate them to the
+# front of block (2) next round.
 _FIRST = [
     # round-3 changes — need a fresh driver row
     "q58_source_mixture",

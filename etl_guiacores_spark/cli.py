@@ -150,7 +150,9 @@ def cmd_corpus(spark, args) -> dict:
         portable_hashes=args.portable_hashes,
         chunk_tokens=args.chunk_tokens,
     )
-    return run_corpus_pipeline(docs, args.out, cfg)
+    return run_corpus_pipeline(
+        docs, args.out, cfg, progress_callback=_progress_cb(args)
+    )
 
 
 def cmd_clean(spark, args) -> dict:
@@ -241,6 +243,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     finally:
         if server is not None:
             server.shutdown()
+            server.server_close()  # release the bound socket, not just the loop
     print(json.dumps(result, default=str))
     return result
 

@@ -199,7 +199,12 @@ def pagerank_int(
     ).distinct().persist()
 
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # materialize BEFORE releasing sym: out_edges references sym twice
+    # (degree subtree + join subtree); the count populates sym's cache
+    # on the first subtree, reads it on the second, and lands out_edges
+    # in its own cache — only then is dropping sym's handle a no-cost op
     out_edges = sym.join(deg, "src").persist()
+    out_edges.count()
     sym.unpersist()
 
     n_nodes = nodes.select(F.col(id_col).alias("id")).distinct().persist()

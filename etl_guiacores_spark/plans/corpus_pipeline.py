@@ -307,23 +307,35 @@ def streaming_corpus_ingest(
 
 
 def run_corpus_pipeline(
-    docs: DataFrame, out_dir: str, config: CorpusConfig | None = None
+    docs: DataFrame,
+    out_dir: str,
+    config: CorpusConfig | None = None,
+    progress_callback=None,
 ) -> dict:
+    """``progress_callback(stage, info)`` fires after each stage lands
+    (raw/filtered/exact_dedup/near_dup/chunks/vocab/done) with the
+    counts the run computes anyway — the same seam as
+    ``run_batch_pipeline``, so the CLI's ``--progress`` lines and
+    ``--serve-port`` board cover corpus mode too."""
     from etl_guiacores_spark.sources.tables import spread_narrow_input
 
     config = config or CorpusConfig()
+    emit = progress_callback or (lambda stage, info: None)
     # spread once at ingest: a few-row-group parquet input would
     # otherwise serialize every per-row stage (shingle, hash, score)
     docs = spread_narrow_input(docs, "doc_id")
     docs = docs.filter(F.length(F.trim("text")) > 0)
     n_raw = docs.count()
+    emit("raw", {"records": n_raw})
 
     filtered = filter_documents(docs, config)
     gio.write_handoff(filtered, f"{out_dir}/filtered")
     n_filtered = filtered.count()
+    emit("filtered", {"records": n_filtered})
 
     exact = exact_dedup(filtered)
     n_exact = exact.count()
+    emit("exact_dedup", {"records": n_exact})
 
     survivors, dup_pairs = near_dup_removal(
         exact,
@@ -333,6 +345,7 @@ def run_corpus_pipeline(
     )
     gio.write_handoff(survivors, f"{out_dir}/clean")
     n_clean = survivors.count()
+    emit("near_dup", {"records": n_clean})
 
     chunks = chunk_documents(
         survivors, chunk_tokens=config.chunk_tokens, overlap=config.chunk_overlap
@@ -350,5 +363,8 @@ def run_corpus_pipeline(
         "chunks": chunks.count(),
         "vocab_size": vocab.count(),
     }
+    emit("chunks", {"records": metrics["chunks"]})
+    emit("vocab", {"records": metrics["vocab_size"]})
     gio.write_stats_json(metrics, f"{out_dir}/metrics.json")
+    emit("done", {"records": n_clean})
     return metrics

@@ -39,8 +39,12 @@ class ProgressBoard:
 
     def callback(self, stage: str, info: dict) -> None:
         """Plugs into ``progress_callback=`` on pipeline/discovery."""
-        event = {"stage": stage, "elapsed_s": round(time.time() - self._t0, 2)}
-        event.update({k: v for k, v in (info or {}).items()})
+        event = dict(info or {})
+        # the board's own fields win: an info dict carrying a 'stage'
+        # key must not mask the positional stage (or the 'done'
+        # sentinel the renderer keys on)
+        event["stage"] = stage
+        event["elapsed_s"] = round(time.time() - self._t0, 2)
         with self._lock:
             self._events.append(event)
 
@@ -81,17 +85,27 @@ def start_server(
 ) -> ThreadingHTTPServer:
     """Serve ``board`` on a daemon thread; returns the server (its
     bound port is ``server.server_address[1]``; ``port=0`` picks a
-    free one). Call ``.shutdown()`` when the run is over — or don't:
-    the thread is a daemon and dies with the process."""
+    free one). Call ``.shutdown()`` then ``.server_close()`` when the
+    run is over (shutdown stops the loop, server_close releases the
+    bound socket) — or don't: the thread is a daemon and dies with
+    the process."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/events.json":
                 body = json.dumps(board.events(), default=str).encode()
                 ctype = "application/json"
-            else:
+            elif self.path in ("/", "/index.html"):
                 body = _render_html(board.events()).encode()
                 ctype = "text/html; charset=utf-8"
+            else:  # /favicon.ico, typos: a real 404, not 200-with-HTML
+                body = b"not found\n"
+                self.send_response(404)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))

@@ -26,11 +26,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=20)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cluster-exact", action="store_true",
+                    help="connected-components survivor rule (exercises "
+                    "the distributed CC loop above the union-find "
+                    "threshold at stress edge volumes)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from etl_guiacores_spark.plans.corpus_pipeline import run_corpus_pipeline
+    from etl_guiacores_spark.plans.corpus_pipeline import CorpusConfig, run_corpus_pipeline
     from etl_guiacores_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-stress")
@@ -56,9 +60,11 @@ def main() -> int:
 
     out = tempfile.mkdtemp(prefix="corpus_stress_")
     t0 = time.time()
-    metrics = run_corpus_pipeline(reps, out)
+    cfg = CorpusConfig(cluster_exact=args.cluster_exact)
+    metrics = run_corpus_pipeline(reps, out, cfg)
     wall = round(time.time() - t0, 1)
     print(json.dumps({
+        "cluster_exact": args.cluster_exact,
         "replicas": args.replicas,
         "base_docs": n_base,
         "wall_s": wall,

@@ -48,6 +48,7 @@ _FIRST = [
     "q100_cohort_retention",
     "q101_pagerank_neardup",
     "q102_rank_windows",
+    "q103_topk_via_aggregate",
     # last confirmed in round 1 — rotate back into the artifact
     "q14_phone_normalize",
     "q15_email_validate",

@@ -1444,3 +1444,49 @@ def q102_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("doc_id").over(w).alias("prev_doc"),
         F.lead("doc_id").over(w).alias("next_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103: grouped top-k WITHOUT a window (partial-aggregatable strategy)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q103_topk_via_aggregate",
+    """
+    SELECT o_custkey, o_orderkey, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="Grouped top-k by AGGREGATION instead of a ranking window: "
+    "collect each group's (price, key) structs, sort-array, slice the "
+    "head, posexplode ranks back out. Same spec as q09 (identical "
+    "oracle, hash-matched), different physical strategy: a hash "
+    "aggregate gets map-side PARTIAL aggregation and no per-group "
+    "sort-within-shuffle, where the window plan must sort every "
+    "group's full row set after the exchange. The trade is per-group "
+    "memory (the collected list), so this shape wins when groups are "
+    "small-to-moderate and k tiny — the common case — while the "
+    "window shape wins on giant groups; an engine needs BOTH.",
+)
+def q103_topk_via_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    # struct sorts lexicographically: (-price? no — sort desc via
+    # sort_array(..., asc=False) on (price, negated key) would flip the
+    # tiebreak too, so sort ascending on (neg price, key)
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k")
+    )
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, 3).alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "it"))
+    )
+    return top.select(
+        "o_custkey",
+        F.col("it.k").alias("o_orderkey"),
+        (F.col("pos") + 1).alias("rnk"),
+    )

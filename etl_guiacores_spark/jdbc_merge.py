@@ -38,8 +38,18 @@ _SQL_TYPES: dict[type, str] = {
     T.BooleanType: "BOOLEAN",
     T.DateType: "DATE",
     T.TimestampType: "TIMESTAMP",
+    T.TimestampNTZType: "TIMESTAMP",
     T.BinaryType: "BLOB",
 }
+
+
+def quote_ident(name: str) -> str:
+    """Double-quote a (possibly dotted) SQL identifier: DataFrame
+    column names may be reserved words or carry spaces, and the
+    generated statements interpolate them — quoting keeps the DDL and
+    MERGE valid (and closes the injection surface) on every dialect
+    these generators target."""
+    return ".".join('"' + part.replace('"', '""') + '"' for part in name.split("."))
 
 
 def sql_type_for(dt: T.DataType) -> str:
@@ -58,11 +68,11 @@ def bootstrap_ddl(schema: T.StructType, table: str, key: str) -> str:
     reference's init_db() (manual_scraper.py:197-238) derived from the
     DataFrame schema instead of hand-maintained DDL."""
     cols = ",\n    ".join(
-        f"{f.name} {sql_type_for(f.dataType)}"
+        f"{quote_ident(f.name)} {sql_type_for(f.dataType)}"
         + (" UNIQUE" if f.name == key else "")
         for f in schema.fields
     )
-    return f"CREATE TABLE IF NOT EXISTS {table} (\n    {cols}\n)"
+    return f"CREATE TABLE IF NOT EXISTS {quote_ident(table)} (\n    {cols}\n)"
 
 
 def staging_name(table: str) -> str:
@@ -79,21 +89,23 @@ def merge_sql(
     (Postgres/SQLite/DuckDB — the reference's own statement shape,
     manual_scraper.py:272-295).
     """
-    non_key = [c for c in columns if c != key]
-    collist = ", ".join(columns)
+    non_key = [quote_ident(c) for c in columns if c != key]
+    qcols = [quote_ident(c) for c in columns]
+    qt, qs, qk = quote_ident(table), quote_ident(staging), quote_ident(key)
+    collist = ", ".join(qcols)
     if dialect == "merge":
         set_clause = ", ".join(f"{c} = s.{c}" for c in non_key)
-        values = ", ".join(f"s.{c}" for c in columns)
+        values = ", ".join(f"s.{c}" for c in qcols)
         return (
-            f"MERGE INTO {table} t USING {staging} s ON t.{key} = s.{key}\n"
+            f"MERGE INTO {qt} t USING {qs} s ON t.{qk} = s.{qk}\n"
             f"WHEN MATCHED THEN UPDATE SET {set_clause}\n"
             f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({values})"
         )
     if dialect == "onconflict":
         set_clause = ", ".join(f"{c} = excluded.{c}" for c in non_key)
         return (
-            f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {staging} WHERE true\n"
-            f"ON CONFLICT ({key}) DO UPDATE SET {set_clause}"
+            f"INSERT INTO {qt} ({collist}) SELECT {collist} FROM {qs} WHERE true\n"
+            f"ON CONFLICT ({qk}) DO UPDATE SET {set_clause}"
         )
     raise ValueError(f"unknown dialect {dialect!r}; use 'merge' or 'onconflict'")
 
@@ -118,24 +130,47 @@ def jdbc_keyed_upsert(
     spark = df.sparkSession
     props = properties or {}
     staging = staging_name(table)
+    # MERGE/ON CONFLICT both reject a batch that touches the same
+    # target row twice ("cannot affect row a second time") — one row
+    # per key is the statement's contract, enforced here; callers
+    # needing a deterministic winner pre-reduce with dedupe_keyed_first
+    df = df.dropDuplicates([key])
     stmts = []
     if bootstrap:
         stmts.append(bootstrap_ddl(df.schema, table, key))
     stmts.append(merge_sql(table, staging, key, df.columns, dialect))
-    # only the staging write / connection acquisition means "no driver";
-    # real SQL errors from the merge (unsupported MERGE dialect,
-    # constraint violations) must surface as themselves
+
+    def _missing_driver(e: Exception) -> bool:
+        msg = str(e)
+        return "No suitable driver" in msg or "ClassNotFound" in msg
+
+    # only a genuinely missing driver gets the classpath message; any
+    # other failure (auth, network, SQL) must surface as itself
     try:
         df.write.jdbc(url, staging, mode="overwrite", properties=props)
+    except Exception as e:  # pragma: no cover - no JDBC driver in test env
+        if _missing_driver(e):
+            raise RuntimeError(
+                f"jdbc_keyed_upsert needs a JDBC driver for {url} on the "
+                f"Spark classpath; statements it would run: {stmts}"
+            ) from e
+        raise
+    try:  # pragma: no cover - no JDBC driver in test env
         jvm = spark._sc._jvm  # executing DDL needs a raw JDBC statement
         jprops = jvm.java.util.Properties()
         for k, v in props.items():
             jprops.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
-    except Exception as e:  # pragma: no cover - no JDBC driver in test env
+    except Exception as e:  # pragma: no cover
+        if _missing_driver(e):
+            raise RuntimeError(
+                f"jdbc_keyed_upsert needs a JDBC driver for {url} on the "
+                f"Spark classpath; statements it would run: {stmts}"
+            ) from e
         raise RuntimeError(
-            f"jdbc_keyed_upsert needs a JDBC driver for {url} on the Spark "
-            f"classpath; statements it would run: {stmts}"
+            f"jdbc_keyed_upsert: connection failed AFTER the staging write — "
+            f"table {staging!r} may remain in the database and should be "
+            f"dropped manually"
         ) from e
     try:  # pragma: no cover - no JDBC driver in test env
         st = conn.createStatement()
@@ -145,7 +180,7 @@ def jdbc_keyed_upsert(
     finally:  # pragma: no cover
         try:  # the staging table must not leak when the merge fails
             cleanup = conn.createStatement()
-            cleanup.execute(f"DROP TABLE IF EXISTS {staging}")
+            cleanup.execute(f"DROP TABLE IF EXISTS {quote_ident(staging)}")
             cleanup.close()
         except Exception:
             pass

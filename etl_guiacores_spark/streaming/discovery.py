@@ -65,8 +65,13 @@ def discover_until_idle(
             novel = batch
         else:
             novel = batch.join(known.select(key), on=key, how="left_anti")
-        # one action per round: the reference's stop-condition needs
-        # the novel count (sequential_collector.py:465-471)
+        # materialize the round's lineage ONCE, then count the blocks:
+        # counting first and checkpointing later would execute the
+        # dedupe + anti-join twice per round, and a non-deterministic
+        # batch source could even diverge between the two runs
+        novel = novel.localCheckpoint(eager=True)
+        # the reference's stop-condition needs the novel count
+        # (sequential_collector.py:465-471)
         n_new = novel.count()
         if n_new == 0:
             idle += 1

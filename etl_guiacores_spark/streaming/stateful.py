@@ -8,8 +8,11 @@ the Spark-native analog of the reference's mutable crawl-state dicts
 
 Semantics: per user, events accumulate into a session; a gap larger
 than ``gap_seconds`` CLOSES the current session and emits one row for
-it. State per key is four scalars — bounded regardless of stream
-length; closed sessions leave the store immediately.
+it. An EVENT-TIME TIMEOUT at last_event + gap flushes and evicts a
+quiet user's final session once the watermark passes it, so the state
+store holds only users whose session could still be extended — state
+per key is four scalars and the store is bounded by ACTIVE keys, not
+all keys ever seen.
 
 Works identically under batch `groupBy().applyInPandas` semantics?
 No — this is streaming-only by design; the batch twin is
@@ -63,9 +66,29 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: in
         start_us = last_us = -1
         n, total = 0, 0.0
 
+    cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    if state.hasTimedOut:
+        # the watermark passed this session's gap horizon: no event can
+        # extend it any more — flush the final session and EVICT the
+        # state (this is what keeps the store bounded when users go
+        # quiet forever; NoTimeout would grow it monotonically)
+        state.remove()
+        if start_us >= 0:
+            yield pd.DataFrame(
+                [(user_id, start_us, last_us, n, round(total, 2))], columns=cols
+            )
+        return
+
+    # a key's events may arrive as SEVERAL arrow chunks in arbitrary
+    # order (maxRecordsPerBatch splits big groups) — concatenate and
+    # sort ONCE so the gap scan sees one globally time-ordered pass;
+    # per-chunk sorting would move last_us backward on out-of-order
+    # chunks and merge events into the wrong session
+    chunks = list(pdfs)
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for ts, value in zip(pdf["ts"], pdf["value"]):
             # pandas Timestamp -> integer microseconds (exact, matches
             # the batch twin's unix_micros arithmetic)
@@ -80,8 +103,11 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: in
 
     if start_us >= 0:
         state.update((start_us, last_us, n, total))
+        # event-time timeout at last_event + gap: when the watermark
+        # crosses it, the hasTimedOut branch above flushes + evicts
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
     if closed:
-        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+        yield pd.DataFrame(closed, columns=cols)
 
 
 def sessionize_stream(
@@ -101,7 +127,7 @@ def sessionize_stream(
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -81,9 +81,23 @@ def stream_dedupe(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Keyed dedupe with bounded state — the streaming form of D2
-    (reference: src/extractors/sequential_collector.py:591-594)."""
+    (reference: src/extractors/sequential_collector.py:591-594).
+
+    Streaming input uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates`` on non-event-time keys NEVER evicts its state
+    (the watermark only cleans dedup state when the event-time column
+    is part of the keys), so a long-running stream would grow one
+    state entry per key pair forever. The within-watermark form keeps
+    exactly-once semantics for duplicates arriving inside the
+    watermark delay and bounds state to that horizon — after eviction
+    a key CAN re-emit, the documented trade for bounded state. Batch
+    input keeps plain ``dropDuplicates`` (no state to bound), which is
+    what the q33 oracle twin verifies."""
     keys = keys or ["user_id", "event_type"]
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    wm = events.withWatermark("ts", watermark)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
 
 
 def interval_join_streams(

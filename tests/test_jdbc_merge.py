@@ -61,18 +61,19 @@ def test_onconflict_upsert_executes_on_duckdb():
 def test_merge_dialect_contract():
     sql = merge_sql("leads", "leads__staging", "id_negocio", COLS, dialect="merge")
     assert sql == (
-        "MERGE INTO leads t USING leads__staging s ON t.id_negocio = s.id_negocio\n"
-        "WHEN MATCHED THEN UPDATE SET nombre = s.nombre, visits = s.visits\n"
-        "WHEN NOT MATCHED THEN INSERT (id_negocio, nombre, visits) "
-        "VALUES (s.id_negocio, s.nombre, s.visits)"
+        'MERGE INTO "leads" t USING "leads__staging" s '
+        'ON t."id_negocio" = s."id_negocio"\n'
+        'WHEN MATCHED THEN UPDATE SET "nombre" = s."nombre", "visits" = s."visits"\n'
+        'WHEN NOT MATCHED THEN INSERT ("id_negocio", "nombre", "visits") '
+        'VALUES (s."id_negocio", s."nombre", s."visits")'
     )
 
 
 def test_bootstrap_ddl_types_and_unique_key():
     ddl = bootstrap_ddl(SCHEMA, "leads", "id_negocio")
-    assert "CREATE TABLE IF NOT EXISTS leads" in ddl
-    assert "id_negocio TEXT UNIQUE" in ddl
-    assert "visits BIGINT" in ddl
+    assert 'CREATE TABLE IF NOT EXISTS "leads"' in ddl
+    assert '"id_negocio" TEXT UNIQUE' in ddl
+    assert '"visits" BIGINT' in ddl
 
 
 def test_array_columns_fall_back_to_text():
@@ -84,8 +85,8 @@ def test_array_columns_fall_back_to_text():
         ]
     )
     ddl = bootstrap_ddl(schema, "t", "k")
-    assert "telefonos TEXT" in ddl
-    assert "precio DECIMAL(18,2)" in ddl
+    assert '"telefonos" TEXT' in ddl
+    assert '"precio" DECIMAL(18,2)' in ddl
 
 
 def test_unknown_dialect_rejected():
@@ -97,5 +98,5 @@ def test_driver_gated_error_names_statements(spark):
     """Without a JDBC driver the failure is loud and shows the exact
     statements that would have run."""
     df = spark.createDataFrame([("a", "x", 1)], SCHEMA)
-    with pytest.raises(RuntimeError, match="MERGE INTO leads"):
+    with pytest.raises(RuntimeError, match='MERGE INTO .leads.'):
         jdbc_keyed_upsert(df, "jdbc:postgresql://nowhere/db", "leads", "id_negocio")

@@ -52,14 +52,22 @@ def test_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
         assert r["session_start_us"] == 1704067200000000
         assert r["session_end_us"] == 1704067200000000 + 600 * 1_000_000
 
-        # batch 3: same-session continuation then another gap closes it
+        # batch 3: same-session continuation then another gap closes it.
+        # The event at 03:20 advances the watermark to 01:20 (2h delay),
+        # which passes user 2's timeout horizon (00:05 + 30min) — the
+        # event-time timeout flushes their final session and evicts the
+        # state (quiet users must not hold store entries forever).
         spark.createDataFrame([ev(1, 80, 1.0), ev(1, 200)], SCHEMA) \
             .write.mode("append").parquet(src)
         q.processAllAvailable()
         rows = {r["session_start_us"]: r for r in spark.sql("select * from sessions_out").collect()}
-        assert len(rows) == 2
+        assert len(rows) == 3
         second = rows[1704067200000000 + 3600 * 1_000_000]
         assert second["n_events"] == 2  # events at :60 and :80
         assert second["total_value"] == 6.0
+        flushed = rows[1704067200000000 + 300 * 1_000_000]  # user 2 @ 00:05
+        assert flushed["user_id"] == 2
+        assert flushed["n_events"] == 1
+        assert flushed["session_end_us"] == flushed["session_start_us"]
     finally:
         q.stop()

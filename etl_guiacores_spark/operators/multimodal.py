@@ -49,11 +49,10 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _stub_decode(kind: str, payload: bytes) -> dict:
-    """Deterministic fake decode: features derived from the byte
-    content so tests are stable. Replace with PIL/ffmpeg in a real
-    deployment (NotImplementedError path below)."""
-    digest = hashlib.sha256(payload).digest()
+def _stub_decode(kind: str, digest: bytes) -> dict:
+    """Deterministic fake decode: features derived from the payload's
+    sha256 digest so tests are stable. Replace with PIL/ffmpeg in a
+    real deployment (NotImplementedError path below)."""
     width = 64 + digest[0] % 192 if kind in ("image", "video") else None
     height = 64 + digest[1] % 192 if kind in ("image", "video") else None
     duration = round(digest[2] / 8.0, 3) if kind in ("audio", "video") else None
@@ -62,29 +61,34 @@ def _stub_decode(kind: str, payload: bytes) -> dict:
 
 
 def extract_media_features(
-    media: DataFrame, decode_stub: bool = True, batch_hint: int | None = None
+    media: DataFrame, decode_stub: bool = True, num_partitions: int | None = None
 ) -> DataFrame:
     """MEDIA_SCHEMA -> FEATURE_SCHEMA via Arrow-batched mapInPandas.
 
     Per-row decode failures populate ``decode_error`` (R2 quarantine
-    semantics) instead of failing the task. At scale, repartition the
-    input so partitions stay under executor memory — payloads are the
-    dominant bytes (``spark.sql.files.maxPartitionBytes`` governs the
-    scan; an explicit ``repartition`` governs post-shuffle width).
+    semantics) instead of failing the task. ``num_partitions`` is a
+    PARTITION COUNT (same knob as fetch_pages): repartitioning the
+    payload bytes is a full shuffle of the dominant data, so set it
+    only when the scan's partitioning genuinely can't hold a
+    partition in executor memory — ``spark.sql.files.maxPartitionBytes``
+    governs the scan side for free.
     """
-    if batch_hint:
-        media = media.repartition(batch_hint)
+    if num_partitions:
+        media = media.repartition(num_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
+                # hash ONCE: the digest is both the sha256 field and
+                # the stub-decode feature source
+                digest = hashlib.sha256(payload).digest()
                 rec = {
                     "media_id": mid,
                     "kind": kind,
                     "n_bytes": len(payload),
-                    "sha256": hashlib.sha256(payload).hexdigest(),
+                    "sha256": digest.hex(),
                     "width": None,
                     "height": None,
                     "duration_s": None,
@@ -96,7 +100,7 @@ def extract_media_features(
                         raise NotImplementedError(
                             "real decode requires PIL/ffmpeg — not in this container"
                         )
-                    rec.update(_stub_decode(kind, payload))
+                    rec.update(_stub_decode(kind, digest))
                 except Exception as e:  # noqa: BLE001 — R2 row-level isolation
                     rec["decode_error"] = f"{type(e).__name__}: {e}"
                 out.append(rec)
@@ -114,14 +118,17 @@ def frame_sample_plan(video: DataFrame, every_s: float = 1.0) -> DataFrame:
     duration = F.coalesce(
         F.element_at(F.col("meta"), "duration_s").cast("double"), F.lit(0.0)
     )
-    n_frames = F.greatest(F.floor(duration / every_s).cast("int"), F.lit(0))
+    # frames at k * every_s STRICTLY BEFORE the duration: ceil(d/s)
+    # indices 0..n-1 — the old inclusive sequence emitted one frame AT
+    # the duration (a guaranteed-EOF seek for exact-multiple lengths)
+    # and a phantom frame 0 for zero/missing-duration videos
+    n_frames = F.greatest(F.ceil(duration / every_s).cast("int"), F.lit(0))
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         video.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            "payload",
-            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
-        )
+        .select("media_id", "payload", F.explode(idx).alias("frame_idx"))
         .withColumn("frame_ts_s", F.col("frame_idx") * F.lit(every_s))
     )
 

@@ -85,8 +85,14 @@ def clean_leads(df: DataFrame, config: PipelineConfig | None = None) -> DataFram
             "telefonos": F.split(normalize_phone_list(telefonos_str), r",\s*"),
             "whatsapp": normalize_phone(F.col("whatsapp")),
             "email": validate_email(F.col("email")),
+            # config.blocked_domains is the T7 blocklist (self-links
+            # back to the directory are not a real website)
             "sitio_web": validate_url(
-                normalize_url(F.col("sitio_web"), max_length=config.url_max_length)
+                normalize_url(
+                    F.col("sitio_web"),
+                    blocked_domains=config.blocked_domains,
+                    max_length=config.url_max_length,
+                )
             ),
             "facebook": social(F.col("facebook")),
             "instagram": social(F.col("instagram")),
@@ -120,7 +126,17 @@ def run_batch_pipeline(
     config = config or PipelineConfig()
     emit = progress_callback or (lambda stage, info: None)
 
-    bronze = canonicalize(raw)
+    spark = raw.sparkSession
+    # the raw lineage may contain the FETCH stage — execute it exactly
+    # once (the bronze write) and re-read the parquet for everything
+    # downstream; deriving later stages from the raw lineage would
+    # re-run the scrape per action (silver write, quarantine write,
+    # gold write, metrics count = 4-5 full re-fetches)
+    bronze_plan = canonicalize(raw)
+    gio.write_handoff(bronze_plan, f"{out_dir}/bronze")
+    # explicit schema: an empty run writes no row groups, and schema
+    # inference over an empty handoff would fail the R4 path
+    bronze = spark.read.schema(bronze_plan.schema).parquet(f"{out_dir}/bronze")
     if bronze.isEmpty():  # R4 — reference: src/main.py:105-107,116-118
         emit("done", {"records": 0})
         return {
@@ -129,11 +145,16 @@ def run_batch_pipeline(
             "records_processed": 0,
             "metrics": {"records": 0, "with_email": 0, "quarantined": 0},
         }
-    gio.write_handoff(bronze, f"{out_dir}/bronze")
     emit("bronze", {"out": f"{out_dir}/bronze"})
 
     obs = Observation("silver_metrics")
-    cleaned, quarantined = split_quarantine(clean_leads(bronze, config), config.dedupe_key)
+    # trim the key BEFORE both the quarantine judgment and the dedupe:
+    # split_quarantine already judged on the trimmed value, but the
+    # dedupe keyed on the raw value, so ' 5' and '5' both survived
+    keyed = clean_leads(bronze, config).withColumn(
+        config.dedupe_key, F.trim(F.col(config.dedupe_key))
+    )
+    cleaned, quarantined = split_quarantine(keyed, config.dedupe_key)
     silver = dedupe_keyed(cleaned, [config.dedupe_key]).observe(
         obs, F.count(F.lit(1)).alias("records"), F.count("email").alias("with_email")
     )
@@ -141,7 +162,10 @@ def run_batch_pipeline(
     gio.write_handoff(quarantined, f"{out_dir}/quarantine")
     emit("silver", dict(obs.get))
 
-    gold = to_export(silver)
+    # gold is a projection of the STORED silver (read back, not the
+    # lazy plan): dropDuplicates picks an arbitrary winner per key, so
+    # recomputing it could export a different row than the silver table
+    gold = to_export(spark.read.parquet(f"{out_dir}/silver"))
     gio.write_run_csv(gold, f"{out_dir}/gold", clock=clock)
     emit("gold", {"out": f"{out_dir}/gold"})
 

@@ -33,6 +33,8 @@ VER_MAS_SELECTOR = "#btnSearchMore"
 ADVANCED_BUTTON_SELECTOR = "a[data-target='#modalBusquedaAvanzada']"
 RUBRO_SELECT_SELECTOR = "#searchadvanced-idrubro"
 LOCALIDAD_SELECT_SELECTOR = "#searchadvanced-idlocalidad"
+ADVANCED_SUBMIT_SELECTOR = "#botonBuscarAvanzada"
+RESULT_NAME_SELECTOR = ".search-result-name"
 EMPRESAS_FILTER = {"Tm": "1"}  # listing restricted to empresas
 
 
@@ -84,21 +86,30 @@ def selenium_transport(
         def open_listing(self, url: str, filters: dict[str, str]) -> str:
             from urllib.parse import urlencode
 
+            selector_by_field = {
+                "rubro": RUBRO_SELECT_SELECTOR,
+                "localidad": LOCALIDAD_SELECT_SELECTOR,
+            }
             query_filters = {k: v for k, v in filters.items() if k in ("Tm",)}
+            form = {k: v for k, v in filters.items() if k not in query_filters}
+            # validate BEFORE driving the browser: an unknown key
+            # mid-modal would otherwise kill the crawl with a KeyError
+            unknown = sorted(set(form) - set(selector_by_field))
+            if unknown:
+                raise ValueError(
+                    f"unknown listing filter(s) {unknown}; valid form "
+                    f"fields: {sorted(selector_by_field)} (plus query "
+                    f"param 'Tm')"
+                )
             if query_filters:
                 url = f"{url}&{urlencode(query_filters)}"
             self.driver.get(url)
-            form = {k: v for k, v in filters.items() if k not in query_filters}
             if form:
                 self.wait.until(
                     EC.element_to_be_clickable(
                         (By.CSS_SELECTOR, ADVANCED_BUTTON_SELECTOR)
                     )
                 ).click()
-                selector_by_field = {
-                    "rubro": RUBRO_SELECT_SELECTOR,
-                    "localidad": LOCALIDAD_SELECT_SELECTOR,
-                }
                 for fieldname, wanted in form.items():
                     sel = Select(
                         self.wait.until(
@@ -108,6 +119,36 @@ def selenium_transport(
                         )
                     )
                     sel.select_by_visible_text(wanted)
+                # APPLY the search: selecting alone filters nothing —
+                # the reference clicks #botonBuscarAvanzada and waits
+                # for the modal to go away (sequential_collector.py:
+                # 354-361); without this the returned HTML is the
+                # unfiltered listing under an open modal
+                self.wait.until(
+                    EC.element_to_be_clickable(
+                        (By.CSS_SELECTOR, ADVANCED_SUBMIT_SELECTOR)
+                    )
+                ).click()
+                try:
+                    self.wait.until(
+                        EC.invisibility_of_element_located(
+                            (By.CSS_SELECTOR, ADVANCED_BUTTON_SELECTOR)
+                        )
+                    )
+                except Exception:
+                    pass  # modal close animation timing — listing wait below decides
+            # the listing is JS-rendered: reading page_source straight
+            # after get()/submit can observe an empty page and start
+            # discovery from nothing; tolerate a genuinely empty result
+            # on timeout
+            try:
+                self.wait.until(
+                    EC.presence_of_element_located(
+                        (By.CSS_SELECTOR, RESULT_NAME_SELECTOR)
+                    )
+                )
+            except Exception:
+                pass
             return self.driver.page_source
 
         def load_more(self) -> str | None:

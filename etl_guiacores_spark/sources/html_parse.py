@@ -69,8 +69,14 @@ class _DetailPageParser(HTMLParser):
         self.fields["telefonos"] = []
         self.fields["rubros"] = []
         self._stack: list[tuple[str, dict]] = []
-        self._capture: list[str] | None = None
-        self._capture_key: str | None = None
+        #: active captures as [key, stack-depth-at-start, text parts];
+        #: a capture ends when ITS element closes (depth drops below
+        #: the recorded depth), so nested markup (<b>, icons, <br/>)
+        #: keeps contributing text instead of truncating the field —
+        #: and overlapping captures (a tel: anchor inside the address
+        #: span) each collect their full subtree like the reference's
+        #: BeautifulSoup get_text() did
+        self._captures: list[list] = []
         self._in_name_anchor = 0
         self._in_list_view = 0
         self._clock_pending = False
@@ -127,28 +133,42 @@ class _DetailPageParser(HTMLParser):
             self._begin_capture("descripcion")
 
     def handle_endtag(self, tag: str) -> None:
-        if self._capture_key is not None:
-            self._end_capture()
         while self._stack and self._stack[-1][0] != tag:
             self._stack.pop()
         depth = len(self._stack)
         if self._stack:
             self._stack.pop()
+        new_depth = len(self._stack)
+        if self._captures:
+            remaining = []
+            for cap in self._captures:
+                if new_depth < cap[1]:  # the capturing element closed
+                    self._finish_capture(cap[0], cap[2])
+                else:
+                    remaining.append(cap)
+            self._captures = remaining
         if self._in_name_anchor and depth <= self._in_name_anchor:
             self._in_name_anchor = 0
         if self._in_list_view and depth <= self._in_list_view:
             self._in_list_view = 0
 
     def handle_data(self, data: str) -> None:
-        if self._capture is not None:
-            self._capture.append(data)
+        for cap in self._captures:
+            cap[2].append(data)
+
+    def close(self) -> None:
+        super().close()
+        # malformed HTML may never close a captured element — flush at
+        # EOF so the text gathered so far is kept, not dropped
+        for key, _, parts in self._captures:
+            self._finish_capture(key, parts)
+        self._captures = []
 
     def _begin_capture(self, key: str) -> None:
-        self._capture, self._capture_key = [], key
+        self._captures.append([key, len(self._stack), []])
 
-    def _end_capture(self) -> None:
-        key, text = self._capture_key, " ".join("".join(self._capture).split())
-        self._capture, self._capture_key = None, None
+    def _finish_capture(self, key: str, parts: list[str]) -> None:
+        text = " ".join("".join(parts).split())
         if not text:
             return
         if key == "telefonos":
@@ -210,8 +230,18 @@ def parse_pages(df: DataFrame, html_col: str = "html", url_col: str = "url") -> 
             rows = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 rec = parse_detail_html(html)
-                m = _DIGITS_RE.search((url or "").rsplit("id=", 1)[-1])
-                rec["id_negocio"] = m.group(0) if "id=" in (url or "") and m else None
+                u = url or ""
+                if "id=" in u:
+                    m = _DIGITS_RE.search(u.rsplit("id=", 1)[-1])
+                    bid = m.group(0) if m else None
+                else:
+                    # scan_html_dir rows carry a FILE path, not a query
+                    # URL — take the last digit run of the basename
+                    # (pagina_77.html -> 77) so manual --file mode
+                    # yields keyed rows instead of quarantining 100%
+                    hits = _DIGITS_RE.findall(u.rsplit("/", 1)[-1])
+                    bid = hits[-1] if hits else None
+                rec["id_negocio"] = bid
                 rec["url"] = url
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])

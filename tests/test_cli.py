@@ -88,3 +88,27 @@ def test_corpus_mode(spark, tmp_path):
     assert 0 < res["after_near_dup"] <= res["after_exact_dedup"]
     clean = spark.read.parquet(str(tmp_path / "c" / "clean"))
     assert clean.count() == res["after_near_dup"]
+
+
+def test_manual_file_mode_parses_and_keys_local_html(spark, tmp_path):
+    """manual --file: ids come from the FILENAME (no 'id=' in a file
+    path), so local-HTML rows must flow to silver instead of being
+    quarantined wholesale — the mode exists to fix reference defect #3."""
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    (pages / "negocio_41.html").write_text(
+        '<a class="search-result-name"><h1>Kiosco <b>Central</b></h1></a>'
+        '<a href="tel:+2994998877"><i class="fa"></i>299-499-8877</a>'
+    )
+    from etl_guiacores_spark.cli import main
+
+    result = main(
+        ["--out", str(tmp_path / "out"), "manual", "--file", str(pages)],
+        spark=spark,
+    )
+    assert result["status"] == "success"
+    assert result["metrics"]["quarantined"] == 0
+    silver = spark.read.parquet(str(tmp_path / "out" / "silver"))
+    row = silver.collect()[0]
+    assert row["id_negocio"] == "41"
+    assert row["nombre"] == "Kiosco Central"  # nested <b> kept

@@ -78,3 +78,40 @@ class TestParsePagesStage:
         assert len(got) == 1
         assert got[0]["id_negocio"] == "77"
         assert got[0]["nombre"] == "Panadería La Espiga"
+
+
+class TestNestedMarkupCapture:
+    """Captured fields must survive nested elements — a capture ends
+    when ITS element closes, not on the first end tag of any child."""
+
+    def test_phone_with_nested_icon(self):
+        from etl_guiacores_spark.sources.html_parse import parse_detail_html
+
+        r = parse_detail_html(
+            "<a href='tel:+2994123456'><i class='fa'></i>299-412-3456</a>"
+        )
+        assert r["telefonos"] == "299-412-3456"
+
+    def test_name_with_inline_bold(self):
+        from etl_guiacores_spark.sources.html_parse import parse_detail_html
+
+        r = parse_detail_html(
+            '<a class="search-result-name"><h1>Biz <b>Bold</b> Name</h1></a>'
+        )
+        assert r["nombre"] == "Biz Bold Name"
+
+    def test_overlapping_captures_each_get_full_subtree(self):
+        from etl_guiacores_spark.sources.html_parse import parse_detail_html
+
+        r = parse_detail_html(
+            '<span class="search-result-address">Calle '
+            '<a href="tel:123456789">123-456</a> x</span>'
+        )
+        assert r["direccion"] == "Calle 123-456 x"
+        assert r["telefonos"] == "123-456"
+
+    def test_unclosed_capture_flushes_at_eof(self):
+        from etl_guiacores_spark.sources.html_parse import parse_detail_html
+
+        r = parse_detail_html('<span class="search-result-address">Calle 77')
+        assert r["direccion"] == "Calle 77"

@@ -42,6 +42,15 @@ def main() -> None:
     # isn't charged for session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # warm up the Python worker pool: the first mapInPandas stage in a
+    # session spawns one Python worker per core (~8s on local[32]) —
+    # a one-time environment cost, not a property of whichever Arrow
+    # query happens to run first (measured: q65 10.7s cold-attributed
+    # vs 1.0s steady-state)
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: (pdf for pdf in it), "id long").count()
+
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         t0 = time.time()

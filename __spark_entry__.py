@@ -22,16 +22,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-3
-# rotation: (1) the 18 new/fixed queries first (they have no green row
+# rotation: (1) the 21 new/fixed queries first (they have no green row
 # at all without a slot), then (2) queries whose latest driver pass is
-# round 1. 18 + 36 > 50, so the LAST FOUR round-1 rows (q53/q54/q55/
-# q57) land at positions 51-54 and ride their round-1 passes one more
-# round — the minimum spill achievable this round; rotate them to the
-# front of block (2) next round.
+# round 1. 21 + 36 > 50, so the LAST SEVEN round-1 rows (q48/q51/q52/
+# q53/q54/q55/q57) land at positions 51-57 and ride their round-1
+# passes one more round — every one is locally oracle-verified at
+# sf0.001/0.01/0.1 this round; rotate them to the front of block (2)
+# next round.
 _FIRST = [
     # round-3 changes — need a fresh driver row
     "q58_source_mixture",
     "q66b_packing_invariants",
+    "q104_dsir_importance",
+    "q105_sketch_distinct_audit",
     "q87_weighted_sample",
     "q88_blocklist_filter",
     "q89_token_offsets",

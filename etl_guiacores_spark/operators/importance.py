@@ -1,0 +1,105 @@
+"""Hashed n-gram importance weighting for targeted data selection.
+
+DSIR-shaped operator (Data Selection via Importance Resampling, Xie et
+al. 2023): score every corpus document by how much its hashed token
+features look like a TARGET distribution (a trusted high-quality
+subset) relative to the corpus-wide distribution. High scores mark
+documents worth up-sampling when building a training mixture aimed at
+the target domain.
+
+Published DSIR uses log-ratio sums of hashed-feature probabilities
+(bag of hashed n-grams, add-one smoothing). ``log``/``pow`` are NOT
+IEEE-correctly-rounded, so an oracle-parity path built on them can
+split engines in the last ulp (the q56/q58 lesson). This operator
+keeps the same monotone structure — per-feature target/corpus ratio,
+summed over a document's tokens — but computes each bucket ratio as
+add-one-smoothed integer parts-per-million with floor division:
+
+    ratio_ppm(b) = (target_count(b) + 1) * 1_000_000 // (corpus_count(b) + 1)
+
+All arithmetic is BIGINT, deterministic, and identical across Spark
+and DuckDB. Production can swap in float log-ratios without touching
+the plan shape (the ratio table is the only thing that changes).
+
+Scale shape (100 TB): the bucket statistics table is bounded by
+``num_buckets`` (default 4096 rows) regardless of corpus size — it is
+computed with two map-side-combined aggregations over (bucket) keys
+and then BROADCAST back onto the exploded token stream, so the
+per-document scoring join never shuffles the corpus. Token traffic is
+(doc_id, bucket) integer pairs; text never rides a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.textstats import tokens
+
+#: ppm scale for the integer ratio — fits ratio_ppm * tokens-per-doc
+#: comfortably in BIGINT (1e6 * 2^31 tokens << 2^63)
+PPM = 1_000_000
+
+
+def feature_bucket(tok: Column, num_buckets: int = 4096, seed: str = "dsir") -> Column:
+    """Engine-portable hashed feature id: first 8 md5 hex digits of
+    ``seed:token`` as a u32, modulo ``num_buckets``. Same hash family
+    as sampling/winnowing; swap for xxhash64 at production scale."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), tok)), 1, 8), 16, 10)
+    return (h.cast("long") % F.lit(num_buckets)).cast("long")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document importance score against a target subset.
+
+    ``is_target`` is a boolean Column over ``docs`` marking the target
+    distribution (e.g. ``F.col("lang") == "en"`` or a quality-score
+    threshold). Returns one row per document with token count and
+    ``importance_ppm`` = sum over the document's tokens (with
+    multiplicity) of the add-one-smoothed target/corpus bucket ratio
+    in parts-per-million. Documents from the target's own distribution
+    score near ``PPM * P(target)``-ish; off-target documents lower.
+
+    Plan: one explode -> bucket key; bucket stats aggregated with
+    map-side combine (bounded output: ``num_buckets`` rows) and
+    broadcast back; final groupBy on the document id. No shuffle
+    carries text, and the only corpus-sized shuffles key on bucket
+    (bounded fan-in) and ``id_col``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("__is_target"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col,
+        "__is_target",
+        feature_bucket(F.col("__tok"), num_buckets, seed).alias("__bucket"),
+    )
+
+    stats = toks.groupBy("__bucket").agg(
+        F.count("*").alias("__cc"),
+        F.sum(F.col("__is_target").cast("bigint")).alias("__ct"),
+    )
+    ratios = stats.select(
+        "__bucket",
+        # add-one smoothing on both sides; integer floor division
+        F.expr(f"CAST((__ct + 1) * {PPM} div (__cc + 1) AS BIGINT)").alias(
+            "__ratio_ppm"
+        ),
+    )
+
+    return (
+        toks.join(F.broadcast(ratios), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("__ratio_ppm").cast("bigint").alias("importance_ppm"),
+        )
+    )

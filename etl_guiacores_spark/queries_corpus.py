@@ -1490,3 +1490,98 @@ def q103_topk_via_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.k").alias("o_orderkey"),
         (F.col("pos") + 1).alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104: DSIR-style hashed n-gram importance weights (targeted selection)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q104_dsir_importance",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKS}) AS tok
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    b AS (
+        SELECT doc_id, is_t,
+               CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+        FROM toks
+    ),
+    r AS (
+        SELECT bucket,
+               CAST(((SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000)
+                    // (COUNT(*) + 1) AS BIGINT) AS ratio_ppm
+        FROM b GROUP BY bucket
+    )
+    SELECT b.doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(r.ratio_ppm) AS BIGINT) AS importance_ppm
+    FROM b JOIN r USING (bucket)
+    GROUP BY b.doc_id
+    """,
+    doc="DSIR-shaped importance weighting (Xie et al. 2023): score "
+    "every document by how much its hashed token features resemble a "
+    "target distribution (here lang='en' plays the trusted subset) "
+    "relative to the corpus — the ranking signal for targeted "
+    "mixture up-sampling. Bucket ratios are add-one-smoothed integer "
+    "parts-per-million with floor division instead of the paper's "
+    "log-ratios: log/pow are not IEEE-exact across engines, ppm "
+    "ratios hash bit-identically (the q58 discipline) and preserve "
+    "the monotone per-feature structure. Scale shape: the bucket "
+    "stats table is BOUNDED (4096 rows) no matter the corpus size, "
+    "aggregated with map-side combine and broadcast back onto the "
+    "token stream — the corpus-sized shuffles key on bucket ints and "
+    "doc_id, never text (operators/importance.py).",
+)
+def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.importance import dsir_importance
+
+    d = _docs(spark, sf_dir)
+    return dsir_importance(d, is_target=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# q105: sketch-accuracy audit (HLL distinct counts vs exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q105_sketch_distinct_audit",
+    f"""
+    SELECT source, COUNT(DISTINCT tok) AS n_exact, TRUE AS within_tol
+    FROM (SELECT source, unnest({_TOKS}) AS tok
+          FROM documents WHERE LENGTH(trim(text)) > 0)
+    GROUP BY source
+    """,
+    doc="Sketch-accuracy audit: per-source distinct-token cardinality "
+    "computed BOTH ways in one aggregation — exact COUNT(DISTINCT) "
+    "and HyperLogLog++ (approx_count_distinct, rsd 2%) — emitting the "
+    "exact count plus a within-tolerance flag (5% relative or +-5 "
+    "absolute). The oracle supplies the exact count and asserts the "
+    "flag TRUE, so the driver hash-checks that the sketch stayed "
+    "inside its error contract on real data. This is the vocabulary- "
+    "sizing audit a pipeline runs before trusting sketches at 100 TB, "
+    "where COUNT(DISTINCT) over raw tokens is a full (source, token) "
+    "shuffle but the HLL is a fixed-width mergeable buffer per "
+    "source: validate the cheap path against the exact one on a "
+    "stratum, then run the cheap path fleet-wide (the same contract "
+    "operators/sketches.py pytest-enforces synthetically).",
+)
+def q105_sketch_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("n_exact"),
+            F.approx_count_distinct("tok", 0.02).alias("__approx"),
+        )
+        .select(
+            "source",
+            "n_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_exact"))
+                <= F.greatest(F.ceil(F.col("n_exact") * 0.05), F.lit(5))
+            ).alias("within_tol"),
+        )
+    )

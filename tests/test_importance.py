@@ -1,0 +1,66 @@
+"""DSIR importance weighting: ratio bounds, degenerate distributions,
+target-ranking direction, and partition invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.importance import PPM, dsir_importance
+
+
+def _docs(spark):
+    rows = [
+        (1, True, "alpha beta gamma alpha"),
+        (2, True, "alpha beta beta"),
+        (3, False, "delta epsilon zeta"),
+        (4, False, "delta delta eta theta"),
+        (5, False, "alpha delta"),  # mixed vocabulary
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tgt boolean, text string")
+
+
+def test_bounds_and_token_conservation(spark):
+    d = _docs(spark)
+    out = dsir_importance(d, F.col("tgt")).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 4, 5}
+    for r in out:
+        # each token's ratio is in (0, PPM]: (ct+1)//(cc+1) <= 1
+        assert 0 < r["importance_ppm"] <= r["n_tok"] * PPM
+    n_tok = {r["doc_id"]: r["n_tok"] for r in out}
+    assert n_tok == {1: 4, 2: 3, 3: 3, 4: 4, 5: 2}
+
+
+def test_all_target_is_exact_ppm(spark):
+    """When every document is the target, ct == cc for every bucket, so
+    each token contributes exactly PPM and importance == n_tok * PPM —
+    pins the integer arithmetic (no smoothing drift)."""
+    d = _docs(spark)
+    out = dsir_importance(d, F.lit(True)).collect()
+    for r in out:
+        assert r["importance_ppm"] == r["n_tok"] * PPM
+
+
+def test_target_docs_outrank_disjoint_nontarget(spark):
+    """With disjoint vocabularies, every target document must outscore
+    every pure non-target document — the selection direction DSIR
+    exists for."""
+    d = _docs(spark).filter(F.col("doc_id") != 5)  # drop the mixed doc
+    out = {r["doc_id"]: r["importance_ppm"] / r["n_tok"]
+           for r in dsir_importance(d, F.col("tgt")).collect()}
+    assert min(out[1], out[2]) > max(out[3], out[4])
+
+
+def test_partition_invariance(spark):
+    d = _docs(spark)
+    a = sorted(map(tuple, dsir_importance(d, F.col("tgt")).collect()))
+    b = sorted(map(tuple, dsir_importance(d.repartition(7), F.col("tgt")).collect()))
+    assert a == b
+
+
+def test_empty_and_blank_text(spark):
+    rows = [(1, True, "alpha"), (2, False, ""), (3, False, None)]
+    d = spark.createDataFrame(rows, "doc_id long, tgt boolean, text string")
+    out = dsir_importance(d, F.col("tgt")).collect()
+    # blank/null docs have no tokens -> no output row (caller decides
+    # their fate; the operator never divides by zero)
+    assert {r["doc_id"] for r in out} == {1}

@@ -251,23 +251,21 @@ def jdbc_upsert(
     try:
         target = spark.read.jdbc(url, table, properties=props)
         merged = merge_upsert(target, df, key)
-        # MATERIALIZE before the overwrite: the merged plan lazily
-        # READS the same table the overwrite is about to drop — writing
-        # straight through would destroy the target before its rows
-        # were ever fetched (silent data loss). The persist+count pins
-        # the merged result in executor memory first; only then is the
-        # target rewritten from the cache.
-        merged = merged.persist()
-        try:
-            merged.count()
-            merged.write.jdbc(url, table, mode="overwrite", properties=props)
-        finally:
-            merged.unpersist()
+        # MATERIALIZE + SEVER LINEAGE before the overwrite: the merged
+        # plan lazily READS the same table the overwrite is about to
+        # drop. persist()+count() is not enough — a lost/evicted cache
+        # block would silently RECOMPUTE its partition from lineage
+        # against the already-emptied target. localCheckpoint truncates
+        # the lineage entirely: after it, block loss fails the job
+        # loudly instead of fabricating rows from a dropped table.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.jdbc(url, table, mode="overwrite", properties=props)
     except Exception as e:  # pragma: no cover - no JDBC driver in test env
         # only a genuinely missing driver earns the classpath hint;
         # SQL/auth/constraint errors must surface as themselves
-        msg = str(e)
-        if "No suitable driver" in msg or "ClassNotFound" in msg:
+        from etl_guiacores_spark.jdbc_merge import missing_driver
+
+        if missing_driver(e):
             raise RuntimeError(
                 f"jdbc_upsert needs a JDBC driver for {url} on the Spark classpath"
             ) from e

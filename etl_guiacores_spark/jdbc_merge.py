@@ -79,6 +79,15 @@ def staging_name(table: str) -> str:
     return f"{table}__staging"
 
 
+def missing_driver(e: Exception) -> bool:
+    """True only for a genuinely absent JDBC driver — SQL/auth/network
+    failures must surface as themselves, not as a classpath hint.
+    Shared by every JDBC entry point so a new driver-missing signature
+    gets added in exactly one place."""
+    msg = str(e)
+    return "No suitable driver" in msg or "ClassNotFound" in msg
+
+
 def merge_sql(
     table: str, staging: str, key: str, columns: list[str], dialect: str = "merge"
 ) -> str:
@@ -140,14 +149,17 @@ def jdbc_keyed_upsert(
         stmts.append(bootstrap_ddl(df.schema, table, key))
     stmts.append(merge_sql(table, staging, key, df.columns, dialect))
 
-    def _missing_driver(e: Exception) -> bool:
-        msg = str(e)
-        return "No suitable driver" in msg or "ClassNotFound" in msg
+    _missing_driver = missing_driver
 
     # only a genuinely missing driver gets the classpath message; any
-    # other failure (auth, network, SQL) must surface as itself
+    # other failure (auth, network, SQL) must surface as itself.
+    # The staging name is passed PRE-QUOTED: Spark's JDBC writer
+    # interpolates the table string verbatim into its CREATE/INSERT, so
+    # an unquoted name would be case-folded by the database (Postgres:
+    # Leads__staging -> leads__staging) while merge_sql references the
+    # quoted, case-preserved form — the merge would miss the table.
     try:
-        df.write.jdbc(url, staging, mode="overwrite", properties=props)
+        df.write.jdbc(url, quote_ident(staging), mode="overwrite", properties=props)
     except Exception as e:  # pragma: no cover - no JDBC driver in test env
         if _missing_driver(e):
             raise RuntimeError(

@@ -67,15 +67,24 @@ def dsir_importance(
     in parts-per-million. Documents from the target's own distribution
     score near ``PPM * P(target)``-ish; off-target documents lower.
 
-    Plan: one explode -> bucket key; bucket stats aggregated with
-    map-side combine (bounded output: ``num_buckets`` rows) and
-    broadcast back; final groupBy on the document id. No shuffle
+    Plan: TWO passes over the tokenized corpus — an estimator-fit pass
+    (bucket stats, aggregated with map-side combine into a bounded
+    ``num_buckets``-row table) and a scoring pass that joins the
+    broadcast ratio table back and sums per document. This is DSIR's
+    own production shape (fit the importance estimator, then score);
+    Spark does not reuse the shared explode subtree across the two
+    aggregations, and persisting an exploded 100 TB token stream to
+    avoid the second scan would cost more than the scan. No shuffle
     carries text, and the only corpus-sized shuffles key on bucket
     (bounded fan-in) and ``id_col``.
     """
     toks = docs.select(
         F.col(id_col),
-        is_target.alias("__is_target"),
+        # NULL predicate (e.g. lang IS NULL) counts as non-target, the
+        # same mapping a SQL `CASE WHEN is_t THEN 1 ELSE 0` applies —
+        # without this, an all-NULL bucket would sum to NULL and its
+        # tokens would silently drop out of the importance sum
+        F.coalesce(is_target, F.lit(False)).alias("__is_target"),
         F.explode(tokens(F.col(text_col))).alias("__tok"),
     ).select(
         id_col,

@@ -34,6 +34,11 @@ ADVANCED_BUTTON_SELECTOR = "a[data-target='#modalBusquedaAvanzada']"
 RUBRO_SELECT_SELECTOR = "#searchadvanced-idrubro"
 LOCALIDAD_SELECT_SELECTOR = "#searchadvanced-idlocalidad"
 ADVANCED_SUBMIT_SELECTOR = "#botonBuscarAvanzada"
+# the modal FORM itself (reference sequential_collector.py:53 —
+# '#formBusquedaAvazada', sic): the element whose disappearance
+# signals the filtered search applied. The trigger anchor above stays
+# in the page after the modal closes, so waiting on it never fires.
+ADVANCED_MODAL_SELECTOR = "#formBusquedaAvazada"
 RESULT_NAME_SELECTOR = ".search-result-name"
 EMPRESAS_FILTER = {"Tm": "1"}  # listing restricted to empresas
 
@@ -132,7 +137,7 @@ def selenium_transport(
                 try:
                     self.wait.until(
                         EC.invisibility_of_element_located(
-                            (By.CSS_SELECTOR, ADVANCED_BUTTON_SELECTOR)
+                            (By.CSS_SELECTOR, ADVANCED_MODAL_SELECTOR)
                         )
                     )
                 except Exception:

@@ -133,6 +133,13 @@ class _DetailPageParser(HTMLParser):
             self._begin_capture("descripcion")
 
     def handle_endtag(self, tag: str) -> None:
+        # a stray end tag with NO matching open element (</br>, a
+        # spurious </p>) must be ignored outright — letting the
+        # implicit-close loop below run would drain the whole stack,
+        # force-finishing every active capture and resetting ancestor
+        # tracking for the rest of the page
+        if not any(frame[0] == tag for frame in self._stack):
+            return
         while self._stack and self._stack[-1][0] != tag:
             self._stack.pop()
         depth = len(self._stack)
@@ -234,13 +241,19 @@ def parse_pages(df: DataFrame, html_col: str = "html", url_col: str = "url") -> 
                 if "id=" in u:
                     m = _DIGITS_RE.search(u.rsplit("id=", 1)[-1])
                     bid = m.group(0) if m else None
-                else:
+                elif u.startswith("file:") or ("://" not in u and u.endswith(".html")):
                     # scan_html_dir rows carry a FILE path, not a query
                     # URL — take the last digit run of the basename
                     # (pagina_77.html -> 77) so manual --file mode
-                    # yields keyed rows instead of quarantining 100%
+                    # yields keyed rows instead of quarantining 100%.
+                    # Gated to local files ONLY: a WEB url without id=
+                    # (a listing page, /page2) must stay unkeyed and
+                    # quarantine, not receive a fabricated id that
+                    # collides and gets silently dropped by dedupe
                     hits = _DIGITS_RE.findall(u.rsplit("/", 1)[-1])
                     bid = hits[-1] if hits else None
+                else:
+                    bid = None
                 rec["id_negocio"] = bid
                 rec["url"] = url
                 rows.append(rec)

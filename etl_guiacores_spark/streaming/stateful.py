@@ -99,7 +99,15 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: in
                 closed.append((user_id, start_us, last_us, n, round(total, 2)))
                 start_us, last_us, n, total = tus, tus, 1, float(value)
             else:
-                last_us, n, total = tus, n + 1, total + float(value)
+                # a LATE event (earlier batch's watermark not yet past,
+                # tus < last_us) joins the open session but must never
+                # move its bounds backward: session_end is the max event
+                # time seen, session_start the min — otherwise the
+                # event-time timeout regresses and the session flushes
+                # early, splitting one real session into corrupt halves
+                start_us = min(start_us, tus)
+                last_us = max(last_us, tus)
+                n, total = n + 1, total + float(value)
 
     if start_us >= 0:
         state.update((start_us, last_us, n, total))

@@ -115,3 +115,28 @@ class TestNestedMarkupCapture:
 
         r = parse_detail_html('<span class="search-result-address">Calle 77')
         assert r["direccion"] == "Calle 77"
+
+
+class TestStrayEndTags:
+    def test_stray_end_tag_does_not_truncate_capture(self):
+        # html.parser reports </br> as an end tag with no open element;
+        # it must be ignored, not drain the stack and force-finish the
+        # address capture mid-field
+        rec = parse_detail_html(
+            '<span class="search-result-address">Calle 5</br>Piso 2</span>'
+        )
+        # both halves survive; the separator-free join matches the
+        # reference's get_text(strip=True) concatenation
+        assert rec["direccion"] == "Calle 5Piso 2"
+
+    def test_stray_end_tag_keeps_ancestor_tracking(self):
+        # a spurious </p> inside list-view must not reset _in_list_view
+        # — the rubros after it still belong to the list
+        html = (
+            '<div class="list-view"><div>'
+            "</p>"
+            '<a class="search-result-link" href="#">Panaderías</a>'
+            "</div></div>"
+        )
+        rec = parse_detail_html(html)
+        assert rec["rubros"] == "Panaderías"

@@ -64,3 +64,18 @@ def test_empty_and_blank_text(spark):
     # blank/null docs have no tokens -> no output row (caller decides
     # their fate; the operator never divides by zero)
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_null_target_predicate_counts_as_nontarget(spark):
+    """NULL is_target (lang IS NULL) maps to non-target — the same
+    CASE WHEN is_t THEN 1 ELSE 0 semantics the SQL oracle applies;
+    without the coalesce an all-NULL bucket sums to NULL and its
+    tokens silently vanish from importance_ppm."""
+    rows = [(1, "en", "alpha beta"), (2, None, "gamma gamma"), (3, "fr", "alpha")]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_importance(d, F.col("lang") == "en").collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 2's tokens live in an all-non-target bucket: ratio is
+    # 1_000_000 // (cc + 1) = 1_000_000 // 3 per token, never NULL
+    assert out[2]["importance_ppm"] == 2 * (1_000_000 // 3)

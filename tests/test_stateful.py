@@ -71,3 +71,47 @@ def test_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
         assert flushed["session_end_us"] == flushed["session_start_us"]
     finally:
         q.stop()
+
+
+def test_late_event_never_moves_session_bounds_backward(spark, tmp_path):
+    """A late-but-within-watermark event delivered in a LATER batch
+    must extend the open session's bounds monotonically (start=min,
+    end=max), not drag last_us backward — regressing it corrupts
+    session_end AND the event-time timeout, flushing early and
+    splitting one real session in two."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([ev(1, 60), ev(1, 70, 2.0)], SCHEMA) \
+        .write.mode("append").parquet(src)
+
+    q = (
+        sessionize_stream(spark.readStream.schema(SCHEMA).parquet(src))
+        .writeStream.format("memory")
+        .queryName("late_sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event 20 min before the session's last event
+        # (watermark delay is 2h, so it is accepted and joins the
+        # session — 20 min < the 30 min gap)
+        spark.createDataFrame([ev(1, 50, 4.0)], SCHEMA) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: a gap closes the session
+        spark.createDataFrame([ev(1, 200)], SCHEMA) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from late_sessions_out order by session_start_us"
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        base = 1704067200000000
+        assert r["n_events"] == 3
+        assert r["total_value"] == 7.0
+        assert r["session_start_us"] == base + 50 * 60 * 1_000_000
+        assert r["session_end_us"] == base + 70 * 60 * 1_000_000
+    finally:
+        q.stop()

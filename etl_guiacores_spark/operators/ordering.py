@@ -41,6 +41,11 @@ def dense_ids(
     so this delegates to :func:`global_prefix_sum` — one copy of the
     range-partition/local-window/broadcast-offset machinery.
     """
+    if "__one" in df.columns:
+        raise ValueError(
+            "dense_ids: input already has a '__one' column — rename it "
+            "first (used as the operator's constant-1 temporary)"
+        )
     return global_prefix_sum(
         df.withColumn("__one", F.lit(1)),
         order_col,
@@ -70,6 +75,13 @@ def global_prefix_sum(
     sum of strictly-preceding rows (the start offset); ``False`` the
     inclusive running total. ``order_col`` must be unique.
     """
+    taken = {"__pid", "__lsum", "__off"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"global_prefix_sum: input already has column(s) {sorted(taken)} "
+            "— rename them first (the operator uses these as temporaries "
+            "and would silently clobber and drop them)"
+        )
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     d = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
@@ -80,7 +92,12 @@ def global_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = d.withColumn("__lsum", F.sum(value_col).over(local_w))
+    # coalesce: a partition whose rows so far are all NULL yields a
+    # NULL local window sum (SUM skips NULLs and returns NULL over an
+    # empty set) — that row's running total is 0-so-far, not NULL
+    local = d.withColumn(
+        "__lsum", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
+    )
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -88,7 +105,10 @@ def global_prefix_sum(
     )
     run = F.col("__off") + F.col("__lsum")
     if exclusive:
-        run = run - F.col(value_col)
+        # NULL values contribute 0 to the running sums (window SUM
+        # skips them) — subtracting the raw column would turn the
+        # whole start offset NULL for that row
+        run = run - F.coalesce(F.col(value_col), F.lit(0))
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, run.cast("long"))

@@ -195,7 +195,22 @@ def incremental_near_dup(
     ).drop("text")
     # replay-safety: a re-delivered batch may already be IN the staged
     # tables; its own staged copies must not doom it
-    old_sigs = spark.table(tables["sigs"]).join(
+    staged_sigs = spark.table(tables["sigs"])
+    # hash-family guard: the staged signatures and this batch's must
+    # come from the SAME family (portable md5-hex = strings, native
+    # xxhash64 = longs). A mismatch would make the band equi-join match
+    # NOTHING and silently admit every duplicate — the schema is the
+    # family fingerprint, so assert it instead of failing open.
+    staged_types = {f.name: f.dataType for f in staged_sigs.schema.fields}
+    new_types = {f.name: f.dataType for f in new_sigs.schema.fields}
+    if staged_types != new_types:
+        raise ValueError(
+            "incremental_near_dup: staged signature schema "
+            f"{staged_types} != batch signature schema {new_types} — "
+            "the staged corpus was built with a different hash family "
+            "(portable=) than this call; re-stage or match the flag"
+        )
+    old_sigs = staged_sigs.join(
         new_docs.select("doc_id"), on="doc_id", how="left_anti"
     )
 

@@ -401,7 +401,7 @@ def q78_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ex AS (
         SELECT vec_id, label,
-               unnest(range(1, 65)) AS dim,
+               unnest(range(1, LEN(embedding) + 1)) AS dim,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
     ),
@@ -655,15 +655,15 @@ def q83_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q84_DOT = (
-    "list_sum(list_transform(range(1, 65), "
+    "list_sum(list_transform(range(1, LEN(q.embedding) + 1), "
     "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
 )
 _Q84_NQ = (
-    "SQRT(list_sum(list_transform(range(1, 65), "
+    "SQRT(list_sum(list_transform(range(1, LEN(q.embedding) + 1), "
     "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
 )
 _Q84_NE = (
-    "SQRT(list_sum(list_transform(range(1, 65), "
+    "SQRT(list_sum(list_transform(range(1, LEN(e.embedding) + 1), "
     "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
 )
 
@@ -1177,8 +1177,13 @@ def q95_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q97_label_centroid_cosine",
     """
     WITH ex AS (
-        SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS x
-        FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+        -- dim derived from each row's own array via parallel unnest
+        -- (generate_series rejects lateral column args): a regenerated
+        -- fixture with a different width must not make the oracle
+        -- silently truncate while Spark posexplodes all of it
+        SELECT label, unnest(range(1, LEN(embedding) + 1)) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
     ),
     cent AS (
         SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos

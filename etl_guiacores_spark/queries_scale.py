@@ -278,7 +278,7 @@ def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DOT = (
-    "list_sum(list_transform(range(1, 65), "
+    "list_sum(list_transform(range(1, LEN(a.embedding) + 1), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
 )
 
@@ -289,11 +289,11 @@ _DOT = (
     WITH pairs AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                ROUND(
-                 list_sum(list_transform(range(1, 65),
+                 list_sum(list_transform(range(1, LEN(q.embedding) + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                 / (SQRT(list_sum(list_transform(range(1, 65),
+                 / (SQRT(list_sum(list_transform(range(1, LEN(q.embedding) + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                  * SQRT(list_sum(list_transform(range(1, 65),
+                  * SQRT(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
                , 6) AS sim
         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
@@ -333,11 +333,11 @@ def q28_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, sim FROM (
         SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                ROUND(
-                 list_sum(list_transform(range(1, 65),
+                 list_sum(list_transform(range(1, LEN(a.embedding) + 1),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
-                 / (SQRT(list_sum(list_transform(range(1, 65),
+                 / (SQRT(list_sum(list_transform(range(1, LEN(a.embedding) + 1),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-                  * SQRT(list_sum(list_transform(range(1, 65),
+                  * SQRT(list_sum(list_transform(range(1, LEN(b2.embedding) + 1),
                      i -> CAST(b2.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))))
                , 6) AS sim
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -1189,11 +1189,11 @@ def q101_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pairs AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                ROUND(
-                 list_sum(list_transform(range(1, 65),
+                 list_sum(list_transform(range(1, LEN(q.embedding) + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                 / (SQRT(list_sum(list_transform(range(1, 65),
+                 / (SQRT(list_sum(list_transform(range(1, LEN(q.embedding) + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                  * SQRT(list_sum(list_transform(range(1, 65),
+                  * SQRT(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
                , 6) AS sim
         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id

@@ -216,3 +216,35 @@ def test_streaming_corpus_ingest(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_rejects_mismatched_hash_family(spark):
+    """Staged md5-hex signatures vs a native-xxhash batch: the band
+    equi-join would match NOTHING and silently admit every duplicate —
+    the schema mismatch must raise instead of failing open."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        incremental_near_dup,
+        stage_corpus_artifacts,
+    )
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    tables = stage_corpus_artifacts(
+        docs.filter("doc_id < 100"), "corpus_family_test",
+        num_buckets=4, portable=True,
+    )
+    try:
+        with pytest.raises(ValueError, match="hash family"):
+            incremental_near_dup(
+                docs.filter("doc_id >= 100"), tables, 0.6, portable=False
+            )
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -152,3 +152,27 @@ def test_weighted_sample_partition_invariant(spark, rows, parts):
         for r in weighted_sample_topk(df.repartition(parts), "k", "w", k).collect()
     }
     assert a == b and len(a) == min(k, len(rows))
+
+
+def test_prefix_sum_null_values_and_temp_collisions(spark):
+    """exclusive=True start offsets treat NULL values as 0 (the window
+    sums already skip them); reserved temp columns are rejected rather
+    than silently clobbered."""
+    import pytest
+
+    from etl_guiacores_spark.operators.ordering import dense_ids, global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "k long, v long"
+    )
+    out = {r["k"]: r["start"] for r in global_prefix_sum(
+        df, "k", "v", out_col="start", exclusive=True
+    ).collect()}
+    # NULL contributes nothing: row 2 starts where row 1 ended, row 3
+    # sees only the 10 from row 1
+    assert out == {1: 0, 2: 10, 3: 10}
+
+    with pytest.raises(ValueError, match="__lsum"):
+        global_prefix_sum(df.withColumn("__lsum", df.v), "k", "v")
+    with pytest.raises(ValueError, match="__one"):
+        dense_ids(df.withColumn("__one", df.v), "k")

@@ -54,9 +54,12 @@ def main() -> int:
     only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
 
     sum_a, sum_b = sum(a[n] for n in common), sum(b[n] for n in common)
+    # a truncated/renamed artifact can leave no common queries (or an
+    # all-zero baseline) — report what overlap exists rather than
+    # dividing by zero before the removed/added lists print
+    pct = f"{(sum_b - sum_a) / sum_a * 100:+.0f}%" if sum_a else "n/a"
     print(
-        f"common {len(common)} queries: {sum_a:.1f}s -> {sum_b:.1f}s "
-        f"({(sum_b - sum_a) / sum_a * 100:+.0f}%)"
+        f"common {len(common)} queries: {sum_a:.1f}s -> {sum_b:.1f}s ({pct})"
     )
     if only_a:
         print(f"removed ({len(only_a)}): {', '.join(only_a)}")

@@ -80,6 +80,13 @@ def write_version(
     to the newest ``keep_last`` versions
     (reference: src/common/versioning.py:96-108)."""
     ts = run_timestamp(clock)
+    # a version is ONE run's output: with second-granularity stamps a
+    # retry (or two runs inside a second) would APPEND into the same
+    # partition and every reader would silently see doubled rows —
+    # replace the colliding partition instead of merging into it
+    existing = Path(path) / f"version={ts}"
+    if existing.exists():
+        shutil.rmtree(existing, ignore_errors=True)
     df.withColumn("version", F.lit(ts)).write.mode("append").partitionBy("version").parquet(path)
     if keep_last is not None:
         prune_versions(path, keep_last)
@@ -249,7 +256,20 @@ def jdbc_upsert(
     spark = df.sparkSession
     props = properties or {}
     try:
-        target = spark.read.jdbc(url, table, properties=props)
+        try:
+            target = spark.read.jdbc(url, table, properties=props)
+        except Exception as read_err:
+            from etl_guiacores_spark.jdbc_merge import missing_driver
+
+            if missing_driver(read_err):
+                raise
+            # first-ever upsert: the target may simply not exist yet —
+            # bootstrap by writing the batch as the initial load (the
+            # create-on-first-write the reference's init_db performs).
+            # If the read actually failed for another reason (auth,
+            # network), this write fails too and THAT error surfaces.
+            df.write.jdbc(url, table, mode="errorifexists", properties=props)
+            return
         merged = merge_upsert(target, df, key)
         # MATERIALIZE + SEVER LINEAGE before the overwrite: the merged
         # plan lazily READS the same table the overwrite is about to

@@ -189,20 +189,30 @@ def lsh_candidate_pairs_from_sigs(
     already cached: banding from a cached signature table is a cheap
     cache-read + explode per join side, so a second cache entry would
     cost population + memory for nothing. When it does persist, the
-    handle's lifecycle follows ``sigs``'s owner (see
-    ``staged_minhash_shingles``)."""
+    handle rides out on the result as the ``staged_bands`` attribute —
+    unpersist it after the consuming action (run_corpus_pipeline
+    does), or ``spark.catalog.clearCache()`` between jobs."""
     bands = band_rows(sigs, id_col, num_hashes)
     sigs_cached = sigs.storageLevel.useMemory or sigs.storageLevel.useDisk
     if not sigs_cached:
         bands = bands.persist()
     left = bands.select(F.col("__id").alias("id_a"), "__band")
     right = bands.select(F.col("__id").alias("id_b"), "__band")
-    return (
+    pairs = (
         left.join(right, on="__band")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if not sigs_cached:
+        # expose the persisted handle: CacheManager entries are NOT
+        # GC-reclaimed, so without this no caller could ever release
+        # the band cache — each dedup invocation would leak one entry
+        # for the session lifetime (LRU pressure on everything else).
+        # Callers unpersist after their consuming action (see
+        # run_corpus_pipeline), or clearCache between jobs (bench.py).
+        pairs.staged_bands = bands
+    return pairs
 
 
 def staged_minhash_shingles(
@@ -267,7 +277,9 @@ def simhash(col: Column, bits: int = 16) -> Column:
     Bit b of a token = bit (b % 4) of hex digit (b // 4) of the
     token's md5 — portable to any engine with md5 + substring.
     """
-    assert bits <= 64
+    # bit 63 would need the literal 1<<63, which overflows a signed
+    # long (the signature column type) — 63 planes is the max
+    assert 0 < bits < 64, "bits must be in [1, 63] for a signed-long signature"
     toks = F.split(F.trim(col), r"\s+")
 
     def tally_fn(digit: int, bitpos: int):
@@ -315,7 +327,9 @@ def simhash_grouped(
     Zero-token documents survive via explode_outer + coalesce
     (signature 0, matching the fold form on empty arrays).
     """
-    assert bits <= 64
+    # bit 63 would need the literal 1<<63, which overflows a signed
+    # long (the signature column type) — 63 planes is the max
+    assert 0 < bits < 64, "bits must be in [1, 63] for a signed-long signature"
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = docs.select(id_col, F.explode_outer(toks).alias("__tok")).withColumn(
         "__h", F.md5("__tok")
@@ -375,7 +389,11 @@ def knn_brute_force(
     Self-exclusion assumes queries are drawn from the embedding
     table's id space (a candidate whose id equals the query id is the
     query itself). The comparison is null-safe: rows with NULL ids are
-    kept as candidates rather than silently dropped.
+    kept as candidates rather than silently dropped — with one
+    precondition: at most ONE row may carry a NULL id. eqNullSafe
+    treats all NULL ids as the same identity, so a NULL-id query would
+    wrongly exclude every other NULL-id candidate; require non-null
+    (unique) ids when querying from rows without keys.
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -470,7 +488,10 @@ def centroid_outlier_scores(
         F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
     ).withColumn("__v", F.col("__v").cast("double"))
     cent = ex.groupBy(group_col, "__dim").agg(
-        (F.round(F.sum("__v"), 6) / F.count("*")).alias("__c")
+        # divide by the NON-NULL count: SUM skips null elements, so
+        # COUNT(*) would bias the centroid wherever a vector has a
+        # null dimension
+        (F.round(F.sum("__v"), 6) / F.count("__v")).alias("__c")
     )
     return (
         ex.join(F.broadcast(cent), [group_col, "__dim"])

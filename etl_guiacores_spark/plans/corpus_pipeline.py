@@ -114,6 +114,10 @@ def near_dup_removal(
         # broadcast hint; AQE picks broadcast only when it truly fits.
         doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
         survivors = docs.join(doomed, "doc_id", "left_anti")
+    # ride the band-cache handle out to the pipeline so it can be
+    # released once the consuming actions finish (similarity.py
+    # persists it per invocation and CacheManager never GCs it)
+    verified.staged_bands = getattr(candidates, "staged_bands", None)
     return survivors, verified
 
 
@@ -380,6 +384,11 @@ def run_corpus_pipeline(
     }
     emit("chunks", {"records": metrics["chunks"]})
     emit("vocab", {"records": metrics["vocab_size"]})
+    # every consuming action has run — release the per-invocation band
+    # cache so repeated pipeline runs in one session don't accumulate
+    staged_bands = getattr(dup_pairs, "staged_bands", None)
+    if staged_bands is not None:
+        staged_bands.unpersist()
     gio.write_stats_json(metrics, f"{out_dir}/metrics.json")
     emit("done", {"records": n_clean})
     return metrics

@@ -406,7 +406,7 @@ def q78_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     cent AS (
-        SELECT label, dim, ROUND(SUM(v), 6) / COUNT(*) AS c
+        SELECT label, dim, ROUND(SUM(v), 6) / COUNT(v) AS c
         FROM ex GROUP BY label, dim
     )
     SELECT ex.vec_id, ex.label,

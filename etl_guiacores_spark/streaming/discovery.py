@@ -55,6 +55,7 @@ def discover_until_idle(
     total = 0
     idle = 0
     rounds = 0
+    rounds_since_cut = 0
     for i in range(max_rounds):
         batch = get(i)
         if batch is None:
@@ -84,6 +85,15 @@ def discover_until_idle(
         emit("round", {"round": i, "n_new": n_new, "total": total, "idle": 0})
         known = novel if known is None else known.unionByName(novel)
         # keep the lineage shallow so round N doesn't replan N-1 unions
-        known = known.localCheckpoint(eager=True)
+        # — but only every K rounds: each novel batch is ALREADY
+        # checkpointed above, so the union plan between cuts is a flat
+        # fan-in of at most K checkpointed legs (depth 1). Re-cutting
+        # the full accumulation every round would copy all previously
+        # checkpointed rows again — O(rounds x total) I/O on a long
+        # crawl instead of O(total x rounds / K).
+        rounds_since_cut += 1
+        if rounds_since_cut >= 8:
+            known = known.localCheckpoint(eager=True)
+            rounds_since_cut = 0
     emit("done", {"rounds": rounds, "total": total})
     return known

@@ -6,13 +6,16 @@ the engine uses when built-in operators can't express the semantics —
 the Spark-native analog of the reference's mutable crawl-state dicts
 (reference: src/extractors/sequential_scraper.py:84-99).
 
-Semantics: per user, events accumulate into a session; a gap larger
-than ``gap_seconds`` CLOSES the current session and emits one row for
-it. An EVENT-TIME TIMEOUT at last_event + gap flushes and evicts a
-quiet user's final session once the watermark passes it, so the state
-store holds only users whose session could still be extended — state
-per key is four scalars and the store is bounded by ACTIVE keys, not
-all keys ever seen.
+Semantics: per user, events accumulate into session INTERVALS; a gap
+larger than ``gap_seconds`` splits them. A session is emitted only
+once the WATERMARK passes its gap horizon (end + gap) — before that a
+late-but-admissible event could still extend it or bridge it with a
+neighbor, and an append-mode emission is irrevocable, so early
+emission would produce overlapping corrupt sessions. An EVENT-TIME
+TIMEOUT at the earliest held horizon drives the flush for quiet users
+and evicts empty state, so the store holds only ACTIVE keys, and each
+key's state is a short interval-summary list (bounded by
+watermark_delay / gap + 1 entries), never a raw-event buffer.
 
 Works identically under batch `groupBy().applyInPandas` semantics?
 No — this is streaming-only by design; the batch twin is
@@ -47,75 +50,89 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-#: state = (session_start_us, last_ts_us, n_events, total_value)
+#: state = the key's session INTERVALS as parallel arrays
+#: (start_us[i], end_us[i], n[i], total[i]) — gap-closed sessions stay
+#: in state until the watermark passes their gap horizon, because a
+#: late-but-within-watermark event may still belong to (or BRIDGE)
+#: them, and append mode can never retract an emitted row. The list is
+#: bounded: intervals are emitted as soon as the watermark clears them,
+#: so its length is at most watermark_delay / gap + 1 per key.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("totals", T.ArrayType(T.DoubleType())),
     ]
 )
 
 
+def _merge_intervals(ivs: list[list], gap_us: int) -> list[list]:
+    """Session algebra: sort interval summaries by start and coalesce
+    any neighbors within ``gap_us`` of each other — the same merge
+    Spark's built-in session_window state performs. A late event can
+    extend a session backward/forward or BRIDGE two sessions into one;
+    representing every event as a unit interval and re-merging handles
+    all cases with summaries only (no raw-event buffer)."""
+    ivs.sort(key=lambda iv: iv[0])
+    out: list[list] = []
+    for iv in ivs:
+        if out and iv[0] - out[-1][1] <= gap_us:
+            last = out[-1]
+            last[1] = max(last[1], iv[1])
+            last[2] += iv[2]
+            last[3] += iv[3]
+        else:
+            out.append(list(iv))
+    return out
+
+
 def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: int):
     (user_id,) = key
-    if state.exists:
-        start_us, last_us, n, total = state.get
-    else:
-        start_us = last_us = -1
-        n, total = 0, 0.0
-
-    cols = [f.name for f in SESSION_SCHEMA.fields]
-
-    if state.hasTimedOut:
-        # the watermark passed this session's gap horizon: no event can
-        # extend it any more — flush the final session and EVICT the
-        # state (this is what keeps the store bounded when users go
-        # quiet forever; NoTimeout would grow it monotonically)
-        state.remove()
-        if start_us >= 0:
-            yield pd.DataFrame(
-                [(user_id, start_us, last_us, n, round(total, 2))], columns=cols
-            )
-        return
+    ivs: list[list] = (
+        [list(iv) for iv in zip(*state.get)] if state.exists else []
+    )
 
     # a key's events may arrive as SEVERAL arrow chunks in arbitrary
-    # order (maxRecordsPerBatch splits big groups) — concatenate and
-    # sort ONCE so the gap scan sees one globally time-ordered pass;
-    # per-chunk sorting would move last_us backward on out-of-order
-    # chunks and merge events into the wrong session
-    chunks = list(pdfs)
-    closed: list[tuple] = []
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
+    # order (maxRecordsPerBatch splits big groups); each event becomes
+    # a unit interval and the merge below orders everything once
+    for pdf in pdfs:
         for ts, value in zip(pdf["ts"], pdf["value"]):
             # pandas Timestamp -> integer microseconds (exact, matches
             # the batch twin's unix_micros arithmetic)
             tus = ts.value // 1000
-            if start_us < 0:
-                start_us, last_us, n, total = tus, tus, 1, float(value)
-            elif tus - last_us > gap_us:
-                closed.append((user_id, start_us, last_us, n, round(total, 2)))
-                start_us, last_us, n, total = tus, tus, 1, float(value)
-            else:
-                # a LATE event (earlier batch's watermark not yet past,
-                # tus < last_us) joins the open session but must never
-                # move its bounds backward: session_end is the max event
-                # time seen, session_start the min — otherwise the
-                # event-time timeout regresses and the session flushes
-                # early, splitting one real session into corrupt halves
-                start_us = min(start_us, tus)
-                last_us = max(last_us, tus)
-                n, total = n + 1, total + float(value)
+            ivs.append([tus, tus, 1, float(value)])
+    ivs = _merge_intervals(ivs, gap_us)
 
-    if start_us >= 0:
-        state.update((start_us, last_us, n, total))
-        # event-time timeout at last_event + gap: when the watermark
-        # crosses it, the hasTimedOut branch above flushes + evicts
-        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
-    if closed:
-        yield pd.DataFrame(closed, columns=cols)
+    # emit ONLY sessions whose gap horizon the watermark has passed: no
+    # event the stream can still accept (ts >= watermark) satisfies
+    # ts <= end + gap for such a session, so it is final. Sessions
+    # closed by an in-batch gap but still inside the watermark stay in
+    # state — a late event may yet extend or bridge them, and an
+    # append-mode emission is irrevocable.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    final = [iv for iv in ivs if iv[1] + gap_us <= wm_us]
+    ivs = [iv for iv in ivs if iv[1] + gap_us > wm_us]
+
+    if ivs:
+        state.update(tuple(list(col) for col in zip(*ivs)))
+        # event-time timeout at the EARLIEST remaining horizon: when the
+        # watermark crosses it this function runs again (with no rows)
+        # and the emission scan above flushes what became final — and
+        # eventually evicts the state entirely (bounded store: quiet
+        # users must not hold entries forever). CEIL to ms: a floor
+        # could land exactly ON the watermark, which Spark rejects.
+        horizon_us = min(iv[1] for iv in ivs) + gap_us
+        state.setTimeoutTimestamp(-(-horizon_us // 1000))
+    elif state.exists:
+        state.remove()
+
+    if final:
+        cols = [f.name for f in SESSION_SCHEMA.fields]
+        yield pd.DataFrame(
+            [(user_id, s, e, n, round(t, 2)) for s, e, n, t in final],
+            columns=cols,
+        )
 
 
 def sessionize_stream(

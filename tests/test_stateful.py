@@ -1,4 +1,11 @@
-"""Custom stateful operator: streaming sessionizer vs its batch twin."""
+"""Custom stateful operator: streaming sessionizer vs its batch twin.
+
+Emission contract under test: a session row appears only once the
+WATERMARK passes its gap horizon (end + gap) — never merely because a
+later event opened a new session in the same batch. Until the horizon
+clears, a late-but-admissible event may extend the session or bridge
+it with a neighbor, and append mode cannot retract rows.
+"""
 
 from __future__ import annotations
 
@@ -16,102 +23,141 @@ SCHEMA = T.StructType(
     ]
 )
 
+BASE_US = 1704067200000000  # 2024-01-01 00:00:00 UTC
+
 
 def ev(user, minute, value=1.0):
     return (user, datetime(2024, 1, 1, minute // 60, minute % 60), value)
 
 
-def test_sessionizer_closes_on_gap_across_batches(spark, tmp_path):
+def _start(spark, src, ckpt, name):
+    return (
+        sessionize_stream(spark.readStream.schema(SCHEMA).parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def test_sessionizer_emits_only_past_the_watermark(spark, tmp_path):
     src = str(tmp_path / "src")
     # batch 1: user 1 builds a session (2 events), user 2 one event
     spark.createDataFrame([ev(1, 0), ev(1, 10, 2.0), ev(2, 5)], SCHEMA) \
         .write.mode("append").parquet(src)
-
-    q = (
-        sessionize_stream(spark.readStream.schema(SCHEMA).parquet(src))
-        .writeStream.format("memory")
-        .queryName("sessions_out")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
+    q = _start(spark, src, str(tmp_path / "ckpt"), "sessions_out")
     try:
         q.processAllAvailable()
         assert spark.sql("select count(*) n from sessions_out").collect()[0]["n"] == 0
 
-        # batch 2: user 1 returns after a 50-min gap -> first session closes
+        # batch 2: user 1 returns after a 50-min gap. The first session
+        # is CLOSED by the gap but its horizon (00:40) is ahead of the
+        # watermark (still at the epoch floor) — nothing may be emitted
+        # yet: a late event could still extend or bridge it.
         spark.createDataFrame([ev(1, 60, 5.0)], SCHEMA).write.mode("append").parquet(src)
         q.processAllAvailable()
-        rows = spark.sql("select * from sessions_out").collect()
-        assert len(rows) == 1
-        r = rows[0]
-        assert r["user_id"] == 1
-        assert r["n_events"] == 2
-        assert r["total_value"] == 3.0
-        # exact integer-us bounds: 00:00 .. 00:10
-        assert r["session_start_us"] == 1704067200000000
-        assert r["session_end_us"] == 1704067200000000 + 600 * 1_000_000
+        assert spark.sql("select count(*) n from sessions_out").collect()[0]["n"] == 0
 
-        # batch 3: same-session continuation then another gap closes it.
-        # The event at 03:20 advances the watermark to 01:20 (2h delay),
-        # which passes user 2's timeout horizon (00:05 + 30min) — the
-        # event-time timeout flushes their final session and evicts the
-        # state (quiet users must not hold store entries forever).
+        # batch 3: the event at 03:20 advances the watermark to 01:20
+        # (2h delay) — past session 1's horizon (00:40) and user 2's
+        # (00:35), so exactly those two flush; [60,80] (horizon 01:50)
+        # and the fresh [200,200] are held.
         spark.createDataFrame([ev(1, 80, 1.0), ev(1, 200)], SCHEMA) \
             .write.mode("append").parquet(src)
         q.processAllAvailable()
-        rows = {r["session_start_us"]: r for r in spark.sql("select * from sessions_out").collect()}
-        assert len(rows) == 3
-        second = rows[1704067200000000 + 3600 * 1_000_000]
-        assert second["n_events"] == 2  # events at :60 and :80
-        assert second["total_value"] == 6.0
-        flushed = rows[1704067200000000 + 300 * 1_000_000]  # user 2 @ 00:05
-        assert flushed["user_id"] == 2
+        rows = {(r["user_id"], r["session_start_us"]): r
+                for r in spark.sql("select * from sessions_out").collect()}
+        assert set(rows) == {(1, BASE_US), (2, BASE_US + 300 * 1_000_000)}
+        first = rows[(1, BASE_US)]
+        assert first["n_events"] == 2
+        assert first["total_value"] == 3.0
+        assert first["session_end_us"] == BASE_US + 600 * 1_000_000
+        flushed = rows[(2, BASE_US + 300 * 1_000_000)]
         assert flushed["n_events"] == 1
         assert flushed["session_end_us"] == flushed["session_start_us"]
+
+        # batch 4: watermark jumps to 06:20, clearing both held
+        # sessions ([60,80] horizon 01:50, [200,200] horizon 03:50)
+        spark.createDataFrame([ev(1, 500)], SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["session_start_us"]): r
+                for r in spark.sql("select * from sessions_out").collect()}
+        assert len(rows) == 4
+        second = rows[(1, BASE_US + 3600 * 1_000_000)]
+        assert second["n_events"] == 2  # events at :60 and :80
+        assert second["total_value"] == 6.0
+        assert second["session_end_us"] == BASE_US + 80 * 60 * 1_000_000
+        third = rows[(1, BASE_US + 200 * 60 * 1_000_000)]
+        assert third["n_events"] == 1
     finally:
         q.stop()
 
 
 def test_late_event_never_moves_session_bounds_backward(spark, tmp_path):
     """A late-but-within-watermark event delivered in a LATER batch
-    must extend the open session's bounds monotonically (start=min,
-    end=max), not drag last_us backward — regressing it corrupts
-    session_end AND the event-time timeout, flushing early and
-    splitting one real session in two."""
+    extends the held session to the earlier start — one session with
+    monotone bounds, not a split or a corrupted end."""
     src = str(tmp_path / "src")
     spark.createDataFrame([ev(1, 60), ev(1, 70, 2.0)], SCHEMA) \
         .write.mode("append").parquet(src)
-
-    q = (
-        sessionize_stream(spark.readStream.schema(SCHEMA).parquet(src))
-        .writeStream.format("memory")
-        .queryName("late_sessions_out")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
+    q = _start(spark, src, str(tmp_path / "ckpt"), "late_sessions_out")
     try:
         q.processAllAvailable()
         # batch 2: a LATE event 20 min before the session's last event
-        # (watermark delay is 2h, so it is accepted and joins the
-        # session — 20 min < the 30 min gap)
+        # (watermark delay is 2h, so it is accepted; 10 min from the
+        # session start — inside the 30 min gap)
         spark.createDataFrame([ev(1, 50, 4.0)], SCHEMA) \
             .write.mode("append").parquet(src)
         q.processAllAvailable()
-        # batch 3: a gap closes the session
-        spark.createDataFrame([ev(1, 200)], SCHEMA) \
-            .write.mode("append").parquet(src)
+        # batches 3-4: a gap splits, then the watermark (04:40) clears
+        # both the merged session and the singleton at 200
+        spark.createDataFrame([ev(1, 200)], SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame([ev(1, 400)], SCHEMA).write.mode("append").parquet(src)
         q.processAllAvailable()
         rows = spark.sql(
             "select * from late_sessions_out order by session_start_us"
         ).collect()
+        assert len(rows) == 2
+        merged = rows[0]
+        assert merged["n_events"] == 3
+        assert merged["total_value"] == 7.0
+        assert merged["session_start_us"] == BASE_US + 50 * 60 * 1_000_000
+        assert merged["session_end_us"] == BASE_US + 70 * 60 * 1_000_000
+        assert rows[1]["n_events"] == 1
+    finally:
+        q.stop()
+
+
+def test_late_event_bridges_two_held_sessions(spark, tmp_path):
+    """The case early emission gets irrevocably wrong: two sessions
+    split by an in-batch gap, then a late event lands between them and
+    fuses all three into ONE session. Holding gap-closed sessions until
+    the watermark passes their horizon makes the bridge possible."""
+    src = str(tmp_path / "src")
+    # 60-min gap between the two events -> two intervals
+    spark.createDataFrame([ev(1, 60), ev(1, 120, 2.0)], SCHEMA) \
+        .write.mode("append").parquet(src)
+    q = _start(spark, src, str(tmp_path / "ckpt"), "bridge_sessions_out")
+    try:
+        q.processAllAvailable()
+        # late bridging event exactly 30 min from both neighbors
+        spark.createDataFrame([ev(1, 90, 4.0)], SCHEMA) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert spark.sql(
+            "select count(*) n from bridge_sessions_out"
+        ).collect()[0]["n"] == 0
+        # watermark to 08:00 — far past the merged horizon (02:30)
+        spark.createDataFrame([ev(1, 600)], SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("select * from bridge_sessions_out").collect()
         assert len(rows) == 1
         r = rows[0]
-        base = 1704067200000000
         assert r["n_events"] == 3
         assert r["total_value"] == 7.0
-        assert r["session_start_us"] == base + 50 * 60 * 1_000_000
-        assert r["session_end_us"] == base + 70 * 60 * 1_000_000
+        assert r["session_start_us"] == BASE_US + 60 * 60 * 1_000_000
+        assert r["session_end_us"] == BASE_US + 120 * 60 * 1_000_000
     finally:
         q.stop()

@@ -119,7 +119,10 @@ def ivf_search(
     candidates = (
         index.indexed.join(probes, on="__cluster")  # prune: only probed clusters
         .join(F.broadcast(q), on="query_id")
-        .filter(F.col(index.id_col) != F.col("query_id"))
+        # null-safe like knn_brute_force: a plain != is NULL for a
+        # NULL-id corpus vector and would drop it from every search,
+        # skewing recall vs the brute-force baseline
+        .filter(~F.col(index.id_col).eqNullSafe(F.col("query_id")))
         .select(
             "query_id",
             F.col(index.id_col).alias("neighbor_id"),

@@ -85,6 +85,22 @@ def build_vocab(
     counts = toks.groupBy("token").agg(F.count("*").alias("count"))
     if min_count > 1:
         counts = counts.filter(F.col("count") >= min_count)
-    w = Window.orderBy(F.col("count").desc(), F.col("token"))
-    ranked = counts.withColumn("rank", F.row_number().over(w))
-    return ranked.filter(F.col("rank") <= top_k) if top_k else ranked
+    if top_k:
+        # distributed TakeOrdered: per-partition top-k heads merge at
+        # the driver — k rows, never the vocabulary — then the rank
+        # window runs over only those k rows. The partition-less window
+        # alone would funnel the ENTIRE distinct-token table through
+        # one task (the single-node bottleneck ordering.py documents).
+        counts = counts.orderBy(F.col("count").desc(), "token").limit(top_k)
+        w = Window.orderBy(F.col("count").desc(), F.col("token"))
+        return counts.withColumn("rank", F.row_number().over(w))
+    # full ranking (no top_k): contiguous rank == dense id over the
+    # (desc count, token) order — reuse the range-partitioned prefix-sum
+    # machinery instead of a single-partition window
+    from etl_guiacores_spark.operators.ordering import dense_ids
+
+    ordered = counts.withColumn(
+        "__ord",
+        F.struct((-F.col("count")).alias("nc"), F.col("token").alias("t")),
+    )
+    return dense_ids(ordered, "__ord", id_name="rank").drop("__ord")

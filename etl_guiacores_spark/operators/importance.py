@@ -61,7 +61,10 @@ def dsir_importance(
 
     ``is_target`` is a boolean Column over ``docs`` marking the target
     distribution (e.g. ``F.col("lang") == "en"`` or a quality-score
-    threshold). Returns one row per document with token count and
+    threshold). Returns one row per document WITH TOKENS — a blank or
+    NULL text produces no output row (explode of an empty array), the
+    same convention as the SQL twin; left-join the result if empty
+    documents must survive scoring — with token count and
     ``importance_ppm`` = sum over the document's tokens (with
     multiplicity) of the add-one-smoothed target/corpus bucket ratio
     in parts-per-million. Documents from the target's own distribution

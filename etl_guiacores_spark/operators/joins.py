@@ -87,9 +87,9 @@ def merge_upsert(
         elif c == updated_at_col:
             out.append(F.when(matched, now).otherwise(t_c).alias(c))
         elif has_source and c in update_cols:
-            out.append(
-                F.when(matched & in_target, s_c).when(~in_target, s_c).otherwise(t_c).alias(c)
-            )
+            # a full-outer row always has at least one side, so
+            # "source wins wherever it exists" is the whole rule
+            out.append(F.when(matched, s_c).otherwise(t_c).alias(c))
         elif has_source:
             # column excluded from updates: existing rows keep the
             # target value, but INSERTED rows still take the source

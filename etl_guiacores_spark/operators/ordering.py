@@ -111,7 +111,10 @@ def global_prefix_sum(
         run = run - F.coalesce(F.col(value_col), F.lit(0))
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, run.cast("long"))
+        # no cast: the running total keeps value_col's own numeric type
+        # (a long cast would silently floor fractional weights; integral
+        # inputs already sum to long)
+        .withColumn(out_col, run)
         .drop("__pid", "__lsum", "__off")
     )
 

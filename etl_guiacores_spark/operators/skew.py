@@ -31,7 +31,19 @@ def salted_join(
     range) — acceptable exactly because it is small; the big side's
     rows scatter uniformly via a per-row random salt, so a hot key's
     rows land on ``salt`` different reducers instead of one straggler.
+
+    Only big-side-preserving joins are supported: a right/full outer
+    join would emit every unmatched small-side REPLICA (up to ``salt``
+    duplicates per key) — salting is the wrong tool there.
     """
+    if how.lower().replace("_", "") not in {
+        "inner", "left", "leftouter", "leftsemi", "leftanti",
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side "
+            "is replicated per salt, so right/full-outer would emit "
+            "unmatched replicas as duplicate rows"
+        )
     big_salted = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     small_exploded = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -83,8 +83,13 @@ def as_of_join(
         "__is_left", F.lit(0)
     )
     if tie_breaker:
-        l_tagged = l_tagged.withColumn("__tb", F.lit(None).cast("long"))
-        r_tagged = r_tagged.withColumn("__tb", F.col(tie_breaker).cast("long"))
+        # keep the tie-breaker's OWN type: casting to long would turn a
+        # string version column ('v2') into NULL for every row and
+        # silently reintroduce the nondeterminism the parameter exists
+        # to prevent; any orderable type sorts fine in the window
+        tb_type = right.schema[tie_breaker].dataType
+        l_tagged = l_tagged.withColumn("__tb", F.lit(None).cast(tb_type))
+        r_tagged = r_tagged.withColumn("__tb", F.col(tie_breaker))
 
     # align schemas: left payload on left rows, right payload on right rows
     all_left = [c for c in left.columns]
@@ -130,6 +135,13 @@ def range_join_pairs(
     keys and the quadratic blowup is confined to genuine band
     neighborhoods."""
     band_us = int(band_seconds * 1_000_000)
+    if band_us <= 0:
+        # a zero-width band would divide by zero in the bucket key —
+        # NULL buckets never join and every pair silently vanishes
+        raise ValueError(
+            f"band_seconds={band_seconds} is below 1 microsecond; "
+            "use a positive band (equal timestamps need band >= 1e-6)"
+        )
     tus = event_micros(df, time_col)
     a = df.select(
         F.col(key), F.col(id_col).alias("id_a"), tus.alias("t_a"),

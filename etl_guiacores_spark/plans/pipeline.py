@@ -148,6 +148,7 @@ def run_batch_pipeline(
     emit("bronze", {"out": f"{out_dir}/bronze"})
 
     obs = Observation("silver_metrics")
+    qobs = Observation("quarantine_metrics")
     # trim the key BEFORE both the quarantine judgment and the dedupe:
     # split_quarantine already judged on the trimmed value, but the
     # dedupe keyed on the raw value, so ' 5' and '5' both survived
@@ -159,13 +160,22 @@ def run_batch_pipeline(
         obs, F.count(F.lit(1)).alias("records"), F.count("email").alias("with_email")
     )
     gio.write_handoff(silver, f"{out_dir}/silver")
-    gio.write_handoff(quarantined, f"{out_dir}/quarantine")
+    # observe the quarantine count on its OWN write — a separate
+    # .count() later would re-run the clean_leads projection over
+    # bronze a third time for a number this job computes anyway
+    gio.write_handoff(
+        quarantined.observe(qobs, F.count(F.lit(1)).alias("quarantined")),
+        f"{out_dir}/quarantine",
+    )
     emit("silver", dict(obs.get))
 
     # gold is a projection of the STORED silver (read back, not the
     # lazy plan): dropDuplicates picks an arbitrary winner per key, so
-    # recomputing it could export a different row than the silver table
-    gold = to_export(spark.read.parquet(f"{out_dir}/silver"))
+    # recomputing it could export a different row than the silver table.
+    # Explicit schema: an all-quarantined run leaves silver EMPTY (no
+    # row groups) and schema inference over it would crash the run
+    # before the audit row lands — the same guard bronze has.
+    gold = to_export(spark.read.schema(silver.schema).parquet(f"{out_dir}/silver"))
     gio.write_run_csv(gold, f"{out_dir}/gold", clock=clock)
     emit("gold", {"out": f"{out_dir}/gold"})
 
@@ -175,7 +185,7 @@ def run_batch_pipeline(
         "status": "success" if n > 0 else "warning",
         "message": f"Processed {n} records",
         "records_processed": n,
-        "metrics": {**metrics, "quarantined": quarantined.count()},
+        "metrics": {**metrics, "quarantined": qobs.get["quarantined"]},
     }
     # A3 — one audit row per run (reference: manual_scraper.py:297-313)
     gio.append_audit_log(raw.sparkSession, f"{out_dir}/audit_log", **result["metrics"],

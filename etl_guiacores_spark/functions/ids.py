@@ -18,4 +18,6 @@ def business_id_from_url(col: Column) -> Column:
 def total_matches(col: Column) -> Column:
     """X11 — ``(\\d+)\\s+coincidencias`` from header text -> int."""
     m = F.regexp_extract(col, r"(\d+)\s+coincidencias", 1)
-    return F.when(m != "", m.cast("int"))
+    # try_cast: a garbled header can carry a digit run past int range,
+    # where an ANSI cast would abort the extraction instead of NULLing
+    return F.when(m != "", m.try_cast("int"))

@@ -79,7 +79,9 @@ def coerce_long(col: Column) -> Column:
     T9 — reference: src/common/data_cleaner.py:36-60 infers int via
     ``isdigit()``; here an explicit guarded cast.
     """
-    return F.when(col.rlike(r"^\d+$"), col.cast("long"))
+    # try_cast: the regex admits digit runs past bigint range, where an
+    # ANSI cast would throw instead of honoring the "else NULL" contract
+    return F.when(col.rlike(r"^\d+$"), col.try_cast("long"))
 
 
 def coerce_bool(col: Column) -> Column:

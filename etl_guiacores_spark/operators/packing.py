@@ -48,6 +48,12 @@ def pack_chunks(
     token order is preserved in the packed text. When ``order_col``
     is absent from the input, falls back to (doc_id, text) order
     (deterministic but not position-aware).
+
+    Contract caveat: a SINGLE chunk larger than ``budget_tokens``
+    cannot be split here (chunking owns token boundaries) and is
+    emitted as its own over-budget pack — size the upstream chunker's
+    ``chunk_tokens`` <= ``budget_tokens`` (the pipeline default does),
+    or filter ``n_tokens > budget`` packs downstream.
     """
     sort_key = order_col if order_col in chunks.columns else text_col
 
@@ -67,8 +73,11 @@ def pack_chunks(
             out.append((bin_id, seq, cur_ids, " ".join(cur_txt), cur_n))
         return pd.DataFrame(out, columns=[f.name for f in PACKED_SCHEMA.fields])
 
+    # pmod, not abs(hash) % n: hash covers the full int32 range and
+    # abs(Int.MIN_VALUE) overflows under ANSI — near-certain to occur
+    # somewhere in a billions-of-rows corpus
     bucketed = chunks.withColumn(
-        "__bin", (F.abs(F.hash(F.col(id_col))) % num_bins).cast("int")
+        "__bin", F.pmod(F.hash(F.col(id_col)), F.lit(num_bins)).cast("int")
     )
     return bucketed.groupBy("__bin").applyInPandas(pack, PACKED_SCHEMA)
 

@@ -22,10 +22,19 @@ RESOLUTIONS = {"minute": "minute", "hour": "hour", "day": "day"}
 _ORDER = ["minute", "hour", "day"]
 
 
-def _aggregate(df: DataFrame, bucket_src: str, resolution: str, keys: list[str]) -> DataFrame:
-    """Aggregate (raw or a finer tier) into one resolution tier."""
+def _aggregate(
+    df: DataFrame,
+    bucket_src: str,
+    resolution: str,
+    keys: list[str],
+    from_tier: bool,
+) -> DataFrame:
+    """Aggregate (raw, or a finer tier when ``from_tier``) into one
+    resolution tier. The branch is an EXPLICIT flag — sniffing for a
+    column named n_events would silently mis-aggregate a raw events
+    table that happens to carry its own n_events metric column."""
     bucket = F.date_trunc(RESOLUTIONS[resolution], F.col(bucket_src)).alias("bucket")
-    if "n_events" in df.columns:  # finer tier: re-aggregate partials
+    if from_tier:  # finer tier: re-aggregate partials
         measures = [
             F.sum("n_events").alias("n_events"),
             F.sum("sum_value").alias("sum_value"),
@@ -60,8 +69,8 @@ def time_rollup(
 
     tiers: dict[str, DataFrame] = {}
     current, src_col = events, time_col
-    for res in resolutions:
-        current = _aggregate(current, src_col, res, keys)
+    for i, res in enumerate(resolutions):
+        current = _aggregate(current, src_col, res, keys, from_tier=i > 0)
         src_col = "bucket"
         tiers[res] = current
     return tiers

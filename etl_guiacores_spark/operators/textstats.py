@@ -74,11 +74,21 @@ def quality_score(col: Column) -> Column:
     return (len_ok + punct_ok + sw_ok) / 3.0
 
 
-def gopher_quality(docs, id_col: str = "doc_id", text_col: str = "text"):
+def gopher_quality(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+):
     """Gopher-style (Rae et al.) document quality rules: token-count
     band, mean-token-length band, alphabetic-word fraction, distinct
     stopword presence — the pre-tokenizer curation gate a pretraining
     pipeline applies to every document.
+
+    The default token band (20..80) is scaled to this repo's synthetic
+    fixtures; the published Gopher rule is 50..100,000 words — pass
+    ``min_tokens``/``max_tokens`` to match a real corpus.
 
     Pure per-row Column arithmetic inside whole-stage codegen: no
     shuffle, no UDF — at 100 TB this runs at scan speed and is the
@@ -103,17 +113,24 @@ def gopher_quality(docs, id_col: str = "doc_id", text_col: str = "text"):
     m = staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.round(total_len.cast("double") / n, 6).alias("mean_token_len"),
-        F.round(alpha.cast("double") / n, 6).alias("alpha_frac"),
+        # guard n=0: an empty/whitespace-only document must FAIL the
+        # gate (NULL ratios, passes=0), not abort the job — under ANSI
+        # (Spark 4 default) an unguarded /0 throws DIVIDE_BY_ZERO
+        F.round(F.when(n > 0, total_len.cast("double") / n), 6).alias(
+            "mean_token_len"
+        ),
+        F.round(F.when(n > 0, alpha.cast("double") / n), 6).alias("alpha_frac"),
         stops.alias("n_stop_distinct"),
     )
     passes = (
-        F.col("n_tokens").between(20, 80)
+        F.col("n_tokens").between(min_tokens, max_tokens)
         & F.col("mean_token_len").between(3.0, 10.0)
         & (F.col("alpha_frac") >= 0.8)
         & (F.col("n_stop_distinct") >= 2)
     )
-    return m.withColumn("passes", passes.cast("int"))
+    # n=0 makes the band check false, so false & NULL = false — but
+    # cast NULL-safety explicitly anyway: the gate's contract is 0/1
+    return m.withColumn("passes", F.coalesce(passes.cast("int"), F.lit(0)))
 
 
 def lang_id(col: Column) -> Column:

@@ -97,7 +97,11 @@ def canonicalize(df: DataFrame) -> DataFrame:
         ):
             # comma-joined string -> array (SURVEY §1.2)
             c = F.split(c, r",\s*")
-        cols.append(c.cast(field.dataType).alias(field.name))
+        # try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+        # THROWS on the reference scraper's pervasive 'N/A'/malformed
+        # sentinels — tolerant ingestion means malformed -> NULL, not
+        # malformed -> job abort
+        cols.append(c.try_cast(field.dataType).alias(field.name))
     return df.select(*cols)
 
 
@@ -112,7 +116,10 @@ def to_export(df: DataFrame) -> DataFrame:
             continue
         c = F.col(field.name)
         if isinstance(field.dataType, T.ArrayType):
-            c = F.array_join(c, ", ")
+            # an EMPTY array would join to '' and dodge the N/A
+            # coalesce below — nullify it so both missing encodings
+            # ([] and NULL) export identically as 'N/A'
+            c = F.nullif(F.array_join(c, ", "), F.lit(""))
         elif isinstance(field.dataType, T.TimestampType):
             c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
         elif not isinstance(field.dataType, T.StringType):

@@ -15,6 +15,7 @@ repo root). Two independent guards:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -50,17 +51,38 @@ def ensure_package_shipped(spark) -> str | None:
     import etl_guiacores_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(etl_guiacores_spark.__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), "etl_guiacores_spark_pkg.zip")
+    # collect sources deterministically and key the zip on their
+    # content hash: a fixed /tmp name would keep shipping STALE code
+    # after any deploy on a long-lived host, and two drivers racing a
+    # plain write could publish a truncated archive. Content-addressed
+    # name + atomic rename solve both (same content -> same file; a
+    # half-written temp never becomes visible).
+    sources = []
+    digest = hashlib.sha256()
+    for root, _dirs, files in sorted(
+        (r, d, f) for r, d, f in os.walk(pkg_dir)
+    ):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "etl_guiacores_spark", os.path.relpath(full, pkg_dir)
+                )
+                with open(full, "rb") as fh:
+                    data = fh.read()
+                digest.update(rel.encode())
+                digest.update(data)
+                sources.append((full, rel))
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_guiacores_spark_pkg_{digest.hexdigest()[:16]}.zip",
+    )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "etl_guiacores_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in sources:
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:

@@ -158,3 +158,21 @@ class TestIds:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_numeric_coercions_overflow_to_null(spark):
+    """Digit runs past the target range return NULL (the documented
+    contract) instead of throwing under ANSI."""
+    from etl_guiacores_spark.functions.ids import total_matches
+    from etl_guiacores_spark.functions.text import coerce_long
+
+    d = spark.createDataFrame(
+        [("123456789012345678901234567890", "99999999999 coincidencias")],
+        "big string, header string",
+    )
+    row = d.select(
+        coerce_long(F.col("big")).alias("v"),
+        total_matches(F.col("header")).alias("m"),
+    ).collect()[0]
+    assert row["v"] is None
+    assert row["m"] is None

@@ -30,3 +30,31 @@ class TestCanonicalize:
         row = out.collect()[0]
         assert row["telefonos"] == "a, b"
         assert row["email"] == "N/A"
+
+
+class TestAnsiTolerance:
+    def test_canonicalize_malformed_sentinels_null_not_crash(self, spark):
+        """The reference scraper emits 'N/A' pervasively; under ANSI
+        (Spark 4 default) a plain cast would ABORT the bronze write —
+        tolerant ingestion means malformed -> NULL."""
+        from etl_guiacores_spark.schema import canonicalize
+
+        d = spark.createDataFrame(
+            [("N/A", "N/A", "not-a-number")],
+            "fecha_extraccion string, latitud string, id_negocio string",
+        )
+        row = canonicalize(d).select("fecha_extraccion", "latitud").collect()[0]
+        assert row["fecha_extraccion"] is None
+        assert row["latitud"] is None
+
+    def test_export_empty_array_renders_na(self, spark):
+        """[] and NULL are the same 'missing' and must export
+        identically as N/A — not as two distinct encodings."""
+        from etl_guiacores_spark.schema import to_export
+
+        d = spark.createDataFrame(
+            [("1", []), ("2", None)],
+            "id_negocio string, telefonos array<string>",
+        )
+        vals = {r["id_negocio"]: r["telefonos"] for r in to_export(d).collect()}
+        assert vals == {"1": "N/A", "2": "N/A"}

@@ -28,3 +28,17 @@ def test_salted_distinct_count_exact(spark):
         for r in df.groupBy("g").agg(F.count_distinct("u").alias("c")).collect()
     }
     assert got == expected == {"g1": 7, "g2": 13}
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """right/full-outer would emit unmatched small-side REPLICAS as
+    duplicate rows — the operator must refuse, not corrupt."""
+    import pytest
+
+    from etl_guiacores_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="full"):
+        salted_join(big, small, "k", how="full_outer")
+    assert salted_join(big, small, "k", how="left").count() == 1

@@ -80,3 +80,28 @@ def test_bigram_query_survives_single_token_docs(spark, tmp_path):
     ).write.parquet(f"{sf}/documents.parquet")
     rows = REGISTRY["q68_bigram_counts"].fn(spark, sf).collect()
     assert {r["bigram"] for r in rows} == {"two tokens"}
+
+
+def test_gopher_quality_fails_empty_docs_without_crashing(spark):
+    """An empty/whitespace-only document FAILS the gate (passes=0) —
+    the unguarded /0 would throw DIVIDE_BY_ZERO under ANSI and kill
+    the whole curation job on the first blank doc."""
+    from etl_guiacores_spark.operators.textstats import gopher_quality
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["passes"] for r in gopher_quality(d).collect()}
+    assert out == {1: 0, 2: 0, 3: 0}
+
+
+def test_gopher_quality_band_is_configurable(spark):
+    """The published Gopher rule is 50..100k words; the fixture-scaled
+    default band must be overridable for a real corpus."""
+    from etl_guiacores_spark.operators.textstats import gopher_quality
+
+    text = "the of and " + " ".join(f"word{i}" for i in range(97))  # 100 tokens
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert gopher_quality(d).collect()[0]["passes"] == 0  # default band: too long
+    wide = gopher_quality(d, min_tokens=50, max_tokens=100_000).collect()[0]
+    assert wide["passes"] == 1

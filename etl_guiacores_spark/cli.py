@@ -33,7 +33,7 @@ def _progress_cb(args):
     if getattr(args, "progress", False):
         sinks.append(
             lambda stage, info: print(
-                json.dumps({"stage": stage, **info}, default=str), file=sys.stderr
+                json.dumps({**info, "stage": stage}, default=str), file=sys.stderr
             )
         )
     board = getattr(args, "_progress_board", None)
@@ -57,7 +57,13 @@ def _transport_factory(kind: str):
     # deterministic page per URL, keyed by the id in the URL
     def factory():
         def fake(url: str) -> str:
-            bid = url.rsplit("id=", 1)[-1]
+            import re
+
+            # digits only: a URL like ...id=123&src=ficha (or one with
+            # no id= at all) must yield a deterministic page, not a
+            # ValueError that burns every retry and quarantines the row
+            m = re.search(r"id=(\d+)", url)
+            bid = m.group(1) if m else "0"
             return (
                 f"<html><body><a class='search-result-name'><h1>Negocio {bid}</h1></a>"
                 f"<span class='search-result-address'>Calle {bid} - (8300) Neuquen</span>"
@@ -75,15 +81,33 @@ def _run_scrape_pipeline(spark, urls, args) -> dict:
     from etl_guiacores_spark.sources.fetch import fetch_pages
     from etl_guiacores_spark.sources.html_parse import parse_pages
 
+    from etl_guiacores_spark import io as gio
+
     fetched = fetch_pages(
         urls,
         _transport_factory(args.transport),
         max_attempts=args.retries,
         num_partitions=args.partitions,
     )
+    # materialize the fetch ONCE, then split: acting on the lazy
+    # lineage twice (ok + failed) would re-fetch every page
+    gio.write_handoff(fetched, f"{args.out}/fetched")
+    fetched = fetched.sparkSession.read.schema(fetched.schema).parquet(
+        f"{args.out}/fetched"
+    )
+    # R2: failures are DATA, not discards — land them with their error
+    # so a retry run can target exactly the failed ids
+    failed = fetched.filter(F.col("fetch_error").isNotNull())
+    gio.write_handoff(
+        failed.select("id_negocio", "url", "fetch_error"),
+        f"{args.out}/fetch_quarantine",
+    )
+    n_failed = failed.count()
     ok = fetched.filter(F.col("fetch_error").isNull())
     parsed = parse_pages(ok.select("url", "html"))
-    return run_batch_pipeline(parsed, args.out, progress_callback=_progress_cb(args))
+    result = run_batch_pipeline(parsed, args.out, progress_callback=_progress_cb(args))
+    result.setdefault("metrics", {})["fetch_failed"] = n_failed
+    return result
 
 
 def cmd_bulk(spark, args) -> dict:
@@ -117,13 +141,15 @@ def cmd_sequential(spark, args) -> dict:
     from etl_guiacores_spark.sources.discovery_source import ListingDataSource
 
     spark.dataSource.register(ListingDataSource)
-    discovered = (
+    reader = (
         spark.read.format("guiacores_listing")
         .option("rubros", args.rubros or "")
         .option("localidades", args.localidades or "")
         .option("pages_per_combo", str(args.pages))
-        .load()
     )
+    if args.listing_factory:
+        reader = reader.option("listing_factory", args.listing_factory)
+    discovered = reader.load()
     worklist = dedupe_keyed_first(discovered, ["id_negocio"], ["page"]).select(
         "id_negocio", "url"
     )
@@ -161,7 +187,14 @@ def cmd_clean(spark, args) -> dict:
     from etl_guiacores_spark import io as gio
     from etl_guiacores_spark.plans import run_batch_pipeline
 
+    from etl_guiacores_spark.functions.text import from_na
+
     raw = gio.read_processed_csvs(spark, args.input)
+    # decode the export sentinel on ingest: gold CSVs render missing
+    # data as 'N/A' (to_na); without from_na a missing id would pass
+    # quarantine as the literal key 'N/A' and dedupe would collapse
+    # every missing-id record into one arbitrary survivor
+    raw = raw.select(*[from_na(F.col(c)).alias(c) for c in raw.columns])
     return run_batch_pipeline(raw, args.out, progress_callback=_progress_cb(args))
 
 
@@ -193,6 +226,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--localidades", default="")
     s.add_argument("--pages", type=int, default=2)
     s.add_argument("--resume-from", default=None)
+    s.add_argument("--listing-factory", default=None,
+                   help="dotted path module:attr to a real listing "
+                   "fetcher (rubro, localidad, page, page_size) -> "
+                   "[(id, url)]; default: offline synthetic directory")
 
     c = sub.add_parser("clean")
     c.add_argument("--input", required=True)

@@ -353,7 +353,11 @@ def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     both = building.intersect(rich).select(F.lit("both").alias("tag"), "c_custkey")
-    only = building.exceptAll(rich).distinct().select(
+    # subtract == SQL EXCEPT (set difference): a key present in rich is
+    # removed ENTIRELY. exceptAll().distinct() is bag-difference-then-
+    # dedup, which diverges whenever a key is duplicated on the left —
+    # it only coincided here because c_custkey is unique.
+    only = building.subtract(rich).select(
         F.lit("building_only").alias("tag"), "c_custkey"
     )
     return both.unionByName(only)

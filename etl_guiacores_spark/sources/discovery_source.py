@@ -12,9 +12,12 @@ idiomatic Spark 4 packaging is a custom ``DataSource`` (SURVEY §4):
   into the source request exactly like the reference encodes ``Tm=1``
   in the search URL (:339-348), so filtering happens before any rows
   exist;
-- the transport is injected (same Transport protocol as
-  sources.fetch) and defaults to a deterministic synthetic directory,
-  so the source is testable offline.
+- the listing fetcher is injected via the ``listing_factory``
+  option — a ``module:attr`` dotted path resolving (on the executor)
+  to a callable ``(rubro, localidad, page, page_size) -> [(id, url)]``
+  — and defaults to a deterministic synthetic directory, so the
+  source is testable offline and a deployment plugs a real
+  HTTP-backed lister without touching this module.
 
 Usage::
 
@@ -44,14 +47,21 @@ def synthetic_listing(rubro: str, localidad: str, page: int, page_size: int = 10
     # would make the synthetic ids differ across executor workers
     digest = hashlib.md5(f"{rubro}|{localidad}".encode()).digest()
     base = (int.from_bytes(digest[:4], "big") % 1000) * 1000
-    start = base + page * (page_size - 2)  # 2-row overlap with previous page
+    # 2-row overlap with the previous page; floor the step at 1 so a
+    # tiny page_size (<=2) still advances instead of repeating or
+    # regressing the same ids forever
+    start = base + page * max(page_size - 2, 1)
     return [(str(start + i), f"{DETAIL_URL}{start + i}") for i in range(page_size)]
 
 
 class _ComboPartition(InputPartition):
-    def __init__(self, rubro: str, localidad: str, pages: int, page_size: int):
+    def __init__(
+        self, rubro: str, localidad: str, pages: int, page_size: int,
+        listing_factory: str | None = None,
+    ):
         self.rubro, self.localidad = rubro, localidad
         self.pages, self.page_size = pages, page_size
+        self.listing_factory = listing_factory
 
 
 class ListingReader(DataSourceReader):
@@ -62,6 +72,8 @@ class ListingReader(DataSourceReader):
         ]
         self.pages = int(options.get("pages_per_combo", 2))
         self.page_size = int(options.get("page_size", 10))
+        #: dotted path 'module:attr' to a real lister; None = synthetic
+        self.listing_factory = options.get("listing_factory") or None
 
     def partitions(self):
         # J1 cross product -> one partition per combination (with the
@@ -70,14 +82,23 @@ class ListingReader(DataSourceReader):
         rubros = self.rubros or [""]
         localidades = self.localidades or [""]
         return [
-            _ComboPartition(r, loc, self.pages, self.page_size)
+            _ComboPartition(r, loc, self.pages, self.page_size, self.listing_factory)
             for r in rubros
             for loc in localidades
         ]
 
     def read(self, partition: _ComboPartition):
+        lister = synthetic_listing
+        if partition.listing_factory:
+            # resolve ON THE EXECUTOR: DataSource options are strings,
+            # so a real transport travels as an import path, not a
+            # pickled object
+            import importlib
+
+            mod_name, _, attr = partition.listing_factory.partition(":")
+            lister = getattr(importlib.import_module(mod_name), attr)
         for page in range(partition.pages):
-            for bid, url in synthetic_listing(
+            for bid, url in lister(
                 partition.rubro, partition.localidad, page, partition.page_size
             ):
                 yield (bid, url, partition.rubro or None, partition.localidad or None, page)

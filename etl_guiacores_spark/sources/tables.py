@@ -101,7 +101,20 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
+#: session id -> the sf_dir its views currently point at
+_registered_views: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every table as a temp view so ``spark.sql`` works."""
+    """Register every table as a temp view so ``spark.sql`` works.
+
+    Memoized on the session's CURRENT sf_dir: the SQL-surface queries
+    call this on every invocation, and re-registering all tables
+    repeats parquet footer reads plus the narrow-scan spread probes
+    for tables the query never touches. Switching sf_dir re-registers
+    (the views must follow the data), including switching back."""
+    if _registered_views.get(id(spark)) == sf_dir:
+        return
     for name in TABLE_NAMES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+    _registered_views[id(spark)] = sf_dir

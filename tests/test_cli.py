@@ -69,12 +69,27 @@ def test_progress_flag_emits_stage_lines(spark, tmp_path, capsys):
     )
     assert res["status"] == "success"
     err = capsys.readouterr().err
-    stages = [
-        _json.loads(line)["stage"]
-        for line in err.splitlines()
-        if line.startswith('{"stage"')
-    ]
+    def stage_of(line):
+        try:
+            return _json.loads(line).get("stage")
+        except ValueError:
+            return None
+
+    stages = [s for s in map(stage_of, err.splitlines()) if s]
     assert stages == ["bronze", "silver", "gold", "done"]
+
+    # the payload must never mask the positional stage (the dict-
+    # literal spread hazard ui.py guards against): a payload carrying
+    # its own 'stage' key still reports the pipeline stage
+    from etl_guiacores_spark.cli import _progress_cb
+
+    class A:
+        progress = True
+
+    emit = _progress_cb(A())
+    emit("bronze", {"stage": "SHOULD_NOT_WIN", "n": 1})
+    masked = capsys.readouterr().err.strip().splitlines()[-1]
+    assert _json.loads(masked)["stage"] == "bronze"
 
 
 def test_corpus_mode(spark, tmp_path):
@@ -112,3 +127,55 @@ def test_manual_file_mode_parses_and_keys_local_html(spark, tmp_path):
     row = silver.collect()[0]
     assert row["id_negocio"] == "41"
     assert row["nombre"] == "Kiosco Central"  # nested <b> kept
+
+
+def test_clean_mode_decodes_na_sentinel(spark, tmp_path):
+    """Gold CSVs render missing data as 'N/A'; re-ingesting them must
+    decode the sentinel so missing-id rows QUARANTINE instead of
+    passing as one literal key 'N/A' that dedupe collapses to a single
+    arbitrary survivor."""
+    import csv
+
+    src = tmp_path / "runs" / "guiaCores_leads_x"
+    src.mkdir(parents=True)
+    with open(src / "part.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["id_negocio", "nombre", "email"])
+        w.writerow(["N/A", "Sin Id Uno", "a@b.ar"])
+        w.writerow(["N/A", "Sin Id Dos", "c@d.ar"])
+        w.writerow(["7", "Con Id", "N/A"])
+    res = main(
+        ["--out", str(tmp_path / "o"), "clean", "--input", str(tmp_path / "runs" / "*")],
+        spark=spark,
+    )
+    assert res["records_processed"] == 1  # only the keyed row
+    assert res["metrics"]["quarantined"] == 2  # BOTH missing-id rows kept
+    q = spark.read.parquet(str(tmp_path / "o" / "quarantine"))
+    assert q.count() == 2
+
+
+def test_bulk_fetch_failures_are_quarantined_data(spark, tmp_path, monkeypatch):
+    """Failed fetches land in fetch_quarantine with their error and a
+    metric — not silently dropped by the ok-filter."""
+    import etl_guiacores_spark.cli as cli
+
+    def flaky_factory():
+        def fetch(url: str) -> str:
+            if url.endswith("3") or url.endswith("4"):
+                raise IOError("boom")
+            return cli._transport_factory("fake")()(url)
+
+        return fetch
+
+    monkeypatch.setattr(cli, "_transport_factory", lambda kind: flaky_factory)
+    res = cli.main(
+        ["--out", str(tmp_path / "f"), "--retries", "2", "bulk",
+         "--start-id", "1", "--end-id", "6"],
+        spark=spark,
+    )
+    assert res["metrics"]["fetch_failed"] == 2
+    q = spark.read.parquet(str(tmp_path / "f" / "fetch_quarantine"))
+    rows = {r["url"][-1]: r["fetch_error"] for r in q.collect()}
+    assert set(rows) == {"3", "4"}
+    assert all("boom" in e for e in rows.values())
+    assert res["records_processed"] == 4

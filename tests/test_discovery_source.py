@@ -42,3 +42,34 @@ class TestListingSource:
         df = load(spark, pages_per_combo="1")
         assert df.count() == 10
         assert df.select("rubro").distinct().collect()[0]["rubro"] is None
+
+
+def listing_for_test(rubro, localidad, page, page_size):
+    """module-level so the executor can import it by dotted path"""
+    return [(f"{rubro}-{page}-{i}", f"http://x/id={page}{i}") for i in range(2)]
+
+
+class TestListingFactoryInjection:
+    def test_dotted_path_factory_replaces_synthetic(self, spark):
+        from etl_guiacores_spark.sources.discovery_source import ListingDataSource
+
+        spark.dataSource.register(ListingDataSource)
+        df = (
+            spark.read.format("guiacores_listing")
+            .option("rubros", "pan")
+            .option("pages_per_combo", "2")
+            .option(
+                "listing_factory",
+                "tests.test_discovery_source:listing_for_test",
+            )
+            .load()
+        )
+        ids = sorted(r["id_negocio"] for r in df.collect())
+        assert ids == ["pan-0-0", "pan-0-1", "pan-1-0", "pan-1-1"]
+
+    def test_tiny_page_size_still_advances(self, spark):
+        from etl_guiacores_spark.sources.discovery_source import synthetic_listing
+
+        p0 = synthetic_listing("a", "b", 0, page_size=2)
+        p1 = synthetic_listing("a", "b", 1, page_size=2)
+        assert p0 != p1  # step floored at 1: pages must not repeat forever

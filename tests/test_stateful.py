@@ -161,3 +161,66 @@ def test_late_event_bridges_two_held_sessions(spark, tmp_path):
         assert r["session_end_us"] == BASE_US + 120 * 60 * 1_000_000
     finally:
         q.stop()
+
+
+def test_randomized_stream_matches_batch_gap_scan(spark, tmp_path):
+    """Seeded fuzz: events delivered shuffled across several batches
+    (every delivery inside the watermark) must yield EXACTLY the
+    sessions a batch gap-scan over the full sorted data computes —
+    the reconciliation contract with q32's batch twin, now including
+    cross-batch late arrivals and bridges."""
+    import random
+
+    rng = random.Random(42)
+    events = []
+    for uid in (1, 2, 3):
+        t = 0
+        for _ in range(20):
+            t += rng.choice([2, 5, 10, 25, 40, 70])  # minutes; gaps > 30 split
+            if t >= 110:  # keep the span < the 2h watermark delay
+                break
+            events.append((uid, t, float(rng.randint(1, 9))))
+
+    # reference: per-user gap scan over the fully sorted events
+    expected = {}
+    for uid in (1, 2, 3):
+        times = sorted((t, v) for u, t, v in events if u == uid)
+        sessions, cur = [], None
+        for t, v in times:
+            if cur and t - cur["end"] <= 30:
+                cur["end"], cur["n"], cur["tot"] = t, cur["n"] + 1, cur["tot"] + v
+            else:
+                cur = {"start": t, "end": t, "n": 1, "tot": v}
+                sessions.append(cur)
+        expected[uid] = {
+            (s["start"], s["end"], s["n"], round(s["tot"], 2)) for s in sessions
+        }
+
+    rng.shuffle(events)
+    batches = [events[i::3] for i in range(3)]
+    src = str(tmp_path / "src")
+    q = None
+    try:
+        for i, batch in enumerate(batches):
+            df = spark.createDataFrame([ev(u, t, v) for u, t, v in batch], SCHEMA)
+            df.write.mode("append").parquet(src)
+            if q is None:
+                q = _start(spark, src, str(tmp_path / "ckpt"), "fuzz_sessions_out")
+            q.processAllAvailable()
+        # sentinel user pushes the watermark far past every horizon
+        spark.createDataFrame([ev(999, 1380)], SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {}
+        for r in spark.sql("select * from fuzz_sessions_out").collect():
+            if r["user_id"] == 999:
+                continue
+            got.setdefault(r["user_id"], set()).add((
+                (r["session_start_us"] - BASE_US) // 60_000_000,
+                (r["session_end_us"] - BASE_US) // 60_000_000,
+                r["n_events"],
+                round(r["total_value"], 2),
+            ))
+        assert got == expected
+    finally:
+        if q is not None:
+            q.stop()

@@ -121,6 +121,12 @@ def write_snapshot(df: DataFrame, path: str, clock: datetime | None = None) -> s
     """L5 — TTL-cache write: snapshot partition stamped with epoch secs."""
     dt = clock or datetime.now(timezone.utc)
     ts = str(int(dt.timestamp()))
+    # same-second retry guard as write_version: a snapshot is ONE
+    # write's rows — appending into an existing partition would double
+    # every reader's rows silently
+    existing = Path(path) / f"snapshot_ts={ts}"
+    if existing.exists():
+        shutil.rmtree(existing, ignore_errors=True)
     df.withColumn("snapshot_ts", F.lit(ts)).write.mode("append").partitionBy(
         "snapshot_ts"
     ).parquet(path)

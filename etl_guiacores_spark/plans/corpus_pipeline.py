@@ -135,10 +135,19 @@ def stage_corpus_artifacts(
     100 TB shape: signatures are ingest-time artifacts, not per-query
     recomputation."""
     shingles_t, sigs_t = f"{table_prefix}_shingles", f"{table_prefix}_sigs"
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
-    write_bucketed(sh, shingles_t, "doc_id", num_buckets)
-    sigs = with_minhash(docs.select("doc_id", "text"), "text", portable=portable).drop("text")
-    write_bucketed(sigs, sigs_t, "doc_id", num_buckets)
+    # ONE shingling pass feeds both tables: with_minhash(shingle_col=)
+    # exposes the shingle array it computes anyway, and the transient
+    # persist carries it across the two bucketed writes — shingling the
+    # corpus a second time for the signature table would double the
+    # most expensive per-row expression at ingest
+    staged = with_minhash(
+        docs.select("doc_id", "text"), "text", portable=portable, shingle_col="sh"
+    ).drop("text").persist()
+    try:
+        write_bucketed(staged.select("doc_id", "sh"), shingles_t, "doc_id", num_buckets)
+        write_bucketed(staged.drop("sh"), sigs_t, "doc_id", num_buckets)
+    finally:
+        staged.unpersist()
     return {"shingles": shingles_t, "sigs": sigs_t}
 
 
@@ -166,6 +175,9 @@ def near_dup_removal_staged(
     )
     doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = docs.join(doomed, "doc_id", "left_anti")
+    # same band-cache handoff as near_dup_removal: the per-invocation
+    # persisted band table must be releasable by the caller
+    verified.staged_bands = getattr(candidates, "staged_bands", None)
     return survivors, verified
 
 
@@ -239,7 +251,15 @@ def incremental_near_dup(
         .distinct()
     )
     new_sh = new_docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
-    all_sh = spark.table(tables["shingles"]).unionByName(new_sh)
+    # replay-safety on the SHINGLE side too: a re-delivered batch's
+    # rows may already sit in the staged table, and keeping both
+    # copies would fan every verified pair out twice through the id_a
+    # join (the sigs table above gets the same left_anti)
+    all_sh = (
+        spark.table(tables["shingles"])
+        .join(new_docs.select("doc_id"), on="doc_id", how="left_anti")
+        .unionByName(new_sh)
+    )
     verified = (
         candidates.join(
             all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -290,7 +310,8 @@ def streaming_corpus_ingest(
     in for the NEXT batch.
 
     Crash-replay semantics: the dedup plan executes ONCE per batch
-    (collected), the per-batch output directory is OVERWRITTEN (so a
+    (the idempotent per-batch write; the artifact append re-reads the
+    written parquet), the per-batch output directory is OVERWRITTEN (so a
     re-delivered batch rewrites, never duplicates, its accepted rows),
     and ``incremental_near_dup`` ignores staged rows carrying the
     batch's own ids — so a replay after a completed artifact append
@@ -308,11 +329,15 @@ def streaming_corpus_ingest(
         survivors, _ = incremental_near_dup(
             batch_df.select("doc_id", "text"), tables, threshold, portable=portable
         )
-        rows = survivors.collect()  # ONE execution of the dedup plan
+        # execute the dedup plan ONCE via the idempotent per-batch
+        # write, then RE-READ the parquet for the artifact append —
+        # never collect(): a big backlog batch carrying full document
+        # text would OOM the driver
+        out = f"{accepted_dir}/batch={batch_id}"
+        survivors.write.mode("overwrite").parquet(out)
         spark_b = batch_df.sparkSession
-        accepted = spark_b.createDataFrame(rows, survivors.schema)
-        accepted.write.mode("overwrite").parquet(f"{accepted_dir}/batch={batch_id}")
-        if rows:
+        accepted = spark_b.read.schema(survivors.schema).parquet(out)
+        if not accepted.isEmpty():
             append_corpus_artifacts(accepted, tables, portable=portable)
 
     return (
@@ -336,10 +361,31 @@ def run_corpus_pipeline(
     counts the run computes anyway — the same seam as
     ``run_batch_pipeline``, so the CLI's ``--progress`` lines and
     ``--serve-port`` board cover corpus mode too."""
+    from pyspark.sql import Observation
+
     from etl_guiacores_spark.sources.tables import spread_narrow_input
 
     config = config or CorpusConfig()
     emit = progress_callback or (lambda stage, info: None)
+    spark = docs.sparkSession
+
+    def _land(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+        """Write a stage handoff with its count OBSERVED on the same
+        job, then re-read the parquet: every downstream stage consumes
+        the STORED table, so the expensive upstream lineage (scoring,
+        shingling, the LSH verify) executes exactly once per stage
+        instead of once per downstream action — the same
+        execute-once-then-reread discipline run_batch_pipeline applies
+        to bronze/silver/gold. Explicit schema on the re-read: an
+        empty stage writes no row groups and inference would crash."""
+        obs = Observation(f"{name}_metrics")
+        gio.write_handoff(
+            df.observe(obs, F.count(F.lit(1)).alias("records")),
+            f"{out_dir}/{name}",
+        )
+        back = spark.read.schema(df.schema).parquet(f"{out_dir}/{name}")
+        return back, obs.get["records"]
+
     # spread once at ingest: a few-row-group parquet input would
     # otherwise serialize every per-row stage (shingle, hash, score)
     docs = spread_narrow_input(docs, "doc_id")
@@ -347,48 +393,67 @@ def run_corpus_pipeline(
     n_raw = docs.count()
     emit("raw", {"records": n_raw})
 
-    filtered = filter_documents(docs, config)
-    gio.write_handoff(filtered, f"{out_dir}/filtered")
-    n_filtered = filtered.count()
+    filtered, n_filtered = _land(filter_documents(docs, config), "filtered")
     emit("filtered", {"records": n_filtered})
 
     exact = exact_dedup(filtered)
     n_exact = exact.count()
     emit("exact_dedup", {"records": n_exact})
 
-    survivors, dup_pairs = near_dup_removal(
+    # land the VERIFIED PAIRS, not the lazy survivor plan: both the
+    # survivor derivation and the pair count then read the stored pair
+    # list, so the LSH+Jaccard leg — the most expensive in the
+    # pipeline — executes exactly once
+    survivors_lazy, dup_pairs = near_dup_removal(
         exact,
         config.near_dup_jaccard,
         cluster_exact=config.cluster_exact,
         portable=config.portable_hashes,
     )
-    gio.write_handoff(survivors, f"{out_dir}/clean")
-    n_clean = survivors.count()
+    pairs, n_pairs = _land(dup_pairs, "dup_pairs")
+    staged_bands = getattr(dup_pairs, "staged_bands", None)
+    if staged_bands is not None:  # the pairs are materialized — release
+        staged_bands.unpersist()
+    if config.cluster_exact:
+        from etl_guiacores_spark.operators.graph import connected_components
+
+        labels = connected_components(
+            exact.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+        )
+        survivors_lazy = exact.join(
+            labels.filter(F.col("id") == F.col("component")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+    else:
+        survivors_lazy = exact.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    survivors, n_clean = _land(survivors_lazy, "clean")
     emit("near_dup", {"records": n_clean})
 
-    chunks = chunk_documents(
-        survivors, chunk_tokens=config.chunk_tokens, overlap=config.chunk_overlap
+    chunks, n_chunks = _land(
+        chunk_documents(
+            survivors, chunk_tokens=config.chunk_tokens, overlap=config.chunk_overlap
+        ),
+        "chunks",
     )
-    gio.write_handoff(chunks, f"{out_dir}/chunks")
-    vocab = build_vocab(survivors, top_k=config.vocab_top_k)
-    gio.write_handoff(vocab, f"{out_dir}/vocab")
+    vocab, n_vocab = _land(build_vocab(survivors, top_k=config.vocab_top_k), "vocab")
 
     metrics = {
         "raw_docs": n_raw,
         "after_quality_lang_filter": n_filtered,
         "after_exact_dedup": n_exact,
         "after_near_dup": n_clean,
-        "near_dup_pairs": dup_pairs.count(),
-        "chunks": chunks.count(),
-        "vocab_size": vocab.count(),
+        "near_dup_pairs": n_pairs,
+        "chunks": n_chunks,
+        "vocab_size": n_vocab,
     }
-    emit("chunks", {"records": metrics["chunks"]})
-    emit("vocab", {"records": metrics["vocab_size"]})
-    # every consuming action has run — release the per-invocation band
-    # cache so repeated pipeline runs in one session don't accumulate
-    staged_bands = getattr(dup_pairs, "staged_bands", None)
-    if staged_bands is not None:
-        staged_bands.unpersist()
+    emit("chunks", {"records": n_chunks})
+    emit("vocab", {"records": n_vocab})
     gio.write_stats_json(metrics, f"{out_dir}/metrics.json")
     emit("done", {"records": n_clean})
     return metrics

@@ -98,10 +98,17 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: in
     # a unit interval and the merge below orders everything once
     for pdf in pdfs:
         for ts, value in zip(pdf["ts"], pdf["value"]):
+            # NULL ts -> NaT whose .value is Long.MIN: no event time
+            # means no session membership — drop, don't fabricate a
+            # garbage interval at the dawn of time
+            if pd.isna(ts):
+                continue
             # pandas Timestamp -> integer microseconds (exact, matches
             # the batch twin's unix_micros arithmetic)
             tus = ts.value // 1000
-            ivs.append([tus, tus, 1, float(value)])
+            # NULL value counts the event but adds 0 — the batch
+            # twin's COUNT(*) + SUM(value) (null-skipping) semantics
+            ivs.append([tus, tus, 1, 0.0 if pd.isna(value) else float(value)])
     ivs = _merge_intervals(ivs, gap_us)
 
     # emit ONLY sessions whose gap horizon the watermark has passed: no
@@ -138,7 +145,22 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: in
 def sessionize_stream(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:
-    """events(user_id, ts, value) stream -> closed-session rows."""
+    """events(user_id, ts, value) stream -> closed-session rows.
+
+    Requires a UTC session: Arrow hands the operator tz-NAIVE
+    timestamps rendered in the session timezone, while
+    getCurrentWatermarkMs is epoch-based — under any other zone the
+    horizon comparison would shift by the UTC offset and emit sessions
+    hours early (configure_session pins UTC; enforced here for
+    externally built sessions)."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"sessionize_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the event-time/watermark comparison is only "
+            "correct when Arrow's session-zone timestamps coincide with "
+            "epoch microseconds"
+        )
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs, state):

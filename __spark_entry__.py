@@ -21,67 +21,24 @@ from etl_guiacores_spark.session import configure_session
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
-# order decides which rows get a fresh confirmation each round. Round-3
-# rotation: (1) the 21 new/fixed queries first (they have no green row
-# at all without a slot), then (2) queries whose latest driver pass is
-# round 1. 21 + 36 > 50, so the LAST SEVEN round-1 rows (q48/q51/q52/
-# q53/q54/q55/q57) land at positions 51-57 and ride their round-1
-# passes one more round — every one is locally oracle-verified at
-# sf0.001/0.01/0.1 this round; rotate them to the front of block (2)
-# next round.
+# order decides which rows get a fresh confirmation each round. Round-4
+# rotation: (1) the four queries whose code/oracle changed this round
+# (q58 oracle HUGEINT->BIGINT cast, q88 keyed blocklist removal,
+# q66/q66b packing loop rewrite), then (2) the seven rows green only
+# in round 1 (locally oracle-verified every round since), then (3)
+# round-2 rows oldest-first. 4 + 7 + 48 > 50, so the LAST NINE
+# round-2 rows (q56, q85, q86, q67-q70 block tail) land at positions
+# 51-59 and ride their round-2 passes one more round — rotate them to
+# the front of block (3) next round. Round-3-green rows (49) follow;
+# with this schedule nothing in the artifact union is ever more than
+# two rounds stale.
 _FIRST = [
-    # round-3 changes — need a fresh driver row
+    # round-4 changes — need a fresh driver row
     "q58_source_mixture",
     "q66b_packing_invariants",
-    "q104_dsir_importance",
-    "q105_sketch_distinct_audit",
-    "q87_weighted_sample",
+    "q66_sequence_packing",
     "q88_blocklist_filter",
-    "q89_token_offsets",
-    "q90_cluster_representatives",
-    "q91_ngram_novelty",
-    "q92_semantic_dup_groups",
-    "q93_dup_graph_degree",
-    "q94_mixture_rebalance",
-    "q95_shard_manifest",
-    "q96_source_overlap_matrix",
-    "q97_label_centroid_cosine",
-    "q98_zipf_slope",
-    "q99_funnel",
-    "q100_cohort_retention",
-    "q101_pagerank_neardup",
-    "q102_rank_windows",
-    "q103_topk_via_aggregate",
     # last confirmed in round 1 — rotate back into the artifact
-    "q14_phone_normalize",
-    "q15_email_validate",
-    "q16_url_pipeline",
-    "q17_address_split",
-    "q18_business_id_from_url",
-    "q19_urlgen",
-    "q20_clean_text_documents",
-    "q21_token_quality",
-    "q22_lang_id",
-    "q23_fingerprint",
-    "q24_minhash_signatures",
-    "q25_lsh_candidates",
-    "q26_ngram_jaccard",
-    "q27_simhash",
-    "q28_cosine_topk",
-    "q29_embedding_neardup",
-    "q30_tumbling_window",
-    "q31_sliding_window",
-    "q34_merge_upsert",
-    "q35_type_coercion",
-    "q36_phone_list_ops",
-    "q37_exact_dedupe",
-    "q38_running_totals",
-    "q39_pivot_events",
-    "q40_total_matches",
-    "q41_stat_aggregates",
-    "q42_conditional_agg",
-    "q43_json_props",
-    "q47_asof_join",
     "q48_range_join",
     "q51_range_frame_window",
     "q52_grouping_sets_sql",
@@ -89,16 +46,58 @@ _FIRST = [
     "q54_bag_set_ops",
     "q55_null_safe_join",
     "q57_decimal_exact",
-    # positions 51+: rows holding an r2 driver pass whose round-3
-    # changes are locally oracle-verified and test-asserted (q74
-    # groupBy rewrite, q50/q62 spread + persist lifecycle, q04 plan
-    # gate) or rows-only by design (q66, whose invariants q66b now
-    # hash-checks inside the top 50)
-    "q74_bigram_lm_score",
-    "q50_corpus_dedup_survivors",
-    "q62_dedup_clusters",
-    "q66_sequence_packing",
+    # last confirmed in round 2 — refresh (39 of 48 fit this round)
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_regional_revenue",
     "q04_resume_anti_join",
+    "q05_semi_join_segments",
+    "q06_filter_cross_product",
+    "q07_keep_first_dedupe",
+    "q08_dup_report",
+    "q09_top3_orders_per_customer",
+    "q10_latest_version",
+    "q11_set_ops",
+    "q12_rollup_acctbal",
+    "q13_cube_orders",
+    "q32_sessionization",
+    "q33_event_dedupe_first",
+    "q44_document_chunking",
+    "q45_vocabulary",
+    "q46_tfidf",
+    "q49_hypertable_rollup",
+    "q50_corpus_dedup_survivors",
+    "q59_decontamination",
+    "q60_pii_redaction",
+    "q61_repetition_score",
+    "q62_dedup_clusters",
+    "q63_ivf_ann_fullprobe",
+    "q64_quantize_int8",
+    "q65_multimodal_decode",
+    "q71_dup_ngram_fraction",
+    "q72_winnowing_fingerprints",
+    "q73_hash_split_counts",
+    "q74_bigram_lm_score",
+    "q75_bpe_token_count",
+    "q76_source_length_deciles",
+    "q77_winnow_overlap_pairs",
+    "q78_gopher_quality_rules",
+    "q79_centroid_outliers",
+    "q80_dense_ids",
+    "q81_span_dedup_reconstruct",
+    "q82_temperature_mixture",
+    # positions 51-59: round-2 rows riding one more round — all
+    # locally oracle-verified this session; front of the refresh
+    # block next round
+    "q83_zorder_layout",
+    "q84_knn_label_vote",
+    "q56_extract_all_numbers",
+    "q67_stratified_sample",
+    "q68_bigram_counts",
+    "q69_simhash_hamming_pairs",
+    "q70_salted_distinct_count",
+    "q85_split_leakage",
+    "q86_minhash_estimate_error",
 ]
 
 

@@ -101,7 +101,12 @@ def merge_upsert(
 
 
 def filter_blocked_domains(
-    df: DataFrame, blocked: DataFrame, url_col: str, domain_col: str = "domain"
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str,
+    domain_col: str = "domain",
+    *,
+    key_col: str | None = None,
 ) -> DataFrame:
     """T7 at scale: drop rows whose URL host ends with any blocked
     domain. A literal OR-chain (functions.url.normalize_url) is right
@@ -112,6 +117,14 @@ def filter_blocked_domains(
     via an equi-joinable key: the host's last-2 and last-3 labels are
     both probed, so the join stays a hash join rather than a
     contains() nested loop.
+
+    When the caller has a row key (``key_col`` — the reference's leads
+    carry ``id_negocio``, the documents table ``doc_id``), removal is a
+    key-only anti-join: the hits branch prunes to (key, url) at the
+    scan, and the anti-join shuffles keys alone — document text never
+    rides the shuffle. Without a key the fallback compares every
+    column null-safely, which is correct but shuffles full rows keyed
+    on row content; keep it for keyless inputs only.
     """
     host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     parts = F.split(host, r"\.")
@@ -124,12 +137,24 @@ def filter_blocked_domains(
     probes = F.array_compact(F.array(host, last2, last3))
 
     keys = blocked.select(F.lower(F.col(domain_col)).alias("__blocked_domain")).distinct()
-    # Find hit ROWS via the probe semi-join, then remove them with an
-    # all-columns NULL-SAFE anti-join: eqNullSafe per column so a row
-    # carrying NULLs still matches itself (plain equality would let it
-    # silently survive the blocklist), and — unlike a generated row id —
-    # the match is stable even if the two branches recompute df with
-    # different partitioning/row order.
+    if key_col is not None:
+        # Keyed path: hit KEYS via the probe semi-join (scan prunes to
+        # key + url), then one key-only anti-join. AQE broadcasts the
+        # hit-key set while it is small; at worst both sides shuffle
+        # (key) pairs — never text.
+        hit_keys = (
+            df.select(key_col, F.explode(probes).alias("__probe"))
+            .join(F.broadcast(keys), F.col("__probe") == F.col("__blocked_domain"), "left_semi")
+            .select(key_col)
+            .distinct()
+        )
+        return df.join(hit_keys, on=key_col, how="left_anti")
+    # Keyless fallback: find hit ROWS via the probe semi-join, then
+    # remove them with an all-columns NULL-SAFE anti-join: eqNullSafe
+    # per column so a row carrying NULLs still matches itself (plain
+    # equality would let it silently survive the blocklist), and —
+    # unlike a generated row id — the match is stable even if the two
+    # branches recompute df with different partitioning/row order.
     hits = (
         df.withColumn("__probe", F.explode(probes))
         .join(F.broadcast(keys), F.col("__probe") == F.col("__blocked_domain"), "left_semi")

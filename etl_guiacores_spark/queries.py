@@ -44,6 +44,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
+    """Register a (Spark program, DuckDB oracle) pair.
+
+    Every oracle's FINAL SELECT must meet the output-column contract
+    in QUERIES.md ("Oracle output-type contract"): integer aggregates
+    cast to BIGINT (DuckDB SUM(BIGINT) is HUGEINT, which a pandas/
+    Arrow fetch renders as float64 and splits the value hash — q58
+    burned two rounds on this), doubles ROUND()ed to a fixed scale on
+    BOTH sides, timestamps rendered as strings, and every computed
+    column aliased identically in Spark and SQL.
+    ``tools/check_oracle.py`` enforces the HUGEINT rule mechanically.
+    """
+
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
         return fn

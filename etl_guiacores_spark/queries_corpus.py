@@ -1006,7 +1006,9 @@ def q88_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = c.select("c_custkey", url.alias("url"))
     blocked = spark.createDataFrame([("example.com",), ("tracker.io",)], ["domain"])
-    return filter_blocked_domains(df, blocked, "url")
+    # Rows are keyed, so removal is a key-only anti-join (text/url
+    # never rides the removal shuffle) — joins.py keyed path.
+    return filter_blocked_domains(df, blocked, "url", key_col="c_custkey")
 
 
 # ---------------------------------------------------------------------------

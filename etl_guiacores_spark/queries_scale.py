@@ -709,7 +709,7 @@ def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY source
     ),
     tot AS (SELECT SUM(n_tokens) AS total FROM agg)
-    SELECT source, n_docs, n_tokens,
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST((CAST(n_tokens AS HUGEINT) * 1000000)
                 // CAST(total AS HUGEINT) AS BIGINT) AS share_ppm
     FROM agg, tot
@@ -720,7 +720,11 @@ def q50_corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer floor division (DECIMAL(38,0) intermediates, overflow-"
     "safe past 9e12 tokens) so Spark and the oracle agree bit-for-bit "
     "— no double rounding boundary. The corpus total stays in-plan as "
-    "a broadcast 1-row aggregate, not an unpartitioned window.",
+    "a broadcast 1-row aggregate, not an unpartitioned window. The "
+    "oracle casts n_tokens (DuckDB SUM→HUGEINT) to BIGINT on output: "
+    "HUGEINT renders as float64 under a pandas/Arrow fetch ('1540.0' "
+    "vs '1540') and splits the value hash — see QUERIES.md's oracle "
+    "output-type contract.",
 )
 def q58_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.textstats import token_count

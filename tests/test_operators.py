@@ -151,6 +151,36 @@ class TestBlockedDomains:
         )
         assert kept == ["2"]
 
+    def test_keyed_removal_matches_and_joins_on_key_only(self, spark):
+        """With key_col set, removal must (a) agree with the keyless
+        path and (b) anti-join on the key alone — at scale the keyed
+        path shuffles keys, never document text."""
+        from etl_guiacores_spark.operators.joins import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [
+                ("1", "https://www.spam.net/a", "text-1"),
+                ("2", "https://example.org/b", None),
+                ("3", "https://sub.spam.net/c", "text-3"),
+                ("4", None, "text-4"),
+            ],
+            ["doc_id", "url", "text"],
+        )
+        blocked = spark.createDataFrame([("spam.net",)], ["domain"])
+        keyed = filter_blocked_domains(df, blocked, "url", key_col="doc_id")
+        kept = sorted(r["doc_id"] for r in keyed.collect())
+        assert kept == ["2", "4"]
+        keyless = sorted(
+            r["doc_id"] for r in filter_blocked_domains(df, blocked, "url").collect()
+        )
+        assert kept == keyless
+        plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines, plan
+        for ln in anti_lines:
+            assert "doc_id" in ln, ln
+            assert "url" not in ln and "text" not in ln, ln
+
 
 class TestMergeUpsertPartialColumns:
     def test_insert_takes_source_values_outside_update_cols(self, spark):

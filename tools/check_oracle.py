@@ -33,6 +33,40 @@ def normalize_value(v) -> str:
     return str(v)
 
 
+# Oracle output-column types that render differently depending on the
+# fetch path: DuckDB HUGEINT/UHUGEINT come back as Python ints through
+# fetchall() (hash-stable) but as float64 through a pandas/Arrow fetch
+# ("1540.0" vs "1540" after normalization) — exactly the skew that kept
+# q58 driver-red for two rounds while this fetchall-based replica
+# passed. Any oracle emitting one is a hard failure here regardless of
+# whether the hash happens to match locally: CAST the final SELECT's
+# column to BIGINT.
+FRAGILE_ORACLE_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def audit_oracle_types(con, sql, spark_dtypes):
+    """Return (hard_errors, warnings) about driver-fragile oracle output types."""
+    hard, warn = [], []
+    rel = con.sql(sql)
+    sd = dict(spark_dtypes)
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        base = t.split("(")[0]
+        if base in FRAGILE_ORACLE_TYPES:
+            hard.append(
+                f"{col}: oracle type {t} renders as float64 under a "
+                f"pandas/Arrow fetch — CAST(... AS BIGINT) in the final SELECT"
+            )
+        stype = sd.get(col, "")
+        if base == "DECIMAL" and stype == "double":
+            warn.append(f"{col}: oracle {t} vs spark double — rendering may differ")
+        elif base == "DOUBLE" and stype.startswith("decimal"):
+            warn.append(f"{col}: oracle DOUBLE vs spark {stype} — rendering may differ")
+        elif base in ("TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "DATE") and stype == "string":
+            warn.append(f"{col}: oracle {t} vs spark string — render timestamps as strings on BOTH sides")
+    return hard, warn
+
+
 def frame_fingerprint(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols_sorted = [columns[i] for i in order]
@@ -92,6 +126,13 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        type_errs, type_warns = audit_oracle_types(con, oracles[name], sdf.dtypes)
+        for msg in type_errs:
+            print(f"TYPE  {name}: {msg}")
+        for msg in type_warns:
+            print(f"WARN  {name}: {msg}")
+        if type_errs:
+            failures.append(name)
         ok = scols == dcols and scount == dcount and shash == dhash
         status = "OK   " if ok else "FAIL "
         print(
@@ -100,7 +141,8 @@ def main() -> int:
             f"hash={'=' if shash == dhash else 'MISMATCH'} ({time.time()-t0:.1f}s)"
         )
         if not ok:
-            failures.append(name)
+            if name not in failures:
+                failures.append(name)
             if scols == dcols and scount == dcount:
                 # show a few differing rows for debugging
                 sset = {tuple(normalize_value(v) for v in r) for r in srows}

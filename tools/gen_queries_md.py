@@ -37,6 +37,31 @@ def main() -> int:
         "",
         "Regenerate with `python tools/gen_queries_md.py`.",
         "",
+        "## Oracle output-type contract",
+        "",
+        "The driver's compare fetches both result sets, sorts columns by",
+        "name, normalizes values to strings, and hashes — so the FINAL",
+        "SELECT of every oracle (and the matching Spark projection) must",
+        "render identically on both engines:",
+        "",
+        "1. **Integer outputs: CAST to BIGINT.** DuckDB `SUM(BIGINT)` is",
+        "   HUGEINT, which a pandas/Arrow fetch renders as float64",
+        "   (`1540.0` vs Spark's `1540`) and splits the hash, while a",
+        "   `fetchall()` path gets Python ints and hides the skew — q58",
+        "   shipped driver-red for two rounds exactly this way.",
+        "   `tools/check_oracle.py` now fails any oracle emitting",
+        "   HUGEINT/UHUGEINT regardless of the local hash.",
+        "2. **Doubles: ROUND() to a fixed scale on BOTH sides** (or use",
+        "   integer fixed-point arithmetic — ppm ratios — when exactness",
+        "   matters; see q58/q101/q104). Never compare raw float",
+        "   aggregates across engines.",
+        "3. **Timestamps/dates: render as strings on both sides**",
+        "   (`date_format` / `strftime`); engine-native temporal types",
+        "   stringify differently.",
+        "4. **Alias every computed column identically in Spark and SQL** —",
+        "   the column sort is by name, so a mismatched alias is a schema",
+        "   mismatch even when values agree.",
+        "",
         "| # | query | what it verifies |",
         "|---|---|---|",
         *rows,

@@ -1592,3 +1592,192 @@ def q105_sketch_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q106: hashed linear-model quality scoring (model inference, no UDF)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q106_linear_quality_score",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('lmq:' || tok), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+    ),
+    w AS (
+        SELECT bucket,
+               CAST(('0x' || substr(md5('lmq:w:' || CAST(bucket AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 2001 - 1000 AS weight_ppm
+        FROM (SELECT DISTINCT bucket FROM b)
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_tok,
+           CAST(SUM(w.weight_ppm) AS BIGINT) AS score_ppm
+    FROM b JOIN w USING (bucket)
+    GROUP BY b.doc_id
+    """,
+    doc="Linear-classifier inference over hashed bag-of-words features "
+    "— the fastText/CCNet-style quality gate every large corpus "
+    "pipeline runs, expressed WITHOUT a UDF: tokenize, hash to a "
+    "bounded feature id, broadcast-join the (bounded) weight table, "
+    "sum per document. The frozen synthetic model derives each "
+    "bucket's weight deterministically from md5 so both engines "
+    "materialize the identical model; production swaps in exported "
+    "fastText/LR weights with the same plan. Weights are integer ppm "
+    "(the q58/q104 exactness discipline). Only corpus-sized shuffle "
+    "keys on doc_id; text never moves (operators/inference.py).",
+)
+def q106_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.inference import linear_score, synthetic_weights
+
+    d = _docs(spark, sf_dir)
+    w = synthetic_weights(spark, num_buckets=4096, seed="lmq", scale_ppm=1000)
+    return linear_score(d, w, num_buckets=4096, seed="lmq")
+
+
+# ---------------------------------------------------------------------------
+# q107: Bloom-filter decontamination (no-false-negative audit)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20
+
+@register(
+    "q107_bloom_decontaminate",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN LEN(toks) >= 3
+                 THEN list_distinct(list_transform(range(1, LEN(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+    bits AS (
+        SELECT DISTINCT unnest([
+            CAST(('0x' || substr(md5('bloom:0:' || g), 1, 8)) AS BIGINT) % {_BLOOM_BITS},
+            CAST(('0x' || substr(md5('bloom:1:' || g), 1, 8)) AS BIGINT) % {_BLOOM_BITS},
+            CAST(('0x' || substr(md5('bloom:2:' || g), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+        ]) AS bit FROM bench
+    ),
+    probes AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 50),
+    probed AS (
+        SELECT doc_id, g,
+               (CAST(('0x' || substr(md5('bloom:0:' || g), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+                    IN (SELECT bit FROM bits))
+               AND
+               (CAST(('0x' || substr(md5('bloom:1:' || g), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+                    IN (SELECT bit FROM bits))
+               AND
+               (CAST(('0x' || substr(md5('bloom:2:' || g), 1, 8)) AS BIGINT) % {_BLOOM_BITS}
+                    IN (SELECT bit FROM bits)) AS maybe,
+               g IN (SELECT g FROM bench) AS is_true
+        FROM probes
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN is_true AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+               = 0 AS no_false_negatives
+    FROM probed GROUP BY doc_id
+    """,
+    doc="Bloom-filter benchmark decontamination: the benchmark's word "
+    "3-grams (doc_id<50 plays the eval set, q59's convention) compress "
+    "into a broadcastable set-bit table (<= 2^20 ints regardless of "
+    "benchmark size); every corpus doc's distinct grams probe it "
+    "map-side. Emits per-doc gram counts, Bloom positives, EXACT "
+    "positives, and a hash-checked no-false-negatives flag — the "
+    "Bloom contract verified on real data, with the false-positive "
+    "overcount visible as n_maybe - n_true. At 100 TB this replaces "
+    "q59's full posting-list shuffle with a broadcast probe whose "
+    "filter is built once and persisted (operators/bloom.py).",
+)
+def q107_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.bloom import bloom_build, bloom_probe
+    from etl_guiacores_spark.operators.textstats import kgrams, tokens
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(kgrams(tokens(F.col("text")), 3))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") < 50).select("g").distinct()
+    bits = bloom_build(bench, "g", num_bits=_BLOOM_BITS, num_hashes=3, seed="bloom")
+    probes = grams.filter(F.col("doc_id") >= 50).distinct()
+    probed = bloom_probe(
+        probes, bits, "g", num_bits=_BLOOM_BITS, num_hashes=3, seed="bloom"
+    ).join(bench.withColumn("__true", F.lit(True)), "g", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("maybe_member").cast("bigint")).cast("bigint").alias("n_maybe"),
+        F.sum(F.coalesce(F.col("__true"), F.lit(False)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_true"),
+        (
+            F.sum(
+                (F.coalesce(F.col("__true"), F.lit(False)) & ~F.col("maybe_member"))
+                .cast("bigint")
+            )
+            == 0
+        ).alias("no_false_negatives"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108: SCD type-2 history build (validity intervals from a change stream)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q108_scd2_history",
+    """
+    WITH chg AS (
+        SELECT user_id, ts, event_type,
+               LAG(ts) OVER w AS prev_ts,
+               LAG(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    versions AS (
+        SELECT user_id, ts, event_type
+        FROM chg
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_state
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S'), 'current')
+               AS valid_to,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version_n
+    FROM versions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+    """,
+    doc="Slowly-changing-dimension type-2 history from a change "
+    "stream: per user, consecutive duplicate states collapse, each "
+    "surviving state gets [valid_from, valid_to) from LEAD over a "
+    "key-partitioned window, the open interval is flagged current — "
+    "the Kimball SCD2 loader as ONE declarative plan (one shuffle on "
+    "the key, windows all key-partitioned and AQE-splittable, never "
+    "global) instead of a row-at-a-time MERGE loop. Timestamps render "
+    "as strings per the oracle output-type contract "
+    "(operators/scd.py).",
+)
+def q108_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_type")
+    hist = scd2_history(ev, key_col="user_id", ts_col="ts", state_cols=["event_type"])
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        "is_current",
+        "version_n",
+    )

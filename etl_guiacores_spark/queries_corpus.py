@@ -1781,3 +1781,102 @@ def q108_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "version_n",
     )
+
+
+# ---------------------------------------------------------------------------
+# q109/q110: fuzzy record linkage (blocked edit distance) + entity resolution
+# ---------------------------------------------------------------------------
+
+_TITLE = f"array_to_string(({_TOKS})[1:5], ' ')"
+
+@register(
+    "q109_fuzzy_match_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TITLE} AS title
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    b AS (SELECT doc_id, title,
+                 lower(string_split_regex(trim(title), '[ \\t\\n\\r\\f\\v]+')[1]) AS blk
+          FROM t WHERE title IS NOT NULL)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.title, c.title) AS INTEGER) AS dist
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.doc_id < c.doc_id
+     AND abs(LENGTH(a.title) - LENGTH(c.title)) <= 5
+    WHERE levenshtein(a.title, c.title) <= 5
+    """,
+    doc="Fuzzy record linkage, block -> pair -> verify: documents' "
+    "5-token title prefixes pair only within a blocking key (lowercased "
+    "first token), prefilter on length difference (an exact lower "
+    "bound on edit distance), and verify with THRESHOLDED Levenshtein "
+    "so the DP aborts early above the cutoff — the business-name "
+    "matching a directory scraper needs where no shared key exists, "
+    "and the same shape as LSH banding: the all-pairs square never "
+    "materializes, pair volume is bounded by blocking-key selectivity, "
+    "hot blocks split by AQE skew-join (operators/linkage.py).",
+)
+def q109_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.linkage import fuzzy_match_pairs
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    d = _docs(spark, sf_dir)
+    titles = d.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    return fuzzy_match_pairs(titles, "doc_id", "title", max_dist=5).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
+    "q110_entity_resolution",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, {_TITLE} AS title
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    b AS (SELECT doc_id, title,
+                 lower(string_split_regex(trim(title), '[ \\t\\n\\r\\f\\v]+')[1]) AS blk
+          FROM t WHERE title IS NOT NULL),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM b a JOIN b c
+          ON a.blk = c.blk AND a.doc_id < c.doc_id
+         AND abs(LENGTH(a.title) - LENGTH(c.title)) <= 5
+        WHERE levenshtein(a.title, c.title) <= 5
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM t
+        UNION
+        SELECT e.dst AS id, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.lbl < e.dst
+    )
+    SELECT id AS doc_id, MIN(lbl) AS entity_id FROM reach GROUP BY id
+    """,
+    doc="Entity resolution on top of q109's fuzzy edges: connected "
+    "components labels every document with its match-component's "
+    "minimum id; unmatched records stay singleton entities. Spark "
+    "runs the adaptive CC operator (driver union-find under the "
+    "100k-edge gate since fuzzy edges are sparse, distributed "
+    "pointer-jumping above it — nodes never collected either way); "
+    "the oracle unrolls the same closure as a pruned recursive CTE. "
+    "Block -> pair -> verify -> cluster is the complete record-"
+    "linkage pipeline (operators/linkage.py resolve_entities).",
+)
+def q110_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.linkage import resolve_entities
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    d = _docs(spark, sf_dir)
+    titles = d.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    return resolve_entities(titles, "doc_id", "title", max_dist=5)

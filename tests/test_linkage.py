@@ -1,0 +1,90 @@
+"""Fuzzy record linkage: blocked Levenshtein pairs + entity resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.linkage import (
+    default_block_key,
+    fuzzy_match_pairs,
+    resolve_entities,
+)
+
+
+def _biz(spark):
+    rows = [
+        (1, "panaderia san juan"),
+        (2, "panaderia san juan srl"),   # dist 4 from 1 -> match
+        (3, "panaderia central"),        # same block, too far from 1/2
+        (4, "ferreteria lopez"),
+        (5, "ferreteria lopes"),         # dist 1 from 4 -> match
+        (6, "kiosco 24"),
+        (7, None),                       # NULL name: dropped from blocking
+    ]
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+class TestFuzzyMatchPairs:
+    def test_known_pairs_and_distances(self, spark):
+        out = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_match_pairs(_biz(spark), "id", "name", max_dist=5).collect()
+        }
+        assert out == {(1, 2): 4, (4, 5): 1}
+
+    def test_blocking_prevents_cross_block_pairs(self, spark):
+        """'kiosco 24' vs 'kiosko 24' is dist 1 but different first
+        token -> different block -> never compared. This is the
+        deliberate recall trade of blocking."""
+        df = spark.createDataFrame(
+            [(1, "kiosco 24"), (2, "kiosko 24")], "id long, name string"
+        )
+        assert fuzzy_match_pairs(df, "id", "name", max_dist=5).count() == 0
+
+    def test_custom_block_key_restores_recall(self, spark):
+        df = spark.createDataFrame(
+            [(1, "kiosco 24"), (2, "kiosko 24")], "id long, name string"
+        )
+        # a stronger key (2-char prefix) puts both in one block
+        key = F.substring(F.lower(F.col("name")), 1, 2)
+        out = fuzzy_match_pairs(df, "id", "name", max_dist=5, block_key=key).collect()
+        assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+    def test_length_prefilter_is_lossless(self, spark):
+        """A pair removed by the length filter must also fail the
+        distance test (|len diff| <= edit distance always)."""
+        df = spark.createDataFrame(
+            [(1, "shop"), (2, "shop with a very long suffix")],
+            "id long, name string",
+        )
+        key = F.lit("same")
+        assert fuzzy_match_pairs(df, "id", "name", max_dist=5, block_key=key).count() == 0
+
+
+class TestResolveEntities:
+    def test_transitive_closure_and_singletons(self, spark):
+        """b matches a and c but a-c are >max_dist apart: one entity
+        anyway (transitivity is the point of the cluster stage)."""
+        df = spark.createDataFrame(
+            [
+                (10, "zapateria aaaa"),
+                (11, "zapateria aabb"),   # dist 2 from 10, dist 2 from 12
+                (12, "zapateria bbbb"),   # dist 4 from 10 — still linked via 11
+                (20, "libreria sur"),
+            ],
+            "id long, name string",
+        )
+        out = {r["id"]: r["entity_id"] for r in
+               resolve_entities(df, "id", "name", max_dist=3).collect()}
+        assert out == {10: 10, 11: 10, 12: 10, 20: 20}
+
+    def test_null_names_stay_singleton(self, spark):
+        out = {r["id"]: r["entity_id"] for r in
+               resolve_entities(_biz(spark), "id", "name", max_dist=5).collect()}
+        assert out[7] == 7  # NULL name: no block, no edges, own entity
+        assert out[1] == out[2] == 1 and out[4] == out[5] == 4
+
+
+def test_default_block_key(spark):
+    df = spark.createDataFrame([("  Panaderia San Juan ",)], "name string")
+    assert df.select(default_block_key(F.col("name")).alias("k")).first()["k"] == "panaderia"

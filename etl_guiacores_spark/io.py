@@ -73,6 +73,54 @@ def write_partitioned(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_records_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    of roughly ``target_records_per_file`` rows, returning the row
+    count (observed on the same job, not a second scan).
+
+    Streaming ingest and fine-grained appends leave thousands of tiny
+    files per day; at 100 TB that tax is paid on EVERY downstream scan
+    (footer reads, task scheduling) until someone compacts. With
+    ``sort_cols`` the rewrite range-partitions on those columns first
+    (repartitionByRange + local sort), so compaction doubles as
+    clustering — min/max footer stats then prune file ranges for
+    predicates on the sort key, the poor man's z-order for a single
+    dimension (multi-dimension clustering is operators/ordering.py's
+    zorder_layout). The rewrite is staged through a sibling temp dir
+    then atomically swapped, so a concurrent reader never sees a
+    half-written directory.
+    """
+    from pyspark.sql import Observation
+
+    df = spark.read.parquet(path)
+    obs = Observation("compact_rows")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    if sort_cols:
+        out = df.repartitionByRange(*[F.col(c) for c in sort_cols]).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .parquet(tmp)
+    )
+    n = int(obs.get["n"])
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    Path(path).rename(old)
+    Path(tmp).rename(path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def write_version(
     df: DataFrame, path: str, clock: datetime | None = None, keep_last: int | None = None
 ) -> str:

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from etl_guiacores_spark import io as gio
 
 
@@ -128,3 +130,52 @@ def test_xml_roundtrip(spark, tmp_path):
     a = docs.filter("doc_id = 3").collect()[0]
     b = back.filter("doc_id = 3").collect()[0]
     assert (a.lang, a.source, a.n_chars) == (b.lang, b.source, b.n_chars)
+
+
+class TestCompactParquet:
+    def test_compaction_reduces_files_and_preserves_rows(self, spark, tmp_path):
+        from etl_guiacores_spark.io import compact_parquet
+
+        p = str(tmp_path / "frag")
+        # simulate fine-grained appends: 20 tiny files
+        for i in range(20):
+            spark.range(i * 10, i * 10 + 10).withColumn(
+                "v", F.col("id") * 2
+            ).coalesce(1).write.mode("append").parquet(p)
+        import glob
+        before = len(glob.glob(f"{p}/*.parquet"))
+        assert before >= 20
+        n = compact_parquet(spark, p, target_records_per_file=200)
+        assert n == 200
+        after = len(glob.glob(f"{p}/*.parquet"))
+        assert after < before
+        back = spark.read.parquet(p)
+        assert back.count() == 200
+        assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(200))
+        # no leftover staging dirs
+        assert not glob.glob(f"{p}.__compact_*")
+
+    def test_sorted_compaction_clusters_ranges(self, spark, tmp_path):
+        from etl_guiacores_spark.io import compact_parquet
+        import pyarrow.parquet as pq
+        import glob
+
+        p = str(tmp_path / "frag2")
+        # shuffled writes: each file spans the whole id range
+        spark.range(0, 1000).withColumn("k", F.pmod(F.col("id") * 7919, F.lit(1000))) \
+            .repartition(8).write.mode("overwrite").parquet(p)
+        compact_parquet(spark, p, target_records_per_file=300, sort_cols=["k"])
+        files = glob.glob(f"{p}/*.parquet")
+        spans = []
+        for f in files:
+            t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+            if t:
+                spans.append((min(t), max(t)))
+        # range-partitioned files must not all overlap: total span
+        # covered by each file is a fraction of the domain
+        spans.sort()
+        overlaps = sum(
+            1 for (a1, b1), (a2, b2) in zip(spans, spans[1:]) if b1 > a2
+        )
+        assert overlaps == 0, spans
+        assert spark.read.parquet(p).count() == 1000

@@ -181,6 +181,56 @@ def cmd_corpus(spark, args) -> dict:
     )
 
 
+def cmd_resolve(spark, args) -> dict:
+    """Fuzzy entity resolution over a records parquet: blocked
+    Levenshtein matching -> connected components -> one canonical
+    entity id per record (operators/linkage.py). The duplicate-
+    business answer when records share no key."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.linkage import resolve_entities
+
+    records = spark.read.parquet(args.input)
+    ents = resolve_entities(
+        records, args.id_col, args.name_col, max_dist=args.max_dist
+    )
+    out = f"{args.out}/entities"
+    ents.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    n_records = back.count()
+    n_entities = back.select("entity_id").distinct().count()
+    return {
+        "mode": "resolve",
+        "records": n_records,
+        "entities": n_entities,
+        "merged": n_records - n_entities,
+        "out": out,
+    }
+
+
+def cmd_compact(spark, args) -> dict:
+    """Small-files compaction (io.compact_parquet): rewrite a parquet
+    directory into target-size files, optionally range-clustered on
+    sort columns; atomic swap."""
+    import glob
+
+    from etl_guiacores_spark import io as gio
+
+    sort_cols = [c for c in (args.sort_cols or "").split(",") if c]
+    before = len(glob.glob(f"{args.input.rstrip('/')}/*.parquet"))
+    n = gio.compact_parquet(
+        spark, args.input, args.target_records, sort_cols=sort_cols or None
+    )
+    after = len(glob.glob(f"{args.input.rstrip('/')}/*.parquet"))
+    return {
+        "mode": "compact",
+        "rows": n,
+        "files_before": before,
+        "files_after": after,
+        "sorted_on": sort_cols,
+    }
+
+
 def cmd_clean(spark, args) -> dict:
     """reference: src/tools/clean_data.py:59-150 — consolidate run CSVs,
     deep-clean, dedupe, export."""
@@ -247,6 +297,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     k.add_argument("--chunk-tokens", type=int, default=64)
 
+    r = sub.add_parser("resolve")
+    r.add_argument("--input", required=True, help="records parquet path")
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--name-col", default="text")
+    r.add_argument("--max-dist", type=int, default=5)
+
+    co = sub.add_parser("compact")
+    co.add_argument("--input", required=True, help="parquet directory to compact in place")
+    co.add_argument("--target-records", type=int, required=True)
+    co.add_argument("--sort-cols", default="",
+                    help="comma-separated columns to range-cluster on")
+
     return p
 
 
@@ -274,6 +336,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "sequential": cmd_sequential,
         "clean": cmd_clean,
         "corpus": cmd_corpus,
+        "resolve": cmd_resolve,
+        "compact": cmd_compact,
     }[args.mode]
     try:
         result = handler(spark, args)

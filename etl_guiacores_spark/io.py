@@ -94,25 +94,32 @@ def compact_parquet(
     zorder_layout). The rewrite is staged through a sibling temp dir
     then atomically swapped, so a concurrent reader never sees a
     half-written directory.
-    """
-    from pyspark.sql import Observation
 
+    The output file count is computed EXPLICITLY (ceil(rows/target))
+    rather than inherited from the scan: Spark spreads even tiny
+    files across ``minPartitionNum`` read partitions for parallelism,
+    so a naive read->write preserves the fragmentation it was meant to
+    fix. The row count comes from parquet footer statistics (a
+    metadata-only job, no data scan); ``maxRecordsPerFile`` stays on
+    as the skew backstop for uneven range partitions.
+    """
+    n = spark.read.parquet(path).count()  # footer-stats count
+    n_out = max(1, -(-n // target_records_per_file))
     df = spark.read.parquet(path)
-    obs = Observation("compact_rows")
-    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if sort_cols:
-        out = df.repartitionByRange(*[F.col(c) for c in sort_cols]).sortWithinPartitions(
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in sort_cols]).sortWithinPartitions(
             *sort_cols
         )
     else:
-        out = df
+        # coalesce, not repartition: merges scan partitions without a
+        # shuffle — compaction is IO-bound, don't add a network pass
+        out = df.coalesce(n_out)
     tmp = path.rstrip("/") + ".__compact_tmp__"
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", target_records_per_file)
         .parquet(tmp)
     )
-    n = int(obs.get["n"])
     old = path.rstrip("/") + ".__compact_old__"
     shutil.rmtree(old, ignore_errors=True)
     Path(path).rename(old)

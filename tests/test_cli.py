@@ -179,3 +179,41 @@ def test_bulk_fetch_failures_are_quarantined_data(spark, tmp_path, monkeypatch):
     assert set(rows) == {"3", "4"}
     assert all("boom" in e for e in rows.values())
     assert res["records_processed"] == 4
+
+
+def test_resolve_mode(spark, tmp_path):
+    import etl_guiacores_spark.cli as cli
+    from pyspark.sql import functions as F  # noqa: F401
+
+    src = str(tmp_path / "records")
+    spark.createDataFrame(
+        [
+            (1, "panaderia san juan"),
+            (2, "panaderia san juan srl"),
+            (3, "ferreteria lopez"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    res = cli.main(
+        ["--out", str(tmp_path / "r"), "resolve", "--input", src, "--max-dist", "5"],
+        spark=spark,
+    )
+    assert res["records"] == 3 and res["entities"] == 2 and res["merged"] == 1
+    ents = {r["doc_id"]: r["entity_id"]
+            for r in spark.read.parquet(res["out"]).collect()}
+    assert ents[1] == ents[2] == 1 and ents[3] == 3
+
+
+def test_compact_mode(spark, tmp_path):
+    import etl_guiacores_spark.cli as cli
+
+    src = str(tmp_path / "frag")
+    for i in range(10):
+        spark.range(i * 5, i * 5 + 5).coalesce(1).write.mode("append").parquet(src)
+    res = cli.main(
+        ["compact", "--input", src, "--target-records", "100"],
+        spark=spark,
+    )
+    assert res["rows"] == 50
+    assert res["files_after"] < res["files_before"]
+    assert spark.read.parquet(src).count() == 50

@@ -176,3 +176,103 @@ def test_prefix_sum_null_values_and_temp_collisions(spark):
         global_prefix_sum(df.withColumn("__lsum", df.v), "k", "v")
     with pytest.raises(ValueError, match="__one"):
         dense_ids(df.withColumn("__one", df.v), "k")
+
+
+# --- round-4 operators: Bloom, SCD2, linkage -------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=30),
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=30),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    """For ANY member/probe sets: every probe that IS a member must
+    test positive — the Bloom contract has no exceptions."""
+    from etl_guiacores_spark.operators.bloom import bloom_build, bloom_probe
+
+    m = spark.createDataFrame([(v,) for v in set(members)], "v string")
+    p = spark.createDataFrame([(v,) for v in set(probes)], "v string")
+    bits = bloom_build(m, "v", num_bits=4096, num_hashes=3, seed="prop")
+    out = bloom_probe(p, bits, "v", num_bits=4096, num_hashes=3, seed="prop").collect()
+    member_set = set(members)
+    for r in out:
+        if r["v"] in member_set:
+            assert r["maybe_member"], r["v"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),            # key
+            st.integers(min_value=0, max_value=20),           # day offset
+            st.sampled_from(["A", "B", "C"]),                 # state
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_invariants(spark, rows):
+    """For ANY change stream: per key, exactly one current version,
+    versions numbered 1..n, intervals tile (valid_to[i] ==
+    valid_from[i+1]), and no two consecutive versions share a state."""
+    import datetime as dt
+
+    from etl_guiacores_spark.operators.scd import scd2_history
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(days=d), s) for k, d, s in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp, state string")
+    out = scd2_history(df, "k", "ts", ["state"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version_n"])
+        assert [r["version_n"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            # same-instant duplicate states can produce zero-length
+            # intervals, but ADJACENT versions never carry equal state
+            # unless separated by a timestamp tie
+            if a["valid_from"] != b["valid_from"]:
+                assert a["state"] != b["state"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=10).filter(lambda s: s.strip()),
+        min_size=2,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_fuzzy_pairs_are_sound(spark, names):
+    """Every emitted pair must satisfy the spec exactly: same block,
+    id_a < id_b, and true edit distance == reported dist <= max_dist."""
+    import difflib
+
+    from etl_guiacores_spark.operators.linkage import fuzzy_match_pairs
+
+    def lev(a, b):
+        if not a: return len(b)
+        if not b: return len(a)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    out = fuzzy_match_pairs(df, "id", "name", max_dist=3).collect()
+    by_id = dict(enumerate(names))
+    for r in out:
+        a, b = by_id[r["id_a"]], by_id[r["id_b"]]
+        assert r["id_a"] < r["id_b"]
+        assert a.strip().split()[0].lower() == b.strip().split()[0].lower()
+        assert r["dist"] == lev(a, b) <= 3

@@ -175,6 +175,7 @@ def cmd_corpus(spark, args) -> dict:
         cluster_exact=args.cluster_exact,
         portable_hashes=args.portable_hashes,
         chunk_tokens=args.chunk_tokens,
+        benchmark_path=args.benchmark,
     )
     return run_corpus_pipeline(
         docs, args.out, cfg, progress_callback=_progress_cb(args)
@@ -296,6 +297,10 @@ def build_parser() -> argparse.ArgumentParser:
         "of the native xxhash64 default",
     )
     k.add_argument("--chunk-tokens", type=int, default=64)
+    k.add_argument("--benchmark", default=None,
+                   help="benchmark/eval parquet (text column): drop docs "
+                   "sharing word 3-grams with it (Bloom prefilter + "
+                   "exact verify) before near-dup removal")
 
     r = sub.add_parser("resolve")
     r.add_argument("--input", required=True, help="records parquet path")

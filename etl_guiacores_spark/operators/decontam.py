@@ -49,6 +49,49 @@ def contaminated_doc_ids(
     )
 
 
+def contaminated_doc_ids_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlaps: int = 1,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """``contaminated_doc_ids`` with a Bloom prefilter — identical
+    output (test-asserted), different scaling.
+
+    The exact operator joins EVERY corpus n-gram against the benchmark
+    postings; at 100 TB that is the dominant shuffle even though
+    almost no gram overlaps. Here the benchmark compresses to a
+    broadcast set-bit table, the corpus gram stream drops non-matches
+    MAP-SIDE (no false negatives, so nothing real is lost), and only
+    the tiny maybe-set — true overlaps plus the Bloom's fp rate of
+    survivors — reaches the exact verification join that removes false
+    positives. Two-phase probe-then-verify, the same pattern as
+    LSH-candidates-then-Jaccard.
+    """
+    from etl_guiacores_spark.operators.bloom import bloom_build, bloom_probe
+
+    doc_posts = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__sh")
+    )
+    bench_posts = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("__sh"))
+        .distinct()
+    )
+    bits = bloom_build(bench_posts, "__sh", num_bits, num_hashes, seed="decontam")
+    maybe = bloom_probe(doc_posts, bits, "__sh", num_bits, num_hashes, seed="decontam")
+    candidates = maybe.filter(F.col("maybe_member")).drop("maybe_member")
+    hits = candidates.join(F.broadcast(bench_posts), on="__sh")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("__sh").alias("n_overlapping_ngrams"))
+        .filter(F.col("n_overlapping_ngrams") >= min_overlaps)
+    )
+
+
 def redact_pii(col: Column) -> Column:
     """Emails -> [EMAIL], phone-shaped numbers -> [PHONE], long digit
     runs -> [NUM]. Order matters: emails first (they contain digits),

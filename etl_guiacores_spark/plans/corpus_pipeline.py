@@ -56,6 +56,12 @@ class CorpusConfig:
     chunk_tokens: int = 64
     chunk_overlap: int = 8
     vocab_top_k: int = 1000
+    #: parquet path of a benchmark/eval set (text column): when set,
+    #: docs sharing >= decontam_min_overlaps word 3-grams with it are
+    #: dropped after exact dedup (Bloom prefilter + exact verify —
+    #: operators/decontam.contaminated_doc_ids_bloom)
+    benchmark_path: str | None = None
+    decontam_min_overlaps: int = 1
 
 
 def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
@@ -400,6 +406,19 @@ def run_corpus_pipeline(
     n_exact = exact.count()
     emit("exact_dedup", {"records": n_exact})
 
+    n_decontam = None
+    if config.benchmark_path is not None:
+        from etl_guiacores_spark.operators.decontam import contaminated_doc_ids_bloom
+
+        bench = spark.read.parquet(config.benchmark_path).select("text")
+        dirty = contaminated_doc_ids_bloom(
+            exact, bench, min_overlaps=config.decontam_min_overlaps
+        ).select("doc_id")
+        exact, n_decontam = _land(
+            exact.join(dirty, "doc_id", "left_anti"), "decontaminated"
+        )
+        emit("decontam", {"records": n_decontam})
+
     # land the VERIFIED PAIRS, not the lazy survivor plan: both the
     # survivor derivation and the pair count then read the stored pair
     # list, so the LSH+Jaccard leg — the most expensive in the
@@ -452,6 +471,8 @@ def run_corpus_pipeline(
         "chunks": n_chunks,
         "vocab_size": n_vocab,
     }
+    if n_decontam is not None:
+        metrics["after_decontamination"] = n_decontam
     emit("chunks", {"records": n_chunks})
     emit("vocab", {"records": n_vocab})
     gio.write_stats_json(metrics, f"{out_dir}/metrics.json")

@@ -55,3 +55,67 @@ class TestRepetition:
         assert got[0] == 0.0          # all distinct 3-grams
         assert got[1] > 0.5           # degenerate loop
         assert got[2] is None         # too short
+
+
+class TestBloomDecontam:
+    def test_bloom_path_equals_exact_path(self, spark):
+        """The Bloom prefilter is an optimization, not a semantics
+        change: identical (id, overlap-count) output to the exact
+        posting join on the same inputs."""
+        from etl_guiacores_spark.operators.decontam import (
+            contaminated_doc_ids,
+            contaminated_doc_ids_bloom,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text with different words entirely"),
+                (3, "quick brown fox appears here too with more padding"),
+                (4, "short"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "a quick brown fox jumps high",)], "bid long, text string"
+        )
+        exact = {
+            (r["doc_id"], r["n_overlapping_ngrams"])
+            for r in contaminated_doc_ids(docs, bench).collect()
+        }
+        bloom = {
+            (r["doc_id"], r["n_overlapping_ngrams"])
+            for r in contaminated_doc_ids_bloom(docs, bench, num_bits=1 << 12).collect()
+        }
+        assert exact == bloom and exact  # non-trivial and identical
+
+    def test_pipeline_decontam_stage(self, spark, tmp_path):
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            run_corpus_pipeline,
+        )
+
+        bench_p = str(tmp_path / "bench")
+        spark.createDataFrame(
+            [("the forbidden benchmark passage lives here",)], "text string"
+        ).write.parquet(bench_p)
+        docs = spark.createDataFrame(
+            [
+                (1, "the forbidden benchmark passage lives here in this document too"),
+                (2, "a perfectly clean training document with plenty of ordinary words"),
+                (3, "another clean document carrying enough text to pass quality gates"),
+            ],
+            "doc_id long, text string",
+        )
+        res = run_corpus_pipeline(
+            docs,
+            str(tmp_path / "out"),
+            CorpusConfig(min_quality=0.0, benchmark_path=bench_p),
+        )
+        clean_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out" / "clean")).collect()
+        }
+        assert 1 not in clean_ids and {2, 3} <= clean_ids
+        deconta = spark.read.parquet(str(tmp_path / "out" / "decontaminated"))
+        assert {r["doc_id"] for r in deconta.collect()} == {2, 3}

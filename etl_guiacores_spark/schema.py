@@ -126,3 +126,58 @@ def to_export(df: DataFrame) -> DataFrame:
             c = c.cast("string")
         out = out.withColumn(field.name, F.coalesce(c, F.lit("N/A")))
     return out.select(*[c for c in EXPORT_COLUMNS if c in out.columns])
+
+
+def align_to_schema(
+    df: DataFrame,
+    target: T.StructType,
+    *,
+    keep_extra: bool = False,
+    strict: bool = False,
+) -> DataFrame:
+    """Generic schema-evolution alignment: project ``df`` onto
+    ``target`` — missing columns become typed NULLs, present columns
+    ``try_cast`` to the target type (malformed values -> NULL, never a
+    job abort under ANSI), extra columns drop unless ``keep_extra``.
+
+    ``strict=True`` raises on missing target columns instead of
+    null-filling — the mode for feeds where a vanished column means a
+    broken producer, not legitimate drift.
+
+    This is ``canonicalize``'s rule generalized to ANY schema: years
+    of parquet shards drift (columns added, retired, widened), and at
+    100 TB the reader must absorb that without a backfill rewrite.
+    """
+    missing = [f.name for f in target.fields if f.name not in df.columns]
+    if strict and missing:
+        raise ValueError(f"columns missing from input: {missing}")
+    cols = []
+    for field in target.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).try_cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    if keep_extra:
+        tnames = {f.name for f in target.fields}
+        cols.extend(F.col(c) for c in df.columns if c not in tnames)
+    return df.select(*cols)
+
+
+def read_evolved(spark, path: str, target: T.StructType) -> DataFrame:
+    """Read a parquet directory whose shards were written under
+    DIFFERENT schema versions and serve them as ``target`` by handing
+    the reader the target schema directly: shards missing a column
+    yield typed NULLs for it, and Spark 4's parquet reader widens
+    compatible primitives (int->long, float->double) INSIDE the scan.
+
+    Preferred over ``mergeSchema`` + cast for drift within widening
+    rules: no footer-merge job over every shard, and column pruning /
+    predicate pushdown negotiate against the target schema. Spark's
+    schema merge also refuses to widen at all ([CANNOT_MERGE_SCHEMAS]
+    on an int->long drift), so the explicit schema is both faster and
+    strictly more capable here. For drift OUTSIDE widening rules (a
+    generation that stored ids as strings), read each generation
+    separately and union through ``align_to_schema`` — that rewrite
+    genuinely needs per-row try_cast.
+    """
+    return spark.read.schema(target).parquet(path)

@@ -58,3 +58,75 @@ class TestAnsiTolerance:
         )
         vals = {r["id_negocio"]: r["telefonos"] for r in to_export(d).collect()}
         assert vals == {"1": "N/A", "2": "N/A"}
+
+
+class TestSchemaEvolution:
+    def test_align_fills_casts_and_drops(self, spark):
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import align_to_schema
+
+        df = spark.createDataFrame(
+            [("1", "x", "junk")], "id string, name string, legacy string"
+        )
+        target = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("added_later", T.DoubleType()),
+            ]
+        )
+        out = align_to_schema(df, target)
+        assert [f.name for f in out.schema.fields] == ["id", "name", "added_later"]
+        assert out.schema["id"].dataType.simpleString() == "bigint"
+        row = out.first()
+        assert row["id"] == 1 and row["added_later"] is None
+        out2 = align_to_schema(df, target, keep_extra=True)
+        assert "legacy" in out2.columns
+
+    def test_align_strict_raises_on_missing(self, spark):
+        import pytest
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import align_to_schema
+
+        df = spark.createDataFrame([(1,)], "id long")
+        target = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("gone", T.StringType())]
+        )
+        with pytest.raises(ValueError, match="gone"):
+            align_to_schema(df, target, strict=True)
+
+    def test_align_malformed_casts_to_null_not_abort(self, spark):
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import align_to_schema
+
+        df = spark.createDataFrame([("not-a-number",)], "id string")
+        target = T.StructType([T.StructField("id", T.LongType())])
+        assert align_to_schema(df, target).first()["id"] is None
+
+    def test_read_evolved_across_shard_generations(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import read_evolved
+
+        p = str(tmp_path / "t")
+        # generation 1: (id int, name)
+        spark.createDataFrame([(1, "a")], "id int, name string").write.mode(
+            "append"
+        ).parquet(p)
+        # generation 2: (id long, name, score) — widened + added
+        spark.createDataFrame(
+            [(2**40, "b", 0.5)], "id long, name string, score double"
+        ).write.mode("append").parquet(p)
+        target = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        rows = {r["name"]: r for r in read_evolved(spark, p, target).collect()}
+        assert rows["a"]["id"] == 1 and rows["a"]["score"] is None
+        assert rows["b"]["id"] == 2**40 and rows["b"]["score"] == 0.5

@@ -82,23 +82,27 @@ def bloom_probe(
     """Add ``maybe_member`` to ``probes``: TRUE iff all ``num_hashes``
     positions of the value are set in ``bits``.
 
-    The filter broadcasts. Each probe value explodes to its positions,
-    left-joins the broadcast bit set (map-side, no shuffle of the
-    probe stream for the join itself), and a per-value count of
-    matched positions compared against ``num_hashes`` decides
-    membership — the only shuffle keys on the probe value for that
-    count, carrying (value, matched-int) pairs.
+    ENTIRELY map-side: one broadcast LEFT join per hash position (the
+    bit table is distinct, so each join matches at most one row and
+    never multiplies the stream), AND-ed into the verdict. No shuffle
+    of the probe stream, no distinct, no verdict join-back — the probe
+    costs ``num_hashes`` md5s and ``num_hashes`` broadcast hash-probes
+    per row, independent of how many members built the filter. That
+    independence is the point: a member set too big to broadcast as
+    postings still probes map-side through its fixed-size bit table.
     """
-    pos = F.explode(
-        _positions(F.col(value_col), num_bits, num_hashes, seed)
-    ).alias("bit")
-    # membership depends only on the value: probe DISTINCT values, then
-    # join the verdict back — repeated values across rows don't re-probe
-    marked = (
-        probes.select(value_col).distinct()
-        .select(value_col, pos)
-        .join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
-        .groupBy(value_col)
-        .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == num_hashes).alias("maybe_member"))
+    out = probes
+    verdict = F.lit(True)
+    for i in range(num_hashes):
+        b = F.broadcast(
+            bits.select(F.col("bit").alias(f"__b{i}"), F.lit(True).alias(f"__hit{i}"))
+        )
+        out = out.join(
+            b,
+            _position(F.col(value_col), i, num_bits, seed) == F.col(f"__b{i}"),
+            "left",
+        ).drop(f"__b{i}")
+        verdict = verdict & F.coalesce(F.col(f"__hit{i}"), F.lit(False))
+    return out.withColumn("maybe_member", verdict).drop(
+        *[f"__hit{i}" for i in range(num_hashes)]
     )
-    return probes.join(marked, value_col)

@@ -60,16 +60,20 @@ def contaminated_doc_ids_bloom(
     num_hashes: int = 3,
 ) -> DataFrame:
     """``contaminated_doc_ids`` with a Bloom prefilter — identical
-    output (test-asserted), different scaling.
+    output (test-asserted), different scaling regime.
 
-    The exact operator joins EVERY corpus n-gram against the benchmark
-    postings; at 100 TB that is the dominant shuffle even though
-    almost no gram overlaps. Here the benchmark compresses to a
-    broadcast set-bit table, the corpus gram stream drops non-matches
-    MAP-SIDE (no false negatives, so nothing real is lost), and only
-    the tiny maybe-set — true overlaps plus the Bloom's fp rate of
-    survivors — reaches the exact verification join that removes false
-    positives. Two-phase probe-then-verify, the same pattern as
+    The exact operator broadcasts the benchmark POSTINGS and joins the
+    corpus gram stream against them — already map-side, and for an
+    eval-set-sized benchmark it is the faster path (measured ~1.5x at
+    100k docs; it pays one hash per gram where the filter pays k
+    md5s). Use THIS variant when the member set outgrows the
+    broadcast: the union of every benchmark, a fleet-wide contaminated
+    n-gram registry. Postings grow with members; the set-bit table is
+    FIXED-SIZE (num_bits), so the corpus gram stream still drops
+    non-matches map-side — no false negatives, nothing real lost —
+    and only the tiny maybe-set (true overlaps + the fp rate) reaches
+    the exact verification join that removes false positives.
+    Two-phase probe-then-verify, the same pattern as
     LSH-candidates-then-Jaccard.
     """
     from etl_guiacores_spark.operators.bloom import bloom_build, bloom_probe

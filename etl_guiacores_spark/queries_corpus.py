@@ -1694,9 +1694,12 @@ _BLOOM_BITS = 1 << 20
     "map-side. Emits per-doc gram counts, Bloom positives, EXACT "
     "positives, and a hash-checked no-false-negatives flag — the "
     "Bloom contract verified on real data, with the false-positive "
-    "overcount visible as n_maybe - n_true. At 100 TB this replaces "
-    "q59's full posting-list shuffle with a broadcast probe whose "
-    "filter is built once and persisted (operators/bloom.py).",
+    "overcount visible as n_maybe - n_true. The filter's 100 TB role "
+    "is the member set q59's broadcast postings CAN'T hold (union of "
+    "every benchmark, a fleet-wide gram registry): postings grow "
+    "with members, the bit table stays fixed-size and the probe "
+    "stays map-side — built once, persisted, reused "
+    "(operators/bloom.py; measured trade in SCALE.md).",
 )
 def q107_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.bloom import bloom_build, bloom_probe

@@ -128,6 +128,72 @@ def compact_parquet(
     return n
 
 
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: DataFrame,
+) -> dict:
+    """Surgical hard-delete (GDPR/right-to-be-forgotten shape): remove
+    every row whose ``key_col`` appears in ``keys`` by rewriting ONLY
+    the files that contain an affected key.
+
+    Phase 1 finds affected files with a scan that pushes the key
+    predicate into parquet (footer min/max + dictionary filters skip
+    clean files without reading their data) and collects just the
+    distinct file names — bounded by the affected-file count, not the
+    table. Phase 2 reads ONLY those files, anti-joins the keys, and
+    writes replacements into the directory (new part names); the old
+    affected files are then removed. On a 100 TB table where deletions
+    touch a handful of keys, this rewrites megabytes, not the table —
+    the same file-level delete strategy Delta/Iceberg implement, here
+    over plain parquet directories (acceptable when there is ONE
+    writer, the same assumption every other sink in this engine makes).
+
+    The file moves use the local filesystem API; an object-store
+    deployment swaps them for the Hadoop FileSystem equivalents (or
+    uses a table format whose DELETE does exactly this plan). The
+    Spark-side plan — pushdown-pruned affected-file discovery,
+    anti-join rewrite of only those files — is the part that matters
+    at 100 TB and is storage-agnostic.
+
+    Returns {"files_rewritten", "rows_deleted"}.
+    """
+    import os
+    import uuid
+
+    key_rows = keys.select(F.col(key_col)).distinct()
+    df = spark.read.parquet(path)
+    affected = [
+        r["f"]
+        for r in df.join(F.broadcast(key_rows), key_col, "left_semi")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {"files_rewritten": 0, "rows_deleted": 0}
+    kept = spark.read.parquet(*affected).join(
+        F.broadcast(key_rows), key_col, "left_anti"
+    )
+    n_before = spark.read.parquet(*affected).count()
+    # land replacements in a staging dir, then move them in and drop
+    # the old files — readers never see a partial rewrite of a file
+    staging = path.rstrip("/") + f".__delete_{uuid.uuid4().hex[:8]}__"
+    kept.write.mode("overwrite").parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    moved = []
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(staging, name), os.path.join(path, name))
+            moved.append(name)
+    for f in affected:
+        local = f.replace("file://", "")
+        os.remove(local)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"files_rewritten": len(affected), "rows_deleted": n_before - n_after}
+
+
 def write_version(
     df: DataFrame, path: str, clock: datetime | None = None, keep_last: int | None = None
 ) -> str:

@@ -179,3 +179,40 @@ class TestCompactParquet:
         )
         assert overlaps == 0, spans
         assert spark.read.parquet(p).count() == 1000
+
+
+class TestDeleteKeys:
+    def test_only_affected_files_rewritten(self, spark, tmp_path):
+        from etl_guiacores_spark.io import delete_keys
+        import glob
+
+        p = str(tmp_path / "t")
+        # 4 files with disjoint key ranges
+        for lo in (0, 100, 200, 300):
+            spark.range(lo, lo + 100).withColumn("v", F.col("id") * 10) \
+                .coalesce(1).write.mode("append").parquet(p)
+        files_before = set(glob.glob(f"{p}/*.parquet"))
+        assert len(files_before) == 4
+        keys = spark.createDataFrame([(105,), (150,)], "id long")
+        res = delete_keys(spark, p, "id", keys)
+        assert res == {"files_rewritten": 1, "rows_deleted": 2}
+        files_after = set(glob.glob(f"{p}/*.parquet"))
+        # three untouched files survive byte-identical (same names)
+        assert len(files_before & files_after) == 3
+        back = spark.read.parquet(p)
+        assert back.count() == 398
+        assert back.filter(F.col("id").isin(105, 150)).count() == 0
+        # non-deleted row in the rewritten file survives with its value
+        assert back.filter(F.col("id") == 101).first()["v"] == 1010
+        assert not glob.glob(f"{p}.__delete_*")
+
+    def test_no_affected_files_is_noop(self, spark, tmp_path):
+        from etl_guiacores_spark.io import delete_keys
+        import glob
+
+        p = str(tmp_path / "t2")
+        spark.range(0, 50).coalesce(1).write.parquet(p)
+        before = sorted(glob.glob(f"{p}/*.parquet"))
+        res = delete_keys(spark, p, "id", spark.createDataFrame([(999,)], "id long"))
+        assert res == {"files_rewritten": 0, "rows_deleted": 0}
+        assert sorted(glob.glob(f"{p}/*.parquet")) == before

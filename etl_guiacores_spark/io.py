@@ -173,6 +173,19 @@ def delete_keys(
     ]
     if not affected:
         return {"files_rewritten": 0, "rows_deleted": 0}
+    # flat directories only: in a hive-partitioned layout the
+    # partition VALUES live in the directory name, not the file, so
+    # moving a rewritten file to the root would silently corrupt them
+    # — partitioned tables delete per-partition (the affected
+    # partition dirs are themselves small rewrite units)
+    root = str(Path(path).resolve())
+    for f in affected:
+        parent = str(Path(f.replace("file://", "")).resolve().parent)
+        if parent != root:
+            raise ValueError(
+                f"delete_keys requires a flat parquet directory; {f} is nested "
+                f"(partitioned layout) — run per partition directory instead"
+            )
     kept = spark.read.parquet(*affected).join(
         F.broadcast(key_rows), key_col, "left_anti"
     )

@@ -216,3 +216,14 @@ class TestDeleteKeys:
         res = delete_keys(spark, p, "id", spark.createDataFrame([(999,)], "id long"))
         assert res == {"files_rewritten": 0, "rows_deleted": 0}
         assert sorted(glob.glob(f"{p}/*.parquet")) == before
+
+    def test_partitioned_layout_is_rejected(self, spark, tmp_path):
+        import pytest
+
+        from etl_guiacores_spark.io import delete_keys, write_partitioned
+
+        p = str(tmp_path / "t3")
+        df = spark.range(0, 20).withColumn("part", (F.col("id") % 2).cast("string"))
+        write_partitioned(df, p, ["part"])
+        with pytest.raises(ValueError, match="flat parquet directory"):
+            delete_keys(spark, p, "id", spark.createDataFrame([(3,)], "id long"))

@@ -1883,3 +1883,74 @@ def q110_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
     )
     return resolve_entities(titles, "doc_id", "title", max_dist=5)
+
+
+# ---------------------------------------------------------------------------
+# q111: temporal dimension lookup (events joined to their SCD2 version)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q111_scd2_asof_lookup",
+    """
+    WITH chg AS (
+        SELECT user_id, ts, event_type,
+               LAG(ts) OVER w AS prev_ts,
+               LAG(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    versions AS (
+        SELECT user_id, ts, event_type
+        FROM chg
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_state
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER w2 AS valid_to
+        FROM versions
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+    )
+    SELECT e.event_id, e.user_id, d.state,
+           strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    doc="Temporal dimension lookup — the query side of q108's SCD2 "
+    "build: every event joins to the dimension version that was "
+    "valid AT its timestamp (point-in-interval, half-open "
+    "[valid_from, valid_to)). The join is an equi-join on the key "
+    "with the interval containment as residual predicates, so Spark "
+    "hashes on user_id and evaluates the range inside the matched "
+    "bucket — never a cross product (plan-audited); each event "
+    "matches exactly one version because SCD2 intervals tile. This "
+    "is how a warehouse answers 'what did the account look like "
+    "when the event happened' at fact-table scale.",
+)
+def q111_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = scd2_history(
+        ev.select("user_id", "ts", "event_type"),
+        key_col="user_id",
+        ts_col="ts",
+        state_cols=["event_type"],
+    ).select(
+        "user_id", F.col("event_type").alias("state"), "valid_from", "valid_to"
+    )
+    e = ev.select("event_id", "user_id", "ts")
+    return (
+        e.join(dim, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "state",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("version_from"),
+        )
+    )

@@ -62,6 +62,13 @@ class CorpusConfig:
     #: operators/decontam.contaminated_doc_ids_bloom)
     benchmark_path: str | None = None
     decontam_min_overlaps: int = 1
+    #: parquet path of a linear-model weight table (bucket BIGINT,
+    #: weight_ppm BIGINT — e.g. exported fastText/LR unigram weights):
+    #: when set, the filter stage ALSO drops docs whose hashed-feature
+    #: margin falls below model_threshold_ppm
+    #: (operators/inference.linear_score)
+    model_weights_path: str | None = None
+    model_threshold_ppm: int = 0
 
 
 def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
@@ -74,6 +81,16 @@ def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
     out = scored.filter(F.col("quality") >= config.min_quality)
     if config.allowed_langs:
         out = out.filter(F.col("pred_lang").isin(*config.allowed_langs))
+    if config.model_weights_path is not None:
+        from etl_guiacores_spark.operators.inference import linear_score
+
+        weights = docs.sparkSession.read.parquet(config.model_weights_path)
+        keep = linear_score(out, weights).filter(
+            F.col("score_ppm") >= config.model_threshold_ppm
+        )
+        # key-only semi join: the model verdict travels as doc ids,
+        # document text never rides the gating shuffle
+        out = out.join(keep.select("doc_id"), "doc_id", "left_semi")
     return out
 
 

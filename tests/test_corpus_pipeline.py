@@ -248,3 +248,32 @@ def test_incremental_rejects_mismatched_hash_family(spark):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_model_quality_gate_in_filter_stage(spark, tmp_path):
+    """With model_weights_path set, the filter stage additionally drops
+    docs whose linear-model margin misses the threshold."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.importance import feature_bucket
+    from etl_guiacores_spark.plans.corpus_pipeline import CorpusConfig, filter_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha words here keep this document around for the gate"),
+         (2, "beta words here keep this document around for the gate")],
+        "doc_id long, text string",
+    )
+    buckets = {
+        r["tok"]: r["b"]
+        for r in spark.createDataFrame([("alpha",), ("beta",)], "tok string")
+        .select("tok", feature_bucket(F.col("tok"), 4096, "lmq").alias("b"))
+        .collect()
+    }
+    wp = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [(buckets["alpha"], 100_000), (buckets["beta"], -100_000)],
+        "bucket long, weight_ppm long",
+    ).write.parquet(wp)
+    cfg = CorpusConfig(min_quality=0.0, model_weights_path=wp, model_threshold_ppm=1)
+    kept = {r["doc_id"] for r in filter_documents(docs, cfg).collect()}
+    assert kept == {1}  # alpha-weighted doc clears, beta-weighted doesn't

@@ -65,10 +65,18 @@ def main() -> None:
     # cold vs 0.83s warm) was exactly this noise class — so the
     # headline `queries`/`value` now carry WARM timings and the cold
     # pairs ride along in `queries_cold` for variance forensics.
+    # adaptive second run: sub-300ms queries are already steady-state
+    # (nothing to warm at that size — cold ~= warm, measured), so only
+    # queries above the threshold pay the re-run; keeps total bench
+    # wall ~1.4x of single-run instead of 2x
+    WARM_RERUN_THRESHOLD_S = 0.3
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         for run, sink in ((0, timings_cold), (1, timings)):
+            if run == 1 and timings_cold[name] < WARM_RERUN_THRESHOLD_S:
+                sink[name] = timings_cold[name]
+                continue
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             # force full execution without collecting rows to the driver
@@ -77,8 +85,8 @@ def main() -> None:
             # queries that stage persisted tables (the MinHash/LSH
             # family) hand cache ownership to the caller; reclaim
             # between runs so the warm run re-executes the full plan
-            # (warm = JVM/codegen warm, NOT cached-data warm) and an
-            # 106-query session doesn't accumulate cache pressure
+            # (warm = JVM/codegen warm, NOT cached-data warm) and a
+            # 112-query session doesn't accumulate cache pressure
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -14,7 +14,7 @@ as sum/count at read time (never averaged across tiers).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: resolution -> truncation unit understood by date_trunc
@@ -74,3 +74,53 @@ def time_rollup(
         src_col = "bucket"
         tiers[res] = current
     return tiers
+
+
+def resample_gapfill(
+    tier: DataFrame,
+    keys: list[str],
+    step: str = "1 hour",
+    bucket_col: str = "bucket",
+    zero_cols: tuple[str, ...] = ("n_events",),
+    ffill_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Densify a rollup tier: emit EVERY ``step`` bucket between each
+    key's first and last observed bucket, zero-filling count measures
+    and forward-filling (last observation carried forward) the
+    ``ffill_cols`` — the gap-filling query every time-series store
+    bolts onto its continuous aggregates (a dashboard cannot plot a
+    gap it never received a row for).
+
+    Scale shape: the spine is ``sequence(min, max, step)`` per key —
+    generated WHERE the key lives (one groupBy for the bounds, the
+    explode is map-side), never a global calendar cross join; output
+    is keys x buckets-in-range, which is the dashboard's own size.
+    Forward fill is a key-partitioned running ``last(ignorenulls)``
+    window — parallel across keys, no global sort.
+    """
+    bounds = tier.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {step})")
+        ).alias(bucket_col),
+    )
+    dense = spine.join(tier, [*keys, bucket_col], "left")
+    out_cols = []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in dense.columns:
+        if c in keys or c == bucket_col:
+            out_cols.append(F.col(c))
+        elif c in zero_cols:
+            out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif c in ffill_cols:
+            out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return dense.select(*out_cols)

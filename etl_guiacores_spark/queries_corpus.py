@@ -1954,3 +1954,75 @@ def q111_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("version_from"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112: gap-filled hourly resample (dense time series from sparse events)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q112_gapfill_resample",
+    """
+    WITH agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS b,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) // COUNT(*)
+                    AS BIGINT) AS av_micro
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM agg GROUP BY 1),
+    spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+        FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           CAST(last_value(a.av_micro IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS avg_value_ffill_micro
+    FROM spine s LEFT JOIN agg a
+      ON a.event_type = s.event_type AND a.b = s.b
+    """,
+    doc="Gap-filled hourly resample: aggregate events to hourly "
+    "buckets, then emit EVERY hour between each event_type's first "
+    "and last bucket — zero-filling counts and carrying the last "
+    "observed hourly average forward (LOCF) — the densification every "
+    "time-series dashboard needs, since a gap never produces a row to "
+    "plot. The spine is sequence(min, max, 1h) per key (generated "
+    "where the key lives, map-side explode; never a global calendar "
+    "cross join), and the forward fill is a key-partitioned running "
+    "last(ignorenulls) — parallel across keys, no global sort "
+    "(operators/rollup_time.resample_gapfill). The carried average is "
+    "integer micro-units with floor division (per-row FLOOR(v*1e6) "
+    "then exact BIGINT sum): a float AVG is summation-order-dependent "
+    "and split the hash at the ROUND boundary on first landing — the "
+    "q58 discipline applied after being caught by the 3-SF sweep.",
+)
+def q112_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import resample_gapfill
+
+    ev = load_table(spark, "events", sf_dir)
+    tier = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("__av_micro"),
+    )
+    dense = resample_gapfill(
+        tier,
+        keys=["event_type"],
+        step="1 hour",
+        zero_cols=("n_events",),
+        ffill_cols=("__av_micro",),
+    )
+    return dense.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("__av_micro").cast("bigint").alias("avg_value_ffill_micro"),
+    )

@@ -23,11 +23,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-4
 # rotation: (1) queries that are NEW or whose code/oracle changed this
-# round (q106-q112 new; q58 oracle HUGEINT->BIGINT cast, q88
+# round (q106-q113 new; q58 oracle HUGEINT->BIGINT cast, q88
 # keyed blocklist removal, q66/q66b packing loop rewrite), then (2)
 # the seven rows green only in round 1 (locally oracle-verified every
-# round since), then (3) round-2 rows oldest-first. 11 + 7 + 48 > 50,
-# so the LAST SIXTEEN round-2 rows land at positions 51-66 and ride
+# round since), then (3) round-2 rows oldest-first. 15 + 7 + 48 > 50,
+# so the LAST TWENTY round-2 rows land at positions 51-70 and ride
 # their round-2 passes one more round — rotate them to the front of
 # block (3) next round. Round-3-green rows (49) follow; with this
 # schedule nothing in the artifact union is ever more than two rounds
@@ -41,11 +41,16 @@ _FIRST = [
     "q110_entity_resolution",
     "q111_scd2_asof_lookup",
     "q112_gapfill_resample",
-    # round-4 changes — need a fresh driver row
+    "q113_session_concurrency",
+    # round-4 changes — need a fresh driver row (q89/q95/q80 ride the
+    # global_prefix_sum determinism fix)
     "q58_source_mixture",
     "q66b_packing_invariants",
     "q66_sequence_packing",
     "q88_blocklist_filter",
+    "q89_token_offsets",
+    "q95_shard_manifest",
+    "q80_dense_ids",
     # last confirmed in round 1 — rotate back into the artifact
     "q48_range_join",
     "q51_range_frame_window",
@@ -87,14 +92,13 @@ _FIRST = [
     "q73_hash_split_counts",
     "q74_bigram_lm_score",
     "q75_bpe_token_count",
-    # positions 51-66: round-2 rows riding one more round — all
+    # positions 51-70: round-2 rows riding one more round — all
     # locally oracle-verified this session; front of the refresh
     # block next round
     "q76_source_length_deciles",
     "q77_winnow_overlap_pairs",
     "q78_gopher_quality_rules",
     "q79_centroid_outliers",
-    "q80_dense_ids",
     "q81_span_dedup_reconstruct",
     "q82_temperature_mixture",
     "q83_zorder_layout",

@@ -98,6 +98,16 @@ def global_prefix_sum(
     local = d.withColumn(
         "__lsum", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
     )
+    # PIN the partitioning before fanning out: `local` feeds BOTH the
+    # per-partition totals subtree and the final join subtree, and a
+    # re-evaluated range exchange is not guaranteed to reproduce the
+    # same __pid labels (AQE may coalesce the two evaluations
+    # differently; the range boundaries come from sampling) — q113's
+    # sweep drifted by one from mid-stream exactly this way while the
+    # same operator passed its isolated test. One eager materialization
+    # makes both consumers read the SAME blocks, so __pid is a fact,
+    # not a recomputation.
+    local = local.localCheckpoint(eager=True)
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

@@ -2026,3 +2026,116 @@ def q112_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("__av_micro").cast("bigint").alias("avg_value_ffill_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q113: session concurrency sweep (max active sessions per hour)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q113_session_concurrency",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, tus,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY tus, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ),
+    s AS (SELECT user_id, session_id, MIN(tus) AS st, MAX(tus) AS en
+          FROM sess GROUP BY user_id, session_id),
+    b AS (
+        SELECT st AS us, 1 AS delta,
+               lpad(CAST(st AS VARCHAR), 20, '0') || '0'
+                   || lpad(CAST(user_id AS VARCHAR), 12, '0')
+                   || lpad(CAST(session_id AS VARCHAR), 8, '0') AS k
+        FROM s
+        UNION ALL
+        SELECT en AS us, -1 AS delta,
+               lpad(CAST(en AS VARCHAR), 20, '0') || '1'
+                   || lpad(CAST(user_id AS VARCHAR), 12, '0')
+                   || lpad(CAST(session_id AS VARCHAR), 8, '0') AS k
+        FROM s
+    ),
+    swept AS (
+        SELECT us, SUM(delta) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS conc
+        FROM b
+    )
+    SELECT strftime(date_trunc('hour', make_timestamp(us)),
+                    '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           COUNT(*) AS n_boundaries
+    FROM swept GROUP BY 1
+    """,
+    doc="Session concurrency via sweep line: gap-sessionize (q32's "
+    "exact integer-microsecond rule), emit +1/-1 boundary events per "
+    "session, take a GLOBAL running sum in boundary order, and report "
+    "each hour's peak concurrent sessions — the occupancy/capacity "
+    "question every ops dashboard asks. The global cumulative sum "
+    "runs on the distributed prefix-sum machinery (range-partition, "
+    "partition-local windows, broadcast per-partition offsets — "
+    "ordering.global_prefix_sum, the q89 shape), NEVER a "
+    "single-partition window; the boundary key encodes (time, +1 "
+    "before -1, user, session) so tie order is engine-identical. "
+    "Same-instant start/end convention: a session is active AT its "
+    "boundary instant.",
+)
+def q113_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ordering import global_prefix_sum
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    e = load_table(spark, "events", sf_dir)
+    tus = event_micros(e, "ts")
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    gap = tus - F.lag(tus).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(tus, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        e.withColumn("__tus", tus)
+        .withColumn("session_id", F.sum(new_session).over(wsum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("__tus").alias("st"), F.max("__tus").alias("en"))
+    )
+
+    def key(us_col: str, flag: str):
+        return F.concat(
+            F.lpad(F.col(us_col).cast("string"), 20, "0"),
+            F.lit(flag),
+            F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            F.lpad(F.col("session_id").cast("string"), 8, "0"),
+        )
+
+    starts = s.select(
+        F.col("st").alias("us"), F.lit(1).alias("delta"), key("st", "0").alias("__k")
+    )
+    ends = s.select(
+        F.col("en").alias("us"), F.lit(-1).alias("delta"), key("en", "1").alias("__k")
+    )
+    swept = global_prefix_sum(
+        starts.unionByName(ends), order_col="__k", value_col="delta",
+        out_col="conc",
+    )
+    return (
+        swept.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.timestamp_micros(F.col("us"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket")
+        )
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.count("*").alias("n_boundaries"),
+        )
+    )

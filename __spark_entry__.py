@@ -26,8 +26,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round (q106-q113 new; q58 oracle HUGEINT->BIGINT cast, q88
 # keyed blocklist removal, q66/q66b packing loop rewrite), then (2)
 # the seven rows green only in round 1 (locally oracle-verified every
-# round since), then (3) round-2 rows oldest-first. 15 + 7 + 48 > 50,
-# so the LAST TWENTY round-2 rows land at positions 51-70 and ride
+# round since), then (3) round-2 rows oldest-first. 16 + 7 + 48 > 50,
+# so the LAST TWENTY-ONE round-2 rows land at positions 51-71 and ride
 # their round-2 passes one more round — rotate them to the front of
 # block (3) next round. Round-3-green rows (49) follow; with this
 # schedule nothing in the artifact union is ever more than two rounds
@@ -51,6 +51,7 @@ _FIRST = [
     "q89_token_offsets",
     "q95_shard_manifest",
     "q80_dense_ids",
+    "q70_salted_distinct_count",
     # last confirmed in round 1 — rotate back into the artifact
     "q48_range_join",
     "q51_range_frame_window",
@@ -92,7 +93,7 @@ _FIRST = [
     "q73_hash_split_counts",
     "q74_bigram_lm_score",
     "q75_bpe_token_count",
-    # positions 51-70: round-2 rows riding one more round — all
+    # positions 51-71: round-2 rows riding one more round — all
     # locally oracle-verified this session; front of the refresh
     # block next round
     "q76_source_length_deciles",
@@ -107,7 +108,6 @@ _FIRST = [
     "q67_stratified_sample",
     "q68_bigram_counts",
     "q69_simhash_hamming_pairs",
-    "q70_salted_distinct_count",
     "q85_split_leakage",
     "q86_minhash_estimate_error",
 ]

@@ -60,7 +60,12 @@ def salted_distinct_count(
     Exact (not approximate): the same x always hashes to the same
     salt, so partial distinct sets are disjoint across salts.
     """
-    salted = df.withColumn("__salt", F.abs(F.hash(F.col(distinct_col))) % salt)
+    # pmod, not abs(hash) % n: hash covers the full int32 range and
+    # abs(Int.MIN_VALUE) THROWS under ANSI (Spark 4 default) — on a
+    # billions-of-rows corpus some value hashes there eventually and
+    # kills the job (same fix as packing.py's bucketing; reproduced
+    # live before changing)
+    salted = df.withColumn("__salt", F.pmod(F.hash(F.col(distinct_col)), F.lit(salt)))
     partial = salted.groupBy(group_key, "__salt").agg(
         F.count_distinct(F.col(distinct_col)).alias("__partial")
     )

@@ -42,3 +42,29 @@ def test_salted_join_rejects_small_side_preserving_joins(spark):
     with pytest.raises(ValueError, match="full"):
         salted_join(big, small, "k", how="full_outer")
     assert salted_join(big, small, "k", how="left").count() == 1
+
+
+def test_salt_expression_survives_int_min_hash(spark):
+    """abs(hash) % n throws ARITHMETIC_OVERFLOW under ANSI when hash
+    lands on Int.MIN_VALUE (1-in-2^32 per row — certain at corpus
+    scale); the pmod form must map it into [0, salt). Exercised by
+    substituting the hash output with the literal boundary value."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(-2147483648,), (-1,), (0,), (2147483647,)], "h int")
+    out = df.select(F.pmod(F.col("h"), F.lit(16)).alias("s")).collect()
+    assert all(0 <= r["s"] < 16 for r in out)
+
+
+def test_salted_distinct_count_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [("g1", f"v{i % 7}") for i in range(100)] + [("g2", "only")],
+        "k string, x string",
+    )
+    got = {r["k"]: r["distinct_count"]
+           for r in salted_distinct_count(df, "k", "x").collect()}
+    assert got == {"g1": 7, "g2": 1}

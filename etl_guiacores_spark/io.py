@@ -164,12 +164,20 @@ def delete_keys(
 
     key_rows = keys.select(F.col(key_col)).distinct()
     df = spark.read.parquet(path)
+    # small key sets (the GDPR norm) become a literal isin() filter —
+    # that ACTUALLY pushes into the parquet scan (footer min/max +
+    # dictionary pages skip clean files without reading data), where a
+    # semi-join against a DataFrame evaluates after the scan and reads
+    # everything. Large key sets fall back to the broadcast semi-join.
+    PUSHDOWN_KEY_LIMIT = 10_000
+    key_list = [r[0] for r in key_rows.limit(PUSHDOWN_KEY_LIMIT + 1).collect()]
+    if len(key_list) <= PUSHDOWN_KEY_LIMIT:
+        hit = df.filter(F.col(key_col).isin(key_list))
+    else:
+        hit = df.join(F.broadcast(key_rows), key_col, "left_semi")
     affected = [
         r["f"]
-        for r in df.join(F.broadcast(key_rows), key_col, "left_semi")
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
+        for r in hit.select(F.input_file_name().alias("f")).distinct().collect()
     ]
     if not affected:
         return {"files_rewritten": 0, "rows_deleted": 0}

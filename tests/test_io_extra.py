@@ -227,3 +227,18 @@ class TestDeleteKeys:
         write_partitioned(df, p, ["part"])
         with pytest.raises(ValueError, match="flat parquet directory"):
             delete_keys(spark, p, "id", spark.createDataFrame([(3,)], "id long"))
+
+    def test_key_filter_pushes_into_scan(self, spark, tmp_path):
+        """The affected-file discovery must push the key predicate into
+        the parquet scan (PushedFilters In(...)), not evaluate a join
+        after reading everything."""
+        from etl_guiacores_spark.io import delete_keys  # noqa: F401
+
+        p = str(tmp_path / "t4")
+        spark.range(0, 100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = (
+            df.filter(F.col("id").isin([3, 5]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters" in plan and "In(id" in plan, plan

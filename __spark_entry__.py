@@ -23,15 +23,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-4
 # rotation: (1) queries that are NEW or whose code/oracle changed this
-# round (q106-q113 new; q58 oracle HUGEINT->BIGINT cast, q88
+# round (q106-q114 new; q58 oracle HUGEINT->BIGINT cast, q88
 # keyed blocklist removal, q66/q66b packing loop rewrite), then (2)
 # the seven rows green only in round 1 (locally oracle-verified every
-# round since), then (3) round-2 rows oldest-first. 16 + 7 + 48 > 50,
-# so the LAST TWENTY-ONE round-2 rows land at positions 51-71 and ride
-# their round-2 passes one more round — rotate them to the front of
-# block (3) next round. Round-3-green rows (49) follow; with this
-# schedule nothing in the artifact union is ever more than two rounds
-# stale.
+# round since), then (3) round-2 rows oldest-first. 17 + 7 + 48 > 50,
+# so the round-2 tail (q65 and q71 onward) overflows the 50-row
+# window and rides its round-2 passes one more round — rotate those
+# to the front of block (3) next round. Round-3-green rows follow;
+# with this schedule nothing in the artifact union is ever more than
+# two rounds stale.
 _FIRST = [
     # new this round — no driver row at all yet
     "q106_linear_quality_score",
@@ -42,6 +42,7 @@ _FIRST = [
     "q111_scd2_asof_lookup",
     "q112_gapfill_resample",
     "q113_session_concurrency",
+    "q114_random_projection",
     # round-4 changes — need a fresh driver row (q89/q95/q80 ride the
     # global_prefix_sum determinism fix)
     "q58_source_mixture",
@@ -87,15 +88,15 @@ _FIRST = [
     "q62_dedup_clusters",
     "q63_ivf_ann_fullprobe",
     "q64_quantize_int8",
-    "q65_multimodal_decode",
+    # ---- 50-row window boundary: rows below ride their round-2
+    # passes one more round — all locally oracle-verified this
+    # session; front of the refresh block next round ----
     "q71_dup_ngram_fraction",
     "q72_winnowing_fingerprints",
     "q73_hash_split_counts",
     "q74_bigram_lm_score",
     "q75_bpe_token_count",
-    # positions 51-71: round-2 rows riding one more round — all
-    # locally oracle-verified this session; front of the refresh
-    # block next round
+    "q65_multimodal_decode",
     "q76_source_length_deciles",
     "q77_winnow_overlap_pairs",
     "q78_gopher_quality_rules",

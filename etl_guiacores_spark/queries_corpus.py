@@ -2139,3 +2139,45 @@ def q113_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_boundaries"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q114: Johnson-Lindenstrauss random projection (embedding dim reduction)
+# ---------------------------------------------------------------------------
+
+def _jl_oracle_sql(out_dim: int = 8, in_dim: int = 64, seed: str = "jl") -> str:
+    from etl_guiacores_spark.operators.projection import jl_signs
+
+    signs = jl_signs(out_dim, in_dim, seed)
+    dims = ",\n           ".join(
+        "CAST(list_sum(list_transform(range(1, %d), i -> "
+        "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)"
+        " * ([%s])[i])) AS BIGINT) AS rp_%d"
+        % (in_dim + 1, ",".join(str(s) for s in row), j)
+        for j, row in enumerate(signs)
+    )
+    return f"    SELECT vec_id,\n           {dims}\n    FROM embeddings\n    "
+
+
+@register(
+    "q114_random_projection",
+    _jl_oracle_sql(),
+    doc="Johnson-Lindenstrauss sign-matrix projection (Achlioptas "
+    "2003): 64-dim embeddings down to 8 BIGINT micro-unit "
+    "coordinates. The +-1 sign matrix is a deterministic md5 function "
+    "of (seed, out-dim, in-dim) computed driver-side and embedded as "
+    "plan literals, so the projection is a per-row zip_with/aggregate "
+    "fold — no training pass, no shuffle, no join, scan-speed over "
+    "100 TB of vectors; the cheap pass before ANN indexing or "
+    "clustering. Coordinates are exact integers (per-element floor "
+    "into micro-units, BIGINT sum — the q58/q112 discipline), so "
+    "engines agree bit-for-bit with no float fold-order question "
+    "(operators/projection.py).",
+)
+def q114_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.projection import rp_project
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return rp_project(emb, "embedding", out_dim=8, in_dim=64).select(
+        "vec_id", *[f"rp_{j}" for j in range(8)]
+    )

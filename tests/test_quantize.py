@@ -43,3 +43,61 @@ def test_fast_minhash_variant(spark):
     assert all(isinstance(r["sig_0"], int) for r in rows)
     again = {r["doc_id"]: r["sig_0"] for r in fast.limit(5).collect()}
     assert {r["doc_id"]: r["sig_0"] for r in rows} == again
+
+
+class TestRandomProjection:
+    def test_matches_numpy_reference(self, spark):
+        import math
+
+        import numpy as np
+
+        from etl_guiacores_spark.operators.projection import MICRO, jl_signs, rp_project
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(10, 16).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+            "id long, v array<float>",
+        )
+        out = {r["id"]: [r[f"rp_{j}"] for j in range(4)]
+               for r in rp_project(df, "v", out_dim=4, in_dim=16).collect()}
+        signs = np.array(jl_signs(4, 16))
+        for i in range(10):
+            micro = np.floor(vecs[i].astype("float64") * MICRO).astype("int64")
+            expect = (signs * micro).sum(axis=1)
+            assert out[i] == [int(x) for x in expect], i
+
+    def test_signs_deterministic_and_balanced(self, spark):
+        from etl_guiacores_spark.operators.projection import jl_signs
+
+        a = jl_signs(8, 64, "s")
+        b = jl_signs(8, 64, "s")
+        assert a == b
+        flat = [s for row in a for s in row]
+        assert set(flat) == {-1, 1}
+        # md5-derived signs should be roughly balanced
+        assert 0.35 < (sum(1 for s in flat if s == 1) / len(flat)) < 0.65
+
+    def test_distance_preservation_trend(self, spark):
+        """JL contract sanity: across random pairs, projected distance
+        correlates with original distance (rank-order check, not a
+        tight eps bound at k=8)."""
+        import numpy as np
+
+        from etl_guiacores_spark.operators.projection import MICRO, rp_project
+
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(40, 64).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+            "id long, v array<float>",
+        )
+        rows = {r["id"]: np.array([r[f"rp_{j}"] for j in range(8)], dtype="float64")
+                for r in rp_project(df, "v", out_dim=8, in_dim=64).collect()}
+        orig, proj = [], []
+        for i in range(0, 40, 2):
+            a, b = vecs[i].astype("float64"), vecs[i + 1].astype("float64")
+            orig.append(np.linalg.norm(a - b))
+            proj.append(np.linalg.norm(rows[i] - rows[i + 1]) / MICRO)
+        corr = np.corrcoef(orig, proj)[0, 1]
+        assert corr > 0.3, corr

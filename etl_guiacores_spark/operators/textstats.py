@@ -290,3 +290,60 @@ def rolling_hash(col: Column, mod: int = 1_000_000_007, base: int = 31) -> Colum
         F.lit(0).cast("long"),
         lambda acc, t: (acc * base + tok_val(t)) % mod,
     )
+
+
+# --- boilerplate removal (HTML -> training text) ---------------------------
+
+#: entity decodes applied after tag stripping, in order (amp LAST so
+#: double-encoded text does not re-decode)
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def main_text_lines(col: Column, min_line_tokens: int = 4) -> Column:
+    """C4-style main-content extraction from raw HTML: the bridge from
+    crawled pages to training text (Raffel et al. 2020 applied the
+    same class of line-level heuristics to build C4).
+
+    Pure column expressions, scan-speed: drop <script>/<style> blocks
+    (tag-insensitive, dotall), convert block-closing tags to newlines
+    so structure survives tag stripping, strip every remaining tag,
+    decode the common entities, then keep only lines with at least
+    ``min_line_tokens`` whitespace tokens — short nav/footer/button
+    chrome dies, prose survives. Regexes stay in the RE2-compatible
+    subset so the DuckDB oracle twin runs the identical patterns.
+
+    Deliberately heuristic: a readability-grade extractor (DOM scoring,
+    link density per subtree) belongs in the mapInPandas parse seam
+    next to the reference's structured parser; this is the cheap
+    fleet-wide pass that handles the overwhelming common case.
+    """
+    # separate script/style passes: a combined <(script|style)>...</\1>
+    # needs a backreference, which RE2 (DuckDB) does not support
+    t = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?i)</(p|div|li|h[1-6]|tr|section|article)>|<br[^>]*>", "\n")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.length(F.trim(ln)) > 0)
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_tokens),
+    )
+    return F.transform(kept, lambda ln: F.regexp_replace(F.trim(ln), r"\s+", " "))
+
+
+def extract_main_text(col: Column, min_line_tokens: int = 4) -> Column:
+    """``main_text_lines`` joined back into one newline-separated
+    string; an all-chrome page yields '' (empty array joins empty —
+    count lines on the ARRAY, not by re-splitting the join, which
+    turns zero lines into one empty line)."""
+    return F.array_join(main_text_lines(col, min_line_tokens), "\n")

@@ -2181,3 +2181,90 @@ def q114_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_project(emb, "embedding", out_dim=8, in_dim=64).select(
         "vec_id", *[f"rp_{j}" for j in range(8)]
     )
+
+
+# ---------------------------------------------------------------------------
+# q115: boilerplate removal (HTML -> training text, C4-style heuristics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q115_boilerplate_extract",
+    f"""
+    WITH pages AS (
+        SELECT doc_id,
+               '<html><head><style>.x{{{{color:red}}}}</style>'
+               || '<script>var nav = "</p>";</script></head><body>'
+               || '<div class="nav">Home | About | Contact</div><p>'
+               || text
+               || '</p><div class="share">Share Like</div>'
+               || '<footer>(c) 2024 corp</footer></body></html>' AS html
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    stripped AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+                     '<style[^>]*>.*?</style>', ' ', 'gis'),
+                   '</(p|div|li|h[1-6]|tr|section|article)>|<br[^>]*>',
+                   chr(10), 'gi'),
+                 '<[^>]*>', ' ', 'g') AS t
+        FROM pages
+    ),
+    decoded AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(t,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+        FROM stripped
+    ),
+    kept AS (
+        SELECT doc_id,
+               list_filter(string_split(t, chr(10)),
+                   ln -> LEN(string_split_regex(trim(ln), '[ \\t\\n\\r\\f\\v]+')) >= 4
+                         AND LENGTH(trim(ln)) > 0) AS lns
+        FROM decoded
+    )
+    SELECT doc_id,
+           CAST(LEN(lns) AS BIGINT) AS n_lines,
+           array_to_string(
+               list_transform(lns,
+                   ln -> regexp_replace(trim(ln), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')),
+               chr(10)) AS clean_text
+    FROM kept
+    """,
+    doc="Boilerplate removal, the HTML -> training-text bridge (the "
+    "C4 recipe's heuristic class, Raffel et al. 2020): drop script/"
+    "style blocks, convert block-closing tags to line breaks, strip "
+    "tags, decode entities, keep only lines with >= 4 tokens — nav/"
+    "footer/button chrome dies, prose survives. Pure column "
+    "expressions in the RE2-compatible regex subset (no "
+    "backreferences), so the identical patterns run in both engines "
+    "at scan speed; each document's synthetic page wraps its text in "
+    "real chrome including a script that CONTAINS '</p>' (the classic "
+    "naive-stripper trap, removed correctly by the dotall block "
+    "pass). The readability-grade DOM-scoring extractor belongs in "
+    "the mapInPandas parse seam; this is the cheap fleet-wide pass "
+    "(operators/textstats.extract_main_text).",
+)
+def q115_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import main_text_lines
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><style>.x{color:red}</style>'
+              '<script>var nav = "</p>";</script></head><body>'
+              '<div class="nav">Home | About | Contact</div><p>'),
+        F.col("text"),
+        F.lit('</p><div class="share">Share Like</div>'
+              '<footer>(c) 2024 corp</footer></body></html>'),
+    )
+    # count on the ARRAY: an all-chrome page has zero lines, and
+    # re-splitting the joined string would miscount that as one
+    lines = main_text_lines(html, min_line_tokens=4)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.array_join(lines, "\n").alias("clean_text"),
+    )

@@ -105,3 +105,58 @@ def test_gopher_quality_band_is_configurable(spark):
     assert gopher_quality(d).collect()[0]["passes"] == 0  # default band: too long
     wide = gopher_quality(d, min_tokens=50, max_tokens=100_000).collect()[0]
     assert wide["passes"] == 1
+
+
+class TestBoilerplateExtraction:
+    def test_chrome_dies_prose_survives(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_guiacores_spark.operators.textstats import extract_main_text
+
+        html = (
+            '<html><head><style>.x{color:red}</style>'
+            '<SCRIPT>var trap = "</p>";</SCRIPT></head><body>'
+            '<div class="nav">Home | About</div>'
+            '<p>This is the real article text with enough tokens.</p>'
+            '<p>Second &amp; final paragraph &lt;kept&gt; here too.</p>'
+            '<footer>(c) 2024</footer></body></html>'
+        )
+        out = spark.createDataFrame([(html,)], "h string").select(
+            extract_main_text(F.col("h")).alias("t")
+        ).first()["t"]
+        assert out == (
+            "This is the real article text with enough tokens.\n"
+            "Second & final paragraph <kept> here too."
+        )
+
+    def test_all_chrome_page_yields_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_guiacores_spark.operators.textstats import (
+            extract_main_text,
+            main_text_lines,
+        )
+
+        html = '<html><body><div class="nav">Home | About</div></body></html>'
+        r = spark.createDataFrame([(html,)], "h string").select(
+            F.size(main_text_lines(F.col("h"))).alias("n"),
+            extract_main_text(F.col("h")).alias("t"),
+        ).first()
+        assert r["n"] == 0 and r["t"] == ""
+
+    def test_script_containing_closing_tag_is_removed(self, spark):
+        """The classic naive-stripper trap: a script body containing
+        '</p>' must vanish with the block, not leak text."""
+        from pyspark.sql import functions as F
+
+        from etl_guiacores_spark.operators.textstats import extract_main_text
+
+        html = (
+            '<script>document.write("evil text that must never appear '
+            'in training data </p>");</script>'
+            "<p>The only legitimate sentence stands right here.</p>"
+        )
+        out = spark.createDataFrame([(html,)], "h string").select(
+            extract_main_text(F.col("h")).alias("t")
+        ).first()["t"]
+        assert out == "The only legitimate sentence stands right here."

@@ -115,3 +115,34 @@ def dsir_importance(
             F.sum("__ratio_ppm").cast("bigint").alias("importance_ppm"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR end-to-end (Xie et al. 2023): fit the hashed-n-gram
+    importance estimator, score every document, then IMPORTANCE
+    RESAMPLE — draw ``k`` documents without replacement with
+    probability proportional to their importance weight (the paper's
+    actual selection step, via the deterministic A-Res race in
+    operators/sampling.weighted_sample_topk).
+
+    Returns the selected (id_col, n_tok, importance_ppm) rows. The
+    composition inherits both parents' scale shapes: bounded broadcast
+    bucket stats for scoring, distributed top-k for the draw — no new
+    shuffle beyond theirs. Tokenless documents score no row and so
+    cannot be selected, matching the estimator's support.
+    """
+    from etl_guiacores_spark.operators.sampling import weighted_sample_topk
+
+    scores = dsir_importance(docs, is_target, id_col, text_col, num_buckets, seed)
+    picked = weighted_sample_topk(
+        scores, id_col, "importance_ppm", k, seed=f"{seed}-sel"
+    ).select(id_col)
+    return scores.join(picked, id_col)

@@ -79,3 +79,29 @@ def test_null_target_predicate_counts_as_nontarget(spark):
     # doc 2's tokens live in an all-non-target bucket: ratio is
     # 1_000_000 // (cc + 1) = 1_000_000 // 3 per token, never NULL
     assert out[2]["importance_ppm"] == 2 * (1_000_000 // 3)
+
+
+class TestDsirSelect:
+    def test_selects_k_and_biases_toward_target(self, spark):
+        from etl_guiacores_spark.operators.importance import dsir_select
+
+        rows = (
+            [(i, True, "alpha beta gamma delta") for i in range(20)]
+            + [(100 + i, False, "omega psi chi phi") for i in range(20)]
+        )
+        d = spark.createDataFrame(rows, "doc_id long, tgt boolean, text string")
+        out = dsir_select(d, F.col("tgt"), k=10).collect()
+        assert len(out) == 10
+        n_target_like = sum(1 for r in out if r["doc_id"] < 100)
+        # target-vocabulary docs carry much higher importance weight,
+        # so the weighted draw should strongly prefer them
+        assert n_target_like >= 7, n_target_like
+
+    def test_deterministic_selection(self, spark):
+        from etl_guiacores_spark.operators.importance import dsir_select
+
+        rows = [(i, i % 3 == 0, f"tok{i % 11} tok{i % 7} tok{i % 5}") for i in range(60)]
+        d = spark.createDataFrame(rows, "doc_id long, tgt boolean, text string")
+        a = sorted(r["doc_id"] for r in dsir_select(d, F.col("tgt"), k=15).collect())
+        b = sorted(r["doc_id"] for r in dsir_select(d, F.col("tgt"), k=15).collect())
+        assert a == b and len(a) == 15

@@ -277,3 +277,65 @@ def test_model_quality_gate_in_filter_stage(spark, tmp_path):
     cfg = CorpusConfig(min_quality=0.0, model_weights_path=wp, model_threshold_ppm=1)
     kept = {r["doc_id"] for r in filter_documents(docs, cfg).collect()}
     assert kept == {1}  # alpha-weighted doc clears, beta-weighted doesn't
+
+
+def test_pipeline_all_optional_stages_together(spark, tmp_path):
+    """Model gate + Bloom decontamination + cluster-exact survivors in
+    ONE run: the stages must compose (each consumes the previous
+    stage's landed table) and the metrics envelope must report every
+    stage."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.importance import feature_bucket
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        CorpusConfig,
+        run_corpus_pipeline,
+    )
+
+    bench_p = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("leaked benchmark passage that must never train",)], "text string"
+    ).write.parquet(bench_p)
+
+    # model: 'good' tokens weigh positive, 'spam' negative
+    buckets = {
+        r["tok"]: r["b"]
+        for r in spark.createDataFrame([("good",), ("spam",)], "tok string")
+        .select("tok", feature_bucket(F.col("tok"), 4096, "lmq").alias("b"))
+        .collect()
+    }
+    wp = str(tmp_path / "weights")
+    spark.createDataFrame(
+        [(buckets["good"], 50_000), (buckets["spam"], -50_000)],
+        "bucket long, weight_ppm long",
+    ).write.parquet(wp)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good words fill this perfectly ordinary training document today"),
+            (2, "good words fill this perfectly ordinary training document today"),  # exact dup of 1
+            (3, "spam spam spam spam spam spam spam spam spam spam"),                # model-gated
+            (4, "good leaked benchmark passage that must never train good good"),    # contaminated
+            (5, "good another clean and wholly distinct document with plenty text"),
+        ],
+        "doc_id long, text string",
+    )
+    res = run_corpus_pipeline(
+        docs,
+        str(tmp_path / "out"),
+        CorpusConfig(
+            min_quality=0.0,
+            cluster_exact=True,
+            model_weights_path=wp,
+            model_threshold_ppm=1,
+            benchmark_path=bench_p,
+        ),
+    )
+    clean = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out" / "clean")).collect()
+    }
+    assert clean == {1, 5}  # 2 exact-dup'd, 3 model-gated, 4 decontaminated
+    assert res["after_quality_lang_filter"] == 4   # model gate dropped doc 3
+    assert res["after_exact_dedup"] == 3           # dup collapsed
+    assert res["after_decontamination"] == 2       # doc 4 out
+    assert res["after_near_dup"] == 2

@@ -23,10 +23,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-4
 # rotation: (1) queries that are NEW or whose code/oracle changed this
-# round (q106-q115 new; q58 oracle HUGEINT->BIGINT cast, q88
+# round (q106-q116 new; q58 oracle HUGEINT->BIGINT cast, q88
 # keyed blocklist removal, q66/q66b packing loop rewrite), then (2)
 # the seven rows green only in round 1 (locally oracle-verified every
-# round since), then (3) round-2 rows oldest-first. 18 + 7 + 48 > 50,
+# round since), then (3) round-2 rows oldest-first. 19 + 7 + 48 > 50,
 # so the round-2 tail (q65 and q71 onward) overflows the 50-row
 # window and rides its round-2 passes one more round — rotate those
 # to the front of block (3) next round. Round-3-green rows follow;
@@ -44,6 +44,7 @@ _FIRST = [
     "q113_session_concurrency",
     "q114_random_projection",
     "q115_boilerplate_extract",
+    "q116_qgram_fuzzy_join",
     # round-4 changes — need a fresh driver row (q89/q95/q80 ride the
     # global_prefix_sum determinism fix)
     "q58_source_mixture",
@@ -87,7 +88,6 @@ _FIRST = [
     "q60_pii_redaction",
     "q61_repetition_score",
     "q62_dedup_clusters",
-    "q63_ivf_ann_fullprobe",
     # ---- 50-row window boundary: rows below ride their round-2
     # passes one more round — all locally oracle-verified this
     # session; front of the refresh block next round ----
@@ -96,6 +96,7 @@ _FIRST = [
     "q73_hash_split_counts",
     "q74_bigram_lm_score",
     "q75_bpe_token_count",
+    "q63_ivf_ann_fullprobe",
     "q64_quantize_int8",
     "q65_multimodal_decode",
     "q76_source_length_deciles",

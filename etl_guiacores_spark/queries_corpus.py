@@ -2268,3 +2268,64 @@ def q115_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lines).cast("bigint").alias("n_lines"),
         F.array_join(lines, "\n").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: lossless q-gram similarity join (no blocking-key recall loss)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q116_qgram_fuzzy_join",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS id, {_TITLE} AS name
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    g AS (
+        SELECT id, LENGTH(name) AS len, gp.g AS g, gp.p AS p
+        FROM t, unnest(list_transform(range(1, GREATEST(LENGTH(name) - 1, 0) + 1),
+                 i -> {{'g': substr(name, i, 2), 'p': i}})) AS u(gp)
+    ),
+    posts AS (
+        SELECT id, len, g,
+               ROW_NUMBER() OVER (PARTITION BY id, g ORDER BY p) AS occ
+        FROM g
+    ),
+    shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.len AS la, b.len AS lb, COUNT(*) AS c
+        FROM posts a JOIN posts b ON a.g = b.g AND a.occ = b.occ AND a.id < b.id
+        WHERE abs(a.len - b.len) <= 3
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(levenshtein(ta.name, tb.name) AS INTEGER) AS dist
+    FROM shared s
+    JOIN t ta ON ta.id = s.id_a
+    JOIN t tb ON tb.id = s.id_b
+    WHERE s.c >= GREATEST(GREATEST(s.la, s.lb) - 1 - 6, 1)
+      AND levenshtein(ta.name, tb.name) <= 3
+    """,
+    doc="LOSSLESS fuzzy similarity join via q-gram count filtering "
+    "(Gravano et al. 2001 lineage): candidates come from an equi-join "
+    "on positional 2-grams (gram + occurrence rank = true multiset "
+    "intersection), pruned by the count bound (edit distance k "
+    "destroys at most q*k grams) and the length bound, verified with "
+    "thresholded Levenshtein. Unlike q109's first-token blocking, NO "
+    "true match within the distance budget can be missed — the "
+    "brute-force-equivalence is test-asserted, and q109's pairs are "
+    "a strict subset. Shuffle keys on (gram, occurrence) postings; "
+    "pair volume bounded by gram selectivity "
+    "(operators/linkage.qgram_match_pairs).",
+)
+def q116_qgram_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.linkage import qgram_match_pairs
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    d = _docs(spark, sf_dir)
+    titles = d.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    return qgram_match_pairs(titles, "doc_id", "title", max_dist=3, q=2).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )

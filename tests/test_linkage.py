@@ -88,3 +88,63 @@ class TestResolveEntities:
 def test_default_block_key(spark):
     df = spark.createDataFrame([("  Panaderia San Juan ",)], "name string")
     assert df.select(default_block_key(F.col("name")).alias("k")).first()["k"] == "panaderia"
+
+
+class TestQgramMatchPairs:
+    def test_lossless_superset_of_blocking(self, spark):
+        """'kiosco 24' vs 'kiosko 24' (dist 1, different first token)
+        is invisible to the blocking path but MUST be found by the
+        q-gram count filter."""
+        from etl_guiacores_spark.operators.linkage import (
+            fuzzy_match_pairs,
+            qgram_match_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "kiosco 24"),
+                (2, "kiosko 24"),
+                (3, "panaderia san juan"),
+                (4, "panaderia san juam"),
+                (5, "totally unrelated place"),
+            ],
+            "id long, name string",
+        )
+        qg = {(r["id_a"], r["id_b"]): r["dist"]
+              for r in qgram_match_pairs(df, "id", "name", max_dist=3).collect()}
+        blocked = {(r["id_a"], r["id_b"]): r["dist"]
+                   for r in fuzzy_match_pairs(df, "id", "name", max_dist=3).collect()}
+        assert qg == {(1, 2): 1, (3, 4): 1}
+        assert set(blocked) <= set(qg)          # blocking is a subset
+        assert (1, 2) not in blocked            # the recall gap, proven
+
+    def test_exhaustive_against_brute_force(self, spark):
+        """Every brute-force pair within max_dist must appear with the
+        same distance — the lossless contract on a random-ish set."""
+        from etl_guiacores_spark.operators.linkage import qgram_match_pairs
+
+        names = [
+            "abcd", "abce", "abde", "xyzw", "xyzv", "mnopq", "mnopr",
+            "short", "shirt", "shore", "completely different", "abcd",
+        ]
+        df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        k = 2
+        expect = {
+            (i, j): lev(a, b)
+            for i, a in enumerate(names)
+            for j, b in enumerate(names)
+            if i < j and lev(a, b) <= k
+        }
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in qgram_match_pairs(df, "id", "name", max_dist=k).collect()}
+        assert got == expect

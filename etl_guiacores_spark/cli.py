@@ -193,7 +193,8 @@ def cmd_resolve(spark, args) -> dict:
 
     records = spark.read.parquet(args.input)
     ents = resolve_entities(
-        records, args.id_col, args.name_col, max_dist=args.max_dist
+        records, args.id_col, args.name_col, max_dist=args.max_dist,
+        method=args.method,
     )
     out = f"{args.out}/entities"
     ents.write.mode("overwrite").parquet(out)
@@ -307,6 +308,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--id-col", default="doc_id")
     r.add_argument("--name-col", default="text")
     r.add_argument("--max-dist", type=int, default=5)
+    r.add_argument("--method", choices=["block", "qgram"], default="block",
+                   help="pair generation: 'block' (cheap, blocking-key "
+                   "recall) or 'qgram' (lossless count-filter join)")
 
     co = sub.add_parser("compact")
     co.add_argument("--input", required=True, help="parquet directory to compact in place")

@@ -84,18 +84,29 @@ def resolve_entities(
     name_col: str,
     max_dist: int = 5,
     block_key: Column | None = None,
+    method: str = "block",
 ) -> DataFrame:
     """Entity resolution: label every record with its fuzzy-match
     component's minimum id (``entity_id``). Records matching nothing
-    form singleton entities. Composes ``fuzzy_match_pairs`` with the
-    adaptive connected-components operator."""
+    form singleton entities. ``method="block"`` pairs via the blocking
+    key (cheap, bounded recall); ``method="qgram"`` pairs via the
+    lossless q-gram count filter (``qgram_match_pairs`` — every true
+    match within ``max_dist`` found, at posting-join cost). Both feed
+    the adaptive connected-components operator."""
     from etl_guiacores_spark.operators.graph import connected_components
 
-    pairs = fuzzy_match_pairs(df, id_col, name_col, max_dist, block_key).select(
-        F.col("id_a"), F.col("id_b")
-    )
+    if method == "qgram":
+        pairs = qgram_match_pairs(df, id_col, name_col, max_dist)
+    elif method == "block":
+        pairs = fuzzy_match_pairs(df, id_col, name_col, max_dist, block_key)
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'block' or 'qgram'")
     labels = connected_components(
-        df.select(id_col), pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
+        df.select(id_col),
+        pairs.select(F.col("id_a"), F.col("id_b")),
+        id_col=id_col,
+        src_col="id_a",
+        dst_col="id_b",
     )
     return labels.select(F.col("id").alias(id_col), F.col("component").alias("entity_id"))
 

@@ -148,3 +148,19 @@ class TestQgramMatchPairs:
         got = {(r["id_a"], r["id_b"]): r["dist"]
                for r in qgram_match_pairs(df, "id", "name", max_dist=k).collect()}
         assert got == expect
+
+    def test_resolve_entities_qgram_method(self, spark):
+        """The lossless pairer merges the cross-block pair blocking
+        misses, changing the entity structure accordingly."""
+        from etl_guiacores_spark.operators.linkage import resolve_entities
+
+        df = spark.createDataFrame(
+            [(1, "kiosco 24"), (2, "kiosko 24"), (3, "libreria sur")],
+            "id long, name string",
+        )
+        blocked = {r["id"]: r["entity_id"]
+                   for r in resolve_entities(df, "id", "name", max_dist=3).collect()}
+        qg = {r["id"]: r["entity_id"]
+              for r in resolve_entities(df, "id", "name", max_dist=3, method="qgram").collect()}
+        assert blocked == {1: 1, 2: 2, 3: 3}   # blocking misses 1-2
+        assert qg == {1: 1, 2: 1, 3: 3}        # qgram merges them

@@ -182,6 +182,29 @@ def cmd_corpus(spark, args) -> dict:
     )
 
 
+def cmd_shards(spark, args) -> dict:
+    """Corpus -> packed training shards + manifest + stats (the last
+    mile; plans/shard_writer.py). Input is a documents parquet with
+    (doc_id, text)."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.shard_writer import write_training_shards
+
+    docs = (
+        spark.read.parquet(args.input)
+        .select("doc_id", "text")
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    stats = write_training_shards(
+        docs,
+        args.out,
+        budget_tokens=args.budget_tokens,
+        chunk_tokens=args.chunk_tokens,
+        sequences_per_shard=args.sequences_per_shard,
+    )
+    return {"mode": "shards", **stats}
+
+
 def cmd_resolve(spark, args) -> dict:
     """Fuzzy entity resolution over a records parquet: blocked
     Levenshtein matching -> connected components -> one canonical
@@ -312,6 +335,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pair generation: 'block' (cheap, blocking-key "
                    "recall) or 'qgram' (lossless count-filter join)")
 
+    sh = sub.add_parser("shards")
+    sh.add_argument("--input", required=True, help="documents parquet path")
+    sh.add_argument("--budget-tokens", type=int, default=512)
+    sh.add_argument("--chunk-tokens", type=int, default=64)
+    sh.add_argument("--sequences-per-shard", type=int, default=10_000)
+
     co = sub.add_parser("compact")
     co.add_argument("--input", required=True, help="parquet directory to compact in place")
     co.add_argument("--target-records", type=int, required=True)
@@ -347,6 +376,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "corpus": cmd_corpus,
         "resolve": cmd_resolve,
         "compact": cmd_compact,
+        "shards": cmd_shards,
     }[args.mode]
     try:
         result = handler(spark, args)

@@ -1,0 +1,129 @@
+"""Training-shard writer: the last mile from a clean corpus to the
+fixed-length sequence shards a pretraining job actually reads.
+
+Composes the engine's existing pieces into one artifact-producing
+plan:
+
+1. ``chunk_documents`` — token-window chunks (chunking.py),
+2. ``pack_chunks`` — greedy fill into ``budget_tokens`` sequences
+   (packing.py, bucket-parallel),
+3. ``global_prefix_sum`` — every sequence's global serialization
+   offset in token space with no single-partition window
+   (ordering.py, the q89 shape),
+4. a range-clustered parquet write sized by ``sequences_per_shard``
+   (each shard covers a contiguous global sequence range, so a
+   trainer can seek by global index using footer min/max alone),
+5. a MANIFEST (one row per shard file: sequence range, token range,
+   counts) plus a stats JSON — both derived from the data written,
+   not recomputed upstream.
+
+Every count is observed from the landed parquet (the execute-once
+discipline of corpus_pipeline); the conservation invariants the q66b
+oracle checks (token totals, chunk counts, zero over-budget) hold by
+construction and are test-asserted against the written artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark import io as gio
+from etl_guiacores_spark.operators.chunking import chunk_documents
+from etl_guiacores_spark.operators.ordering import global_prefix_sum
+from etl_guiacores_spark.operators.packing import pack_chunks
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget_tokens: int = 512,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    num_bins: int = 32,
+    sequences_per_shard: int = 10_000,
+) -> dict:
+    """corpus (doc_id, text) -> ``{out_dir}/shards`` + manifest + stats.
+
+    Returns the stats dict: n_docs, n_chunks, n_sequences,
+    total_tokens, n_shards, mean fill ratio (token utilisation of the
+    budget). Sequences are globally ordered by (bin_id, seq_id) —
+    deterministic given the corpus — and ``global_seq`` /
+    ``token_offset`` are their dense global index and cumulative token
+    start, computed distributed.
+    """
+    spark = docs.sparkSession
+    n_docs = docs.count()
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    gio.write_handoff(chunks, f"{out_dir}/chunks")
+    # explicit schema on every re-read: an empty stage writes no
+    # row groups and inference would crash (corpus_pipeline's rule)
+    chunks = spark.read.schema(chunks.schema).parquet(f"{out_dir}/chunks")
+    n_chunks = chunks.count()
+
+    packed = pack_chunks(
+        chunks, budget_tokens=budget_tokens, num_bins=num_bins
+    )
+    gio.write_handoff(packed, f"{out_dir}/packed")
+    packed = spark.read.schema(packed.schema).parquet(f"{out_dir}/packed")
+
+    # deterministic global order key; unique because (bin, seq) is
+    ordered = packed.withColumn(
+        "__ord",
+        F.col("bin_id").cast("long") * F.lit(1 << 40) + F.col("seq_id"),
+    )
+    with_off = global_prefix_sum(
+        ordered, order_col="__ord", value_col="n_tokens",
+        out_col="token_offset", exclusive=True,
+    )
+    seqs = (
+        global_prefix_sum(
+            with_off.withColumn("__one", F.lit(1)),
+            order_col="__ord", value_col="__one", out_col="global_seq",
+        )
+        .withColumn("global_seq", F.col("global_seq") - 1)  # 0-based
+        .withColumn("shard_id", F.floor(F.col("global_seq") / sequences_per_shard).cast("int"))
+        .drop("__one", "__ord")
+    )
+    (
+        seqs.repartitionByRange(F.col("shard_id"), F.col("global_seq"))
+        .sortWithinPartitions("global_seq")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", sequences_per_shard)
+        .partitionBy("shard_id")
+        .parquet(f"{out_dir}/shards")
+    )
+    shards = spark.read.schema(seqs.schema).parquet(f"{out_dir}/shards")
+
+    manifest = (
+        shards.groupBy("shard_id")
+        .agg(
+            F.min("global_seq").alias("first_seq"),
+            F.max("global_seq").alias("last_seq"),
+            F.min("token_offset").alias("first_token"),
+            F.count("*").alias("n_sequences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+    gio.write_handoff(manifest, f"{out_dir}/manifest")
+    mrows = spark.read.schema(manifest.schema).parquet(f"{out_dir}/manifest").collect()
+
+    total_tokens = int(sum(r["n_tokens"] for r in mrows))
+    n_sequences = int(sum(r["n_sequences"] for r in mrows))
+    stats = {
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "n_sequences": n_sequences,
+        "total_tokens": total_tokens,
+        "n_shards": len(mrows),
+        "budget_tokens": budget_tokens,
+        "fill_ratio": round(total_tokens / (n_sequences * budget_tokens), 4)
+        if n_sequences
+        else 0.0,
+    }
+    gio.write_stats_json(stats, f"{out_dir}/stats.json")
+    return stats

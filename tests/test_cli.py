@@ -217,3 +217,21 @@ def test_compact_mode(spark, tmp_path):
     assert res["rows"] == 50
     assert res["files_after"] < res["files_before"]
     assert spark.read.parquet(src).count() == 50
+
+
+def test_shards_mode(spark, tmp_path):
+    import etl_guiacores_spark.cli as cli
+
+    res = cli.main(
+        ["--out", str(tmp_path / "sh"), "shards",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--budget-tokens", "128", "--chunk-tokens", "32",
+         "--sequences-per-shard", "100"],
+        spark=spark,
+    )
+    assert res["mode"] == "shards" and res["n_sequences"] > 0
+    assert 0 < res["fill_ratio"] <= 1.0
+    seqs = spark.read.parquet(str(tmp_path / "sh" / "shards"))
+    assert seqs.count() == res["n_sequences"]
+    from pyspark.sql import functions as F
+    assert seqs.filter(F.col("n_tokens") > 128).count() == 0

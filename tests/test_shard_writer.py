@@ -1,0 +1,60 @@
+"""Shard writer: corpus -> packed training shards + manifest, with the
+conservation invariants asserted against the WRITTEN artifact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.plans.shard_writer import write_training_shards
+
+
+def test_shards_manifest_and_conservation(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.length(F.trim("text")) > 0
+    ).select("doc_id", "text")
+    out = str(tmp_path / "shards_out")
+    stats = write_training_shards(
+        docs, out, budget_tokens=128, chunk_tokens=32, overlap=4,
+        num_bins=8, sequences_per_shard=50,
+    )
+    seqs = spark.read.parquet(f"{out}/shards")
+    chunks = spark.read.parquet(f"{out}/chunks")
+    manifest = {r["shard_id"]: r for r in spark.read.parquet(f"{out}/manifest").collect()}
+
+    # token conservation: packed tokens == chunk tokens
+    chunk_tokens = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    assert stats["total_tokens"] == chunk_tokens
+    # chunk-count conservation: every chunk packed exactly once
+    n_chunk_rows = chunks.count()
+    packed_chunkrefs = seqs.agg(F.sum(F.size("doc_ids"))).first()[0]
+    assert packed_chunkrefs == n_chunk_rows == stats["n_chunks"]
+    # no sequence over budget
+    assert seqs.filter(F.col("n_tokens") > 128).count() == 0
+    # global_seq is dense 0..n-1 and token offsets tile
+    rows = sorted(
+        ((r["global_seq"], r["token_offset"], r["n_tokens"]) for r in seqs.collect())
+    )
+    assert [g for g, _, _ in rows] == list(range(stats["n_sequences"]))
+    run = 0
+    for _, off, n in rows:
+        assert off == run
+        run += n
+    assert run == stats["total_tokens"]
+    # manifest covers contiguous, disjoint sequence ranges per shard
+    covered = 0
+    for sid in sorted(manifest):
+        m = manifest[sid]
+        assert m["first_seq"] == covered
+        covered = m["last_seq"] + 1
+        assert m["n_sequences"] == m["last_seq"] - m["first_seq"] + 1
+        assert m["n_sequences"] <= 50
+    assert covered == stats["n_sequences"]
+    assert stats["n_shards"] == len(manifest)
+    assert 0 < stats["fill_ratio"] <= 1.0
+
+
+def test_empty_corpus(spark, tmp_path):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    stats = write_training_shards(docs, str(tmp_path / "empty_out"))
+    assert stats["n_sequences"] == 0 and stats["n_shards"] == 0
+    assert stats["fill_ratio"] == 0.0

@@ -31,8 +31,12 @@ blocks bounded, the same contract every record-linkage system states.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def default_block_key(col: Column) -> Column:
@@ -117,6 +121,7 @@ def qgram_match_pairs(
     name_col: str,
     max_dist: int = 3,
     q: int = 2,
+    max_posting_freq: int | None = None,
 ) -> DataFrame:
     """LOSSLESS fuzzy pairs via q-gram count filtering — the classic
     string-similarity-join technique (q-gram signature + count bound,
@@ -130,24 +135,54 @@ def qgram_match_pairs(
     verifies. Unlike ``fuzzy_match_pairs``'s blocking key, NO true
     match within ``max_dist`` can be missed.
 
+    The count bound is vacuous for SHORT strings: when
+    ``max(len_a, len_b) <= q*(max_dist+1) - 1`` the guaranteed shared
+    count is <= 0, so two close strings may share ZERO q-grams
+    ("abc"/"cba" at k=3 have disjoint bigram sets; a string shorter
+    than ``q`` has no grams at all). Those pairs can only occur
+    between two short strings (if one side is long, the
+    length-difference bound excludes the pair), so the operator routes
+    the short subset through an exact fallback: DISTINCT short names
+    (bounded by alphabet^threshold, a few thousand in practice — they
+    are strings of at most ``q*(max_dist+1)-1`` chars) broadcast
+    all-pairs + thresholded Levenshtein, re-expanded to ids. The
+    posting join handles every pair whose longer side clears the
+    threshold; the two paths partition the pair space, so the union is
+    duplicate-free and the lossless contract holds for ALL lengths
+    (brute-force property-tested over short random strings).
+
     Scale shape: one shuffle keyed on the (gram, occurrence) posting;
     pair volume is sum over postings of C(freq, 2) — bounded by gram
-    selectivity rather than block size. A stop-gram cap (drop the most
-    frequent postings, accepting bounded recall loss) is the standard
-    escape hatch when a hot gram blows up; this implementation keeps
-    the lossless contract and leaves capping to the caller's upstream
-    normalization, the same posture as the LSH band join.
+    selectivity rather than block size. ``max_posting_freq`` is the
+    stop-gram escape hatch for hot grams: postings whose frequency
+    exceeds the cap are dropped BEFORE the self-join (candidate volume
+    from any posting then <= C(cap, 2)), trading bounded recall for a
+    bounded join, and the count bound relaxes by each pair's maximum
+    possible hidden shared count (``min(dropped_a, dropped_b)``) so
+    capping never rejects a true match the candidate join still found.
+    The drop count is computed eagerly (one small aggregate job) and
+    logged — capping is never silent. With the cap the LOSSLESS
+    guarantee no longer holds for pairs whose shared grams were ALL
+    hot; leave it ``None`` (the default) for the exact contract.
     """
+    # below/at this max-side length the count bound max-q+1-q*k is <= 0
+    short_max = q * (max_dist + 1) - 1
     t = (
         df.select(F.col(id_col).alias("__id"), F.col(name_col).alias("__name"))
         .filter(F.col("__name").isNotNull())
         .withColumn("__len", F.length("__name"))
     )
+
+    # --- posting path: every pair whose LONGER side exceeds short_max ---
     # positional q-grams with per-gram occurrence numbers; the
     # occurrence rank orders by the SELF-COMPUTED character position
     # (never a physical row order), so it is deterministic across
-    # evaluations
-    idx = F.sequence(F.lit(1), F.greatest(F.col("__len") - (q - 1), F.lit(0)))
+    # evaluations. Guarded for len < q: an unguarded
+    # sequence(1, len-q+1) has a NEGATIVE step there ([1,0]) and emits
+    # phantom grams from substring position 0.
+    idx = F.when(
+        F.col("__len") >= q, F.sequence(F.lit(1), F.col("__len") - (q - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = t.select(
         "__id",
         "__len",
@@ -159,31 +194,117 @@ def qgram_match_pairs(
     posts = grams.withColumn("__occ", F.row_number().over(occ_w)).select(
         "__id", "__len", "__g", "__occ"
     )
+    if max_posting_freq is not None:
+        hot = (
+            posts.groupBy("__g", "__occ")
+            .agg(F.count("*").alias("__f"))
+            .filter(F.col("__f") > max_posting_freq)
+            .select("__g", "__occ")
+        )
+        n_hot = hot.count()  # eager by design: the no-silent-caps log
+        if n_hot:
+            logger.warning(
+                "qgram_match_pairs: dropping %d hot postings above "
+                "max_posting_freq=%d — pairs whose shared grams are all "
+                "hot can be missed (bounded recall loss)",
+                n_hot,
+                max_posting_freq,
+            )
+        # per-id dropped-posting counts: a true pair's OBSERVED shared
+        # count falls short of the theorem bound by at most
+        # min(dropped_a, dropped_b) hidden hot matches, so the count
+        # filter must relax by that much or capping would reject true
+        # matches the candidate join still found. Capped-mode-only
+        # extra shuffle on __id (the escape hatch pays for itself by
+        # bounding the posting self-join).
+        dropped = (
+            posts.join(F.broadcast(hot), ["__g", "__occ"], "left_semi")
+            .groupBy("__id")
+            .agg(F.count("*").alias("__drop"))
+        )
+        posts = (
+            posts.join(F.broadcast(hot), ["__g", "__occ"], "left_anti")
+            .join(dropped, "__id", "left")
+            .withColumn("__drop", F.coalesce("__drop", F.lit(0)))
+        )
+    else:
+        posts = posts.withColumn("__drop", F.lit(0))
     a = posts.select(
-        F.col("__id").alias("id_a"), F.col("__len").alias("__la"), "__g", "__occ"
+        F.col("__id").alias("id_a"),
+        F.col("__len").alias("__la"),
+        F.col("__drop").alias("__da"),
+        "__g",
+        "__occ",
     )
     b = posts.select(
-        F.col("__id").alias("id_b"), F.col("__len").alias("__lb"), "__g", "__occ"
+        F.col("__id").alias("id_b"),
+        F.col("__len").alias("__lb"),
+        F.col("__drop").alias("__db"),
+        "__g",
+        "__occ",
     )
     shared = (
         a.join(b, ["__g", "__occ"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
-        .groupBy("id_a", "id_b", "__la", "__lb")
+        # short-short pairs belong to the fallback path (disjoint union)
+        .filter(F.greatest("__la", "__lb") > short_max)
+        .groupBy("id_a", "id_b", "__la", "__lb", "__da", "__db")
         .agg(F.count("*").alias("__c"))
         .filter(
             F.col("__c")
+            # on this path max(la,lb) > short_max so the bound is >= 1;
+            # under a max_posting_freq cap it relaxes by the pair's
+            # maximum possible hidden (hot) shared count, and the clamp
+            # keeps it >= 1
             >= F.greatest(
-                F.greatest("__la", "__lb") - F.lit(q - 1) - F.lit(q * max_dist),
+                F.greatest("__la", "__lb")
+                - F.lit(q - 1)
+                - F.lit(q * max_dist)
+                - F.least("__da", "__db"),
                 F.lit(1),
             )
         )
     )
     names = t.select(F.col("__id"), F.col("__name"))
     dist = F.levenshtein(F.col("__name_a"), F.col("__name_b"), max_dist)
-    return (
+    posting_pairs = (
         shared.join(names.select(F.col("__id").alias("id_a"), F.col("__name").alias("__name_a")), "id_a")
         .join(names.select(F.col("__id").alias("id_b"), F.col("__name").alias("__name_b")), "id_b")
         .select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
+    # --- short-string fallback: both sides <= short_max chars ---
+    # all-pairs over DISTINCT short names (bounded by the number of
+    # distinct strings of <= short_max chars), then re-expanded to ids.
+    # The name-pair set keeps na <= nb; after expansion the
+    # (na < nb) | (ia < ib) filter emits each id pair exactly once.
+    shorts = t.filter(F.col("__len") <= short_max)
+    sn = shorts.select("__name").distinct()
+    short_d = F.levenshtein(F.col("__name_a"), F.col("__name_b"), max_dist)
+    name_pairs = (
+        sn.select(F.col("__name").alias("__name_a"))
+        .crossJoin(F.broadcast(sn.select(F.col("__name").alias("__name_b"))))
+        .filter(F.col("__name_a") <= F.col("__name_b"))
+        .filter(F.abs(F.length("__name_a") - F.length("__name_b")) <= max_dist)
+        .withColumn("__d", short_d)
+        .filter(F.col("__d") >= 0)
+    )
+    short_pairs = (
+        shorts.select(F.col("__id").alias("__ia"), F.col("__name").alias("__name_a"))
+        .join(name_pairs, "__name_a")
+        .join(
+            shorts.select(F.col("__id").alias("__ib"), F.col("__name").alias("__name_b")),
+            "__name_b",
+        )
+        .filter(
+            (F.col("__name_a") < F.col("__name_b")) | (F.col("__ia") < F.col("__ib"))
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            F.col("__d").alias("dist"),
+        )
+    )
+    return posting_pairs.unionByName(short_pairs)

@@ -2280,42 +2280,28 @@ def q115_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id AS id, {_TITLE} AS name
         FROM documents WHERE LENGTH(trim(text)) > 0
-    ),
-    g AS (
-        SELECT id, LENGTH(name) AS len, gp.g AS g, gp.p AS p
-        FROM t, unnest(list_transform(range(1, GREATEST(LENGTH(name) - 1, 0) + 1),
-                 i -> {{'g': substr(name, i, 2), 'p': i}})) AS u(gp)
-    ),
-    posts AS (
-        SELECT id, len, g,
-               ROW_NUMBER() OVER (PARTITION BY id, g ORDER BY p) AS occ
-        FROM g
-    ),
-    shared AS (
-        SELECT a.id AS id_a, b.id AS id_b, a.len AS la, b.len AS lb, COUNT(*) AS c
-        FROM posts a JOIN posts b ON a.g = b.g AND a.occ = b.occ AND a.id < b.id
-        WHERE abs(a.len - b.len) <= 3
-        GROUP BY 1, 2, 3, 4
     )
-    SELECT s.id_a, s.id_b,
-           CAST(levenshtein(ta.name, tb.name) AS INTEGER) AS dist
-    FROM shared s
-    JOIN t ta ON ta.id = s.id_a
-    JOIN t tb ON tb.id = s.id_b
-    WHERE s.c >= GREATEST(GREATEST(s.la, s.lb) - 1 - 6, 1)
-      AND levenshtein(ta.name, tb.name) <= 3
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM t a JOIN t b
+      ON a.id < b.id
+     AND abs(LENGTH(a.name) - LENGTH(b.name)) <= 3
+    WHERE levenshtein(a.name, b.name) <= 3
     """,
     doc="LOSSLESS fuzzy similarity join via q-gram count filtering "
     "(Gravano et al. 2001 lineage): candidates come from an equi-join "
     "on positional 2-grams (gram + occurrence rank = true multiset "
     "intersection), pruned by the count bound (edit distance k "
     "destroys at most q*k grams) and the length bound, verified with "
-    "thresholded Levenshtein. Unlike q109's first-token blocking, NO "
-    "true match within the distance budget can be missed — the "
-    "brute-force-equivalence is test-asserted, and q109's pairs are "
-    "a strict subset. Shuffle keys on (gram, occurrence) postings; "
-    "pair volume bounded by gram selectivity "
-    "(operators/linkage.qgram_match_pairs).",
+    "thresholded Levenshtein; pairs of SHORT strings, where the count "
+    "bound is vacuous, route through the exact distinct-name fallback "
+    "(operators/linkage.qgram_match_pairs). Unlike q109's first-token "
+    "blocking, NO true match within the distance budget can be missed "
+    "— the oracle is therefore the brute-force all-pairs GROUND TRUTH "
+    "(not a mirror of the algorithm), so the hash match proves "
+    "losslessness on real data, and q109's pairs are a strict subset. "
+    "Shuffle keys on (gram, occurrence) postings; pair volume bounded "
+    "by gram selectivity.",
 )
 def q116_qgram_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.linkage import qgram_match_pairs

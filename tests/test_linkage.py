@@ -149,6 +149,90 @@ class TestQgramMatchPairs:
                for r in qgram_match_pairs(df, "id", "name", max_dist=k).collect()}
         assert got == expect
 
+    def test_short_strings_previous_losslessness_hole(self, spark):
+        """Round-4 verdict/advice hole: pairs whose count bound is
+        non-positive share zero q-grams and were silently missed —
+        'abc'/'cba' (dist 2, disjoint bigrams), 'ab'/'ba' (dist 2),
+        and single-char names (no bigrams at all). All must pair via
+        the short-string fallback now."""
+        from etl_guiacores_spark.operators.linkage import qgram_match_pairs
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, "cba"), (3, "ab"), (4, "ba"), (5, "x"), (6, "y")],
+            "id long, name string",
+        )
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in qgram_match_pairs(df, "id", "name", max_dist=3).collect()}
+        assert got[(1, 2)] == 2      # disjoint bigram sets
+        assert got[(3, 4)] == 2      # bound vacuous at len 2
+        assert got[(5, 6)] == 1      # len < q: no grams, fallback only
+        # duplicates would break the driver's hash compare
+        pairs = qgram_match_pairs(df, "id", "name", max_dist=3)
+        assert pairs.count() == pairs.distinct().count()
+
+    def test_brute_force_over_short_random_strings(self, spark):
+        """Lossless contract swept over lengths 0..6 at max_dist 1..3
+        — exactly the region where the count bound is vacuous and the
+        fallback path carries the guarantee. Includes duplicate and
+        empty names."""
+        import itertools
+        import random
+
+        from etl_guiacores_spark.operators.linkage import qgram_match_pairs
+
+        rng = random.Random(1105)
+        names = [""] + [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        names += names[:5]  # duplicates: same-name ids must pair at dist 0
+        df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        for k in (1, 2, 3):
+            expect = {
+                (i, j): lev(a, b)
+                for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+                if lev(a, b) <= k
+            }
+            got = {(r["id_a"], r["id_b"]): r["dist"]
+                   for r in qgram_match_pairs(df, "id", "name", max_dist=k).collect()}
+            assert got == expect, f"max_dist={k}"
+
+    def test_max_posting_freq_cap_completes_and_logs(self, spark, caplog):
+        """Hot-gram input with the stop-gram cap: the join completes,
+        the drop is LOGGED (no silent caps), and pairs recoverable
+        from non-hot postings survive."""
+        import logging
+
+        from etl_guiacores_spark.operators.linkage import qgram_match_pairs
+
+        # every name shares the hot prefix 'aaaaaaaaaa'; suffixes differ
+        rows = [(i, "aaaaaaaaaa" + s) for i, s in enumerate(
+            ["xyzw", "xyzv", "qrst", "qrsu", "mnop"]
+        )]
+        df = spark.createDataFrame(rows, "id long, name string")
+        uncapped = {(r["id_a"], r["id_b"]) for r in
+                    qgram_match_pairs(df, "id", "name", max_dist=1).collect()}
+        with caplog.at_level(logging.WARNING,
+                             logger="etl_guiacores_spark.operators.linkage"):
+            capped = {(r["id_a"], r["id_b"]) for r in
+                      qgram_match_pairs(df, "id", "name", max_dist=1,
+                                        max_posting_freq=3).collect()}
+        assert uncapped == {(0, 1), (2, 3)}
+        # the 'aa' postings (freq 5 > 3) are dropped and the drop is logged
+        assert any("hot postings" in r.message for r in caplog.records)
+        # distinguishing suffix grams are not hot, so recall survives here
+        assert capped == uncapped
+
     def test_resolve_entities_qgram_method(self, spark):
         """The lossless pairer merges the cross-block pair blocking
         misses, changing the entity structure accordingly."""

@@ -17,7 +17,7 @@ num_bins — the standard trade at corpus scale.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,6 +40,7 @@ def pack_chunks(
     text_col: str = "chunk_text",
     count_col: str = "n_chunk_tokens",
     order_col: str = "chunk_idx",
+    bin_expr: Column | None = None,
 ) -> DataFrame:
     """(doc chunks) -> packed training sequences <= budget_tokens.
 
@@ -54,6 +55,12 @@ def pack_chunks(
     emitted as its own over-budget pack — size the upstream chunker's
     ``chunk_tokens`` <= ``budget_tokens`` (the pipeline default does),
     or filter ``n_tokens > budget`` packs downstream.
+
+    ``bin_expr`` overrides the bucket assignment (must evaluate to an
+    int in [0, num_bins)). The default Murmur3 hash spreads skewed id
+    spaces well but is Spark-specific; pass e.g.
+    ``F.pmod(F.col("doc_id"), F.lit(num_bins))`` when the packing must
+    be reproducible by another engine (the cross-engine oracle case).
     """
     sort_key = order_col if order_col in chunks.columns else text_col
 
@@ -81,9 +88,9 @@ def pack_chunks(
     # pmod, not abs(hash) % n: hash covers the full int32 range and
     # abs(Int.MIN_VALUE) overflows under ANSI — near-certain to occur
     # somewhere in a billions-of-rows corpus
-    bucketed = chunks.withColumn(
-        "__bin", F.pmod(F.hash(F.col(id_col)), F.lit(num_bins)).cast("int")
-    )
+    if bin_expr is None:
+        bin_expr = F.pmod(F.hash(F.col(id_col)), F.lit(num_bins))
+    bucketed = chunks.withColumn("__bin", bin_expr.cast("int"))
     return bucketed.groupBy("__bin").applyInPandas(pack, PACKED_SCHEMA)
 
 

@@ -1320,11 +1320,53 @@ def q65_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q66_sequence_packing",
-    None,  # greedy first-fit is inherently sequential per bucket — no SQL twin
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, LEN({_TOKS}) AS n
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bin_id, i AS chunk_idx,
+               CASE WHEN i < CAST(CEIL(n / 32.0) AS BIGINT) - 1 THEN 32
+                    ELSE n - 32 * (CAST(CEIL(n / 32.0) AS BIGINT) - 1)
+               END AS n_tok
+        FROM t, unnest(range(0, CAST(CEIL(n / 32.0) AS BIGINT))) AS u(i)
+    ),
+    ordered AS (
+        SELECT bin_id, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY bin_id
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    ),
+    fill AS (
+        SELECT bin_id, rn, CAST(0 AS BIGINT) AS seq_id, n_tok AS cur
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bin_id, o.rn,
+               CASE WHEN f.cur + o.n_tok > 128 THEN f.seq_id + 1
+                    ELSE f.seq_id END,
+               CASE WHEN f.cur + o.n_tok > 128 THEN o.n_tok
+                    ELSE f.cur + o.n_tok END
+        FROM fill f JOIN ordered o
+          ON o.bin_id = f.bin_id AND o.rn = f.rn + 1
+    )
+    SELECT f.bin_id, f.seq_id,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(o.n_tok) AS INTEGER) AS n_tokens
+    FROM fill f JOIN ordered o ON o.bin_id = f.bin_id AND o.rn = f.rn
+    GROUP BY f.bin_id, f.seq_id
+    """,
     doc="Sequence packing for pretraining: chunk documents to token "
-    "windows, then greedy-fill fixed 128-token sequences within hash "
-    "buckets (applyInPandas per bucket). Rows-only driver check; "
-    "budget/conservation/order invariants are pytest-enforced.",
+    "windows, then greedy-fill fixed 128-token sequences within "
+    "buckets (applyInPandas per bucket — the one legitimately "
+    "sequential leg, Arrow-batched and parallel across buckets). The "
+    "greedy fill IS SQL-expressible per bucket as a recursive CTE "
+    "that advances one chunk per step carrying (seq_id, fill level), "
+    "so the oracle replays the identical first-fit and the driver "
+    "hash-checks the packing itself, not just its invariants (q66b). "
+    "The registered query pins the bucket key to doc_id % 8 "
+    "(pack_chunks bin_expr) so both engines agree on bucketing; the "
+    "production default stays Murmur3 for skew-resistant spread.",
 )
 def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.chunking import chunk_documents
@@ -1332,7 +1374,12 @@ def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     chunks = chunk_documents(d.select("doc_id", "text"), chunk_tokens=32, overlap=0)
-    packed = pack_chunks(chunks, budget_tokens=128, num_bins=8)
+    packed = pack_chunks(
+        chunks,
+        budget_tokens=128,
+        num_bins=8,
+        bin_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
     return packed.select(
         "bin_id", "seq_id", F.size("doc_ids").alias("n_docs"), "n_tokens"
     )

@@ -2315,3 +2315,116 @@ def q116_qgram_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qgram_match_pairs(titles, "doc_id", "title", max_dist=3, q=2).select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117: DSIR end-to-end — importance-weighted selection of a training subset
+# ---------------------------------------------------------------------------
+
+@register(
+    "q117_dsir_select",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKS}) AS tok
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    b AS (
+        SELECT doc_id, is_t,
+               CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+        FROM toks
+    ),
+    r AS (
+        SELECT bucket,
+               CAST(((SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000)
+                    // (COUNT(*) + 1) AS BIGINT) AS ratio_ppm
+        FROM b GROUP BY bucket
+    ),
+    scores AS (
+        SELECT b.doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(r.ratio_ppm) AS BIGINT) AS importance_ppm
+        FROM b JOIN r USING (bucket)
+        GROUP BY b.doc_id
+    ),
+    picked AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   -ln((CAST(('0x' || substr(md5('dsir-sel:' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+                   / importance_ppm AS race
+            FROM scores WHERE importance_ppm > 0
+        ) ORDER BY race, doc_id LIMIT 100
+    )
+    SELECT s.doc_id, s.n_tok, s.importance_ppm
+    FROM scores s JOIN picked USING (doc_id)
+    """,
+    doc="DSIR end-to-end (Xie et al. 2023): fit the hashed-n-gram "
+    "importance estimator (q104's integer-ppm bucket ratios, bounded "
+    "4096-row broadcast table), score every document, then IMPORTANCE "
+    "RESAMPLE — draw 100 documents without replacement with "
+    "probability proportional to importance via the deterministic "
+    "Efraimidis-Spirakis A-Res race (q87's sampler). This is the "
+    "paper's actual selection step, previously pytest-only, now under "
+    "the driver's hash gate. The composition inherits both parents' "
+    "scale shapes: no corpus shuffle carries text, the draw is a "
+    "distributed top-k, and the selected set is reproducible across "
+    "engines/retries/partitionings (operators/importance.dsir_select).",
+)
+def q117_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.importance import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(d, is_target=F.col("lang") == "en", k=100)
+
+
+# ---------------------------------------------------------------------------
+# q118: entity resolution over the LOSSLESS q-gram pairer
+# ---------------------------------------------------------------------------
+
+@register(
+    "q118_qgram_entity_resolution",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, {_TITLE} AS title
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.doc_id < b.doc_id
+         AND abs(LENGTH(a.title) - LENGTH(b.title)) <= 2
+        WHERE levenshtein(a.title, b.title) <= 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lbl FROM t
+        UNION
+        SELECT e.dst AS id, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.lbl < e.dst
+    )
+    SELECT id AS doc_id, MIN(lbl) AS entity_id FROM reach GROUP BY id
+    """,
+    doc="Entity resolution via the LOSSLESS q-gram pairer "
+    "(resolve_entities method='qgram', the resolve CLI's exact mode), "
+    "previously pytest-only: q-gram count-filtered pairs (with the "
+    "short-string fallback) feed adaptive connected components, so "
+    "clusters match the TRUE transitive closure of the edit-distance "
+    "relation — the oracle builds ground-truth edges by brute force "
+    "and unrolls the closure as a pruned recursive CTE, proving no "
+    "blocking-induced cluster splits. Contrast q110, whose blocked "
+    "pairs trade recall for cost (operators/linkage.py).",
+)
+def q118_qgram_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.linkage import resolve_entities
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    d = _docs(spark, sf_dir)
+    titles = d.select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
+    )
+    return resolve_entities(titles, "doc_id", "title", max_dist=2, method="qgram")

@@ -125,6 +125,15 @@ def filter_blocked_domains(
     rides the shuffle. Without a key the fallback compares every
     column null-safely, which is correct but shuffles full rows keyed
     on row content; keep it for keyless inputs only.
+
+    Keyed-path contract: ``key_col`` must identify the ROW — rows
+    sharing a key are removed together when any of them hits the
+    blocklist (removal is by key, deliberately). NULL keys get no such
+    identity: a plain equi-join would never match them (NULL != NULL)
+    and a blocked row with a NULL key would silently bypass the
+    blocklist, so NULL-keyed rows are routed through the keyless
+    null-safe path instead — a lazily-empty branch when every key is
+    populated.
     """
     host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     parts = F.split(host, r"\.")
@@ -137,33 +146,45 @@ def filter_blocked_domains(
     probes = F.array_compact(F.array(host, last2, last3))
 
     keys = blocked.select(F.lower(F.col(domain_col)).alias("__blocked_domain")).distinct()
+
+    def _remove_hit_rows_nullsafe(rows: DataFrame) -> DataFrame:
+        # Keyless removal: find hit ROWS via the probe semi-join, then
+        # remove them with an all-columns NULL-SAFE anti-join:
+        # eqNullSafe per column so a row carrying NULLs still matches
+        # itself (plain equality would let it silently survive the
+        # blocklist), and — unlike a generated row id — the match is
+        # stable even if the two branches recompute the input with
+        # different partitioning/row order.
+        hits = (
+            rows.withColumn("__probe", F.explode(probes))
+            .join(F.broadcast(keys), F.col("__probe") == F.col("__blocked_domain"), "left_semi")
+            .drop("__probe")
+            .distinct()
+        )
+        left, right = rows.alias("l"), hits.alias("r")
+        cond = None
+        for c in rows.columns:
+            eq = left[c].eqNullSafe(right[c])
+            cond = eq if cond is None else (cond & eq)
+        return left.join(right, cond, "left_anti")
+
     if key_col is not None:
         # Keyed path: hit KEYS via the probe semi-join (scan prunes to
         # key + url), then one key-only anti-join. AQE broadcasts the
         # hit-key set while it is small; at worst both sides shuffle
-        # (key) pairs — never text.
+        # (key) pairs — never text. NULL-keyed rows would slip through
+        # the equi-join (NULL never equals NULL), so they take the
+        # null-safe row path and the results union — an empty extra
+        # branch whenever keys are fully populated.
+        keyed = df.filter(F.col(key_col).isNotNull())
         hit_keys = (
-            df.select(key_col, F.explode(probes).alias("__probe"))
+            keyed.select(key_col, F.explode(probes).alias("__probe"))
             .join(F.broadcast(keys), F.col("__probe") == F.col("__blocked_domain"), "left_semi")
             .select(key_col)
             .distinct()
         )
-        return df.join(hit_keys, on=key_col, how="left_anti")
-    # Keyless fallback: find hit ROWS via the probe semi-join, then
-    # remove them with an all-columns NULL-SAFE anti-join: eqNullSafe
-    # per column so a row carrying NULLs still matches itself (plain
-    # equality would let it silently survive the blocklist), and —
-    # unlike a generated row id — the match is stable even if the two
-    # branches recompute df with different partitioning/row order.
-    hits = (
-        df.withColumn("__probe", F.explode(probes))
-        .join(F.broadcast(keys), F.col("__probe") == F.col("__blocked_domain"), "left_semi")
-        .drop("__probe")
-        .distinct()
-    )
-    left, right = df.alias("l"), hits.alias("r")
-    cond = None
-    for c in df.columns:
-        eq = left[c].eqNullSafe(right[c])
-        cond = eq if cond is None else (cond & eq)
-    return left.join(right, cond, "left_anti")
+        kept = keyed.join(hit_keys, on=key_col, how="left_anti")
+        return kept.unionByName(
+            _remove_hit_rows_nullsafe(df.filter(F.col(key_col).isNull()))
+        )
+    return _remove_hit_rows_nullsafe(df)

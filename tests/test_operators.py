@@ -177,9 +177,39 @@ class TestBlockedDomains:
         plan = keyed._jdf.queryExecution().optimizedPlan().toString()
         anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
         assert anti_lines, plan
-        for ln in anti_lines:
-            assert "doc_id" in ln, ln
-            assert "url" not in ln and "text" not in ln, ln
+        # the NON-NULL-keyed branch (all rows when keys are populated)
+        # must anti-join on the key alone; the null-safe branch for
+        # NULL-keyed rows is allowed its all-columns condition
+        assert any(
+            "doc_id" in ln and "url" not in ln and "text" not in ln
+            for ln in anti_lines
+        ), plan
+
+    def test_null_keyed_rows_cannot_bypass_blocklist(self, spark):
+        """Regression (round-4 advice): a blocked row with a NULL key
+        survived the keyed path because the equi-anti-join never
+        matches NULL=NULL. NULL-keyed rows must route through the
+        null-safe row path; duplicate keys removing together is the
+        documented by-key contract."""
+        from etl_guiacores_spark.operators.joins import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [
+                (None, "https://spam.net/a", "t1"),   # blocked, NULL key
+                (None, "https://ok.org/b", "t2"),     # kept, NULL key
+                ("2", "https://spam.net/c", "t3"),    # blocked
+                ("3", "https://ok.org/d", "t4"),      # kept
+                ("4", "https://spam.net/e", "t5"),    # blocked...
+                ("4", "https://ok.org/f", "t6"),      # ...and key-mate removed too
+            ],
+            ["doc_id", "url", "text"],
+        )
+        blocked = spark.createDataFrame([("spam.net",)], ["domain"])
+        kept = sorted(
+            r["url"]
+            for r in filter_blocked_domains(df, blocked, "url", key_col="doc_id").collect()
+        )
+        assert kept == ["https://ok.org/b", "https://ok.org/d"]
 
 
 class TestMergeUpsertPartialColumns:

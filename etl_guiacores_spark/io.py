@@ -92,8 +92,13 @@ def compact_parquet(
     predicates on the sort key, the poor man's z-order for a single
     dimension (multi-dimension clustering is operators/ordering.py's
     zorder_layout). The rewrite is staged through a sibling temp dir
-    then atomically swapped, so a concurrent reader never sees a
-    half-written directory.
+    then swapped in, so no reader can observe a half-written FILE —
+    but the swap is two renames, and a reader that lists the path in
+    the instant between them sees it missing. The guarantee is
+    single-writer, no-concurrent-readers (the same assumption every
+    sink in this engine makes); deployments needing concurrent
+    readers should publish through a versioned directory + pointer
+    (write_version) or a table format with a metadata commit.
 
     The output file count is computed EXPLICITLY (ceil(rows/target))
     rather than inherited from the scan: Spark spreads even tiny
@@ -199,7 +204,12 @@ def delete_keys(
     )
     n_before = spark.read.parquet(*affected).count()
     # land replacements in a staging dir, then move them in and drop
-    # the old files — readers never see a partial rewrite of a file
+    # the old files — no reader can observe a partially-written FILE,
+    # though one scanning between the move-in and the old-file removal
+    # would double-count surviving rows: the contract is single
+    # writer, no concurrent readers (see compact_parquet's docstring;
+    # concurrent-reader deployments belong on a versioned pointer or
+    # a table format)
     staging = path.rstrip("/") + f".__delete_{uuid.uuid4().hex[:8]}__"
     kept.write.mode("overwrite").parquet(staging)
     n_after = spark.read.parquet(staging).count()

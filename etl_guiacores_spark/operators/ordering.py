@@ -62,6 +62,7 @@ def global_prefix_sum(
     out_col: str = "running_total",
     exclusive: bool = False,
     num_partitions: int | None = None,
+    pin: str = "local",
 ) -> DataFrame:
     """Global running sum of ``value_col`` in ``order_col`` order with
     NO single-partition window — the serialization-offset computation
@@ -74,7 +75,26 @@ def global_prefix_sum(
     the one-row-per-partition totals. ``exclusive=True`` returns the
     sum of strictly-preceding rows (the start offset); ``False`` the
     inclusive running total. ``order_col`` must be unique.
+
+    ``pin`` picks how the shared range-partitioned subtree is
+    materialized (it MUST be pinned — see the comment at the
+    checkpoint site). ``"local"`` (default) uses an eager
+    localCheckpoint: building the plan triggers an immediate job, and
+    the pinned blocks are NON-RELIABLE — executor-local with no
+    lineage, so losing an executor mid-query fails the job instead of
+    recomputing. Right for single-node and short interactive runs.
+    ``"checkpoint"`` writes a RELIABLE checkpoint (requires
+    ``sparkContext.setCheckpointDir`` on durable storage) that
+    survives executor loss — the mode for 1000-executor deployments
+    where eviction is routine, at the price of a distributed-FS
+    round-trip.
     """
+    if pin not in ("local", "checkpoint"):
+        raise ValueError(
+            f"global_prefix_sum: unknown pin mode {pin!r} — use 'local' "
+            "(eager localCheckpoint, non-reliable) or 'checkpoint' "
+            "(reliable, needs sparkContext.setCheckpointDir)"
+        )
     taken = {"__pid", "__lsum", "__off"} & set(df.columns)
     if taken:
         raise ValueError(
@@ -106,8 +126,12 @@ def global_prefix_sum(
     # sweep drifted by one from mid-stream exactly this way while the
     # same operator passed its isolated test. One eager materialization
     # makes both consumers read the SAME blocks, so __pid is a fact,
-    # not a recomputation.
-    local = local.localCheckpoint(eager=True)
+    # not a recomputation. Durability is the pin-mode trade: see the
+    # docstring.
+    if pin == "checkpoint":
+        local = local.checkpoint(eager=True)
+    else:
+        local = local.localCheckpoint(eager=True)
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

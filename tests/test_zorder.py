@@ -101,3 +101,27 @@ class TestGlobalPrefixSum:
         import re
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan.lower()):
             assert "__pid" in m.group(1) or "sortorder" not in m.group(1)
+
+    def test_durable_checkpoint_pin_mode(self, spark, tmp_path):
+        """pin='checkpoint' (the cluster mode: survives executor loss)
+        must produce the same running totals as the local pin, and an
+        unknown mode must be rejected."""
+        import pytest
+
+        from etl_guiacores_spark.operators.ordering import global_prefix_sum
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        df = spark.range(1, 201).select(
+            F.col("id").alias("k"), (F.col("id") % 5 + 1).alias("v")
+        )
+        durable = {
+            r["k"]: r["running_total"]
+            for r in global_prefix_sum(df, "k", "v", pin="checkpoint").collect()
+        }
+        local = {
+            r["k"]: r["running_total"]
+            for r in global_prefix_sum(df, "k", "v").collect()
+        }
+        assert durable == local
+        with pytest.raises(ValueError, match="pin mode"):
+            global_prefix_sum(df, "k", "v", pin="tachyon")

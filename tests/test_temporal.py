@@ -105,3 +105,126 @@ class TestRangeJoin:
             for r in range_join_pairs(df, "k", "ts", 60, "event_id").collect()
         }
         assert pairs == {("u", 1, 2), ("w", 4, 5)}
+
+
+class TestAsOfJoinPropertySweep:
+    """Round-4 advice: sweep as_of_join over random instants including
+    DST spring-forward/fall-back wall times, on TIMESTAMP, NTZ, and
+    mixed sides, under a NON-UTC session timezone, against a
+    python-truth as-of."""
+
+    KEYS = ("u", "v", "w")
+
+    def _wall_times(self, rng):
+        # a mix of ordinary instants and wall times straddling the
+        # 2025 America/New_York transitions (spring 2025-03-09 02:00
+        # nonexistent hour; fall 2025-11-02 01:00 ambiguous hour)
+        base_days = [(2025, 3, 9), (2025, 11, 2), (2025, 6, 15)]
+        out = []
+        for _ in range(60):
+            y, mo, d = base_days[rng.randrange(3)]
+            h, mi, s = rng.randrange(6), rng.randrange(60), rng.randrange(60)
+            out.append(f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}")
+        return out
+
+    def _df(self, spark, rows, typ, with_val):
+        vals = ", ".join(
+            f"('{k}', '{ts}', {rid})" for k, ts, rid in rows
+        )
+        sel = "k, CAST(ts AS {t}) AS ts, rid".format(t=typ)
+        if with_val:
+            sel += ", rid * 10 AS v"
+        return spark.sql(
+            f"SELECT {sel} FROM (VALUES {vals}) AS t(k, ts, rid)"
+        )
+
+    def _truth(self, left_rows, right_rows, l_micros, r_micros):
+        # python as-of: per left row, the right row with the max
+        # (micros, rid) among same-key rows at-or-before
+        best = {}
+        for lk, lts, lrid in left_rows:
+            lm = l_micros(lts)
+            cands = [
+                (r_micros(rts), rrid)
+                for rk, rts, rrid in right_rows
+                if rk == lk and r_micros(rts) <= lm
+            ]
+            best[lrid] = max(cands)[1] * 10 if cands else None
+        return best
+
+    def _run(self, spark, l_typ, r_typ, l_micros, r_micros, seed):
+        import random
+
+        from etl_guiacores_spark.operators.temporal import as_of_join
+
+        rng = random.Random(seed)
+        lts, rts = self._wall_times(rng), self._wall_times(rng)
+        left_rows = [
+            (rng.choice(self.KEYS), ts, 100 + i) for i, ts in enumerate(lts)
+        ]
+        right_rows = [
+            (rng.choice(self.KEYS), ts, i) for i, ts in enumerate(rts)
+        ]
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            left = self._df(spark, left_rows, l_typ, with_val=False)
+            right = self._df(spark, right_rows, r_typ, with_val=True)
+            got = {
+                r["rid"]: r["asof_v"]
+                for r in as_of_join(
+                    left, right, on="k", right_cols=["v"], tie_breaker="rid"
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        expect = self._truth(left_rows, right_rows, l_micros, r_micros)
+        assert got == expect, f"{l_typ} vs {r_typ} seed={seed}"
+
+    @staticmethod
+    def _instant_micros(ts):
+        # session-zone parse of a wall-clock literal, exactly as
+        # Spark's CAST(string AS TIMESTAMP) under America/New_York:
+        # nonexistent spring-forward times shift by the gap, ambiguous
+        # fall-back times take the earlier offset (fold=0)
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        dt = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=ZoneInfo("America/New_York")
+        )
+        return int(dt.timestamp() * 1_000_000)
+
+    @staticmethod
+    def _wall_micros(ts):
+        # NTZ semantics: pure wall-clock micros, no zone consulted
+        from datetime import datetime, timezone
+
+        dt = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").replace(
+            tzinfo=timezone.utc
+        )
+        return int(dt.timestamp() * 1_000_000)
+
+    def test_both_sides_timestamp(self, spark):
+        for seed in (7, 8, 9):
+            self._run(
+                spark, "TIMESTAMP", "TIMESTAMP",
+                self._instant_micros, self._instant_micros, seed,
+            )
+
+    def test_both_sides_ntz(self, spark):
+        for seed in (17, 18, 19):
+            self._run(
+                spark, "TIMESTAMP_NTZ", "TIMESTAMP_NTZ",
+                self._wall_micros, self._wall_micros, seed,
+            )
+
+    def test_mixed_instant_left_ntz_right(self, spark):
+        # mixed sides: each side maps through ITS OWN injective
+        # mapping (the documented contract) — the NTZ side's wall
+        # clock is UTC-recorded, the TIMESTAMP side a true instant
+        for seed in (27, 28):
+            self._run(
+                spark, "TIMESTAMP", "TIMESTAMP_NTZ",
+                self._instant_micros, self._wall_micros, seed,
+            )

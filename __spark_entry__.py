@@ -21,76 +21,28 @@ from etl_guiacores_spark.session import configure_session
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
-# order decides which rows get a fresh confirmation each round. Round-4
-# rotation: (1) queries that are NEW or whose code/oracle changed this
-# round (q106-q116 new; q58 oracle HUGEINT->BIGINT cast, q88
-# keyed blocklist removal, q66/q66b packing loop rewrite), then (2)
-# the seven rows green only in round 1 (locally oracle-verified every
-# round since), then (3) round-2 rows oldest-first. 19 + 7 + 48 > 50,
-# so the round-2 tail (q65 and q71 onward) overflows the 50-row
-# window and rides its round-2 passes one more round — rotate those
-# to the front of block (3) next round. Round-3-green rows follow;
-# with this schedule nothing in the artifact union is ever more than
-# two rounds stale.
+# order decides which rows get a fresh confirmation each round. Round-5
+# rotation: (1) queries NEW or whose code/oracle changed this round
+# (q117/q118 new; q116 short-string fallback + ground-truth oracle;
+# q66 gained its recursive-CTE oracle and the pinned bin key; q66b
+# rides the same pack_chunks change; q88 rides the NULL-key blocklist
+# fix), then (2) the 22 round-2-stale rows that overflowed round 4's
+# window, then (3) round-3 rows oldest-first (22 of 45 fit). The
+# round-3 tail (q38 onward, q47, q87, q90-q105) rides its round-3
+# passes one more round — front of block (3) in round 6; with this
+# schedule nothing in the artifact union is ever more than two rounds
+# stale. All rows are locally oracle-verified every round regardless
+# (tools/check_oracle.py).
 _FIRST = [
     # new this round — no driver row at all yet
-    "q106_linear_quality_score",
-    "q107_bloom_decontaminate",
-    "q108_scd2_history",
-    "q109_fuzzy_match_pairs",
-    "q110_entity_resolution",
-    "q111_scd2_asof_lookup",
-    "q112_gapfill_resample",
-    "q113_session_concurrency",
-    "q114_random_projection",
-    "q115_boilerplate_extract",
+    "q117_dsir_select",
+    "q118_qgram_entity_resolution",
+    # round-5 code/oracle changes — need a fresh driver row
     "q116_qgram_fuzzy_join",
-    # round-4 changes — need a fresh driver row (q89/q95/q80 ride the
-    # global_prefix_sum determinism fix)
-    "q58_source_mixture",
-    "q66b_packing_invariants",
     "q66_sequence_packing",
+    "q66b_packing_invariants",
     "q88_blocklist_filter",
-    "q89_token_offsets",
-    "q95_shard_manifest",
-    "q80_dense_ids",
-    "q70_salted_distinct_count",
-    # last confirmed in round 1 — rotate back into the artifact
-    "q48_range_join",
-    "q51_range_frame_window",
-    "q52_grouping_sets_sql",
-    "q53_lateral_top_order",
-    "q54_bag_set_ops",
-    "q55_null_safe_join",
-    "q57_decimal_exact",
-    # last confirmed in round 2 — refresh (39 of 48 fit this round)
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_regional_revenue",
-    "q04_resume_anti_join",
-    "q05_semi_join_segments",
-    "q06_filter_cross_product",
-    "q07_keep_first_dedupe",
-    "q08_dup_report",
-    "q09_top3_orders_per_customer",
-    "q10_latest_version",
-    "q11_set_ops",
-    "q12_rollup_acctbal",
-    "q13_cube_orders",
-    "q32_sessionization",
-    "q33_event_dedupe_first",
-    "q44_document_chunking",
-    "q45_vocabulary",
-    "q46_tfidf",
-    "q49_hypertable_rollup",
-    "q50_corpus_dedup_survivors",
-    "q59_decontamination",
-    "q60_pii_redaction",
-    "q61_repetition_score",
-    "q62_dedup_clusters",
-    # ---- 50-row window boundary: rows below ride their round-2
-    # passes one more round — all locally oracle-verified this
-    # session; front of the refresh block next round ----
+    # round-2-stale rows that overflowed round 4's window
     "q71_dup_ngram_fraction",
     "q72_winnowing_fingerprints",
     "q73_hash_split_counts",
@@ -113,6 +65,29 @@ _FIRST = [
     "q69_simhash_hamming_pairs",
     "q85_split_leakage",
     "q86_minhash_estimate_error",
+    # round-3 rows, oldest-first (q38 onward overflow to round 6)
+    "q14_phone_normalize",
+    "q15_email_validate",
+    "q16_url_pipeline",
+    "q17_address_split",
+    "q18_business_id_from_url",
+    "q19_urlgen",
+    "q20_clean_text_documents",
+    "q21_token_quality",
+    "q22_lang_id",
+    "q23_fingerprint",
+    "q24_minhash_signatures",
+    "q25_lsh_candidates",
+    "q26_ngram_jaccard",
+    "q27_simhash",
+    "q28_cosine_topk",
+    "q29_embedding_neardup",
+    "q30_tumbling_window",
+    "q31_sliding_window",
+    "q34_merge_upsert",
+    "q35_type_coercion",
+    "q36_phone_list_ops",
+    "q37_exact_dedupe",
 ]
 
 

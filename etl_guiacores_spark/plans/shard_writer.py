@@ -47,12 +47,18 @@ def write_training_shards(
 
     Returns the stats dict: n_docs, n_chunks, n_sequences,
     total_tokens, n_shards, mean fill ratio (token utilisation of the
-    budget). Sequences are globally ordered by (bin_id, seq_id) —
+    budget), plus per-stage wall seconds under ``timings_s``
+    (chunk/pack/offset+shard-write/manifest — the soak harness's
+    feedback signal). Sequences are globally ordered by (bin_id, seq_id) —
     deterministic given the corpus — and ``global_seq`` /
     ``token_offset`` are their dense global index and cumulative token
     start, computed distributed.
     """
+    import time
+
     spark = docs.sparkSession
+    timings: dict[str, float] = {}
+    t0 = time.time()
     n_docs = docs.count()
 
     chunks = chunk_documents(
@@ -63,12 +69,16 @@ def write_training_shards(
     # row groups and inference would crash (corpus_pipeline's rule)
     chunks = spark.read.schema(chunks.schema).parquet(f"{out_dir}/chunks")
     n_chunks = chunks.count()
+    timings["chunk_s"] = round(time.time() - t0, 1)
 
+    t0 = time.time()
     packed = pack_chunks(
         chunks, budget_tokens=budget_tokens, num_bins=num_bins
     )
     gio.write_handoff(packed, f"{out_dir}/packed")
     packed = spark.read.schema(packed.schema).parquet(f"{out_dir}/packed")
+    timings["pack_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
 
     # deterministic global order key; unique because (bin, seq) is
     ordered = packed.withColumn(
@@ -97,6 +107,8 @@ def write_training_shards(
         .parquet(f"{out_dir}/shards")
     )
     shards = spark.read.schema(seqs.schema).parquet(f"{out_dir}/shards")
+    timings["offset_and_shard_write_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
 
     manifest = (
         shards.groupBy("shard_id")
@@ -112,9 +124,11 @@ def write_training_shards(
     gio.write_handoff(manifest, f"{out_dir}/manifest")
     mrows = spark.read.schema(manifest.schema).parquet(f"{out_dir}/manifest").collect()
 
+    timings["manifest_s"] = round(time.time() - t0, 1)
     total_tokens = int(sum(r["n_tokens"] for r in mrows))
     n_sequences = int(sum(r["n_sequences"] for r in mrows))
     stats = {
+        "timings_s": timings,
         "n_docs": n_docs,
         "n_chunks": n_chunks,
         "n_sequences": n_sequences,

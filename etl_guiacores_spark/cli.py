@@ -185,24 +185,29 @@ def cmd_corpus(spark, args) -> dict:
 def cmd_shards(spark, args) -> dict:
     """Corpus -> packed training shards + manifest + stats (the last
     mile; plans/shard_writer.py). Input is a documents parquet with
-    (doc_id, text)."""
+    (doc_id, text). ``--append`` adds the batch to an existing shard
+    set without rewriting landed files (the daily-increment path)."""
     from pyspark.sql import functions as F
 
-    from etl_guiacores_spark.plans.shard_writer import write_training_shards
+    from etl_guiacores_spark.plans.shard_writer import (
+        append_training_shards,
+        write_training_shards,
+    )
 
     docs = (
         spark.read.parquet(args.input)
         .select("doc_id", "text")
         .filter(F.length(F.trim("text")) > 0)
     )
-    stats = write_training_shards(
+    writer = append_training_shards if args.append else write_training_shards
+    stats = writer(
         docs,
         args.out,
         budget_tokens=args.budget_tokens,
         chunk_tokens=args.chunk_tokens,
         sequences_per_shard=args.sequences_per_shard,
     )
-    return {"mode": "shards", **stats}
+    return {"mode": "shards_append" if args.append else "shards", **stats}
 
 
 def cmd_resolve(spark, args) -> dict:
@@ -340,6 +345,10 @@ def build_parser() -> argparse.ArgumentParser:
     sh.add_argument("--budget-tokens", type=int, default=512)
     sh.add_argument("--chunk-tokens", type=int, default=64)
     sh.add_argument("--sequences-per-shard", type=int, default=10_000)
+    sh.add_argument("--append", action="store_true",
+                    help="append to an existing shard set (continues "
+                    "global_seq/token offsets from the manifest tail; "
+                    "never rewrites landed shard files)")
 
     co = sub.add_parser("compact")
     co.add_argument("--input", required=True, help="parquet directory to compact in place")

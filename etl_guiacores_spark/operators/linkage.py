@@ -153,7 +153,14 @@ def qgram_match_pairs(
 
     Scale shape: one shuffle keyed on the (gram, occurrence) posting;
     pair volume is sum over postings of C(freq, 2) — bounded by gram
-    selectivity rather than block size. ``max_posting_freq`` is the
+    selectivity rather than block size. The operator reads the narrow
+    (id, name) projection several times (posting build, the two
+    verify-side name joins, the short-string branch); each re-scan is
+    column-pruned at the source, but a caller whose names come from
+    EXPENSIVE lineage (tokenize-and-slice, a join) should hand the
+    operator a materialized table so the upstream runs once — the
+    same staged-artifact discipline as the LSH family.
+    ``max_posting_freq`` is the
     stop-gram escape hatch for hot grams: postings whose frequency
     exceeds the cap are dropped BEFORE the self-join (candidate volume
     from any posting then <= C(cap, 2)), trading bounded recall for a

@@ -141,3 +141,160 @@ def write_training_shards(
     }
     gio.write_stats_json(stats, f"{out_dir}/stats.json")
     return stats
+
+
+def append_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget_tokens: int = 512,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    num_bins: int = 32,
+    sequences_per_shard: int = 10_000,
+) -> dict:
+    """Append NEW documents to an existing shard set without touching
+    landed data — the daily-increment path a 100 TB corpus actually
+    runs (re-sharding the whole corpus per batch would rewrite
+    petabytes to add gigabytes).
+
+    The manifest tail (last shard id, next global_seq, next
+    token_offset — ONE bounded row per shard, the same collect policy
+    as the manifest itself) seeds the new batch: the increment is
+    chunked and packed independently, its local prefix sums are
+    offset by the tail, and its sequences land in NEW shard files
+    starting at ``last_shard + 1``. The last existing shard keeps its
+    partial fill — append NEVER rewrites an existing file, so
+    concurrent trainers reading landed shards are undisturbed and a
+    crashed append leaves old shards fully valid (re-run after
+    clearing the staging dir).
+
+    Invariants preserved across the COMBINED artifact (test-asserted):
+    ``global_seq`` stays dense 0..n-1, shards tile the token stream
+    (first_token of each new shard continues exactly where the tail
+    ended), and no sequence exceeds the budget. Shard boundaries are
+    manifest-defined rather than ``global_seq // sequences_per_shard``
+    arithmetic once appends exist — consumers must seek via the
+    manifest's (first_seq, last_seq) ranges, which they should do
+    anyway.
+
+    Raises FileNotFoundError when ``out_dir`` has no manifest — use
+    :func:`write_training_shards` for the initial load.
+    """
+    import os
+    import time
+
+    spark = docs.sparkSession
+    manifest_path = f"{out_dir}/manifest"
+    if not os.path.isdir(manifest_path):
+        raise FileNotFoundError(
+            f"append_training_shards: no manifest at {manifest_path} — "
+            "write the initial shard set with write_training_shards first"
+        )
+    old_manifest = spark.read.parquet(manifest_path)
+    m_schema = old_manifest.schema
+    old_rows = old_manifest.orderBy("shard_id").collect()
+    if old_rows:
+        last = old_rows[-1]
+        seq_base = int(last["first_seq"]) + int(last["n_sequences"]) - 1 + 1
+        token_base = sum(int(r["n_tokens"]) for r in old_rows)
+        shard_base = int(last["shard_id"]) + 1
+    else:
+        seq_base, token_base, shard_base = 0, 0, 0
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    n_docs = docs.count()
+    batch_dir = f"{out_dir}/append_batches/batch_{shard_base:06d}"
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap)
+    gio.write_handoff(chunks, f"{batch_dir}/chunks")
+    chunks = spark.read.schema(chunks.schema).parquet(f"{batch_dir}/chunks")
+    n_chunks = chunks.count()
+    timings["chunk_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    packed = pack_chunks(chunks, budget_tokens=budget_tokens, num_bins=num_bins)
+    gio.write_handoff(packed, f"{batch_dir}/packed")
+    packed = spark.read.schema(packed.schema).parquet(f"{batch_dir}/packed")
+    timings["pack_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+
+    ordered = packed.withColumn(
+        "__ord",
+        F.col("bin_id").cast("long") * F.lit(1 << 40) + F.col("seq_id"),
+    )
+    with_off = global_prefix_sum(
+        ordered, order_col="__ord", value_col="n_tokens",
+        out_col="token_offset", exclusive=True,
+    )
+    seqs = (
+        global_prefix_sum(
+            with_off.withColumn("__one", F.lit(1)),
+            order_col="__ord", value_col="__one", out_col="global_seq",
+        )
+        .withColumn("token_offset", F.col("token_offset") + F.lit(token_base))
+        .withColumn(
+            "global_seq", F.col("global_seq") - 1 + F.lit(seq_base)
+        )
+        .withColumn(
+            "shard_id",
+            (
+                F.floor((F.col("global_seq") - F.lit(seq_base)) / sequences_per_shard)
+                + F.lit(shard_base)
+            ).cast("int"),
+        )
+        .drop("__one", "__ord")
+    )
+    # append-mode partitioned write: only NEW shard_id partitions are
+    # created (shard ids start past the manifest tail by construction)
+    (
+        seqs.repartitionByRange(F.col("shard_id"), F.col("global_seq"))
+        .sortWithinPartitions("global_seq")
+        .write.mode("append")
+        .option("maxRecordsPerFile", sequences_per_shard)
+        .partitionBy("shard_id")
+        .parquet(f"{out_dir}/shards")
+    )
+    timings["offset_and_shard_write_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+
+    new_shards = spark.read.schema(seqs.schema).parquet(
+        f"{out_dir}/shards"
+    ).filter(F.col("shard_id") >= shard_base)
+    new_manifest = (
+        new_shards.groupBy("shard_id")
+        .agg(
+            F.min("global_seq").alias("first_seq"),
+            F.max("global_seq").alias("last_seq"),
+            F.min("token_offset").alias("first_token"),
+            F.count("*").alias("n_sequences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    combined = (
+        spark.createDataFrame([r.asDict() for r in old_rows], m_schema)
+        if old_rows
+        else spark.createDataFrame([], m_schema)
+    ).unionByName(new_manifest.select(*[f.name for f in m_schema.fields])).orderBy(
+        "shard_id"
+    )
+    gio.write_handoff(combined, manifest_path)
+    mrows = spark.read.schema(m_schema).parquet(manifest_path).collect()
+    timings["manifest_s"] = round(time.time() - t0, 1)
+
+    new_tokens = int(sum(int(r["n_tokens"]) for r in mrows)) - token_base
+    new_seqs = int(sum(int(r["n_sequences"]) for r in mrows)) - seq_base
+    stats = {
+        "timings_s": timings,
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "n_sequences": new_seqs,
+        "total_tokens": new_tokens,
+        "n_shards": len(mrows) - len(old_rows),
+        "budget_tokens": budget_tokens,
+        "fill_ratio": round(new_tokens / (new_seqs * budget_tokens), 4)
+        if new_seqs
+        else 0.0,
+        "appended_after_seq": seq_base,
+    }
+    gio.write_stats_json(stats, f"{batch_dir}/stats.json")
+    return stats

@@ -58,3 +58,76 @@ def test_empty_corpus(spark, tmp_path):
     stats = write_training_shards(docs, str(tmp_path / "empty_out"))
     assert stats["n_sequences"] == 0 and stats["n_shards"] == 0
     assert stats["fill_ratio"] == 0.0
+
+
+def test_append_continues_global_stream_without_rewrites(spark, tmp_path):
+    """Append must (a) never touch landed shard files, (b) keep
+    global_seq dense and token offsets tiling across the COMBINED
+    artifact, (c) extend the manifest coherently."""
+    import os
+
+    import pytest
+
+    from etl_guiacores_spark.plans.shard_writer import append_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.length(F.trim("text")) > 0
+    ).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    out = str(tmp_path / "shards_inc")
+    kw = dict(budget_tokens=128, chunk_tokens=32, overlap=4,
+              num_bins=8, sequences_per_shard=50)
+    b_stats = write_training_shards(base, out, **kw)
+
+    def file_mtimes():
+        snap = {}
+        for root, _, files in os.walk(f"{out}/shards"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    snap[p] = os.path.getmtime(p)
+        return snap
+
+    before = file_mtimes()
+    a_stats = append_training_shards(inc, out, **kw)
+    after = file_mtimes()
+
+    # (a) no landed file rewritten or removed
+    for p, m in before.items():
+        assert p in after and after[p] == m, f"landed file touched: {p}"
+    assert len(after) > len(before)
+
+    # (b) combined stream invariants
+    seqs = spark.read.parquet(f"{out}/shards")
+    n = b_stats["n_sequences"] + a_stats["n_sequences"]
+    rows = sorted(
+        (r["global_seq"], r["token_offset"], r["n_tokens"]) for r in seqs.collect()
+    )
+    assert [g for g, _, _ in rows] == list(range(n))
+    run = 0
+    for _, off, tok in rows:
+        assert off == run
+        run += tok
+    assert run == b_stats["total_tokens"] + a_stats["total_tokens"]
+    assert seqs.filter(F.col("n_tokens") > 128).count() == 0
+
+    # (c) manifest: old rows intact, new rows tile on
+    manifest = sorted(
+        (r.asDict() for r in spark.read.parquet(f"{out}/manifest").collect()),
+        key=lambda m: m["shard_id"],
+    )
+    covered, tok_run = 0, 0
+    for m in manifest:
+        assert m["first_seq"] == covered
+        assert m["first_token"] == tok_run
+        covered = m["last_seq"] + 1
+        tok_run += m["n_tokens"]
+    assert covered == n and tok_run == run
+    assert a_stats["appended_after_seq"] == b_stats["n_sequences"]
+
+    # appending without an initial load is an explicit error
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        append_training_shards(inc, str(tmp_path / "never_written"), **kw)

@@ -144,8 +144,9 @@ def qgram_match_pairs(
     length-difference bound excludes the pair), so the operator routes
     the short subset through an exact fallback: DISTINCT short names
     (bounded by alphabet^threshold, a few thousand in practice — they
-    are strings of at most ``q*(max_dist+1)-1`` chars) broadcast
-    all-pairs + thresholded Levenshtein, re-expanded to ids. The
+    are strings of at most ``q*(max_dist+1)-1`` chars) pair via a
+    length-banded broadcast hash join + thresholded Levenshtein,
+    re-expanded to ids. The
     posting join handles every pair whose longer side clears the
     threshold; the two paths partition the pair space, so the union is
     duplicate-free and the lossless contract holds for ALL lengths
@@ -283,20 +284,31 @@ def qgram_match_pairs(
     )
 
     # --- short-string fallback: both sides <= short_max chars ---
-    # all-pairs over DISTINCT short names (bounded by the number of
-    # distinct strings of <= short_max chars), then re-expanded to ids.
-    # The name-pair set keeps na <= nb; after expansion the
+    # candidate name pairs over DISTINCT short names (bounded by the
+    # number of distinct strings of <= short_max chars), generated by
+    # a LENGTH-BANDED equi-join rather than a cross join: |len_a -
+    # len_b| <= k is a necessary condition for a match, so side B
+    # probes every length in [len_b - k, len_b + k] and the planner
+    # keeps a broadcast HASH join (no nested-loop node) — the same
+    # banded-bucket trick as the temporal range join. Ids are then
+    # re-expanded; the name-pair set keeps na <= nb, and the
     # (na < nb) | (ia < ib) filter emits each id pair exactly once.
     shorts = t.filter(F.col("__len") <= short_max)
-    sn = shorts.select("__name").distinct()
+    sn = shorts.select("__name", "__len").distinct()
     short_d = F.levenshtein(F.col("__name_a"), F.col("__name_b"), max_dist)
+    a_names = sn.select(F.col("__name").alias("__name_a"), F.col("__len").alias("__lband"))
+    b_names = sn.select(
+        F.col("__name").alias("__name_b"),
+        F.explode(
+            F.sequence(F.col("__len") - max_dist, F.col("__len") + max_dist)
+        ).alias("__lband"),
+    )
     name_pairs = (
-        sn.select(F.col("__name").alias("__name_a"))
-        .crossJoin(F.broadcast(sn.select(F.col("__name").alias("__name_b"))))
+        a_names.join(F.broadcast(b_names), "__lband")
         .filter(F.col("__name_a") <= F.col("__name_b"))
-        .filter(F.abs(F.length("__name_a") - F.length("__name_b")) <= max_dist)
         .withColumn("__d", short_d)
         .filter(F.col("__d") >= 0)
+        .drop("__lband")
     )
     short_pairs = (
         shorts.select(F.col("__id").alias("__ia"), F.col("__name").alias("__name_a"))

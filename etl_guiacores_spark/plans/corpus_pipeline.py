@@ -325,12 +325,20 @@ def streaming_corpus_ingest(
     threshold: float = 0.8,
     schema: str = "doc_id bigint, text string",
     portable: bool = False,
+    shards_dir: str | None = None,
+    shard_kwargs: dict | None = None,
 ):
     """Continuous corpus ingest: document files land in ``input_dir``,
     each micro-batch dedups against the staged artifacts via
     ``incremental_near_dup``, survivors land in
     ``accepted_dir/batch=<id>``, and the artifacts fold the survivors
     in for the NEXT batch.
+
+    With ``shards_dir`` set the loop also keeps a TRAINING-SHARD set
+    current: each batch's survivors append to the shard stream via
+    the marker-idempotent ``append_batch_shards`` (shard_writer.py) —
+    stream in documents, train off contiguous packed shards, no
+    nightly re-shard. ``shard_kwargs`` forwards budget/chunking knobs.
 
     Crash-replay semantics: the dedup plan executes ONCE per batch
     (the idempotent per-batch write; the artifact append re-reads the
@@ -362,6 +370,17 @@ def streaming_corpus_ingest(
         accepted = spark_b.read.schema(survivors.schema).parquet(out)
         if not accepted.isEmpty():
             append_corpus_artifacts(accepted, tables, portable=portable)
+            if shards_dir is not None:
+                from etl_guiacores_spark.plans.shard_writer import (
+                    append_batch_shards,
+                )
+
+                append_batch_shards(
+                    accepted.select("doc_id", "text"),
+                    shards_dir,
+                    batch_id,
+                    **(shard_kwargs or {}),
+                )
 
     return (
         spark.readStream.schema(schema)

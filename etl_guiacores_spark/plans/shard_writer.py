@@ -298,3 +298,82 @@ def append_training_shards(
     }
     gio.write_stats_json(stats, f"{batch_dir}/stats.json")
     return stats
+
+
+def prune_orphan_shards(out_dir: str) -> int:
+    """Remove shard partitions beyond the manifest tail — the cleanup
+    that makes a CRASHED append safe to retry.
+
+    ``append_training_shards`` commits in two steps: shard files
+    first, manifest second. A crash between them leaves shard_id
+    partition dirs the manifest does not cover; a retry would then
+    append INTO those same ids (its shard ids derive from the
+    manifest tail) and duplicate files inside one partition. Pruning
+    uncovered partitions first restores the invariant that the
+    manifest covers exactly the landed shards. Consumers that seek
+    via the manifest (the contract) never see orphans either way.
+
+    Returns the number of partition dirs removed. No manifest or no
+    shards dir -> 0 (nothing landed, nothing to prune).
+    """
+    import os
+    import re
+    import shutil
+
+    manifest_path = f"{out_dir}/manifest"
+    shards_path = f"{out_dir}/shards"
+    if not os.path.isdir(shards_path):
+        return 0
+    if not os.path.isdir(manifest_path):
+        # no committed manifest at all: every shard partition is orphan
+        max_covered = -1
+    else:
+        import duckdb
+
+        max_covered = duckdb.sql(
+            f"SELECT COALESCE(MAX(shard_id), -1) FROM '{manifest_path}/*.parquet'"
+        ).fetchone()[0]
+    removed = 0
+    for name in os.listdir(shards_path):
+        m = re.fullmatch(r"shard_id=(\d+)", name)
+        if m and int(m.group(1)) > max_covered:
+            shutil.rmtree(os.path.join(shards_path, name))
+            removed += 1
+    return removed
+
+
+def append_batch_shards(
+    docs: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    **shard_kwargs,
+) -> dict | None:
+    """Idempotent-by-marker batch append for streaming ingest.
+
+    Protocol: (1) prune orphan shard partitions from any crashed
+    earlier attempt, (2) skip entirely if this batch's marker exists
+    (replay of a COMPLETED batch), (3) write (first batch) or append
+    the shards, (4) write the marker. The residue, documented like
+    streaming_corpus_ingest's: a crash between the manifest commit
+    and the marker write makes a replay pack the batch twice —
+    structurally valid duplicate content, the at-least-once corner
+    every two-directory commit has without a transactional metastore.
+
+    Returns the writer stats, or None when the marker says the batch
+    already landed.
+    """
+    import os
+
+    marker_dir = f"{out_dir}/_appended_batches"
+    marker = f"{marker_dir}/batch_{batch_id}"
+    if os.path.exists(marker):
+        return None
+    prune_orphan_shards(out_dir)
+    if os.path.isdir(f"{out_dir}/manifest"):
+        stats = append_training_shards(docs, out_dir, **shard_kwargs)
+    else:
+        stats = write_training_shards(docs, out_dir, **shard_kwargs)
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("")
+    return stats

@@ -339,3 +339,58 @@ def test_pipeline_all_optional_stages_together(spark, tmp_path):
     assert res["after_exact_dedup"] == 3           # dup collapsed
     assert res["after_decontamination"] == 2       # doc 4 out
     assert res["after_near_dup"] == 2
+
+
+def test_streaming_ingest_keeps_shards_current(spark, tmp_path):
+    """With shards_dir set, each micro-batch's survivors append to a
+    live training-shard set: after two drops the shard stream must be
+    dense, tile token space, and contain exactly the accepted docs'
+    chunks (conservation against the accepted output)."""
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.chunking import chunk_documents
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        near_dup_removal,
+        stage_corpus_artifacts,
+        streaming_corpus_ingest,
+    )
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    seed, _ = near_dup_removal(docs.filter("doc_id < 250"), 0.6)
+    tables = stage_corpus_artifacts(seed, "corpus_stream_shards", num_buckets=4)
+    inp = str(tmp_path / "incoming")
+    acc = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    shards = str(tmp_path / "live_shards")
+    kw = dict(budget_tokens=128, chunk_tokens=32, overlap=0,
+              num_bins=8, sequences_per_shard=50)
+    try:
+        docs.filter("doc_id >= 250 AND doc_id < 350").write.mode("append").parquet(inp)
+        q = streaming_corpus_ingest(spark, inp, tables, acc, ckpt,
+                                    threshold=0.6, shards_dir=shards,
+                                    shard_kwargs=kw)
+        q.awaitTermination(120)
+        docs.filter("doc_id >= 350").write.mode("append").parquet(inp)
+        q = streaming_corpus_ingest(spark, inp, tables, acc, ckpt,
+                                    threshold=0.6, shards_dir=shards,
+                                    shard_kwargs=kw)
+        q.awaitTermination(120)
+
+        accepted = spark.read.parquet(acc).select("doc_id", "text")
+        exp_chunks = chunk_documents(accepted, chunk_tokens=32, overlap=0)
+        exp_tokens = exp_chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+        seqs = spark.read.parquet(f"{shards}/shards")
+        assert seqs.agg(F.sum("n_tokens")).first()[0] == exp_tokens
+        got = sorted(r["global_seq"] for r in seqs.collect())
+        assert got == list(range(len(got)))
+        assert seqs.filter(F.col("n_tokens") > 128).count() == 0
+        manifest = spark.read.parquet(f"{shards}/manifest")
+        assert manifest.agg(F.sum("n_tokens")).first()[0] == exp_tokens
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

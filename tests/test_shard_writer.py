@@ -131,3 +131,63 @@ def test_append_continues_global_stream_without_rewrites(spark, tmp_path):
     # appending without an initial load is an explicit error
     with pytest.raises(FileNotFoundError, match="manifest"):
         append_training_shards(inc, str(tmp_path / "never_written"), **kw)
+
+
+class TestBatchAppendProtocol:
+    def _docs(self, spark, lo, hi):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).filter(
+            (F.length(F.trim("text")) > 0)
+            & (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select("doc_id", "text")
+
+    KW = dict(budget_tokens=128, chunk_tokens=32, overlap=4,
+              num_bins=8, sequences_per_shard=50)
+
+    def test_marker_makes_replay_a_noop(self, spark, tmp_path):
+        from etl_guiacores_spark.plans.shard_writer import append_batch_shards
+
+        out = str(tmp_path / "stream_shards")
+        s0 = append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+        assert s0 is not None
+        n0 = spark.read.parquet(f"{out}/shards").count()
+        # replay of a completed batch: marker short-circuits
+        assert append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW) is None
+        assert spark.read.parquet(f"{out}/shards").count() == n0
+        # next batch appends, stream stays dense
+        s1 = append_batch_shards(self._docs(spark, 200, 400), out, 1, **self.KW)
+        seqs = spark.read.parquet(f"{out}/shards")
+        n = s0["n_sequences"] + s1["n_sequences"]
+        assert sorted(r["global_seq"] for r in seqs.collect()) == list(range(n))
+
+    def test_orphans_from_crashed_append_are_pruned(self, spark, tmp_path):
+        """Simulate a crash between shard write and manifest commit:
+        an uncovered shard partition exists; the retry must prune it
+        before re-appending, restoring manifest==landed."""
+        import os
+        import shutil
+
+        from etl_guiacores_spark.plans.shard_writer import (
+            append_batch_shards,
+            prune_orphan_shards,
+        )
+
+        out = str(tmp_path / "crash_shards")
+        append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+        covered = sorted(
+            int(d.split("=")[1]) for d in os.listdir(f"{out}/shards")
+            if d.startswith("shard_id=")
+        )
+        # fake the partial append: copy a real partition to an
+        # uncovered shard id (files present, manifest silent)
+        orphan = f"{out}/shards/shard_id={covered[-1] + 1}"
+        shutil.copytree(f"{out}/shards/shard_id={covered[-1]}", orphan)
+        assert prune_orphan_shards(out) == 1
+        assert not os.path.exists(orphan)
+        # and the batch retry lands cleanly on the pruned state
+        s1 = append_batch_shards(self._docs(spark, 200, 400), out, 1, **self.KW)
+        assert s1 is not None
+        seqs = spark.read.parquet(f"{out}/shards")
+        manifest = spark.read.parquet(f"{out}/manifest")
+        assert seqs.count() == manifest.agg(F.sum("n_sequences")).first()[0]

@@ -191,3 +191,21 @@ class TestBatchAppendProtocol:
         seqs = spark.read.parquet(f"{out}/shards")
         manifest = spark.read.parquet(f"{out}/manifest")
         assert seqs.count() == manifest.agg(F.sum("n_sequences")).first()[0]
+
+    def test_append_after_empty_initial_load(self, spark, tmp_path):
+        """An empty initial write leaves a 0-row manifest; the first
+        real batch must start the stream at seq 0 / token 0."""
+        from etl_guiacores_spark.plans.shard_writer import (
+            append_training_shards,
+            write_training_shards,
+        )
+
+        out = str(tmp_path / "empty_then_append")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        write_training_shards(empty, out, **self.KW)
+        stats = append_training_shards(self._docs(spark, 0, 100), out, **self.KW)
+        assert stats["appended_after_seq"] == 0
+        seqs = spark.read.parquet(f"{out}/shards")
+        rows = sorted((r["global_seq"], r["token_offset"]) for r in seqs.collect())
+        assert rows[0] == (0, 0)
+        assert [g for g, _ in rows] == list(range(len(rows)))

@@ -37,6 +37,8 @@ _FIRST = [
     # new this round — no driver row at all yet
     "q117_dsir_select",
     "q118_qgram_entity_resolution",
+    "q119_bm25_topk",
+    "q120_leakage_safe_split",
     # round-5 code/oracle changes — need a fresh driver row
     "q116_qgram_fuzzy_join",
     "q66_sequence_packing",

@@ -114,3 +114,45 @@ def hash_split(
     for name, bound in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    nodes: DataFrame,
+    near_dup_pairs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "gsplit",
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: near-duplicate CLUSTERS
+    (not documents) are the unit of splitting, so a document and its
+    near-duplicates always land in the SAME split — the fix for the
+    eval contamination q85_split_leakage measures (a per-document
+    hash_split scatters verified near-dup pairs across splits, leaking
+    train content into test).
+
+    ``near_dup_pairs`` is any (id_a, id_b) edge set — LSH-verified
+    near-dups, fuzzy-linkage matches, or a same-domain relation.
+    Connected components labels every node with its cluster's minimum
+    id (adaptive: driver union-find under the edge gate, distributed
+    pointer-jumping above it — nodes never collected), then
+    :func:`hash_split` assigns the CLUSTER label. Unpaired documents
+    are singleton clusters and split independently, so the realized
+    proportions converge to ``splits`` as long as clusters are small
+    relative to the corpus.
+
+    Returns (id_col, group_id, out_col). Deterministic per cluster:
+    re-runs, engines, and partitionings agree; adding NEW documents
+    can merge clusters (and thus move a cluster between splits) only
+    when an edge connects them — the same stability contract as the
+    underlying components.
+    """
+    from etl_guiacores_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        nodes.select(id_col), near_dup_pairs, id_col=id_col
+    )
+    labeled = labels.select(
+        F.col("id").alias(id_col), F.col("component").alias("group_id")
+    )
+    return hash_split(labeled, "group_id", splits, seed=seed, out_col=out_col)

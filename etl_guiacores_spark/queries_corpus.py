@@ -2428,3 +2428,71 @@ def q118_qgram_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
     )
     return resolve_entities(titles, "doc_id", "title", max_dist=2, method="qgram")
+
+
+# ---------------------------------------------------------------------------
+# q119: BM25 ranked retrieval (lexical top-k)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q119_bm25_topk",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE LENGTH(trim(text)) > 0
+    ),
+    d AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM base),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) * 1000000 // COUNT(*) AS BIGINT) AS avgdl_micro
+        FROM d
+    ),
+    posts AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+        WHERE tok IN ('dup', 'vector', 'spark')
+    ),
+    tf AS (
+        SELECT p.doc_id, p.tok, d.dl, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM posts p JOIN d USING (doc_id)
+        GROUP BY p.doc_id, p.tok, d.dl
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(CAST((2*(s.n - f.df) + 1) * 1000000 // (2*f.df + 1) AS BIGINT)
+                    * CAST(44 * 1000000 * t.tf * 1000000
+                           // (20 * 1000000 * t.tf + 6 * 1000000
+                               + 18 * (t.dl * 1000000 * 1000000 // s.avgdl_micro))
+                           AS BIGINT)
+                    // 1000000 AS BIGINT) AS contrib
+        FROM tf t JOIN dfreq f USING (tok) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(SUM(contrib) AS BIGINT) AS score_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT 50
+    """,
+    doc="BM25 ranked retrieval — the lexical leg of retrieval-augmented "
+    "pipelines and the standard hard-negative miner for retriever "
+    "training, completing the retrieval family (TF-IDF q46, embedding "
+    "kNN q28, IVF-ANN q63): top-50 documents for a 3-term query with "
+    "Okapi tf saturation (k1=6/5, b=3/4 as exact rationals) and "
+    "Robertson-Sparck-Jones rarity weighting. ln and float sums are "
+    "not cross-engine-exact, so idf is the RSJ odds ratio in integer "
+    "ppm (the monotone argument of the ln) and every term contribution "
+    "is BIGINT floor arithmetic — bit-identical across engines, with "
+    "float-log idf a one-column production swap (q104's discipline). "
+    "Scale: postings filter to the query's terms BEFORE any shuffle "
+    "(traffic bounded by matching docs x terms, text never moves), the "
+    "df and corpus-stats tables broadcast, top-k is distributed "
+    "TakeOrderedAndProject (operators/retrieval.py).",
+)
+def q119_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir)
+    return bm25_topk(d, ["dup", "vector", "spark"], k=50)

@@ -1588,3 +1588,46 @@ def q70_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return salted_distinct_count(li, "l_returnflag", "l_orderkey", salt=16)
+
+
+# ---------------------------------------------------------------------------
+# q120: leakage-safe split — the FIX for the contamination q85 measures
+# ---------------------------------------------------------------------------
+
+@register(
+    "q120_leakage_safe_split",
+    _CC_REACH_CTE
+    + """,
+    labels AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+    SELECT doc_id, group_id,
+           CASE WHEN u < 3435973836 THEN 'train'
+                WHEN u < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, group_id,
+                 CAST(('0x' || substr(md5('gsplit:' || CAST(group_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS u
+          FROM labels)
+    """,
+    doc="Group-aware train/val/test split: near-dup CLUSTERS (q62's "
+    "connected components over the LSH candidate graph) are the unit "
+    "of assignment, hash-split 80/10/10 on the CLUSTER label — so a "
+    "document and its near-duplicates land in the same split BY "
+    "CONSTRUCTION, closing the eval contamination q85_split_leakage "
+    "measures for the naive per-document split. Per-doc output "
+    "(doc_id, group_id, split) is hash-checked against the oracle's "
+    "recursive-CTE closure + identical md5 thresholds, so the driver "
+    "verifies both the clustering and the assignment rule. Scale: CC "
+    "is the adaptive operator (driver union-find under the edge gate, "
+    "pointer-jumping above), the split itself is a pure per-row "
+    "expression — no shuffle beyond the components "
+    "(operators/sampling.leakage_safe_split).",
+)
+def q120_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )

@@ -1,0 +1,154 @@
+"""BM25 retrieval: brute-force parity with the exact rational spec,
+tie-break totality, posting restriction, and the leakage-safe split's
+same-cluster guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.retrieval import PPM, bm25_scores, bm25_topk
+from etl_guiacores_spark.operators.sampling import hash_split, leakage_safe_split
+
+
+def _brute_bm25(docs: dict[int, str], terms: list[str]) -> dict[int, tuple[int, int]]:
+    """Python truth of the operator's integer spec (k1=6/5, b=3/4)."""
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl_micro = sum(len(v) for v in toks.values()) * PPM // n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out: dict[int, tuple[int, int]] = {}
+    for i, v in toks.items():
+        score, hits = 0, 0
+        dl = len(v)
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf_ppm = (2 * (n - dfreq[t]) + 1) * PPM // (2 * dfreq[t] + 1)
+            ratio_ppm = dl * PPM * PPM // avgdl_micro
+            tfc_ppm = (44 * PPM * tf * PPM) // (20 * PPM * tf + 6 * PPM + 18 * ratio_ppm)
+            score += idf_ppm * tfc_ppm // PPM
+        if hits:
+            out[i] = (score, hits)
+    return out
+
+
+DOCS = {
+    0: "spark query engine fast fast fast",
+    1: "slow table scan scan scan scan scan scan",
+    2: "spark spark spark spark join",
+    3: "vector index probe",
+    4: "unrelated words only here",
+    5: "spark vector spark vector",
+}
+
+
+def _df(spark, docs=DOCS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+
+
+def test_scores_match_brute_force(spark):
+    terms = ["spark", "vector", "scan"]
+    got = {
+        r["doc_id"]: (r["score_ppm"], r["n_hit_terms"])
+        for r in bm25_scores(_df(spark), terms).collect()
+    }
+    assert got == _brute_bm25(DOCS, terms)
+
+
+def test_no_hit_docs_absent_and_rarity_wins(spark):
+    terms = ["spark", "vector"]
+    rows = bm25_scores(_df(spark), terms).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 4 not in ids and 1 not in ids
+    # 'vector' (df 2) outscores 'spark' (df 3) at equal tf/dl
+    one_each = {
+        10: "spark pad pad",
+        11: "vector pad pad",
+        12: "spark vector x",
+        13: "spark other y",  # makes 'spark' df=3 vs 'vector' df=2
+    }
+    s = {
+        r["doc_id"]: r["score_ppm"]
+        for r in bm25_scores(_df(spark, one_each), terms).collect()
+    }
+    assert s[11] > s[10]
+
+
+def test_tf_saturation_not_linear(spark):
+    """Okapi saturation: 4x the tf must give far less than 4x the
+    per-term score (same dl, same df)."""
+    docs = {0: "hit pad pad pad", 1: "hit hit hit hit"}
+    s = {
+        r["doc_id"]: r["score_ppm"]
+        for r in bm25_scores(_df(spark, docs), ["hit"]).collect()
+    }
+    assert s[0] < s[1] < 2 * s[0]
+
+
+def test_topk_tiebreak_total_order(spark):
+    # identical docs => identical scores; the cut must take lowest ids
+    docs = {i: "tie words here" for i in range(10)}
+    got = [r["doc_id"] for r in bm25_topk(_df(spark, docs), ["tie"], k=4).collect()]
+    assert got == [0, 1, 2, 3]
+
+
+def test_validates_terms(spark):
+    with pytest.raises(ValueError):
+        bm25_scores(_df(spark), [])
+    with pytest.raises(ValueError):
+        bm25_scores(_df(spark), ["a", "a"])
+
+
+class TestLeakageSafeSplit:
+    def _nodes(self, spark, n=400):
+        return spark.range(0, n).withColumnRenamed("id", "doc_id")
+
+    def _pairs(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_near_dups_share_split_naive_does_not(self, spark):
+        # chain every 10th id to its neighbor: clusters {10k, 10k+1}
+        nodes = self._nodes(spark)
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(0, 400, 10)])
+        got = leakage_safe_split(
+            nodes, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+        by_id = {r["doc_id"]: (r["group_id"], r["split"]) for r in got}
+        assert len(by_id) == 400
+        for i in range(0, 400, 10):
+            assert by_id[i] == by_id[i + 1]  # same cluster, same split
+        # the naive per-doc split separates at least one of these pairs
+        naive = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(
+                nodes, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+            ).collect()
+        }
+        assert any(naive[i] != naive[i + 1] for i in range(0, 400, 10))
+
+    def test_singletons_split_independently_and_proportions(self, spark):
+        nodes = self._nodes(spark, 2000)
+        got = leakage_safe_split(
+            nodes, self._pairs(spark, []), {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert 0.74 < counts["train"] / 2000 < 0.86
+        assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+        # singleton group ids are the doc ids themselves
+        assert got.filter(F.col("group_id") != F.col("doc_id")).count() == 0
+
+    def test_deterministic_across_partitionings(self, spark):
+        nodes = self._nodes(spark, 300)
+        pairs = self._pairs(spark, [(i, i + 3) for i in range(0, 300, 7)])
+        a = sorted(map(tuple, leakage_safe_split(
+            nodes, pairs, {"train": 0.9, "test": 0.1}
+        ).collect()))
+        b = sorted(map(tuple, leakage_safe_split(
+            nodes.repartition(11), pairs.repartition(5), {"train": 0.9, "test": 0.1}
+        ).collect()))
+        assert a == b

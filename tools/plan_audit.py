@@ -37,6 +37,9 @@ SCALAR_CROSS = {
     "q84_knn_label_vote",
     # 1-row corpus-total aggregate (share_ppm denominator)
     "q58_source_mixture",
+    # 1-row (N, avgdl_micro) corpus stats joined onto the bounded
+    # (doc, query-term) posting aggregate (retrieval.bm25_scores)
+    "q119_bm25_topk",
     # 1-row distinct-doc-count aggregate joined onto 1-row stats
     "q66b_packing_invariants",
     # 1-row corpus-total aggregate feeding the per-source keep rates

@@ -39,6 +39,8 @@ _FIRST = [
     "q118_qgram_entity_resolution",
     "q119_bm25_topk",
     "q120_leakage_safe_split",
+    "q121_incremental_dedup",
+    "q122_snapshot_diff",
     # round-5 code/oracle changes — need a fresh driver row
     "q116_qgram_fuzzy_join",
     "q66_sequence_packing",

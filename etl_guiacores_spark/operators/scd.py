@@ -77,3 +77,60 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .withColumn("version_n", F.row_number().over(w2).cast("bigint"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same entity
+    set: one row per key present in either side, classified
+    ``added`` / ``removed`` / ``changed`` (/ ``unchanged``).
+
+    The complement of the versioned sinks (io.write_version /
+    write_snapshot): those persist full snapshots cheaply, this turns
+    two of them back into a delta — the input a downstream MERGE, an
+    incremental re-index, or an audit report wants. Comparison is
+    per-column null-safe equality (``<=>``), NOT a row hash: no
+    collision risk, no canonical-serialization pitfalls across
+    engines, and the plan prunes to exactly key + compared columns.
+
+    Scale shape: one full outer join co-partitioned on the key — the
+    only shuffle, elided entirely when both snapshots are bucketed by
+    the key (operators/bucketing). Keys must be unique per snapshot
+    (a dimension/entity invariant; enforce upstream with
+    dedupe_keyed_first).
+    """
+    keys = list(key_cols)
+    cols = [c for c in compare_cols if c not in keys]
+    o = old.select(*keys, *cols).alias("o")
+    n = new.select(*keys, *cols).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~new_present, F.lit("removed"))
+        .when(~old_present, F.lit("added"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change_type"),
+    )
+    if include_unchanged:
+        return out
+    return out.filter(F.col("change_type") != "unchanged")

@@ -503,3 +503,64 @@ def centroid_outlier_scores(
             ).alias("l2_to_centroid")
         )
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 4,
+    n: int = 3,
+    portable: bool = True,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Daily-increment dedup: flag NEW documents whose LSH band
+    collides with ANY document in the corpus HISTORY, without pairing
+    history against itself.
+
+    The batch-ingest complement of the full-corpus
+    :func:`lsh_candidate_pairs` self-join: when 100 TB of history is
+    already deduped, re-running the self-join to admit a daily batch
+    re-shuffles the whole corpus for nothing. Here only the NEW side
+    is shingled/hashed fresh; the history side is either a raw
+    (id, text) frame or — the production path — the staged signature
+    table ``stage_corpus_artifacts`` materialized at ingest (detected
+    by the presence of ``sig_0``: signatures are then reused, nothing
+    re-hashed).
+
+    Returns (id_col, dup_of): one row per new document that collides,
+    ``dup_of`` = the minimum colliding history id (deterministic
+    survivor convention, matching dedupe/graph). New docs with no
+    collision are absent — admit them with an anti-join on this
+    result. New-batch-internal duplicates are NOT reported (run
+    lsh_candidate_pairs on the batch for those; run_corpus_pipeline
+    composes both).
+
+    Scale shape: ``broadcast_new`` (default) broadcasts the daily
+    batch's band rows so the history side STREAMS map-side — no
+    history shuffle at all; disable it for backfill-sized batches and
+    the join becomes a band-keyed shuffle join (AQE splits hot bands).
+    """
+    nsig = with_minhash(
+        new_docs.select(id_col, text_col), text_col, num_hashes, n,
+        portable=portable,
+    )
+    if "sig_0" in history.columns:
+        hsig = history
+    else:
+        hsig = with_minhash(
+            history.select(id_col, text_col), text_col, num_hashes, n,
+            portable=portable,
+        )
+    nb = band_rows(nsig, id_col, num_hashes)
+    hb = band_rows(hsig, id_col, num_hashes).select(
+        F.col("__id").alias("__dup_of"), "__band"
+    )
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    return (
+        nb.join(hb, "__band")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.min("__dup_of").alias("dup_of"))
+    )

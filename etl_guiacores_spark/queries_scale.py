@@ -1631,3 +1631,104 @@ def q120_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q121: incremental near-dup — daily batch vs corpus history
+# ---------------------------------------------------------------------------
+
+@register(
+    "q121_incremental_dedup",
+    _MINHASH_CTE
+    + """,
+    bands AS (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    )
+    SELECT n.doc_id, CAST(MIN(h.doc_id) AS BIGINT) AS dup_of
+    FROM bands n JOIN bands h ON n.band = h.band
+    WHERE n.doc_id % 10 = 7 AND h.doc_id % 10 <> 7
+    GROUP BY n.doc_id
+    """,
+    doc="Incremental (daily-batch) near-dup admission: documents with "
+    "doc_id % 10 = 7 play today's batch, the rest the already-deduped "
+    "history; every batch doc whose LSH band collides with history is "
+    "flagged with its minimum colliding history id — WITHOUT the "
+    "full-corpus self-join (history never pairs with itself). The "
+    "100 TB shape the shard-append path needs: the batch's band rows "
+    "BROADCAST so history streams map-side (zero history shuffle), "
+    "falling back to a band-keyed shuffle join for backfill-sized "
+    "batches; the production history side is the staged signature "
+    "table, reused as-is (operators/similarity.incremental_near_dup).",
+)
+def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import incremental_near_dup
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    new = d.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    return incremental_near_dup(new, hist)
+
+
+# ---------------------------------------------------------------------------
+# q122: snapshot diff — CDC between two corpus/dimension versions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q122_snapshot_diff",
+    """
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    n AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT * FROM (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type <> 'unchanged'
+    """,
+    doc="Snapshot CDC: two versions of the orders dimension (the new "
+    "one deterministically drops key%13=0, reprices key%7=0, and adds "
+    "negated key%17=0 rows) diffed into added/removed/changed — the "
+    "delta a downstream MERGE, incremental re-index, or audit consumes, "
+    "turning the versioned sinks (io.write_version/write_snapshot) "
+    "back into a change stream. Comparison is per-column null-safe "
+    "equality, not a row hash (no collision or serialization-canon "
+    "pitfalls); the single shuffle is the key-partitioned full outer "
+    "join, elided when both snapshots are bucketed by the key "
+    "(operators/scd.snapshot_diff).",
+)
+def q122_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.scd import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    modified = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    )
+    return snapshot_diff(
+        o,
+        modified.unionByName(added),
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    )

@@ -41,6 +41,7 @@ _FIRST = [
     "q120_leakage_safe_split",
     "q121_incremental_dedup",
     "q122_snapshot_diff",
+    "q123_ewma_smooth",
     # round-5 code/oracle changes — need a fresh driver row
     "q116_qgram_fuzzy_join",
     "q66_sequence_packing",

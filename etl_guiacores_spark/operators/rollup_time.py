@@ -124,3 +124,73 @@ def resample_gapfill(
         else:
             out_cols.append(F.col(c))
     return dense.select(*out_cols)
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_micro_col: str,
+    alpha_ppm: int = 200_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over event time,
+    in exact integer micro-units — the smoothing leg the gap-fill
+    (resample_gapfill) and rollup operators don't cover.
+
+    EWMA is inherently sequential (each state depends on the previous
+    one: ``s_t = alpha*v_t + (1-alpha)*s_{t-1}``), which windows can't
+    express without a per-row shrinking frame. Instead of a Python
+    UDF, each key's ordered series folds INSIDE the plan with the
+    ``aggregate`` higher-order function over its collected
+    (ts, tiebreak, v) structs — JVM-evaluated, zero Python, one
+    shuffle on the key. The recurrence is integer fixed point
+    (``s_t = (alpha_ppm*v + (1e6-alpha_ppm)*s_prev) div 1e6`` with
+    ``s_1 = v_1``), so results are bit-identical across engines,
+    retries, and partitionings — a float EWMA drifts with evaluation
+    order. Sort order inside a key is (ts, tiebreak): pass a unique
+    ``tiebreak_col`` when timestamps can collide, or the fold order —
+    and thus the smoothed value — is not total.
+
+    Scale shape: per-key memory is the key's series (the same bound
+    as sessionization and grouped top-k via aggregation); right for
+    per-entity event streams (hundreds-to-millions of rows per key),
+    wrong for one global series — pre-aggregate with time_rollup
+    first, or chunk the series and carry the boundary state between
+    chunks. Keys parallelize perfectly; AQE splits nothing here since
+    the fold is one row per key until the final explode.
+
+    Integer division TRUNCATES toward zero (Spark ``div`` and DuckDB
+    ``//`` agree; Python ``//`` floors — negative states differ by at
+    most one micro-unit from a floored recurrence, test-pinned).
+
+    Returns one row per input row: (key, ts, [tiebreak], v_micro,
+    ewma_micro).
+    """
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    a, b = alpha_ppm, 1_000_000 - alpha_ppm
+    fields = [F.col(ts_col).alias("ts")]
+    if tiebreak_col is not None:
+        fields.append(F.col(tiebreak_col).alias("tb"))
+    fields.append(F.col(value_micro_col).cast("long").alias("v"))
+    grouped = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("__arr")
+    )
+    sarr = F.expr(
+        f"aggregate(transform(__arr, x -> x.v), CAST(array() AS ARRAY<BIGINT>), "
+        f"(acc, v) -> array_append(acc, CASE WHEN size(acc) = 0 THEN v "
+        f"ELSE ({a} * v + {b} * element_at(acc, -1)) div 1000000 END))"
+    )
+    exploded = grouped.select(
+        key_col, F.explode(F.arrays_zip("__arr", sarr.alias("__s"))).alias("__z")
+    )
+    out = [
+        F.col(key_col),
+        F.col("__z.__arr.ts").alias(ts_col),
+    ]
+    if tiebreak_col is not None:
+        out.append(F.col("__z.__arr.tb").alias(tiebreak_col))
+    out.append(F.col("__z.__arr.v").alias("v_micro"))
+    out.append(F.col("__z.__s").alias("ewma_micro"))
+    return exploded.select(*out)

@@ -2496,3 +2496,69 @@ def q119_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return bm25_topk(d, ["dup", "vector", "spark"], k=50)
+
+
+# ---------------------------------------------------------------------------
+# q123: per-key EWMA smoothing — in-plan sequential fold, no UDF
+# ---------------------------------------------------------------------------
+
+@register(
+    "q123_ewma_smooth",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ew AS (
+        SELECT user_id, event_id, ts, v, rn, v AS s
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.v, o.rn,
+               CAST((200000 * o.v + 800000 * e.s) // 1000000 AS BIGINT)
+        FROM ew e JOIN ordered o
+          ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           v AS v_micro,
+           CAST(s AS BIGINT) AS ewma_micro
+    FROM ew
+    """,
+    doc="Per-user EWMA smoothing of the event value stream (alpha = "
+    "0.2): the classic anomaly/trend baseline every time-series "
+    "dashboard draws. EWMA is inherently sequential (s_t depends on "
+    "s_{t-1} — no window frame expresses it), so each user's ordered "
+    "series folds INSIDE the plan with the aggregate higher-order "
+    "function over its collected structs: JVM-evaluated, zero Python, "
+    "one shuffle on the key, keys fully parallel — the in-plan "
+    "answer to 'sequential scan per entity' that q66's packer solves "
+    "with applyInPandas when per-row state must cross Python. The "
+    "recurrence is integer fixed point (micro-units, div 1e6), "
+    "bit-identical across engines/retries/partitionings where a "
+    "float EWMA drifts; the oracle replays it as a recursive CTE "
+    "stepping rank-by-rank within each user "
+    "(operators/rollup_time.ewma_smooth).",
+)
+def q123_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import ewma_smooth
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    sm = ewma_smooth(
+        ev, "user_id", "ts", "v_micro", alpha_ppm=200_000,
+        tiebreak_col="event_id",
+    )
+    return sm.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "v_micro",
+        "ewma_micro",
+    )

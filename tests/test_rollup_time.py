@@ -74,3 +74,78 @@ class TestResampleGapfill:
         )
         out = resample_gapfill(tier, keys=["k"], ffill_cols=("metric",)).collect()
         assert len(out) == 1 and out[0]["n_events"] == 3 and out[0]["metric"] == 9
+
+
+class TestEwmaSmooth:
+    def _python_truth(self, series, alpha_ppm):
+        def trunc_div(n, d):  # Spark `div` / DuckDB `//`: toward zero
+            q = abs(n) // d
+            return q if n >= 0 else -q
+
+        out, s = [], None
+        for v in series:
+            s = v if s is None else trunc_div(
+                alpha_ppm * v + (1_000_000 - alpha_ppm) * s, 1_000_000
+            )
+            out.append(s)
+        return out
+
+    def test_matches_python_recurrence(self, spark):
+        from datetime import datetime, timedelta
+
+        from etl_guiacores_spark.operators.rollup_time import ewma_smooth
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (k, i, t0 + timedelta(minutes=i), (i * 37 + k * 11) % 500 - 100)
+            for k in range(3)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, eid long, ts timestamp, v long"
+        )
+        got = ewma_smooth(df, "k", "ts", "v", alpha_ppm=300_000,
+                          tiebreak_col="eid")
+        by_key: dict[int, list] = {}
+        for r in sorted(got.collect(), key=lambda r: (r["k"], r["ts"])):
+            by_key.setdefault(r["k"], []).append(r["ewma_micro"])
+        for k in range(3):
+            series = [(i * 37 + k * 11) % 500 - 100 for i in range(40)]
+            assert by_key[k] == self._python_truth(series, 300_000)
+
+    def test_partitioning_invariant_and_tiebreak(self, spark):
+        from datetime import datetime
+
+        from etl_guiacores_spark.operators.rollup_time import ewma_smooth
+
+        # all rows share one timestamp: order is the tiebreak alone
+        t = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, i, t, i * 10) for i in range(20)],
+            "k long, eid long, ts timestamp, v long",
+        )
+        a = sorted(map(tuple, ewma_smooth(df, "k", "ts", "v",
+                                          tiebreak_col="eid").collect()))
+        b = sorted(map(tuple, ewma_smooth(df.repartition(7), "k", "ts", "v",
+                                          tiebreak_col="eid").collect()))
+        assert a == b
+        first = [r for r in a if r[2] == 0][0]  # (k, ts, eid, v, s)
+        assert first[4] == 0  # s_1 = v_1
+
+    def test_alpha_one_is_identity_and_validation(self, spark):
+        from datetime import datetime, timedelta
+
+        import pytest
+
+        from etl_guiacores_spark.operators.rollup_time import ewma_smooth
+
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, i, t0 + timedelta(seconds=i), 7 * i) for i in range(10)],
+            "k long, eid long, ts timestamp, v long",
+        )
+        rows = ewma_smooth(df, "k", "ts", "v", alpha_ppm=1_000_000,
+                           tiebreak_col="eid").collect()
+        assert all(r["ewma_micro"] == r["v_micro"] for r in rows)
+        with pytest.raises(ValueError):
+            ewma_smooth(df, "k", "ts", "v", alpha_ppm=0)

@@ -42,6 +42,7 @@ _FIRST = [
     "q121_incremental_dedup",
     "q122_snapshot_diff",
     "q123_ewma_smooth",
+    "q124_mad_outliers",
     # round-5 code/oracle changes — need a fresh driver row
     "q116_qgram_fuzzy_join",
     "q66_sequence_packing",

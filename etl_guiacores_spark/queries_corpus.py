@@ -2562,3 +2562,65 @@ def q123_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_micro",
         "ewma_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# q124: median/MAD robust outlier gate — integer-exact across engines
+# ---------------------------------------------------------------------------
+
+@register(
+    "q124_mad_outliers",
+    """
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(v_micro, 0.5) AS BIGINT) AS median2
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_id, v.event_type, v.v_micro, m.median2,
+               abs(2 * v.v_micro - m.median2) AS dev2
+        FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.v_micro, d.median2, a.mad4,
+           CASE WHEN a.mad4 > 0
+                THEN CAST(20000 * d.dev2 * 1000 // (14826 * a.mad4)
+                          AS BIGINT) END AS z_milli,
+           CAST(20000000 * d.dev2 > 3000 * 14826 * a.mad4 AS INT) AS is_outlier
+    FROM dev d JOIN mad a USING (event_type)
+    """,
+    doc="Robust per-group outlier gate: |x - median| > 3 * 1.4826 * MAD "
+    "per event_type — the numeric-telemetry quality gate whose "
+    "mean/stddev cousin breaks on the very rows it should catch. "
+    "Medians INTERPOLATE, the classic engine-splitting hazard: here "
+    "the interpolated median of integer micro-units lands on exact "
+    "halves, carried as 2x/4x-scaled BIGINTs, and the gate is "
+    "cross-multiplied into pure integer arithmetic (1.4826 = "
+    "14826/10000), so both engines agree bit-for-bit — the q58/q112 "
+    "discipline extended to ORDER STATISTICS. Exact percentile needs "
+    "each group's values on one reducer (bounded-group shape, like "
+    "sessionization); huge groups swap in the mergeable t-digest "
+    "(operators/sketches) with documented tolerance "
+    "(operators/robust.robust_outliers).",
+)
+def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.robust import robust_outliers
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    return robust_outliers(ev, "event_type", "v_micro", k_milli=3000).select(
+        "event_id", "event_type", "v_micro", "median2", "mad4", "z_milli",
+        "is_outlier",
+    )

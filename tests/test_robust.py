@@ -1,0 +1,85 @@
+"""Median/MAD outlier gate: python-truth parity, interpolation
+exactness on even groups, MAD degeneracy, validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_guiacores_spark.operators.robust import robust_outliers
+
+
+def _truth(values, k_milli=3000):
+    def med2(xs):  # 2x the interpolated median of ints — exact int
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] * 2 if n % 2 else s[n // 2 - 1] + s[n // 2]
+
+    m2 = med2(values)
+    dev2 = [abs(2 * v - m2) for v in values]
+    m4 = med2(dev2)
+    out = []
+    for v, d in zip(values, dev2):
+        z = (20000 * d * 1000) // (14826 * m4) if m4 > 0 else None
+        out.append((v, m2, m4, z, int(20_000_000 * d > k_milli * 14826 * m4)))
+    return out
+
+
+def _run(spark, values, k_milli=3000):
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(values)], "i long, g string, v long"
+    )
+    rows = robust_outliers(df, "g", "v", k_milli=k_milli).collect()
+    by_i = {r["i"]: r for r in rows}
+    return [
+        (
+            by_i[i]["v"],
+            by_i[i]["median2"],
+            by_i[i]["mad4"],
+            by_i[i]["z_milli"],
+            by_i[i]["is_outlier"],
+        )
+        for i in range(len(values))
+    ]
+
+
+def test_matches_python_truth_odd_and_even(spark):
+    odd = [10, 12, 11, 9, 1000, 13, 8]  # one wild point
+    even = [-50, 3, 7, 7, 9, 400]  # negative + even-n interpolation
+    assert _run(spark, odd) == _truth(odd)
+    assert _run(spark, even) == _truth(even)
+
+
+def test_wild_point_flagged_bulk_not(spark):
+    values = [100 + (i % 7) for i in range(50)] + [10_000]
+    got = _run(spark, values)
+    assert got[-1][4] == 1  # the planted outlier
+    assert sum(r[4] for r in got[:-1]) == 0  # the bulk passes
+
+
+def test_mad_degenerate_group(spark):
+    # >= 50% identical values => mad4 = 0: z NULL, any deviation gates
+    values = [5, 5, 5, 5, 6, 7]
+    got = _run(spark, values)
+    assert all(r[2] == 0 for r in got)
+    assert all(r[3] is None for r in got)
+    assert [r[4] for r in got] == [0, 0, 0, 0, 1, 1]
+
+
+def test_k_widens_gate(spark):
+    values = [0, 1, 2, 3, 4, 5, 6, 7, 8, 30]
+    strict = _run(spark, values, k_milli=1000)
+    loose = _run(spark, values, k_milli=10_000)
+    assert sum(r[4] for r in strict) >= sum(r[4] for r in loose)
+    with pytest.raises(ValueError):
+        _run(spark, values, k_milli=0)
+
+
+def test_groups_independent(spark):
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(4)]
+        + [(10 + i, "b", v) for i, v in enumerate([1, 2, 3, 4, 1000])],
+        "i long, g string, v long",
+    )
+    rows = robust_outliers(df, "g", "v").collect()
+    med_by_g = {(r["g"]): r["median2"] for r in rows}
+    assert med_by_g["a"] == 20 and med_by_g["b"] == 6

@@ -261,6 +261,37 @@ def cmd_compact(spark, args) -> dict:
     }
 
 
+def cmd_diff(spark, args) -> dict:
+    """Snapshot CDC: diff two parquet snapshots of the same entity set
+    into added/removed/changed rows (operators/scd.snapshot_diff);
+    write the delta and print per-class counts."""
+    from etl_guiacores_spark.operators.scd import snapshot_diff
+
+    keys = [c for c in args.keys.split(",") if c]
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    if args.compare_cols:
+        cols = [c for c in args.compare_cols.split(",") if c]
+    else:
+        cols = [c for c in new.columns if c not in keys and c in old.columns]
+    delta = snapshot_diff(old, new, keys, cols)
+    if args.delta_out:
+        delta.write.mode("overwrite").parquet(args.delta_out)
+        # count from the written artifact: one job, not two
+        delta = spark.read.parquet(args.delta_out)
+    counts = {r["change_type"]: r["n"] for r in
+              delta.groupBy("change_type").agg(F.count("*").alias("n")).collect()}
+    return {
+        "mode": "diff",
+        "keys": keys,
+        "compared": cols,
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "delta_out": args.delta_out,
+    }
+
+
 def cmd_clean(spark, args) -> dict:
     """reference: src/tools/clean_data.py:59-150 — consolidate run CSVs,
     deep-clean, dedupe, export."""
@@ -350,6 +381,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "global_seq/token offsets from the manifest tail; "
                     "never rewrites landed shard files)")
 
+    di = sub.add_parser("diff")
+    di.add_argument("--old", required=True, help="old snapshot parquet path")
+    di.add_argument("--new", required=True, help="new snapshot parquet path")
+    di.add_argument("--keys", required=True, help="comma-separated key columns")
+    di.add_argument("--compare-cols", default="",
+                    help="columns to compare (default: shared non-key columns)")
+    di.add_argument("--delta-out", default=None,
+                    help="write the added/removed/changed delta here")
+
     co = sub.add_parser("compact")
     co.add_argument("--input", required=True, help="parquet directory to compact in place")
     co.add_argument("--target-records", type=int, required=True)
@@ -385,6 +425,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "corpus": cmd_corpus,
         "resolve": cmd_resolve,
         "compact": cmd_compact,
+        "diff": cmd_diff,
         "shards": cmd_shards,
     }[args.mode]
     try:

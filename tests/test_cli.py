@@ -235,3 +235,28 @@ def test_shards_mode(spark, tmp_path):
     assert seqs.count() == res["n_sequences"]
     from pyspark.sql import functions as F
     assert seqs.filter(F.col("n_tokens") > 128).count() == 0
+
+
+def test_diff_mode(spark, tmp_path):
+    import etl_guiacores_spark.cli as cli
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    delta_p = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(2, "b", 21), (3, "c", 30), (4, "d", 40)], "k long, s string, v long"
+    ).write.parquet(new_p)
+    res = cli.main(
+        ["diff", "--old", old_p, "--new", new_p, "--keys", "k",
+         "--delta-out", delta_p],
+        spark=spark,
+    )
+    assert (res["added"], res["removed"], res["changed"]) == (1, 1, 1)
+    assert res["compared"] == ["s", "v"]
+    written = {
+        (r["k"], r["change_type"])
+        for r in spark.read.parquet(delta_p).collect()
+    }
+    assert written == {(1, "removed"), (2, "changed"), (4, "added")}

@@ -505,7 +505,7 @@ def centroid_outlier_scores(
     )
 
 
-def incremental_near_dup(
+def lsh_collision_flags(
     new_docs: DataFrame,
     history: DataFrame,
     id_col: str = "doc_id",
@@ -515,14 +515,19 @@ def incremental_near_dup(
     portable: bool = True,
     broadcast_new: bool = True,
 ) -> DataFrame:
-    """Daily-increment dedup: flag NEW documents whose LSH band
-    collides with ANY document in the corpus HISTORY, without pairing
-    history against itself.
+    """Daily-increment CANDIDATE layer: flag NEW documents whose LSH
+    band collides with ANY document in the corpus HISTORY, without
+    pairing history against itself.
 
     The batch-ingest complement of the full-corpus
     :func:`lsh_candidate_pairs` self-join: when 100 TB of history is
     already deduped, re-running the self-join to admit a daily batch
-    re-shuffles the whole corpus for nothing. Here only the NEW side
+    re-shuffles the whole corpus for nothing. This is the recall-heavy
+    flag/candidate primitive; the full admission pipeline — staged
+    shingle tables, exact-Jaccard verification of the candidates, and
+    the within-batch greedy rule — is
+    ``plans.corpus_pipeline.incremental_near_dup``, which the
+    streaming ingest loop drives per micro-batch. Here only the NEW side
     is shingled/hashed fresh; the history side is either a raw
     (id, text) frame or — the production path — the staged signature
     table ``stage_corpus_artifacts`` materialized at ingest (detected
@@ -533,9 +538,9 @@ def incremental_near_dup(
     ``dup_of`` = the minimum colliding history id (deterministic
     survivor convention, matching dedupe/graph). New docs with no
     collision are absent — admit them with an anti-join on this
-    result. New-batch-internal duplicates are NOT reported (run
-    lsh_candidate_pairs on the batch for those; run_corpus_pipeline
-    composes both).
+    result, or verify the flagged candidates with exact Jaccard when
+    band recall is too aggressive. New-batch-internal duplicates are
+    NOT reported (run lsh_candidate_pairs on the batch for those).
 
     Scale shape: ``broadcast_new`` (default) broadcasts the daily
     batch's band rows so the history side STREAMS map-side — no

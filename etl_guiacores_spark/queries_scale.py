@@ -1661,15 +1661,15 @@ def q120_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BROADCAST so history streams map-side (zero history shuffle), "
     "falling back to a band-keyed shuffle join for backfill-sized "
     "batches; the production history side is the staged signature "
-    "table, reused as-is (operators/similarity.incremental_near_dup).",
+    "table, reused as-is (operators/similarity.lsh_collision_flags).",
 )
 def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_guiacores_spark.operators.similarity import incremental_near_dup
+    from etl_guiacores_spark.operators.similarity import lsh_collision_flags
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     new = d.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
     hist = d.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
-    return incremental_near_dup(new, hist)
+    return lsh_collision_flags(new, hist)
 
 
 # ---------------------------------------------------------------------------

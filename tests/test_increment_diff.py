@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from etl_guiacores_spark.operators.scd import snapshot_diff
 from etl_guiacores_spark.operators.similarity import (
-    incremental_near_dup,
+    lsh_collision_flags,
     lsh_candidate_pairs,
     staged_minhash_shingles,
 )
@@ -30,7 +30,7 @@ class TestIncrementalNearDup:
         hist = d.filter(F.col("doc_id") % 5 != 0)
         got = {
             r["doc_id"]: r["dup_of"]
-            for r in incremental_near_dup(new, hist).collect()
+            for r in lsh_collision_flags(new, hist).collect()
         }
         pairs = lsh_candidate_pairs(d, "doc_id", "text").collect()
         new_ids = {r[0] for r in TEXTS if r[0] % 5 == 0}
@@ -47,11 +47,11 @@ class TestIncrementalNearDup:
         d = _docs(spark)
         new = d.filter(F.col("doc_id") % 5 == 0)
         hist = d.filter(F.col("doc_id") % 5 != 0)
-        fresh = sorted(map(tuple, incremental_near_dup(new, hist).collect()))
+        fresh = sorted(map(tuple, lsh_collision_flags(new, hist).collect()))
         staged = staged_minhash_shingles(hist, "doc_id", "text")
         try:
             reused = sorted(
-                map(tuple, incremental_near_dup(new, staged).collect())
+                map(tuple, lsh_collision_flags(new, staged).collect())
             )
         finally:
             staged.unpersist()
@@ -61,15 +61,15 @@ class TestIncrementalNearDup:
         d = _docs(spark)
         new = d.filter(F.col("doc_id") % 5 == 0)
         hist = d.filter(F.col("doc_id") % 5 != 0)
-        a = sorted(map(tuple, incremental_near_dup(new, hist).collect()))
+        a = sorted(map(tuple, lsh_collision_flags(new, hist).collect()))
         b = sorted(
             map(
                 tuple,
-                incremental_near_dup(new, hist, broadcast_new=False).collect(),
+                lsh_collision_flags(new, hist, broadcast_new=False).collect(),
             )
         )
         assert a == b
-        assert incremental_near_dup(new.limit(0), hist).count() == 0
+        assert lsh_collision_flags(new.limit(0), hist).count() == 0
 
 
 class TestSnapshotDiff:

@@ -276,3 +276,81 @@ def test_fuzzy_pairs_are_sound(spark, names):
         assert r["id_a"] < r["id_b"]
         assert a.strip().split()[0].lower() == b.strip().split()[0].lower()
         assert r["dist"] == lev(a, b) <= 3
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "pad"]),
+                 min_size=1, max_size=12),
+        min_size=2, max_size=15,
+    ),
+    st.sets(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=3),
+)
+def test_bm25_matches_integer_spec(spark, token_lists, terms):
+    """Random tiny corpora: bm25_scores must equal the exact integer
+    recurrence computed in Python (same truncating arithmetic)."""
+    from etl_guiacores_spark.operators.retrieval import PPM, bm25_scores
+
+    docs = {i: " ".join(toks) for i, toks in enumerate(token_lists)}
+    qterms = sorted(terms)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["score_ppm"], r["n_hit_terms"])
+        for r in bm25_scores(df, qterms).collect()
+    }
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl_micro = sum(len(v) for v in toks.values()) * PPM // n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in qterms}
+    want = {}
+    for i, v in toks.items():
+        score, hits = 0, 0
+        for t in qterms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = (2 * (n - dfreq[t]) + 1) * PPM // (2 * dfreq[t] + 1)
+            ratio = len(v) * PPM * PPM // avgdl_micro
+            tfc = (44 * PPM * tf * PPM) // (20 * PPM * tf + 6 * PPM + 18 * ratio)
+            score += idf * tfc // PPM
+        if hits:
+            want[i] = (score, hits)
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(-100, 100),
+                    min_size=0, max_size=20),
+    st.dictionaries(st.integers(0, 30), st.integers(-100, 100),
+                    min_size=0, max_size=20),
+)
+def test_snapshot_diff_reconstructs_new_from_old(spark, old_map, new_map):
+    """Applying the diff to the old snapshot must reproduce the new
+    one exactly: removed ids vanish, added appear, changed keys differ,
+    and every key absent from the diff is identical on both sides."""
+    from etl_guiacores_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        list(old_map.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        list(new_map.items()) or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    delta = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    for k, kind in delta.items():
+        if kind == "removed":
+            assert k in old_map and k not in new_map
+        elif kind == "added":
+            assert k not in old_map and k in new_map
+        else:
+            assert old_map[k] != new_map[k]
+    for k in (set(old_map) | set(new_map)) - set(delta):
+        assert old_map[k] == new_map[k]

@@ -123,3 +123,19 @@ class TestSnapshotDiff:
             for r in snapshot_diff(old, new, ["k1", "k2"], ["v"]).collect()
         }
         assert got == {(1, "y"): "removed", (1, "z"): "added"}
+
+
+def test_collision_flags_broadcasts_the_batch(spark):
+    """The 100 TB contract: with broadcast_new (default) the HISTORY
+    side must never plan a join-key exchange — the batch broadcasts."""
+    d = _docs(spark)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    plan = (
+        lsh_collision_flags(new, hist)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(__band" not in plan

@@ -143,3 +143,62 @@ def bm25_topk(
     top-k (TakeOrderedAndProject), never a global sort."""
     scores = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
     return scores.orderBy(F.desc("score_ppm"), F.col(id_col)).limit(k)
+
+
+def mmr_select(
+    candidates: list[tuple],
+    k: int,
+    lambda_ppm: int = 700_000,
+    max_candidates: int = 4096,
+) -> list[tuple[int, int]]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over a BOUNDED candidate set — the diversification step
+    after bm25_topk / knn retrieval, so the final k results are not n
+    near-copies of the best hit:
+
+        MMR(c) = lambda * rel(c) - (1-lambda) * max_{s in S} sim(c, s)
+
+    ``candidates``: (id, rel, emb) tuples with relevance and the
+    similarity dot products in the SAME integer scale (unit-normalized
+    micro-unit vectors, rel = dot(query, emb), both ~1e12-scale; see
+    operators/quantize for the normalization) so the two MMR terms are
+    commensurable. All arithmetic is exact integer (lambda in ppm,
+    floored scale-down), deterministic with ties broken by id.
+
+    Execution shape, stated honestly: the greedy argmax is inherently
+    sequential in k with a pairwise-sim inner loop, so this runs
+    DRIVER-SIDE on the collected candidate list — the same bounded-
+    collect contract as graph.py's union-find gate. The distributed
+    part of the retrieval funnel is upstream (bm25_topk/ANN produce
+    the candidates with a distributed top-k); ``max_candidates`` hard-
+    fails on larger inputs instead of silently degrading (the
+    no-silent-caps rule). O(k * n * d).
+    """
+    if not 0 <= lambda_ppm <= 1_000_000:
+        raise ValueError("lambda_ppm must be in [0, 1e6]")
+    if len(candidates) > max_candidates:
+        raise ValueError(
+            f"mmr_select is a bounded driver-side operator: got "
+            f"{len(candidates)} candidates > max_candidates="
+            f"{max_candidates}; tighten the upstream top-k or raise "
+            "the gate deliberately"
+        )
+    lam, com = lambda_ppm, 1_000_000 - lambda_ppm
+    pool = {int(i): (int(r), list(map(int, e))) for i, r, e in candidates}
+    selected: list[tuple[int, int]] = []
+    sims: dict[int, int] = {}  # id -> max dot vs selected so far
+    while pool and len(selected) < k:
+        best = None
+        for cid, (rel, _) in pool.items():
+            score = (lam * rel - com * sims.get(cid, 0)) // 1_000_000
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        _, cid, score = best
+        _, emb = pool.pop(cid)
+        selected.append((cid, score))
+        for oid, (_, oemb) in pool.items():
+            d = sum(a * b for a, b in zip(emb, oemb))
+            if oid not in sims or d > sims[oid]:
+                sims[oid] = d
+    return selected

@@ -152,3 +152,65 @@ class TestLeakageSafeSplit:
             nodes.repartition(11), pairs.repartition(5), {"train": 0.9, "test": 0.1}
         ).collect()))
         assert a == b
+
+
+class TestMmrSelect:
+    def _unit(self, *dims):
+        # integer "unit" vectors at micro scale along given axes
+        v = [0] * 4
+        for d in dims:
+            v[d] = 1_000_000
+        return v
+
+    def test_diversifies_where_pure_topk_repeats(self, spark):
+        from etl_guiacores_spark.operators.retrieval import mmr_select
+
+        # two near-identical top hits + one diverse slightly-worse hit
+        cands = [
+            (1, 1_000_000_000_000, self._unit(0)),
+            (2, 999_999_000_000, self._unit(0)),  # clone of 1
+            (3, 900_000_000_000, self._unit(1)),  # diverse
+        ]
+        got = [i for i, _ in mmr_select(cands, k=2, lambda_ppm=500_000)]
+        assert got == [1, 3]  # the clone loses to the diverse doc
+        # pure relevance (lambda=1) keeps the clone
+        top = [i for i, _ in mmr_select(cands, k=2, lambda_ppm=1_000_000)]
+        assert top == [1, 2]
+
+    def test_matches_brute_force_recurrence(self, spark):
+        from etl_guiacores_spark.operators.retrieval import mmr_select
+
+        vecs = [self._unit(i % 4) for i in range(8)]
+        rels = [(1_000_000_000_000 - 7 * i) for i in range(8)]
+        cands = [(i, rels[i], vecs[i]) for i in range(8)]
+        lam, com = 600_000, 400_000
+        # independent greedy replay
+        pool = dict((i, (rels[i], vecs[i])) for i in range(8))
+        sel, want = [], []
+        while pool and len(want) < 5:
+            scored = []
+            for cid, (r, e) in pool.items():
+                ms = max(
+                    (sum(a * b for a, b in zip(e, pool_sel[1]))
+                     for pool_sel in sel), default=0,
+                )
+                scored.append(((-( (lam * r - com * ms) // 1_000_000), cid), cid))
+            _, cid = min(scored)
+            sel.append((cid, pool[cid][1]))
+            want.append(cid)
+            pool.pop(cid)
+        got = [i for i, _ in mmr_select(cands, k=5, lambda_ppm=lam)]
+        assert got == want
+
+    def test_gate_and_validation(self, spark):
+        import pytest
+
+        from etl_guiacores_spark.operators.retrieval import mmr_select
+
+        cands = [(i, 10, self._unit(0)) for i in range(5)]
+        with pytest.raises(ValueError):
+            mmr_select(cands, k=2, max_candidates=3)
+        with pytest.raises(ValueError):
+            mmr_select(cands, k=2, lambda_ppm=2_000_000)
+        # k > n returns all, deterministically
+        assert len(mmr_select(cands, k=50)) == 5

@@ -23,7 +23,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-5
 # rotation: (1) queries NEW or whose code/oracle changed this round
-# (q117/q118 new; q116 short-string fallback + ground-truth oracle;
+# (q117-q124 new — q119 BM25, q120 leakage-safe split, q121 collision
+# flags, q122 snapshot diff, q123 EWMA, q124 MAD gate;
+# q116 short-string fallback + ground-truth oracle;
 # q66 gained its recursive-CTE oracle and the pinned bin key; q66b
 # rides the same pack_chunks change; q88 rides the NULL-key blocklist
 # fix), then (2) the 22 round-2-stale rows that overflowed round 4's

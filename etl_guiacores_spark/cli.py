@@ -292,6 +292,31 @@ def cmd_diff(spark, args) -> dict:
     }
 
 
+def cmd_search(spark, args) -> dict:
+    """BM25 lexical search over a documents parquet
+    (operators/retrieval.bm25_topk): prints the top-k ids with
+    integer-ppm scores."""
+    from etl_guiacores_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(args.input).filter(
+        F.length(F.trim(args.text_col)) > 0
+    )
+    terms = [t for t in args.terms.split(",") if t]
+    top = bm25_topk(
+        docs, terms, k=args.k, id_col=args.id_col, text_col=args.text_col
+    ).collect()
+    return {
+        "mode": "search",
+        "terms": terms,
+        "k": args.k,
+        "hits": [
+            {"id": r[args.id_col], "score_ppm": r["score_ppm"],
+             "n_hit_terms": r["n_hit_terms"]}
+            for r in top
+        ],
+    }
+
+
 def cmd_clean(spark, args) -> dict:
     """reference: src/tools/clean_data.py:59-150 — consolidate run CSVs,
     deep-clean, dedupe, export."""
@@ -381,6 +406,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "global_seq/token offsets from the manifest tail; "
                     "never rewrites landed shard files)")
 
+    se = sub.add_parser("search")
+    se.add_argument("--input", required=True, help="documents parquet path")
+    se.add_argument("--terms", required=True, help="comma-separated query terms")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+
     di = sub.add_parser("diff")
     di.add_argument("--old", required=True, help="old snapshot parquet path")
     di.add_argument("--new", required=True, help="new snapshot parquet path")
@@ -426,6 +458,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "resolve": cmd_resolve,
         "compact": cmd_compact,
         "diff": cmd_diff,
+        "search": cmd_search,
         "shards": cmd_shards,
     }[args.mode]
     try:

@@ -181,3 +181,46 @@ def read_evolved(spark, path: str, target: T.StructType) -> DataFrame:
     genuinely needs per-row try_cast.
     """
     return spark.read.schema(target).parquet(path)
+
+
+#: widenings Spark's parquet reader performs inside the scan — drift
+#: within these is absorbable by read_evolved without a rewrite
+_SAFE_WIDENINGS = {
+    ("int", "bigint"), ("float", "double"), ("int", "double"),
+    ("smallint", "int"), ("smallint", "bigint"), ("tinyint", "smallint"),
+    ("tinyint", "int"), ("tinyint", "bigint"), ("date", "timestamp_ntz"),
+}
+
+
+def schema_drift(old: T.StructType, new: T.StructType) -> list[dict]:
+    """Classify the drift between two schema versions — the DETECTION
+    side of the evolution story (align_to_schema/read_evolved are the
+    absorption side, snapshot_diff the row-level one).
+
+    One dict per changed column: ``kind`` is ``added`` / ``removed`` /
+    ``widened`` (drift read_evolved absorbs inside the scan — the
+    _SAFE_WIDENINGS table) / ``retyped`` (needs align_to_schema's
+    per-row try_cast or a generation-split read). An ingest monitor
+    alerts on ``removed``/``retyped`` and waves ``added``/``widened``
+    through; CI can assert drift == [] against a frozen contract.
+    Column order changes are NOT drift (parquet is name-addressed).
+    """
+    old_f = {f.name: f.dataType for f in old.fields}
+    new_f = {f.name: f.dataType for f in new.fields}
+    out: list[dict] = []
+    for name in old_f:
+        if name not in new_f:
+            out.append({"column": name, "kind": "removed",
+                        "old_type": old_f[name].simpleString(),
+                        "new_type": None})
+        elif old_f[name] != new_f[name]:
+            pair = (old_f[name].simpleString(), new_f[name].simpleString())
+            kind = "widened" if pair in _SAFE_WIDENINGS else "retyped"
+            out.append({"column": name, "kind": kind,
+                        "old_type": pair[0], "new_type": pair[1]})
+    for name in new_f:
+        if name not in old_f:
+            out.append({"column": name, "kind": "added",
+                        "old_type": None,
+                        "new_type": new_f[name].simpleString()})
+    return sorted(out, key=lambda d: d["column"])

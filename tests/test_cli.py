@@ -260,3 +260,17 @@ def test_diff_mode(spark, tmp_path):
         for r in spark.read.parquet(delta_p).collect()
     }
     assert written == {(1, "removed"), (2, "changed"), (4, "added")}
+
+
+def test_search_mode(spark):
+    import etl_guiacores_spark.cli as cli
+
+    res = cli.main(
+        ["search", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--terms", "spark,vector", "--k", "5"],
+        spark=spark,
+    )
+    assert res["mode"] == "search" and len(res["hits"]) == 5
+    scores = [h["score_ppm"] for h in res["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(h["n_hit_terms"] >= 1 for h in res["hits"])

@@ -130,3 +130,59 @@ class TestSchemaEvolution:
         rows = {r["name"]: r for r in read_evolved(spark, p, target).collect()}
         assert rows["a"]["id"] == 1 and rows["a"]["score"] is None
         assert rows["b"]["id"] == 2**40 and rows["b"]["score"] == 0.5
+
+
+class TestSchemaDrift:
+    def test_classifies_all_kinds(self):
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import schema_drift
+
+        old = T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("d", T.StringType()),
+        ])
+        new = T.StructType([
+            T.StructField("a", T.LongType()),      # widened
+            T.StructField("b", T.IntegerType()),   # retyped
+            T.StructField("c", T.LongType()),      # unchanged
+            T.StructField("e", T.DoubleType()),    # added; d removed
+        ])
+        got = {d["column"]: d["kind"] for d in schema_drift(old, new)}
+        assert got == {"a": "widened", "b": "retyped",
+                       "d": "removed", "e": "added"}
+
+    def test_order_change_is_not_drift(self):
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import schema_drift
+
+        old = T.StructType([
+            T.StructField("x", T.StringType()),
+            T.StructField("y", T.LongType()),
+        ])
+        new = T.StructType([
+            T.StructField("y", T.LongType()),
+            T.StructField("x", T.StringType()),
+        ])
+        assert schema_drift(old, new) == []
+
+    def test_widened_matches_read_evolved_behavior(self, spark, tmp_path):
+        """The 'widened' class must be exactly what read_evolved
+        absorbs: write an int shard, read with a long target."""
+        from pyspark.sql import types as T
+
+        from etl_guiacores_spark.schema import read_evolved, schema_drift
+
+        p = str(tmp_path / "gen")
+        spark.createDataFrame([(1,), (2,)], "v int").write.parquet(p)
+        target = T.StructType([T.StructField("v", T.LongType())])
+        drift = schema_drift(
+            T.StructType([T.StructField("v", T.IntegerType())]), target
+        )
+        assert drift == [{"column": "v", "kind": "widened",
+                          "old_type": "int", "new_type": "bigint"}]
+        rows = read_evolved(spark, p, target).collect()
+        assert sorted(r["v"] for r in rows) == [1, 2]

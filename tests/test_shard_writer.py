@@ -192,6 +192,120 @@ class TestBatchAppendProtocol:
         manifest = spark.read.parquet(f"{out}/manifest")
         assert seqs.count() == manifest.agg(F.sum("n_sequences")).first()[0]
 
+    def test_mid_swap_crash_rolls_back_and_retry_is_exact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Kill the manifest commit INSIDE the rename swap (the one
+        residual window): the retry must roll back to the old
+        manifest, prune the crashed batch's partitions, and re-append
+        exactly once — no lost shards, no duplicated content."""
+        import os
+
+        import pytest
+
+        from etl_guiacores_spark.plans.shard_writer import append_batch_shards
+
+        out = str(tmp_path / "swap_crash")
+        s0 = append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def crashing_rename(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:  # after manifest -> old, before tmp -> manifest
+                raise RuntimeError("simulated crash mid-swap")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", crashing_rename)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            append_batch_shards(self._docs(spark, 200, 400), out, 1, **self.KW)
+        monkeypatch.setattr(os, "rename", real_rename)
+
+        # crash residue: manifest gone, rollback copy present
+        assert not os.path.isdir(f"{out}/manifest")
+        assert os.path.isdir(f"{out}/manifest.__commit_old__")
+
+        s1 = append_batch_shards(self._docs(spark, 200, 400), out, 1, **self.KW)
+        assert s1 is not None
+        seqs = spark.read.parquet(f"{out}/shards")
+        manifest = sorted(
+            (r.asDict() for r in spark.read.parquet(f"{out}/manifest").collect()),
+            key=lambda m: m["shard_id"],
+        )
+        n = s0["n_sequences"] + s1["n_sequences"]
+        assert sorted(r["global_seq"] for r in seqs.collect()) == list(range(n))
+        covered, tok_run = 0, 0
+        for m in manifest:
+            assert m["first_seq"] == covered and m["first_token"] == tok_run
+            covered = m["last_seq"] + 1
+            tok_run += m["n_tokens"]
+        assert covered == n
+        # chunk conservation across the crash: every chunk exactly once
+        packed_chunkrefs = seqs.agg(F.sum(F.size("doc_ids"))).first()[0]
+        assert packed_chunkrefs == s0["n_chunks"] + s1["n_chunks"]
+
+    def test_lost_manifest_with_landed_batches_refuses_to_prune(
+        self, spark, tmp_path
+    ):
+        """Once any batch marker exists, a missing manifest means lost
+        metadata over VALID shards — mass deletion must be refused."""
+        import shutil
+
+        import pytest
+
+        from etl_guiacores_spark.plans.shard_writer import (
+            append_batch_shards,
+            prune_orphan_shards,
+        )
+
+        out = str(tmp_path / "lost_manifest")
+        append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+        shutil.rmtree(f"{out}/manifest")
+        with pytest.raises(RuntimeError, match="Refusing to mass-delete"):
+            prune_orphan_shards(out)
+        with pytest.raises(RuntimeError, match="Refusing to mass-delete"):
+            append_batch_shards(self._docs(spark, 200, 400), out, 1, **self.KW)
+
+    def test_manifest_without_success_marker_refuses_to_prune(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import pytest
+
+        from etl_guiacores_spark.plans.shard_writer import (
+            append_batch_shards,
+            prune_orphan_shards,
+        )
+
+        out = str(tmp_path / "no_success")
+        append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+        os.remove(f"{out}/manifest/_SUCCESS")
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            prune_orphan_shards(out)
+
+    def test_first_batch_crash_resets_cleanly(self, spark, tmp_path):
+        """Before ANY marker exists, shards-without-manifest is debris
+        from a crashed first attempt — the retry resets and lands."""
+        import os
+        import shutil
+
+        from etl_guiacores_spark.plans.shard_writer import append_batch_shards
+
+        out = str(tmp_path / "first_crash")
+        append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+        # simulate the first attempt having crashed pre-manifest/marker
+        shutil.rmtree(f"{out}/manifest")
+        shutil.rmtree(f"{out}/_appended_batches")
+        s0 = append_batch_shards(self._docs(spark, 0, 200), out, 0, **self.KW)
+        assert s0 is not None
+        seqs = spark.read.parquet(f"{out}/shards")
+        assert sorted(r["global_seq"] for r in seqs.collect()) == list(
+            range(s0["n_sequences"])
+        )
+        assert os.path.exists(f"{out}/_appended_batches/batch_0")
+
     def test_append_after_empty_initial_load(self, spark, tmp_path):
         """An empty initial write leaves a 0-row manifest; the first
         real batch must start the stream at seq 0 / token 0."""

@@ -33,11 +33,17 @@ monotone-per-term structure in exact BIGINT arithmetic:
 Dropping the ln changes absolute scores but each term's contribution
 stays monotone in (rarity, tf), and single-term rankings are
 IDENTICAL; production swaps in ``F.log`` idf with the same plan shape
-when cross-engine bit-equality is not required. BIGINT bounds: the
-largest intermediate is ``44*PPM*tf*PPM`` (~4.4e13 * tf), safe to
-tf ~ 2e5; idf_ppm * tfc_ppm needs ``(2N+1)*PPM * PPM`` headroom — at
-N beyond ~4e6 docs move the contribution product to DECIMAL(38,0)
-(one cast, same plan).
+when cross-engine bit-equality is not required. Overflow headroom:
+every cross-multiplied numerator (``(2N+1)*PPM``, ``dl*PPM*PPM``,
+``44*PPM*tf*PPM``, ``idf_ppm*tfc_ppm``) is computed in
+DECIMAL(38,0) — in BIGINT the contribution product alone wraps (or
+ANSI-throws) past N ~ 4.6e6 documents, absurdly below the 100 TB
+target; with the decimal interiors the binding constraint is the
+BIGINT OUTPUT columns (``score_ppm`` ~ 2.2 * max idf_ppm per hit
+term), safe to N ~ 1e12 documents — beyond a 100 TB corpus at any
+realistic document size. The oracle mirrors the interiors with
+DuckDB HUGEINT; rendered values are identical. Pinned by an
+ANSI-mode test at N > 5M where the old BIGINT path throws.
 
 Scale shape (100 TB): the posting explode filters to the query's
 terms BEFORE any shuffle, so shuffle volume is bounded by
@@ -108,21 +114,32 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf_ppm",
-            F.expr(f"CAST((2*(__n - __df) + 1) * {PPM} div (2*__df + 1) AS BIGINT)"),
+            F.expr(
+                f"CAST((2*(CAST(__n AS DECIMAL(38,0)) - __df) + 1) * {PPM} "
+                f"div (2*__df + 1) AS BIGINT)"
+            ),
         )
         .withColumn(
             "__ratio_ppm",
-            F.expr(f"CAST(__dl * {PPM} * {PPM} div __avgdl_micro AS BIGINT)"),
+            F.expr(
+                f"CAST(CAST(__dl AS DECIMAL(38,0)) * {PPM} * {PPM} "
+                f"div __avgdl_micro AS BIGINT)"
+            ),
         )
         .withColumn(
             "__tfc_ppm",
             F.expr(
-                f"CAST(44 * {PPM} * __tf * {PPM} div "
-                f"(20 * {PPM} * __tf + 6 * {PPM} + 18 * __ratio_ppm) AS BIGINT)"
+                f"CAST(CAST(44 AS DECIMAL(38,0)) * {PPM} * __tf * {PPM} div "
+                f"(20 * CAST({PPM} AS DECIMAL(38,0)) * __tf + 6 * {PPM} "
+                f"+ 18 * CAST(__ratio_ppm AS DECIMAL(38,0))) AS BIGINT)"
             ),
         )
         .withColumn(
-            "__contrib", F.expr(f"CAST(__idf_ppm * __tfc_ppm div {PPM} AS BIGINT)")
+            "__contrib",
+            F.expr(
+                f"CAST(CAST(__idf_ppm AS DECIMAL(38,0)) * __tfc_ppm "
+                f"div {PPM} AS BIGINT)"
+            ),
         )
     )
     return scored.groupBy(id_col).agg(
@@ -185,6 +202,15 @@ def mmr_select(
         )
     lam, com = lambda_ppm, 1_000_000 - lambda_ppm
     pool = {int(i): (int(r), list(map(int, e))) for i, r, e in candidates}
+    if len(pool) != len(candidates):
+        # dict construction would silently keep only the LAST tuple per
+        # id, distorting the relevance/diversity trade invisibly — the
+        # same no-silent-degradation posture as the size gate above
+        raise ValueError(
+            f"mmr_select: candidate ids are not distinct "
+            f"({len(candidates)} tuples, {len(pool)} unique ids) — "
+            "dedupe the upstream top-k first"
+        )
     selected: list[tuple[int, int]] = []
     sims: dict[int, int] = {}  # id -> max dot vs selected so far
     while pool and len(selected) < k:

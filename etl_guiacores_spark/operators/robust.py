@@ -20,13 +20,21 @@ splits engines. The discipline here:
   representable in the double both engines interpolate in);
 - deviations at scale 2 (``dev2 = |2v - median2|``, integer) and
   their median at scale 4 (``mad4 = 2 * percentile(dev2, 0.5)``);
-- the gate cross-multiplied into pure BIGINT:
+- the gate cross-multiplied into DECIMAL(38,0):
   ``20_000_000 * dev2 > k_milli * 14826 * mad4``
-  (k = ``k_milli``/1000, 1.4826 = 14826/10000);
+  (k = ``k_milli``/1000, 1.4826 = 14826/10000). The cross products
+  are NOT computed in BIGINT — at the default k the RHS overflows
+  64 bits already at ``mad4 > ~2.1e11`` micro-units of spread (well
+  inside plausible telemetry ranges), wrapping silently in non-ANSI
+  mode; DECIMAL(38,0) carries the products exactly to ~1e38, i.e.
+  value spreads to ~5e30 micro-units — beyond any BIGINT input. The
+  oracle mirrors this with DuckDB HUGEINT (128-bit), same values;
 - the robust z-score in thousandths (``z_milli``) with truncating
-  division — milli not ppm so the cross-multiplied numerator
-  ``20000 * dev2 * 1000`` stays far inside BIGINT for micro-unit
-  inputs up to ~4e11 — NULL when ``mad4 = 0`` (a >=50%-constant group: every deviating row gates as
+  division, its ``20000 * dev2 * 1000`` numerator likewise in
+  DECIMAL(38,0) (BIGINT would wrap near ``dev2 ~ 4.6e11``), the
+  quotient cast back to BIGINT — exact while the RATIO
+  ``dev2/mad4 < ~6.8e12`` (z_milli itself must fit 64 bits) — NULL
+  when ``mad4 = 0`` (a >=50%-constant group: every deviating row gates as
   an outlier, the standard MAD degeneracy — callers wanting a softer
   gate should pre-filter such groups).
 
@@ -76,14 +84,19 @@ def robust_outliers(
             "z_milli",
             F.when(
                 F.col("mad4") > 0,
-                F.expr("CAST(20000 * __dev2 * 1000 div (14826 * mad4) AS BIGINT)"),
+                F.expr(
+                    "CAST(CAST(20000 AS DECIMAL(38,0)) * __dev2 * 1000 "
+                    "div (14826 * mad4) AS BIGINT)"
+                ),
             ),
         )
         .withColumn(
             "is_outlier",
             (
-                F.lit(20_000_000) * F.col("__dev2")
-                > F.lit(k_milli) * F.lit(14826) * F.col("mad4")
+                F.lit(20_000_000).cast("decimal(38,0)") * F.col("__dev2")
+                > F.lit(k_milli).cast("decimal(38,0)")
+                * F.lit(14826)
+                * F.col("mad4")
             ).cast("int"),
         )
     )

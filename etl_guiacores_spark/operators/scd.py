@@ -102,19 +102,24 @@ def snapshot_diff(
     only shuffle, elided entirely when both snapshots are bucketed by
     the key (operators/bucketing). Keys must be unique per snapshot
     (a dimension/entity invariant; enforce upstream with
-    dedupe_keyed_first).
+    dedupe_keyed_first). Keys MAY be NULL: the join is null-safe
+    (``<=>`` per key column, NULLs shuffle-partition like any value),
+    so a NULL-keyed entity present in both snapshots classifies as
+    changed/unchanged rather than phantom removed+added, and side
+    presence comes from literal marker columns, not key null-ness —
+    the same NULL-key discipline as the q88 blocklist anti-join.
     """
     keys = list(key_cols)
     cols = [c for c in compare_cols if c not in keys]
-    o = old.select(*keys, *cols).alias("o")
-    n = new.select(*keys, *cols).alias("n")
+    o = old.select(*keys, *cols, F.lit(True).alias("__in_old")).alias("o")
+    n = new.select(*keys, *cols, F.lit(True).alias("__in_new")).alias("n")
     cond = None
     for k in keys:
-        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
-    old_present = F.col(f"o.{keys[0]}").isNotNull()
-    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    old_present = F.col("o.__in_old").isNotNull()
+    new_present = F.col("n.__in_new").isNotNull()
     same = F.lit(True)
     for c in cols:
         same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

@@ -2460,10 +2460,14 @@ def q118_qgram_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
     scored AS (
         SELECT t.doc_id,
-               CAST(CAST((2*(s.n - f.df) + 1) * 1000000 // (2*f.df + 1) AS BIGINT)
-                    * CAST(44 * 1000000 * t.tf * 1000000
-                           // (20 * 1000000 * t.tf + 6 * 1000000
-                               + 18 * (t.dl * 1000000 * 1000000 // s.avgdl_micro))
+               CAST(CAST(CAST((2*(CAST(s.n AS HUGEINT) - f.df) + 1) * 1000000
+                              // (2*f.df + 1) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(44 AS HUGEINT) * 1000000 * t.tf * 1000000
+                           // (20 * CAST(1000000 AS HUGEINT) * t.tf
+                               + 6 * 1000000
+                               + 18 * CAST(CAST(t.dl AS HUGEINT) * 1000000
+                                           * 1000000 // s.avgdl_micro
+                                           AS BIGINT))
                            AS BIGINT)
                     // 1000000 AS BIGINT) AS contrib
         FROM tf t JOIN dfreq f USING (tok) CROSS JOIN stats s
@@ -2593,9 +2597,10 @@ def q123_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_id, d.event_type, d.v_micro, d.median2, a.mad4,
            CASE WHEN a.mad4 > 0
-                THEN CAST(20000 * d.dev2 * 1000 // (14826 * a.mad4)
-                          AS BIGINT) END AS z_milli,
-           CAST(20000000 * d.dev2 > 3000 * 14826 * a.mad4 AS INT) AS is_outlier
+                THEN CAST(CAST(20000 AS HUGEINT) * d.dev2 * 1000
+                          // (14826 * a.mad4) AS BIGINT) END AS z_milli,
+           CAST(CAST(20000000 AS HUGEINT) * d.dev2
+                > 3000 * 14826 * CAST(a.mad4 AS HUGEINT) AS INT) AS is_outlier
     FROM dev d JOIN mad a USING (event_type)
     """,
     doc="Robust per-group outlier gate: |x - median| > 3 * 1.4826 * MAD "

@@ -1679,25 +1679,30 @@ def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q122_snapshot_diff",
     """
-    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    WITH o AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS in_o
+        FROM orders
+    ),
     n AS (
         SELECT o_orderkey, o_orderstatus,
                CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
-                    ELSE o_totalprice END AS o_totalprice
+                    ELSE o_totalprice END AS o_totalprice,
+               TRUE AS in_n
         FROM orders WHERE o_orderkey % 13 <> 0
         UNION ALL
-        SELECT -o_orderkey, o_orderstatus, o_totalprice
+        SELECT -o_orderkey, o_orderstatus, o_totalprice, TRUE
         FROM orders WHERE o_orderkey % 17 = 0
     )
     SELECT * FROM (
         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-               CASE WHEN n.o_orderkey IS NULL THEN 'removed'
-                    WHEN o.o_orderkey IS NULL THEN 'added'
+               CASE WHEN n.in_n IS NULL THEN 'removed'
+                    WHEN o.in_o IS NULL THEN 'added'
                     WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
                      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
                         THEN 'unchanged'
                     ELSE 'changed' END AS change_type
-        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        FROM o FULL OUTER JOIN n
+          ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey
     ) WHERE change_type <> 'unchanged'
     """,
     doc="Snapshot CDC: two versions of the orders dimension (the new "

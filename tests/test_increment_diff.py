@@ -111,6 +111,38 @@ class TestSnapshotDiff:
         rows = snapshot_diff(old, new, ["k"], ["v"]).collect()
         assert [(r["k"], r["change_type"]) for r in rows] == [(1, "changed")]
 
+    def test_null_keys_match_null_safely(self, spark):
+        """A NULL-keyed entity present in both snapshots must classify
+        as changed/unchanged — never phantom removed+added (the join is
+        eqNullSafe; presence comes from literal markers, not key
+        null-ness). Composite keys with a NULL first column likewise."""
+        old = spark.createDataFrame(
+            [(None, "a"), (1, "b")], "k long, v string"
+        )
+        new = spark.createDataFrame(
+            [(None, "z"), (1, "b")], "k long, v string"
+        )
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(
+                old, new, ["k"], ["v"], include_unchanged=True
+            ).collect()
+        }
+        assert got == {None: "changed", 1: "unchanged"}
+
+        old2 = spark.createDataFrame(
+            [(None, "x", 5)], "k1 long, k2 string, v long"
+        )
+        new2 = spark.createDataFrame(
+            [(None, "x", 5)], "k1 long, k2 string, v long"
+        )
+        rows = snapshot_diff(
+            old2, new2, ["k1", "k2"], ["v"], include_unchanged=True
+        ).collect()
+        assert [(r["k1"], r["k2"], r["change_type"]) for r in rows] == [
+            (None, "x", "unchanged")
+        ]
+
     def test_compound_key(self, spark):
         old = spark.createDataFrame(
             [(1, "x", 5), (1, "y", 6)], "k1 long, k2 string, v long"

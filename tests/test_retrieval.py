@@ -214,3 +214,35 @@ class TestMmrSelect:
             mmr_select(cands, k=2, lambda_ppm=2_000_000)
         # k > n returns all, deterministically
         assert len(mmr_select(cands, k=50)) == 5
+
+
+def test_bm25_large_corpus_ansi_headroom(spark):
+    """N ~ 9.5M documents, where the pre-fix BIGINT contribution
+    product (idf_ppm * tfc_ppm) exceeds 2^63-1 and ANSI mode threw —
+    the DECIMAL(38,0) interiors must carry it exactly (self-checked:
+    the test asserts the product really is past the BIGINT line, then
+    matches the operator against pure-Python big-int truth)."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    n_filler, rare_tf = 9_500_000, 50
+    n = n_filler + 1
+    rare_text = " ".join(["raretok"] * rare_tf)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit(rare_text))
+        .otherwise(F.lit("a b c"))
+        .alias("text"),
+    )
+    got = bm25_scores(docs, ["raretok"]).collect()
+
+    total_tokens = n_filler * 3 + rare_tf
+    avgdl_micro = total_tokens * PPM // n
+    idf_ppm = (2 * (n - 1) + 1) * PPM // 3
+    ratio_ppm = rare_tf * PPM * PPM // avgdl_micro
+    tfc_ppm = (44 * PPM * rare_tf * PPM) // (
+        20 * PPM * rare_tf + 6 * PPM + 18 * ratio_ppm
+    )
+    assert idf_ppm * tfc_ppm > 2**63 - 1, "corpus not big enough to pin the fix"
+    assert len(got) == 1
+    assert got[0]["doc_id"] == 0
+    assert got[0]["score_ppm"] == idf_ppm * tfc_ppm // PPM
+    assert got[0]["n_hit_terms"] == 1

@@ -21,81 +21,72 @@ from etl_guiacores_spark.session import configure_session
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
-# order decides which rows get a fresh confirmation each round. Round-5
-# rotation: (1) queries NEW or whose code/oracle changed this round
-# (q117-q124 new — q119 BM25, q120 leakage-safe split, q121 collision
-# flags, q122 snapshot diff, q123 EWMA, q124 MAD gate;
-# q116 short-string fallback + ground-truth oracle;
-# q66 gained its recursive-CTE oracle and the pinned bin key; q66b
-# rides the same pack_chunks change; q88 rides the NULL-key blocklist
-# fix), then (2) the 22 round-2-stale rows that overflowed round 4's
-# window, then (3) round-3 rows oldest-first (22 of 45 fit). The
-# round-3 tail (q38 onward, q47, q87, q90-q105) rides its round-3
-# passes one more round — front of block (3) in round 6; with this
-# schedule nothing in the artifact union is ever more than two rounds
-# stale. All rows are locally oracle-verified every round regardless
-# (tools/check_oracle.py).
+# order decides which rows get a fresh confirmation each round. Round-6
+# rotation: (1) queries NEW this round (q125 MMR re-rank, q126 schema
+# drift), then (2) queries whose code or oracle changed this round and
+# need a fresh driver row (q119 BM25 DECIMAL(38,0) interiors, q122
+# null-safe snapshot-diff keys, q124 MAD DECIMAL gate), then (3) the
+# 29 rows whose latest driver pass is round 3 — exactly the tail the
+# round-5 schedule deferred — then (4) the 16 oldest round-4 rows
+# (q01-q13, q80, q32, q33). The remaining 30 round-4 rows ride one
+# more round and fill round 7's window; nothing in the artifact union
+# is ever more than two rounds stale. All rows are locally
+# oracle-verified every round regardless (tools/check_oracle.py).
 _FIRST = [
     # new this round — no driver row at all yet
-    "q117_dsir_select",
-    "q118_qgram_entity_resolution",
+    "q125_mmr_rerank",
+    "q126_schema_drift",
+    # round-6 code/oracle changes — need a fresh driver row
     "q119_bm25_topk",
-    "q120_leakage_safe_split",
-    "q121_incremental_dedup",
     "q122_snapshot_diff",
-    "q123_ewma_smooth",
     "q124_mad_outliers",
-    # round-5 code/oracle changes — need a fresh driver row
-    "q116_qgram_fuzzy_join",
-    "q66_sequence_packing",
-    "q66b_packing_invariants",
-    "q88_blocklist_filter",
-    # round-2-stale rows that overflowed round 4's window
-    "q71_dup_ngram_fraction",
-    "q72_winnowing_fingerprints",
-    "q73_hash_split_counts",
-    "q74_bigram_lm_score",
-    "q75_bpe_token_count",
-    "q63_ivf_ann_fullprobe",
-    "q64_quantize_int8",
-    "q65_multimodal_decode",
-    "q76_source_length_deciles",
-    "q77_winnow_overlap_pairs",
-    "q78_gopher_quality_rules",
-    "q79_centroid_outliers",
-    "q81_span_dedup_reconstruct",
-    "q82_temperature_mixture",
-    "q83_zorder_layout",
-    "q84_knn_label_vote",
-    "q56_extract_all_numbers",
-    "q67_stratified_sample",
-    "q68_bigram_counts",
-    "q69_simhash_hamming_pairs",
-    "q85_split_leakage",
-    "q86_minhash_estimate_error",
-    # round-3 rows, oldest-first (q38 onward overflow to round 6)
-    "q14_phone_normalize",
-    "q15_email_validate",
-    "q16_url_pipeline",
-    "q17_address_split",
-    "q18_business_id_from_url",
-    "q19_urlgen",
-    "q20_clean_text_documents",
-    "q21_token_quality",
-    "q22_lang_id",
-    "q23_fingerprint",
-    "q24_minhash_signatures",
-    "q25_lsh_candidates",
-    "q26_ngram_jaccard",
-    "q27_simhash",
-    "q28_cosine_topk",
-    "q29_embedding_neardup",
+    # rows whose latest driver pass is round 3 (2 rounds stale)
     "q30_tumbling_window",
     "q31_sliding_window",
     "q34_merge_upsert",
     "q35_type_coercion",
     "q36_phone_list_ops",
     "q37_exact_dedupe",
+    "q38_running_totals",
+    "q39_pivot_events",
+    "q40_total_matches",
+    "q41_stat_aggregates",
+    "q42_conditional_agg",
+    "q43_json_props",
+    "q47_asof_join",
+    "q87_weighted_sample",
+    "q90_cluster_representatives",
+    "q91_ngram_novelty",
+    "q92_semantic_dup_groups",
+    "q93_dup_graph_degree",
+    "q94_mixture_rebalance",
+    "q96_source_overlap_matrix",
+    "q97_label_centroid_cosine",
+    "q98_zipf_slope",
+    "q99_funnel",
+    "q100_cohort_retention",
+    "q101_pagerank_neardup",
+    "q102_rank_windows",
+    "q103_topk_via_aggregate",
+    "q104_dsir_importance",
+    "q105_sketch_distinct_audit",
+    # oldest round-4 rows (the rest of round 4 rotates in round 7)
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_regional_revenue",
+    "q04_resume_anti_join",
+    "q05_semi_join_segments",
+    "q06_filter_cross_product",
+    "q07_keep_first_dedupe",
+    "q08_dup_report",
+    "q09_top3_orders_per_customer",
+    "q10_latest_version",
+    "q11_set_ops",
+    "q12_rollup_acctbal",
+    "q13_cube_orders",
+    "q80_dense_ids",
+    "q32_sessionization",
+    "q33_event_dedupe_first",
 ]
 
 

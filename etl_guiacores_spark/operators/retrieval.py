@@ -162,6 +162,78 @@ def bm25_topk(
     return scores.orderBy(F.desc("score_ppm"), F.col(id_col)).limit(k)
 
 
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_candidates: int = 32,
+    lambda_ppm: int = 700_000,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end MMR retrieval funnel over an embedding table:
+    quantize -> relevance vs the query vector -> distributed top-N
+    candidates -> :func:`mmr_select` greedy -> re-join for the final
+    (rank, id, rel, mmr_score) result.
+
+    This is the DataFrame packaging of :func:`mmr_select` that makes
+    the whole funnel oracle-checkable (q125): vectors are quantized to
+    exact integers (``FLOOR(x * scale)`` — float-to-double widening and
+    the scaled floor are bit-identical across engines), relevance is
+    the integer dot product against the query row's quantized vector
+    (embedded as a plan literal, the JL-projection pattern — no second
+    scan, no shuffle), and the top-N cut is a distributed
+    TakeOrderedAndProject with (rel DESC, id) total order. Only the
+    ≤ ``n_candidates`` winners are collected (the operator's bounded-
+    collect contract); the greedy runs driver-side and the selection
+    re-joins the candidate relation so the returned plan is
+    distributed, broadcast-built, and codegen-covered.
+
+    The per-step score division is Python FLOOR division (``//``) —
+    mmr_select's documented semantics — which differs from the
+    engine-wide truncating ``div`` on negative scores; the q125 oracle
+    replays floor explicitly (``x - ((x % d + d) % d)``) rather than
+    DuckDB's truncating ``//``.
+    """
+    vq = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    base = embeddings.select(F.col(id_col), vq.alias("__vq"))
+    qrow = base.filter(F.col(id_col) == query_id).select("__vq").head()
+    if qrow is None:
+        raise ValueError(f"mmr_rerank: no row with {id_col} == {query_id}")
+    qlit = F.array(*[F.lit(int(v)) for v in qrow["__vq"]])
+    cands = (
+        base.filter(F.col(id_col) != query_id)
+        .withColumn(
+            "rel",
+            F.aggregate(
+                F.zip_with("__vq", qlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.desc("rel"), F.col(id_col))
+        .limit(n_candidates)
+    )
+    rows = cands.collect()
+    sel = mmr_select(
+        [(r[id_col], r["rel"], r["__vq"]) for r in rows],
+        k=k,
+        lambda_ppm=lambda_ppm,
+        max_candidates=n_candidates,
+    )
+    spark = embeddings.sparkSession
+    sel_df = spark.createDataFrame(
+        [(i + 1, cid, score) for i, (cid, score) in enumerate(sel)],
+        f"rank long, {id_col} long, mmr_score long",
+    )
+    return sel_df.join(cands.select(id_col, "rel"), id_col).select(
+        "rank", id_col, "rel", "mmr_score"
+    )
+
+
 def mmr_select(
     candidates: list[tuple],
     k: int,

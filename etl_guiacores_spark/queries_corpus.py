@@ -2629,3 +2629,91 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "v_micro", "median2", "mad4", "z_milli",
         "is_outlier",
     )
+
+
+# ---------------------------------------------------------------------------
+# q125: MMR diversified re-ranking — greedy replayed as a recursive CTE
+# ---------------------------------------------------------------------------
+
+_MMR_SCORE = (
+    "(700000*rel - 300000*COALESCE(maxsim, 0)"
+    " - (((700000*rel - 300000*COALESCE(maxsim, 0)) % 1000000 + 1000000)"
+    " % 1000000)) // 1000000"
+)
+
+@register(
+    "q125_mmr_rerank",
+    f"""
+    WITH RECURSIVE vq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    q AS (SELECT vq FROM vq WHERE vec_id = 0),
+    rel_t AS (
+        SELECT c.vec_id, c.vq,
+               CAST(list_sum(list_transform(range(1, LEN(c.vq) + 1),
+                    i -> c.vq[i] * q.vq[i])) AS BIGINT) AS rel
+        FROM vq c CROSS JOIN q
+        WHERE c.vec_id <> 0
+    ),
+    cands AS (
+        SELECT vec_id, vq, rel FROM rel_t
+        QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) <= 32
+    ),
+    rem AS (
+        -- working table = candidates still unselected after `it` picks;
+        -- each recursion drops the argmax row and folds its vector into
+        -- every survivor's max-similarity state (NULL until the first
+        -- pick lands — max sim over the selected set can be NEGATIVE,
+        -- so a 0 init would be wrong)
+        SELECT 0 AS it, vec_id, rel, vq, CAST(NULL AS BIGINT) AS maxsim
+        FROM cands
+        UNION ALL
+        SELECT it + 1, vec_id, rel, vq,
+               CASE WHEN maxsim IS NULL THEN
+                   CAST(list_sum(list_transform(range(1, LEN(vq) + 1),
+                        i -> vq[i] * pvq[i])) AS BIGINT)
+               ELSE GREATEST(maxsim,
+                   CAST(list_sum(list_transform(range(1, LEN(vq) + 1),
+                        i -> vq[i] * pvq[i])) AS BIGINT))
+               END
+        FROM (
+            SELECT it, vec_id, rel, vq, maxsim,
+                   ROW_NUMBER() OVER (ORDER BY {_MMR_SCORE} DESC, vec_id) AS rk,
+                   FIRST(vq) OVER (ORDER BY {_MMR_SCORE} DESC, vec_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS pvq
+            FROM rem
+        ) WHERE rk > 1 AND it < 9
+    )
+    SELECT CAST(it + 1 AS BIGINT) AS rank, vec_id, rel,
+           CAST({_MMR_SCORE} AS BIGINT) AS mmr_score
+    FROM (
+        SELECT it, vec_id, rel, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY it
+                                  ORDER BY {_MMR_SCORE} DESC, vec_id) AS rk
+        FROM rem
+    ) WHERE rk = 1 AND it < 10
+    """,
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998) over the embedding table: quantize to exact integers "
+    "(FLOOR(x*1000) — float-to-double widening is bit-identical across "
+    "engines), take the top-32 candidates by integer dot-product "
+    "relevance against vec_id 0 (distributed TakeOrderedAndProject, "
+    "query vector as a plan literal), then the exact-integer greedy "
+    "lambda*rel - (1-lambda)*max_sim selection of 10, driver-side over "
+    "the BOUNDED candidate set (mmr_select's documented contract, like "
+    "the union-find gate). The greedy is sequential-by-nature — the "
+    "oracle replays it as a recursive CTE whose working table is the "
+    "unselected pool, dropping the argmax and folding its vector into "
+    "each survivor's max-sim per step (the q66 recursive-replay "
+    "pattern), with Python FLOOR division spelled out explicitly since "
+    "DuckDB's // truncates (operators/retrieval.mmr_rerank).",
+)
+def q125_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return mmr_rerank(e, query_id=0, k=10, n_candidates=32)

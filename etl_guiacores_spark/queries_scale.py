@@ -1737,3 +1737,82 @@ def q122_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         ["o_orderstatus", "o_totalprice"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q126: schema drift classification — metadata CDC between snapshots
+# ---------------------------------------------------------------------------
+
+@register(
+    "q126_schema_drift",
+    """
+    WITH o AS (
+        SELECT column_name AS col_name, column_type AS t
+        FROM (DESCRIBE lineitem)
+    ),
+    n AS (
+        SELECT column_name AS col_name, column_type AS t
+        FROM (DESCRIBE SELECT
+                  l_orderkey, l_partkey, l_suppkey,
+                  CAST(lineitem.l_linenumber AS BIGINT) AS l_linenumber,
+                  l_quantity, l_extendedprice, l_discount,
+                  l_returnflag, l_linestatus,
+                  CAST(lineitem.l_shipdate AS VARCHAR) AS l_shipdate,
+                  CAST(7 AS BIGINT) AS l_ingest_batch
+              FROM lineitem)
+    ),
+    -- DuckDB type names canonicalized onto Spark simpleStrings (a
+    -- rendering map, not semantics; DuckDB TIMESTAMP is naive = NTZ)
+    canon(d, s) AS (VALUES
+        ('BIGINT', 'bigint'), ('INTEGER', 'int'), ('DOUBLE', 'double'),
+        ('VARCHAR', 'string'), ('TIMESTAMP', 'timestamp_ntz'),
+        ('DATE', 'date'), ('FLOAT', 'float'), ('SMALLINT', 'smallint'),
+        ('TINYINT', 'tinyint'), ('BOOLEAN', 'boolean')),
+    om AS (SELECT col_name, c.s AS old_type FROM o JOIN canon c ON o.t = c.d),
+    nm AS (SELECT col_name, c.s AS new_type FROM n JOIN canon c ON n.t = c.d),
+    widen(w_old, w_new) AS (VALUES
+        ('int', 'bigint'), ('float', 'double'), ('int', 'double'),
+        ('smallint', 'int'), ('smallint', 'bigint'),
+        ('tinyint', 'smallint'), ('tinyint', 'int'), ('tinyint', 'bigint'),
+        ('date', 'timestamp_ntz')),
+    j AS (
+        SELECT COALESCE(om.col_name, nm.col_name) AS col_name,
+               om.old_type, nm.new_type
+        FROM om FULL OUTER JOIN nm ON om.col_name = nm.col_name
+        WHERE om.old_type IS DISTINCT FROM nm.new_type
+    )
+    SELECT j.col_name,
+           CASE WHEN j.new_type IS NULL THEN 'removed'
+                WHEN j.old_type IS NULL THEN 'added'
+                WHEN w.w_old IS NOT NULL THEN 'widened'
+                ELSE 'retyped' END AS kind,
+           j.old_type, j.new_type
+    FROM j LEFT JOIN widen w
+      ON j.old_type = w.w_old AND j.new_type = w.w_new
+    """,
+    doc="Schema drift classification — the METADATA twin of the q122 "
+    "row-level snapshot diff: the lineitem schema vs a deterministically "
+    "evolved version (l_tax dropped, l_linenumber int->bigint, "
+    "l_shipdate retyped to string, l_ingest_batch added), one row per "
+    "changed column classified added/removed/widened/retyped. 'Widened' "
+    "means the parquet reader absorbs the change inside the scan "
+    "(read_evolved's _SAFE_WIDENINGS table — no rewrite at 100 TB); "
+    "'retyped' needs align_to_schema's per-row try_cast or a "
+    "generation-split read. Both engines derive the schemas from their "
+    "own type inference over the same physical parquet + expressions, "
+    "then classify relationally (full outer join on column name + "
+    "broadcast widening lookup); the oracle maps DuckDB type names onto "
+    "Spark simpleStrings as a rendering concern "
+    "(schema.schema_drift_report).",
+)
+def q126_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.schema import schema_drift_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    evolved = (
+        li.drop("l_tax")
+        .withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("string"))
+        .withColumn("l_ingest_batch", F.lit(7).cast("bigint"))
+    )
+    return schema_drift_report(spark, li.schema, evolved.schema)

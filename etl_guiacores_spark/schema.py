@@ -11,7 +11,7 @@ boundary (SURVEY §1.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -224,3 +224,48 @@ def schema_drift(old: T.StructType, new: T.StructType) -> list[dict]:
                         "old_type": None,
                         "new_type": new_f[name].simpleString()})
     return sorted(out, key=lambda d: d["column"])
+
+
+def schema_drift_report(
+    spark: SparkSession, old: T.StructType, new: T.StructType
+) -> DataFrame:
+    """DataFrame twin of :func:`schema_drift` — the same classification
+    computed RELATIONALLY, so the ingest-monitor query is itself
+    oracle-checkable (q126): the two schemas become (col_name, type)
+    relations, drift is a name-keyed full outer join filtered to
+    null-safe inequality, and the widened/retyped split is a broadcast
+    lookup against the _SAFE_WIDENINGS table. Equivalence with the
+    dict version is pytest-pinned; scale is irrelevant (schemas are
+    hundreds of rows at most) — the relational form exists for the
+    driver signal and for composing with other metadata queries.
+    """
+    o = spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in old.fields],
+        "col_name string, old_type string",
+    )
+    n = spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in new.fields],
+        "col_name string, new_type string",
+    )
+    widen = spark.createDataFrame(
+        sorted(_SAFE_WIDENINGS), "w_old string, w_new string"
+    ).withColumn("__w", F.lit(1))
+    drift = (
+        o.join(n, "col_name", "full_outer")
+        .filter(~F.col("old_type").eqNullSafe(F.col("new_type")))
+        .join(
+            F.broadcast(widen),
+            (F.col("old_type") == F.col("w_old"))
+            & (F.col("new_type") == F.col("w_new")),
+            "left",
+        )
+    )
+    kind = (
+        F.when(F.col("new_type").isNull(), F.lit("removed"))
+        .when(F.col("old_type").isNull(), F.lit("added"))
+        .when(F.col("__w").isNotNull(), F.lit("widened"))
+        .otherwise(F.lit("retyped"))
+    )
+    return drift.select(
+        "col_name", kind.alias("kind"), "old_type", "new_type"
+    )

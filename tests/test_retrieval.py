@@ -246,3 +246,49 @@ def test_bm25_large_corpus_ansi_headroom(spark):
     assert got[0]["doc_id"] == 0
     assert got[0]["score_ppm"] == idf_ppm * tfc_ppm // PPM
     assert got[0]["n_hit_terms"] == 1
+
+
+def test_mmr_rerank_matches_manual_funnel(spark):
+    """The DataFrame packaging must equal quantize -> top-N -> greedy
+    done by hand, including the re-joined rel column."""
+    import math
+
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank, mmr_select
+
+    vecs = [
+        (i, [math.sin(0.7 * i + 0.3 * j) for j in range(8)]) for i in range(24)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in mmr_rerank(
+            df, query_id=0, k=5, n_candidates=12, scale=1000
+        ).collect()
+    )
+
+    # manual replay: quantization must floor the FLOAT-widened value,
+    # exactly as both engines do
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = [math.floor(f32(v) * 1000) for v in vecs[0][1]]
+    cands = []
+    for i, emb in vecs[1:]:
+        vq = [math.floor(f32(v) * 1000) for v in emb]
+        rel = sum(a * b for a, b in zip(q, vq))
+        cands.append((i, rel, vq))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    cands = cands[:12]
+    rels = {i: r for i, r, _ in cands}
+    sel = mmr_select(cands, k=5)
+    want = sorted(
+        (rk + 1, cid, rels[cid], score) for rk, (cid, score) in enumerate(sel)
+    )
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no row"):
+        mmr_rerank(df, query_id=999)

@@ -186,3 +186,38 @@ class TestSchemaDrift:
                           "old_type": "int", "new_type": "bigint"}]
         rows = read_evolved(spark, p, target).collect()
         assert sorted(r["v"] for r in rows) == [1, 2]
+
+
+def test_drift_report_matches_dict_version(spark):
+    """The relational twin (q126's engine) must classify identically to
+    the dict-returning schema_drift on all four kinds."""
+    from pyspark.sql import types as T
+
+    from etl_guiacores_spark.schema import schema_drift, schema_drift_report
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.StringType()),
+            T.StructField("keep", T.LongType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.LongType()),      # widened
+            T.StructField("b", T.StringType()),    # retyped
+            T.StructField("keep", T.LongType()),   # unchanged
+            T.StructField("d", T.BooleanType()),   # added; c removed
+        ]
+    )
+    want = schema_drift(old, new)
+    got = sorted(
+        (r.asDict() for r in schema_drift_report(spark, old, new).collect()),
+        key=lambda d: d["col_name"],
+    )
+    assert [
+        {"column": g["col_name"], "kind": g["kind"],
+         "old_type": g["old_type"], "new_type": g["new_type"]}
+        for g in got
+    ] == want

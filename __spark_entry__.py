@@ -23,23 +23,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
 # order decides which rows get a fresh confirmation each round. Round-6
 # rotation: (1) queries NEW this round (q125 MMR re-rank, q126 schema
-# drift), then (2) queries whose code or oracle changed this round and
-# need a fresh driver row (q119 BM25 DECIMAL(38,0) interiors, q122
-# null-safe snapshot-diff keys, q124 MAD DECIMAL gate), then (3) the
-# 29 rows whose latest driver pass is round 3 — exactly the tail the
-# round-5 schedule deferred — then (4) the 16 oldest round-4 rows
-# (q01-q13, q80, q32, q33). The remaining 30 round-4 rows ride one
-# more round and fill round 7's window; nothing in the artifact union
-# is ever more than two rounds stale. All rows are locally
-# oracle-verified every round regardless (tools/check_oracle.py).
+# drift, q127 carry-select global EWMA, q128 winsorize, q129 majority
+# label, q130 temporal split), then (2) queries whose code
+# or oracle changed this round and need a fresh driver row (q119 BM25
+# DECIMAL(38,0) interiors, q122 null-safe snapshot-diff keys, q124 MAD
+# DECIMAL gate, q123 riding the blocked O(n) EWMA scan rewrite), then
+# (3) the 29 rows whose latest driver pass is round 3 — exactly the
+# tail the round-5 schedule deferred — then (4) the 11 oldest round-4
+# rows (q01-q11). The remaining round-4 rows (q12, q13, q80, q32,
+# q33, and the rest) ride one more round and fill round 7's window; nothing in the
+# artifact union is ever more than two rounds stale. All rows are
+# locally oracle-verified every round regardless
+# (tools/check_oracle.py).
 _FIRST = [
     # new this round — no driver row at all yet
+    "q128_winsorize",
+    "q129_majority_label",
+    "q130_temporal_split",
     "q125_mmr_rerank",
     "q126_schema_drift",
+    "q127_ewma_global",
     # round-6 code/oracle changes — need a fresh driver row
     "q119_bm25_topk",
     "q122_snapshot_diff",
     "q124_mad_outliers",
+    "q123_ewma_smooth",
     # rows whose latest driver pass is round 3 (2 rounds stale)
     "q30_tumbling_window",
     "q31_sliding_window",
@@ -82,11 +90,6 @@ _FIRST = [
     "q09_top3_orders_per_customer",
     "q10_latest_version",
     "q11_set_ops",
-    "q12_rollup_acctbal",
-    "q13_cube_orders",
-    "q80_dense_ids",
-    "q32_sessionization",
-    "q33_event_dedupe_first",
 ]
 
 

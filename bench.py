@@ -90,25 +90,32 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    payload = {
+        "queries_cold": timings_cold,
+        "queries": timings,
+        "n_queries": len(timings),
+        "timing_mode": "warm_of_2_runs",
+        "cold_total": round(sum(timings_cold.values()), 3),
+        "metric": "query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
     # key order matters for artifact robustness: the driver records the
     # TAIL of stdout, so the per-query dict goes first and the headline
     # metric/value/sf land at the end of the line where truncation
-    # can't eat them (round 2's artifact lost the head of the line)
-    print(
-        json.dumps(
-            {
-                "queries_cold": timings_cold,
-                "queries": timings,
-                "n_queries": len(timings),
-                "timing_mode": "warm_of_2_runs",
-                "cold_total": round(sum(timings_cold.values()), 3),
-                "metric": "query_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-            }
-        )
-    )
+    # can't eat them (round 2's artifact lost the head of the line).
+    # A full, never-truncated copy also lands next to the script
+    # (BENCH_full_latest.json) so cross-round per-query comparisons
+    # stop depending on the driver's tail window — tools/bench_compare
+    # prefers it when present.
+    print(json.dumps(payload))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

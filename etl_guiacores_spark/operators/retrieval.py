@@ -202,6 +202,13 @@ def mmr_rerank(
     base = embeddings.select(F.col(id_col), vq.alias("__vq"))
     qrow = base.filter(F.col(id_col) == query_id).select("__vq").head()
     if qrow is None:
+        if embeddings.isEmpty():  # empty corpus -> empty result (the
+            # suite-wide empty-input contract); a MISSING id in real
+            # data is still a loud error below
+            spark = embeddings.sparkSession
+            return spark.createDataFrame(
+                [], f"rank long, {id_col} long, rel long, mmr_score long"
+            )
         raise ValueError(f"mmr_rerank: no row with {id_col} == {query_id}")
     qlit = F.array(*[F.lit(int(v)) for v in qrow["__vq"]])
     cands = (

@@ -58,25 +58,47 @@ def robust_outliers(
     group_col: str,
     value_micro_col: str,
     k_milli: int = 3000,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Input columns + (median2, mad4, z_milli, is_outlier) per row.
 
     ``k_milli``: the gate multiplier in thousandths (3000 = the
     classic 3-sigma-equivalent).
+
+    ``exact=False`` is the huge-group escape hatch the module doc
+    promises: exact ``percentile`` needs each group's values on one
+    reducer, so a group too big for one executor swaps in
+    ``approx_percentile`` (Greenwald-Khanna style sketch — fixed-size,
+    MERGEABLE map-side partials, so no group ever assembles on one
+    task). The contract loosens from exact to ranked: the returned
+    median is an ACTUAL data value whose rank is within
+    ``n / accuracy`` of the true median (same for the MAD leg), so
+    ``median2``/``mad4`` land within that rank window and the gate can
+    flip only for rows whose deviation sits inside the corresponding
+    tolerance band around ``k * 1.4826 * MAD`` — the sketches.py
+    tolerance discipline, pytest-pinned. Note the scaled carriers
+    stay: ``median2 = 2 * approx_median`` (an even number now — the
+    sketch never interpolates), keeping one downstream gate for both
+    modes.
     """
     if k_milli <= 0:
         raise ValueError("k_milli must be positive")
+    if accuracy <= 0:
+        raise ValueError("accuracy must be positive")
+    pctl = "percentile" if exact else f"approx_percentile"
+    acc = "" if exact else f", {accuracy}"
     med = df.groupBy(group_col).agg(
-        F.expr(f"CAST(2 * percentile({value_micro_col}, 0.5D) AS BIGINT)").alias(
-            "median2"
-        )
+        F.expr(
+            f"CAST(2 * {pctl}({value_micro_col}, 0.5D{acc}) AS BIGINT)"
+        ).alias("median2")
     )
     dev = df.join(med, group_col).withColumn(
         "__dev2",
         F.abs(2 * F.col(value_micro_col) - F.col("median2")).cast("long"),
     )
     mad = dev.groupBy(group_col).agg(
-        F.expr("CAST(2 * percentile(__dev2, 0.5D) AS BIGINT)").alias("mad4")
+        F.expr(f"CAST(2 * {pctl}(__dev2, 0.5D{acc}) AS BIGINT)").alias("mad4")
     )
     gated = (
         dev.join(mad, group_col)
@@ -101,3 +123,50 @@ def robust_outliers(
         )
     )
     return gated.drop("__dev2")
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_micro_col: str,
+    tail_sixteenths: int = 1,
+) -> DataFrame:
+    """Per-group winsorization: clamp values at the (t/16, 1-t/16)
+    interpolated quantiles — the softer sibling of the
+    :func:`robust_outliers` DROP gate (training pipelines usually
+    prefer clipping a metric to discarding the row).
+
+    Exactness: arbitrary quantiles interpolate at fractional rank
+    ``q*(n-1)``, and most q (0.05, 0.01...) are NOT binary-exact, so
+    the two engines' doubles can round differently (the q112 lesson).
+    Quantiles are therefore restricted to SIXTEENTHS: q = t/16 is an
+    exact double, the rank fraction is a multiple of 1/16, and the
+    interpolated value times 16 is an exact BIGINT both engines agree
+    on — the q124 half-carrier discipline generalized from halves to
+    sixteenths. Outputs are 16x-scaled (``lo16``/``hi16``/
+    ``clamped16``) plus a ``clipped`` flag.
+
+    Scale shape: identical to the MAD gate — one exact percentile per
+    bounded group (swap approx_percentile for huge groups), one
+    group-keyed join back.
+    """
+    if not 1 <= tail_sixteenths <= 7:
+        raise ValueError("tail_sixteenths must be in [1, 7]")
+    qlo = tail_sixteenths / 16.0
+    qhi = 1.0 - qlo
+    bounds = df.groupBy(group_col).agg(
+        F.expr(
+            f"CAST(16 * percentile({value_micro_col}, {qlo!r}D) AS BIGINT)"
+        ).alias("lo16"),
+        F.expr(
+            f"CAST(16 * percentile({value_micro_col}, {qhi!r}D) AS BIGINT)"
+        ).alias("hi16"),
+    )
+    v16 = F.col(value_micro_col).cast("long") * 16
+    return (
+        df.join(bounds, group_col)
+        .withColumn(
+            "clamped16", F.least(F.greatest(v16, F.col("lo16")), F.col("hi16"))
+        )
+        .withColumn("clipped", (v16 != F.col("clamped16")).cast("int"))
+    )

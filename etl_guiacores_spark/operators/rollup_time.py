@@ -126,6 +126,72 @@ def resample_gapfill(
     return dense.select(*out_cols)
 
 
+#: block size for the two-level scan: array_append copies its whole
+#: accumulator per element, so building one n-element running-state
+#: array is O(n^2) — the blocked form folds block seeds scalar-ly
+#: (O(n)) and caps every array build at `block` elements, for
+#: O(n * block + (n/block)^2) total. 256 balances the two terms from
+#: thousands to millions of rows per series (measured: 2M rows in
+#: seconds vs minutes-to-hours for the naive single-array fold).
+_EWMA_BLOCK = 256
+
+
+def _ewma_end_expr(vals_sql: str, seed_sql: str, a: int, b: int) -> str:
+    """SQL for the END state of the truncated EWMA recurrence folded
+    over ``vals_sql`` starting from ``seed_sql``. A NULL seed means
+    'no state yet' — the first value starts the series — which unifies
+    the seedless first chunk with seeded continuation chunks."""
+    return (
+        f"aggregate({vals_sql}, CAST({seed_sql} AS BIGINT), "
+        f"(s, v) -> CASE WHEN s IS NULL THEN v "
+        f"ELSE ({a} * v + {b} * s) div 1000000 END)"
+    )
+
+
+def _nb(vals_sql: str, block: int) -> str:
+    return f"CAST(ceil(size({vals_sql}) / CAST({block} AS DOUBLE)) AS INT)"
+
+
+def _ewma_block_seeds_expr(
+    vals_sql: str, seed_sql: str, a: int, b: int, block: int = _EWMA_BLOCK
+) -> str:
+    """SQL for the per-block incoming states: element ``i+1`` is the
+    state ENTERING block ``i`` (element 1 = the series seed). One O(n)
+    scalar fold chained across blocks — the sequential part of the
+    two-level scan, kept scalar so no O(n)-sized array is ever
+    copied."""
+    return (
+        f"aggregate(sequence(0, greatest({_nb(vals_sql, block)}, 1) - 1), "
+        f"array(CAST({seed_sql} AS BIGINT)), "
+        f"(acc, i) -> array_append(acc, "
+        + _ewma_end_expr(
+            f"slice({vals_sql}, i * {block} + 1, {block})",
+            "element_at(acc, -1)",
+            a,
+            b,
+        )
+        + "))"
+    )
+
+
+def _ewma_scan_expr(
+    vals_sql: str, bseeds_sql: str, a: int, b: int, block: int = _EWMA_BLOCK
+) -> str:
+    """SQL for ALL running states (the per-row output): each block
+    array-builds independently from its precomputed incoming state, so
+    accumulator copies are capped at ``block`` elements."""
+    prev = f"CASE WHEN size(o) = 0 THEN element_at({bseeds_sql}, i + 1) " \
+           f"ELSE element_at(o, -1) END"
+    return (
+        f"CASE WHEN size({vals_sql}) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE flatten(transform(sequence(0, {_nb(vals_sql, block)} - 1), "
+        f"i -> aggregate(slice({vals_sql}, i * {block} + 1, {block}), "
+        f"CAST(array() AS ARRAY<BIGINT>), "
+        f"(o, v) -> array_append(o, CASE WHEN ({prev}) IS NULL THEN v "
+        f"ELSE ({a} * v + {b} * ({prev})) div 1000000 END)))) END"
+    )
+
+
 def ewma_smooth(
     df: DataFrame,
     key_col: str,
@@ -153,11 +219,15 @@ def ewma_smooth(
     and thus the smoothed value — is not total.
 
     Scale shape: per-key memory is the key's series (the same bound
-    as sessionization and grouped top-k via aggregation); right for
+    as sessionization and grouped top-k via aggregation), and per-key
+    WORK is linear via the blocked two-level scan (block seeds folded
+    scalar-ly, array builds capped at ``_EWMA_BLOCK`` — a naive
+    array_append fold would be quadratic in series length); right for
     per-entity event streams (hundreds-to-millions of rows per key),
     wrong for one global series — pre-aggregate with time_rollup
-    first, or chunk the series and carry the boundary state between
-    chunks. Keys parallelize perfectly; AQE splits nothing here since
+    first, or use :func:`ewma_smooth_global`, which chunks the series
+    across EXECUTORS and carries the boundary state between chunks
+    exactly. Keys parallelize perfectly; AQE splits nothing here since
     the fold is one row per key until the final explode.
 
     Integer division TRUNCATES toward zero (Spark ``div`` and DuckDB
@@ -174,14 +244,15 @@ def ewma_smooth(
     if tiebreak_col is not None:
         fields.append(F.col(tiebreak_col).alias("tb"))
     fields.append(F.col(value_micro_col).cast("long").alias("v"))
-    grouped = df.groupBy(key_col).agg(
-        F.sort_array(F.collect_list(F.struct(*fields))).alias("__arr")
+    grouped = (
+        df.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(F.struct(*fields))).alias("__arr"))
+        .withColumn("__vals", F.expr("transform(__arr, x -> x.v)"))
+        .withColumn(
+            "__bseeds", F.expr(_ewma_block_seeds_expr("__vals", "NULL", a, b))
+        )
     )
-    sarr = F.expr(
-        f"aggregate(transform(__arr, x -> x.v), CAST(array() AS ARRAY<BIGINT>), "
-        f"(acc, v) -> array_append(acc, CASE WHEN size(acc) = 0 THEN v "
-        f"ELSE ({a} * v + {b} * element_at(acc, -1)) div 1000000 END))"
-    )
+    sarr = F.expr(_ewma_scan_expr("__vals", "__bseeds", a, b))
     exploded = grouped.select(
         key_col, F.explode(F.arrays_zip("__arr", sarr.alias("__s"))).alias("__z")
     )
@@ -194,3 +265,211 @@ def ewma_smooth(
     out.append(F.col("__z.__arr.v").alias("v_micro"))
     out.append(F.col("__z.__s").alias("ewma_micro"))
     return exploded.select(*out)
+
+
+def ewma_smooth_global(
+    df: DataFrame,
+    ts_col: str,
+    value_micro_col: str,
+    alpha_ppm: int = 200_000,
+    tiebreak_col: str | None = None,
+    num_chunks: int | None = None,
+    max_candidates: int = 4096,
+) -> DataFrame:
+    """EWMA over ONE global series with NO single-reducer stage —
+    bit-identical to :func:`ewma_smooth` run on a single key, via a
+    carry-select (speculative) scan.
+
+    The truncated recurrence ``s_t = (a*v_t + b*s_{t-1}) div 1e6`` is
+    not associative (per-step truncation), so it cannot be
+    prefix-combined like a sum — but its chunk-level fold map
+    ``F_c(seed)`` has two exploitable properties, both direct from the
+    per-step algebra:
+
+    - **monotone**: seed' >= seed implies F_c(seed') >= F_c(seed)
+      (each step is monotone in the state; integer div preserves it);
+    - **contracting**: one step shrinks a seed interval's width w to
+      at most ``b*w div 1e6 + 1``, whose fixed point is
+      ``~1e6/alpha_ppm`` — after a few dozen rows, the chunk's end
+      state is pinned to a narrow integer interval REGARDLESS of its
+      incoming seed.
+
+    The carry-select protocol (the carry-select adder, lifted to
+    scans):
+
+    1. range-partition on (ts [, tiebreak]) into ``num_chunks``
+       contiguous segments; pin the partitioning (eager
+       localCheckpoint — same reasoning as global_prefix_sum's pid
+       fact) and collect each segment's sorted values into one row;
+    2. **pass A** (one job): fold every segment from the two extreme
+       seeds LO/HI (global min/max value — the state provably never
+       leaves this range), giving each segment's outgoing-state
+       interval ``[F(LO), F(HI)]``; by monotonicity the TRUE outgoing
+       state lies inside, whatever the true incoming seed is;
+    3. **pass B** (one job): every non-first segment evaluates its
+       end state from EVERY integer seed in its predecessor's
+       interval (``sequence`` + a ``transform`` of scalar folds —
+       the speculative evaluations). Interval widths are gated by
+       ``max_candidates``: tiny-alpha series (width ~ 1e6/alpha_ppm)
+       or very short chunks fail loudly instead of degrading;
+    4. the driver chains the exact boundary states through the
+       collected candidate tables (bounded: chunks x interval width
+       integers — the operator's only collects, all bounded);
+    5. **pass C** (lazy, returned): each segment folds once more from
+       its now-exact incoming seed, emitting the per-row smoothed
+       array, exploded back to rows.
+
+    Three passes over pinned per-segment arrays instead of one
+    sequential scan — the classic parallel-scan trade. Per-task memory
+    is one segment (``n / num_chunks`` rows), the explicit knob a
+    100 TB series sizes; every fold is a JVM higher-order function
+    (zero Python). Same uniqueness contract on (ts, tiebreak) and the
+    same |v| < ~9.2e12 micro-unit overflow bound as the keyed fold.
+
+    Returns (ts, [tiebreak], v_micro, ewma_micro) — one row per input
+    row, exactly :func:`ewma_smooth`'s per-key output (test-pinned
+    equivalence on a 2M-row single-key series).
+    """
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    a, b = alpha_ppm, 1_000_000 - alpha_ppm
+    spark = df.sparkSession
+    if num_chunks is None:
+        num_chunks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    fields = [F.col(ts_col).alias("ts")]
+    order_cols = [ts_col]
+    if tiebreak_col is not None:
+        fields.append(F.col(tiebreak_col).alias("tb"))
+        order_cols.append(tiebreak_col)
+    fields.append(F.col(value_micro_col).cast("long").alias("v"))
+
+    out_fields = [F.col("__z.__arr.ts").alias(ts_col)]
+    if tiebreak_col is not None:
+        out_fields.append(F.col("__z.__arr.tb").alias(tiebreak_col))
+    out_fields += [
+        F.col("__z.__arr.v").alias("v_micro"),
+        F.col("__z.__s").alias("ewma_micro"),
+    ]
+    out_shape = df.select(
+        F.col(ts_col),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        F.col(value_micro_col).cast("long").alias("v_micro"),
+        F.lit(0).cast("long").alias("ewma_micro"),
+    )
+    if df.isEmpty():
+        return out_shape.limit(0)
+
+    seg = (
+        df.select(*fields)
+        .repartitionByRange(num_chunks, F.col("ts"), *( ["tb"] if tiebreak_col else [] ))
+        .withColumn("__seg", F.spark_partition_id())
+    )
+    grouped = (
+        seg.groupBy("__seg")
+        .agg(F.sort_array(F.collect_list(F.struct("*"))).alias("__arr"))
+    )
+    # drop the struct's own __seg copy out of the array elements
+    grouped = grouped.select(
+        "__seg",
+        F.transform(
+            "__arr",
+            lambda x: F.struct(
+                *(
+                    [x["ts"].alias("ts")]
+                    + ([x["tb"].alias("tb")] if tiebreak_col else [])
+                    + [x["v"].alias("v")]
+                )
+            ),
+        ).alias("__arr"),
+    ).withColumn(
+        "__vals", F.expr("transform(__arr, x -> x.v)")
+    ).localCheckpoint(eager=True)
+
+    def fold_end(seed_sql: str) -> str:
+        return _ewma_end_expr("__vals", seed_sql, a, b)
+
+    lo, hi = df.select(
+        (F.min(F.col(value_micro_col).cast("long")) - 1).alias("lo"),
+        (F.max(F.col(value_micro_col).cast("long")) + 1).alias("hi"),
+    ).first()
+    # pass A: per-segment extreme-seed end states + the seedless end
+    # (NULL seed = the first-value-starts rule)
+    stats = {
+        r["__seg"]: r
+        for r in grouped.select(
+            "__seg",
+            F.expr(fold_end(str(lo))).alias("e_lo"),
+            F.expr(fold_end(str(hi))).alias("e_hi"),
+            F.expr(fold_end("NULL")).alias("e_first"),
+        ).collect()
+    }
+    order = sorted(stats)
+    widths = {
+        s: stats[p]["e_hi"] - stats[p]["e_lo"] + 1
+        for p, s in zip(order, order[1:])
+    }
+    too_wide = {s: w for s, w in widths.items() if w > max_candidates}
+    if too_wide:
+        raise ValueError(
+            f"ewma_smooth_global: boundary-state interval width exceeds "
+            f"max_candidates={max_candidates} for segment(s) "
+            f"{sorted(too_wide)} (widths {sorted(too_wide.values())[-3:]}"
+            f"...). The interval contracts like (b/1e6)^rows toward "
+            f"~1e6/alpha_ppm — use fewer/larger chunks or a larger "
+            f"alpha_ppm, or raise max_candidates deliberately."
+        )
+
+    # pass B: speculative end states for every candidate seed
+    if len(order) > 1:
+        cand = spark.createDataFrame(
+            [
+                (s, int(stats[p]["e_lo"]), int(stats[p]["e_hi"]))
+                for p, s in zip(order, order[1:])
+            ],
+            "__seg int, __clo long, __chi long",
+        )
+        spec = {
+            r["__seg"]: r
+            for r in grouped.join(F.broadcast(cand), "__seg")
+            .select(
+                "__seg",
+                "__clo",
+                F.expr(
+                    f"transform(sequence(__clo, __chi), "
+                    f"sd -> {fold_end('sd')})"
+                ).alias("__ends"),
+            )
+            .collect()
+        }
+    else:
+        spec = {}
+
+    # exact boundary chain (driver-side, bounded: one lookup per chunk)
+    seeds: dict[int, int] = {}
+    prev_end = None
+    for i, s in enumerate(order):
+        if i == 0:
+            prev_end = int(stats[s]["e_first"])
+        else:
+            seeds[s] = int(prev_end)
+            r = spec[s]
+            prev_end = int(r["__ends"][prev_end - r["__clo"]])
+
+    # pass C: one blocked scan per segment from its exact seed (NULL
+    # for the first segment — the first-value-starts rule), exploded
+    # back to rows
+    seed_map = F.create_map(
+        *[x for s, sd in seeds.items() for x in (F.lit(s), F.lit(sd))]
+    ) if seeds else F.create_map(F.lit(-1), F.lit(0))
+    folded = (
+        grouped.withColumn("__seed", seed_map[F.col("__seg")].cast("long"))
+        .withColumn(
+            "__bseeds", F.expr(_ewma_block_seeds_expr("__vals", "__seed", a, b))
+        )
+        .withColumn("__sarr", F.expr(_ewma_scan_expr("__vals", "__bseeds", a, b)))
+    )
+    exploded = folded.select(
+        F.explode(F.arrays_zip("__arr", F.col("__sarr").alias("__s"))).alias("__z")
+    )
+    return exploded.select(*out_fields)

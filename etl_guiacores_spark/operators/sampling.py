@@ -20,7 +20,7 @@ any engine with md5+substring), which is how the oracle checks it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: denominator of the hash threshold: first 8 md5 hex digits
@@ -156,3 +156,49 @@ def leakage_safe_split(
         F.col("id").alias(id_col), F.col("component").alias("group_id")
     )
     return hash_split(labeled, "group_id", splits, seed=seed, out_col=out_col)
+
+
+def temporal_split(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    test_ppm: int = 200_000,
+    tiebreak_col: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-entity TEMPORAL holdout: each entity's most recent
+    ``test_ppm`` fraction of rows becomes ``test``, the rest
+    ``train`` — the standard forecasting/recsys evaluation split,
+    where a random split (hash_split) would leak the future into
+    training.
+
+    The cut is rank-based and integer-exact: with ``n`` rows for an
+    entity, the newest ``ceil(n * test_ppm / 1e6)`` rows are test —
+    expressed as ``(n - rank) * 1e6 < n * test_ppm`` over the
+    (ts [, tiebreak]) ascending rank, so every entity gets at least
+    one test row whenever ``test_ppm > 0`` and n > 0. Ranks come from
+    an entity-partitioned window — parallel across entities, the
+    sessionization memory bound per entity; ties on ts need
+    ``tiebreak_col`` for a total order (same contract as EWMA).
+
+    Returns the input plus (rank ascending from 1, n_rows, out_col).
+    """
+    if not 0 <= test_ppm <= 1_000_000:
+        raise ValueError("test_ppm must be in [0, 1e6]")
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    wn = Window.partitionBy(entity_col)
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_rows", F.count("*").over(wn).cast("long"))
+        .withColumn(
+            out_col,
+            F.when(
+                (F.col("n_rows") - F.col("rank")) * 1_000_000
+                < F.col("n_rows") * test_ppm,
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+    )

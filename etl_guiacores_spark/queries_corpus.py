@@ -2569,6 +2569,77 @@ def q123_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q127: ONE-series EWMA via the carry-select scan — no single-reducer stage
+# ---------------------------------------------------------------------------
+
+@register(
+    "q127_ewma_global",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, ts,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_id % 31 = 0
+    ),
+    ew AS (
+        SELECT event_id, ts, v, rn, v AS s
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.event_id, o.ts, o.v, o.rn,
+               CAST((200000 * o.v + 800000 * e.s) // 1000000 AS BIGINT)
+        FROM ew e JOIN ordered o ON o.rn = e.rn + 1
+    )
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           v AS v_micro,
+           CAST(s AS BIGINT) AS ewma_micro
+    FROM ew
+    """,
+    doc="EWMA over ONE global series (a sampled event stream) — the "
+    "q123 recurrence where there is no key to parallelize on, solved "
+    "with a carry-select scan instead of a single-reducer fold: "
+    "range-partition the series into contiguous segments, fold each "
+    "from the two extreme seeds (the fold map is monotone and "
+    "contracts seed intervals by ~(1-alpha) per row), speculatively "
+    "evaluate each segment at every integer seed in its predecessor's "
+    "now-narrow interval, chain the exact boundary states driver-side "
+    "(bounded: segments x interval-width integers), then fold once "
+    "more from the exact seeds — bit-identical to the sequential "
+    "recurrence, proven here against the oracle's rank-by-rank "
+    "recursive CTE and in pytest against the keyed fold on a 2M-row "
+    "single-key series. Chunk count adapts to the sample size so "
+    "segments stay long enough for the interval to contract "
+    "(operators/rollup_time.ewma_smooth_global).",
+)
+def q127_ewma_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import ewma_smooth_global
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_id") % 31 == 0
+    ).select(
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    # segments must be long enough for the seed interval to contract
+    # (~(1-alpha)^rows); ~400+ rows per chunk keeps the speculative
+    # candidate set tiny at every SF, degenerating to 1 chunk (plain
+    # exact fold) on tiny samples
+    n = ev.count()
+    chunks = max(1, min(8, n // 400))
+    sm = ewma_smooth_global(
+        ev, "ts", "v_micro", alpha_ppm=200_000,
+        tiebreak_col="event_id", num_chunks=chunks,
+    )
+    return sm.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "v_micro",
+        "ewma_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q124: median/MAD robust outlier gate — integer-exact across engines
 # ---------------------------------------------------------------------------
 
@@ -2628,6 +2699,155 @@ def q124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outliers(ev, "event_type", "v_micro", k_milli=3000).select(
         "event_id", "event_type", "v_micro", "median2", "mad4", "z_milli",
         "is_outlier",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128: per-group winsorization — binary-exact sixteenth quantiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "q128_winsorize",
+    """
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(16 * quantile_cont(v_micro, 0.0625) AS BIGINT) AS lo16,
+               CAST(16 * quantile_cont(v_micro, 0.9375) AS BIGINT) AS hi16
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.v_micro, b.lo16, b.hi16,
+           LEAST(GREATEST(16 * v.v_micro, b.lo16), b.hi16) AS clamped16,
+           CAST(16 * v.v_micro
+                <> LEAST(GREATEST(16 * v.v_micro, b.lo16), b.hi16)
+                AS INT) AS clipped
+    FROM v JOIN b USING (event_type)
+    """,
+    doc="Per-group winsorization at the (1/16, 15/16) quantiles — the "
+    "clip-don't-drop sibling of the q124 MAD gate for numeric "
+    "telemetry. Arbitrary quantiles (0.05...) are NOT binary-exact "
+    "doubles, so cross-engine interpolation can round apart (the q112 "
+    "hazard); restricting to SIXTEENTHS makes the rank fraction a "
+    "multiple of 1/16 and the interpolated value times 16 an exact "
+    "BIGINT both engines agree on — the q124 half-carrier discipline "
+    "generalized. One exact percentile per bounded group + one keyed "
+    "join back (operators/robust.winsorize).",
+)
+def q128_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.robust import winsorize
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    return winsorize(ev, "event_type", "v_micro", tail_sixteenths=1).select(
+        "event_id", "event_type", "v_micro", "lo16", "hi16", "clamped16",
+        "clipped",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129: majority-vote label aggregation — annotation consolidation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q129_majority_label",
+    """
+    WITH judged AS (
+        SELECT user_id % 500 AS example_id, event_type AS label
+        FROM events
+    ),
+    counts AS (
+        SELECT example_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM judged GROUP BY example_id, label
+    ),
+    ranked AS (
+        SELECT example_id, label, votes,
+               ROW_NUMBER() OVER (PARTITION BY example_id
+                                  ORDER BY votes DESC, label) AS rk,
+               SUM(votes) OVER (PARTITION BY example_id) AS votes_total,
+               COUNT(*) OVER (PARTITION BY example_id) AS n_labels
+        FROM counts
+    )
+    SELECT example_id, label,
+           votes AS votes_top,
+           CAST(votes_total AS BIGINT) AS votes_total,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           CAST(votes * 1000000 // votes_total AS BIGINT) AS agreement_ppm
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Majority-vote label consolidation — the aggregation step "
+    "every multi-annotator / multi-sample labeling pipeline needs "
+    "before training: one winner per example (ties broken to the "
+    "lexicographically smallest label, a TOTAL order — a bare max_by "
+    "on count would be tie-nondeterministic) plus the "
+    "inter-annotator-agreement ratio in exact integer ppm. Two "
+    "map-side-combinable count aggregations and a min_by fold over "
+    "per-label counts — no window, no per-example sort, raw judgments "
+    "never travel past the first combine "
+    "(operators/labels.majority_label).",
+)
+def q129_majority_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.labels import majority_label
+
+    judged = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 500).alias("example_id"),
+        F.col("event_type").alias("label"),
+    )
+    return majority_label(judged, "example_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# q130: per-entity temporal holdout split — no future leakage
+# ---------------------------------------------------------------------------
+
+@register(
+    "q130_temporal_split",
+    """
+    WITH r AS (
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS rank,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_rows
+        FROM events
+    )
+    SELECT event_id, user_id, ts_s, rank, n_rows,
+           CASE WHEN (n_rows - rank) * 1000000 < n_rows * 200000
+                THEN 'test' ELSE 'train' END AS split
+    FROM r
+    """,
+    doc="Per-entity TEMPORAL holdout: each user's most recent 20% of "
+    "events become test — the standard forecasting/recsys evaluation "
+    "split, where the q73 random hash split would leak the future "
+    "into training (the time-axis cousin of q120's group-aware "
+    "anti-leakage split). Rank-based integer-exact cut "
+    "((n - rank) * 1e6 < n * test_ppm over the (ts, tiebreak) "
+    "ascending rank), entity-partitioned windows only — parallel "
+    "across entities, no global sort "
+    "(operators/sampling.temporal_split).",
+)
+def q130_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import temporal_split
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal_split(
+        ev, "user_id", "ts", test_ppm=200_000, tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "rank",
+        "n_rows",
+        "split",
     )
 
 

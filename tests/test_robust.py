@@ -83,3 +83,87 @@ def test_groups_independent(spark):
     rows = robust_outliers(df, "g", "v").collect()
     med_by_g = {(r["g"]): r["median2"] for r in rows}
     assert med_by_g["a"] == 20 and med_by_g["b"] == 6
+
+
+class TestApproxMode:
+    """exact=False: mergeable-sketch percentiles with a rank-tolerance
+    contract instead of exactness."""
+
+    def test_rank_tolerance_and_gate_agreement(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_guiacores_spark.operators.robust import robust_outliers
+
+        n = 200_000
+        df = spark.range(n).select(
+            F.lit("g").alias("grp"),
+            # uniform 1-spaced values: rank error translates 1:1 into
+            # value error, making the tolerance assertable exactly
+            F.col("id").cast("long").alias("v"),
+        )
+        acc = 10_000
+        ex = robust_outliers(df, "grp", "v", exact=True)
+        ap = robust_outliers(df, "grp", "v", exact=False, accuracy=acc)
+
+        ex_row = ex.select("median2", "mad4").first()
+        ap_row = ap.select("median2", "mad4").first()
+        # rank window n/accuracy -> value window (values are 1-spaced;
+        # carriers are 2x/4x scaled; +2 slack for the sketch returning
+        # an actual sample vs the exact interpolated half)
+        tol2 = 2 * (n // acc) + 2
+        assert abs(ap_row["median2"] - ex_row["median2"]) <= tol2
+        assert abs(ap_row["mad4"] - ex_row["mad4"]) <= 2 * tol2
+
+        # the gate may flip only inside the tolerance band around the
+        # threshold; on this data that band is tiny relative to n
+        joined = (
+            ex.select(F.col("v"), F.col("is_outlier").alias("e"))
+            .join(ap.select("v", F.col("is_outlier").alias("a")), "v")
+        )
+        disagree = joined.filter(F.col("e") != F.col("a")).count()
+        assert disagree <= 4 * (n // acc) + 4
+
+    def test_approx_median_is_a_data_value(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_guiacores_spark.operators.robust import robust_outliers
+
+        df = spark.createDataFrame(
+            [("g", int(v)) for v in [10, 20, 30, 40, 41]], "grp string, v long"
+        )
+        row = robust_outliers(df, "grp", "v", exact=False).first()
+        assert row["median2"] % 2 == 0
+        assert row["median2"] // 2 in {10, 20, 30, 40, 41}
+
+
+def test_winsorize_matches_python_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.robust import winsorize
+
+    vals = [3, -50, 7, 1000, 12, 9, -3, 40, 8, 11, 6, 2]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "grp string, i long, v long"
+    )
+    rows = {r["i"]: r for r in winsorize(df, "grp", "v").collect()}
+
+    def q16(sorted_vals, t):
+        pos = t * (len(sorted_vals) - 1) / 16
+        lo, frac = int(pos), pos - int(pos)
+        hi = min(lo + 1, len(sorted_vals) - 1)
+        return 16 * sorted_vals[lo] + int(
+            round(16 * frac * (sorted_vals[hi] - sorted_vals[lo])
+        ))
+
+    sv = sorted(vals)
+    lo16, hi16 = q16(sv, 1), q16(sv, 15)
+    for i, v in enumerate(vals):
+        r = rows[i]
+        assert (r["lo16"], r["hi16"]) == (lo16, hi16)
+        assert r["clamped16"] == min(max(16 * v, lo16), hi16)
+        assert r["clipped"] == int(16 * v != r["clamped16"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, "grp", "v", tail_sixteenths=8)

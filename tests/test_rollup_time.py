@@ -149,3 +149,123 @@ class TestEwmaSmooth:
         assert all(r["ewma_micro"] == r["v_micro"] for r in rows)
         with pytest.raises(ValueError):
             ewma_smooth(df, "k", "ts", "v", alpha_ppm=0)
+
+
+class TestEwmaGlobal:
+    """ewma_smooth_global: carry-select scan == sequential fold,
+    exactly, with no single-reducer stage."""
+
+    def _ref(self, rows, alpha=200_000):
+        state, out = None, {}
+        a, b = alpha, 1_000_000 - alpha
+        for ts, v in sorted(rows):
+            if state is None:
+                state = v
+            else:
+                x = a * v + b * state
+                state = abs(x) // 1_000_000 * (1 if x >= 0 else -1)  # trunc
+            out[ts] = state
+        return out
+
+    def test_random_series_all_chunkings(self, spark):
+        import random
+
+        from etl_guiacores_spark.operators.rollup_time import ewma_smooth_global
+
+        rng = random.Random(11)
+        for case in range(4):
+            n = rng.choice([1, 2, 7, 400])
+            alpha = rng.choice([50_000, 200_000, 900_000, 1_000_000])
+            rows = [
+                (i, rng.randint(-2_000_000, 2_000_000)) for i in range(n)
+            ]
+            df = spark.createDataFrame(rows, "ts long, v long")
+            want = self._ref(rows, alpha)
+            verified = 0
+            for chunks in (1, 5, 16):
+                try:
+                    got = {
+                        r["ts"]: r["ewma_micro"]
+                        for r in ewma_smooth_global(
+                            df, "ts", "v", alpha_ppm=alpha,
+                            num_chunks=chunks, max_candidates=60_000,
+                        ).collect()
+                    }
+                except ValueError as e:
+                    # short segments + small alpha legitimately exceed
+                    # the speculative-seed gate — loud, not wrong
+                    assert "max_candidates" in str(e)
+                    continue
+                assert got == want, (case, n, alpha, chunks)
+                verified += 1
+            assert verified >= 1, (case, n, alpha)
+
+    def test_two_million_row_single_series_matches_keyed_fold(self, spark):
+        """The verdict criterion: a 1-key 2M-row series — the keyed
+        fold serializes it on one reducer, the global operator must
+        produce identical output from 32 parallel segments, and its
+        returned plan must contain no single-partition stage."""
+        from pyspark.sql import functions as F
+
+        from etl_guiacores_spark.operators.rollup_time import (
+            ewma_smooth,
+            ewma_smooth_global,
+        )
+
+        n = 2_000_000
+        base = spark.range(n).select(
+            F.col("id").alias("ts"),
+            (F.xxhash64("id") % 1_000_001).alias("v"),
+        )
+        keyed = ewma_smooth(
+            base.withColumn("k", F.lit(1)), "k", "ts", "v"
+        ).select("ts", "ewma_micro")
+        glob = ewma_smooth_global(base, "ts", "v", num_chunks=32)
+
+        plan = glob._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "Window" not in plan
+
+        diffs = (
+            keyed.alias("a")
+            .join(glob.alias("b"), "ts")
+            .filter(F.col("a.ewma_micro") != F.col("b.ewma_micro"))
+            .count()
+        )
+        assert diffs == 0
+        assert glob.count() == n
+
+    def test_interval_gate_fails_loudly_for_tiny_alpha(self, spark):
+        import pytest
+
+        from etl_guiacores_spark.operators.rollup_time import ewma_smooth_global
+
+        rows = [(i, (i * 7919) % 2_000_000 - 1_000_000) for i in range(2000)]
+        df = spark.createDataFrame(rows, "ts long, v long")
+        with pytest.raises(ValueError, match="max_candidates"):
+            ewma_smooth_global(df, "ts", "v", alpha_ppm=2, num_chunks=16)
+
+    def test_tiebreak_and_empty(self, spark):
+        from etl_guiacores_spark.operators.rollup_time import (
+            ewma_smooth,
+            ewma_smooth_global,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(5, i, (i * 37) % 1000 - 500) for i in range(200)]
+        df = spark.createDataFrame(rows, "ts long, event_id long, v long")
+        keyed = ewma_smooth(
+            df.withColumn("k", F.lit(0)), "k", "ts", "v", tiebreak_col="event_id"
+        )
+        glob = ewma_smooth_global(
+            df, "ts", "v", tiebreak_col="event_id", num_chunks=8
+        )
+        want = sorted(
+            (r["event_id"], r["ewma_micro"]) for r in keyed.collect()
+        )
+        got = sorted((r["event_id"], r["ewma_micro"]) for r in glob.collect())
+        assert got == want
+
+        empty = ewma_smooth_global(df.limit(0), "ts", "v", tiebreak_col="event_id")
+        assert empty.columns == ["ts", "event_id", "v_micro", "ewma_micro"]
+        assert empty.count() == 0

@@ -125,11 +125,86 @@ def main() -> int:
     volume_wall = round(time.time() - t0, 1)
     v_inv = assert_invariants(spark, f"{out}/shards_volume", v_stats, 512)
 
+    # --- streaming append soak: the marker-idempotent batch protocol
+    # at full replica volume, with a FORCED crash inside the batch-2
+    # manifest swap (the worst residual window) and a restart. The
+    # combined artifact must stay dense/tiled with every batch's
+    # content exactly once, and batch-0's landed files untouched. ---
+    import os
+
+    from etl_guiacores_spark.plans import shard_writer as sw
+
+    vol = reps.filter(F.length(F.trim("text")) > 0).select("doc_id", "text")
+    n_batches, crash_batch = 5, 2
+    app_dir = f"{out}/shards_append"
+    t0 = time.time()
+    batch_stats = []
+    landed_mtimes: dict[str, float] = {}
+    for b in range(n_batches):
+        docs_b = vol.filter(F.col("doc_id") % n_batches == b)
+        if b == crash_batch:
+            real_rename, calls = os.rename, {"n": 0}
+
+            def crashing(src, dst):
+                calls["n"] += 1
+                if calls["n"] == 2:  # between the swap's two renames
+                    raise RuntimeError("soak: simulated crash mid-swap")
+                real_rename(src, dst)
+
+            os.rename = crashing
+            try:
+                sw.append_batch_shards(docs_b, app_dir, b)
+                raise AssertionError("simulated crash did not fire")
+            except RuntimeError as e:
+                assert "simulated crash" in str(e)
+            finally:
+                os.rename = real_rename
+            assert os.path.isdir(f"{app_dir}/manifest.__commit_old__")
+        s = sw.append_batch_shards(docs_b, app_dir, b)  # (re)try lands
+        assert s is not None, f"batch {b} marker-skipped unexpectedly"
+        batch_stats.append(s)
+        if b == 0:
+            for root, _, files in os.walk(f"{app_dir}/shards"):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        landed_mtimes[p] = os.path.getmtime(p)
+    append_wall = round(time.time() - t0, 1)
+
+    for p, m in landed_mtimes.items():
+        assert os.path.getmtime(p) == m, f"batch-0 file touched: {p}"
+    shards = spark.read.parquet(f"{app_dir}/shards")
+    agg = shards.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.count("*").alias("n"),
+        F.min("global_seq").alias("lo"),
+        F.max("global_seq").alias("hi"),
+        F.count_distinct("global_seq").alias("nd"),
+        F.sum(F.size("doc_ids")).alias("chunkrefs"),
+        F.max((F.col("n_tokens") > 512).cast("int")).alias("over"),
+    ).first()
+    want_tok = sum(s["total_tokens"] for s in batch_stats)
+    want_chunks = sum(s["n_chunks"] for s in batch_stats)
+    assert agg["tok"] == want_tok, (agg["tok"], want_tok)
+    assert agg["chunkrefs"] == want_chunks, "chunk duplicated or lost across crash"
+    assert (agg["lo"], agg["hi"], agg["nd"]) == (0, agg["n"] - 1, agg["n"])
+    assert agg["over"] == 0
+    run = 0
+    for m in (r.asDict() for r in spark.read.parquet(f"{app_dir}/manifest")
+              .orderBy("shard_id").collect()):
+        assert m["first_token"] == run, (m["shard_id"], m["first_token"], run)
+        run += m["n_tokens"]
+    assert run == want_tok
+    a_inv = {"invariants": "ok", "checked_sequences": int(agg["n"]),
+             "batches": n_batches, "crashed_batch": crash_batch,
+             "total_tokens": int(want_tok)}
+
     print(json.dumps({
         "replicas": args.replicas,
         "pipeline": {"wall_s": pipeline_wall, "stage_s": stage_t, **metrics},
         "shards_survivors": {"wall_s": survivors_wall, **s_stats, **s_inv},
         "shards_volume": {"wall_s": volume_wall, **v_stats, **v_inv},
+        "shards_append_crash_restart": {"wall_s": append_wall, **a_inv},
         "out_dir": out,
     }))
     return 0

@@ -24,19 +24,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # order decides which rows get a fresh confirmation each round. Round-6
 # rotation: (1) queries NEW this round (q125 MMR re-rank, q126 schema
 # drift, q127 carry-select global EWMA, q128 winsorize, q129 majority
-# label, q130 temporal split), then (2) queries whose code
+# label, q130 temporal split, q131 batch BM25, q132 retrieval
+# metrics, q133 hard negatives), then (2) queries whose code
 # or oracle changed this round and need a fresh driver row (q119 BM25
 # DECIMAL(38,0) interiors, q122 null-safe snapshot-diff keys, q124 MAD
 # DECIMAL gate, q123 riding the blocked O(n) EWMA scan rewrite), then
 # (3) the 29 rows whose latest driver pass is round 3 — exactly the
-# tail the round-5 schedule deferred — then (4) the 11 oldest round-4
-# rows (q01-q11). The remaining round-4 rows (q12, q13, q80, q32,
-# q33, and the rest) ride one more round and fill round 7's window; nothing in the
+# tail the round-5 schedule deferred — then (4) the 8 oldest round-4
+# rows (q01-q08). The remaining round-4 rows
+# ride one more round and fill round 7's window; nothing in the
 # artifact union is ever more than two rounds stale. All rows are
 # locally oracle-verified every round regardless
 # (tools/check_oracle.py).
 _FIRST = [
     # new this round — no driver row at all yet
+    "q131_bm25_batch",
+    "q132_retrieval_metrics",
+    "q133_hard_negatives",
     "q128_winsorize",
     "q129_majority_label",
     "q130_temporal_split",
@@ -87,9 +91,6 @@ _FIRST = [
     "q06_filter_cross_product",
     "q07_keep_first_dedupe",
     "q08_dup_report",
-    "q09_top3_orders_per_customer",
-    "q10_latest_version",
-    "q11_set_ops",
 ]
 
 

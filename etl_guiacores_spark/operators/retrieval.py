@@ -162,6 +162,115 @@ def bm25_topk(
     return scores.orderBy(F.desc("score_ppm"), F.col(id_col)).limit(k)
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Top-k documents PER QUERY for a whole query table in one plan —
+    the batch form of :func:`bm25_topk` (an eval harness or
+    hard-negative miner scores thousands of queries; one plan per
+    query would pay the corpus scan per query).
+
+    Same exact-integer BM25 as :func:`bm25_scores` (DECIMAL(38,0)
+    interiors, RSJ odds-ratio idf). The corpus is scanned ONCE:
+    postings filter against the distinct term set of ALL queries via a
+    broadcast semi-join (never a driver-side isin list), tf/df/stats
+    are computed once and shared across queries, and only then does
+    the bounded (doc, term) contribution table fan out per query
+    (broadcast join on term). The per-query cut is a query-partitioned
+    rank window over score rows — parallel across queries, total order
+    (score DESC, id).
+
+    ``queries``: (query_id_col, terms_col ARRAY<STRING>) with distinct
+    terms per query (duplicate terms would double-count contributions;
+    checked eagerly — the queries table is small by contract).
+
+    Returns (query_id, id_col, score_ppm, n_hit_terms, rank<=k).
+    """
+    from pyspark.sql import Window
+
+    if queries.filter(
+        F.size(F.col(terms_col)) != F.size(F.array_distinct(F.col(terms_col)))
+    ).head() is not None:
+        raise ValueError("bm25_batch_topk: query terms must be distinct")
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__dl", F.size("__toks").cast("long"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.expr(f"CAST(sum(__dl) * {PPM} div count(*) AS BIGINT)").alias(
+            "__avgdl_micro"
+        ),
+    )
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(terms_col).alias("__tok")
+    )
+    all_terms = qterms.select("__tok").distinct()
+    posts = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__tok"))
+        .join(F.broadcast(all_terms), "__tok")
+    )
+    tf = posts.groupBy(id_col, "__tok", "__dl").agg(
+        F.count("*").cast("long").alias("__tf")
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count("*").cast("long").alias("__df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf_ppm",
+            F.expr(
+                f"CAST((2*(CAST(__n AS DECIMAL(38,0)) - __df) + 1) * {PPM} "
+                f"div (2*__df + 1) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__ratio_ppm",
+            F.expr(
+                f"CAST(CAST(__dl AS DECIMAL(38,0)) * {PPM} * {PPM} "
+                f"div __avgdl_micro AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__tfc_ppm",
+            F.expr(
+                f"CAST(CAST(44 AS DECIMAL(38,0)) * {PPM} * __tf * {PPM} div "
+                f"(20 * CAST({PPM} AS DECIMAL(38,0)) * __tf + 6 * {PPM} "
+                f"+ 18 * CAST(__ratio_ppm AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.expr(
+                f"CAST(CAST(__idf_ppm AS DECIMAL(38,0)) * __tfc_ppm "
+                f"div {PPM} AS BIGINT)"
+            ),
+        )
+        .select(id_col, "__tok", "__contrib")
+    )
+    scored = (
+        contrib.join(F.broadcast(qterms), "__tok")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum("__contrib").cast("long").alias("score_ppm"),
+            F.count("*").cast("long").alias("n_hit_terms"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_ppm"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     query_id: int,
@@ -238,6 +347,71 @@ def mmr_rerank(
     )
     return sel_df.join(cands.select(id_col, "rel"), id_col).select(
         "rank", id_col, "rel", "mmr_score"
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchor_filter,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hardest negative per anchor: the OTHER-labeled vector with the
+    highest similarity — the standard mining step for contrastive /
+    retriever training (easy negatives teach nothing; the near-miss
+    with the wrong label carries the gradient).
+
+    Similarity is the exact integer dot product of quantized vectors
+    (``FLOOR(x*scale)``, the q125 discipline) — monotone in cosine for
+    unit-norm embeddings, bit-stable across engines where float cosine
+    is not. The anchor set (``anchor_filter`` over the same table)
+    BROADCASTS against one corpus scan (the knn_brute_force shape —
+    bounded |anchors| x |corpus| work, never corpus x corpus), and the
+    per-anchor argmax folds via ``min_by`` over the
+    (-dot, neighbor id) total order — no window, one key shuffle of
+    (anchor, candidate-dot) integer rows.
+
+    Returns (anchor_id, anchor_label, neg_id, neg_label, dot).
+    """
+    vq = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    base = embeddings.select(
+        F.col(id_col), F.col(label_col), vq.alias("__vq")
+    )
+    anchors = base.filter(anchor_filter).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("__vq").alias("__avq"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col(id_col) != F.col("anchor_id"))
+            & (F.col(label_col) != F.col("anchor_label"))
+        )
+        .withColumn(
+            "__dot",
+            F.aggregate(
+                F.zip_with("__vq", "__avq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.expr(f"min_by({id_col}, struct(-__dot, {id_col}))").alias(
+                "neg_id"
+            ),
+            F.expr(
+                f"min_by({label_col}, struct(-__dot, {id_col}))"
+            ).alias("neg_label"),
+            F.max("__dot").alias("dot"),
+        )
     )
 
 

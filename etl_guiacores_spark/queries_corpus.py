@@ -2503,6 +2503,213 @@ def q119_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q131/q132: batch BM25 + exact retrieval metrics over it
+# ---------------------------------------------------------------------------
+
+#: fixed eval query set (both engines verbatim); terms distinct per query
+_BM25_QUERIES = [
+    (1, ["dup", "vector"]),
+    (2, ["spark", "join", "fast"]),
+    (3, ["stream", "window"]),
+    (4, ["merge", "scan", "batch", "sort"]),
+]
+
+_BM25_QUERIES_SQL = ", ".join(
+    f"({qid}, {terms!r}::VARCHAR[])" for qid, terms in _BM25_QUERIES
+)
+
+_BM25_BATCH_CORE = f"""
+    base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE LENGTH(trim(text)) > 0
+    ),
+    d AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM base),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) * 1000000 // COUNT(*) AS BIGINT) AS avgdl_micro
+        FROM d
+    ),
+    qrs(query_id, terms) AS (VALUES {{queries}}),
+    qterms AS (SELECT query_id, unnest(terms) AS tok FROM qrs),
+    allterms AS (SELECT DISTINCT tok FROM qterms),
+    posts AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+        WHERE tok IN (SELECT tok FROM allterms)
+    ),
+    tf AS (
+        SELECT p.doc_id, p.tok, d.dl, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM posts p JOIN d USING (doc_id)
+        GROUP BY p.doc_id, p.tok, d.dl
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    contrib AS (
+        SELECT t.doc_id, t.tok,
+               CAST(CAST(CAST((2*(CAST(s.n AS HUGEINT) - f.df) + 1) * 1000000
+                              // (2*f.df + 1) AS BIGINT) AS HUGEINT)
+                    * CAST(CAST(44 AS HUGEINT) * 1000000 * t.tf * 1000000
+                           // (20 * CAST(1000000 AS HUGEINT) * t.tf
+                               + 6 * 1000000
+                               + 18 * CAST(CAST(t.dl AS HUGEINT) * 1000000
+                                           * 1000000 // s.avgdl_micro
+                                           AS BIGINT))
+                           AS BIGINT)
+                    // 1000000 AS BIGINT) AS contrib
+        FROM tf t JOIN dfreq f USING (tok) CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT q.query_id, c.doc_id,
+               CAST(SUM(c.contrib) AS BIGINT) AS score_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+        FROM contrib c JOIN qterms q USING (tok)
+        GROUP BY q.query_id, c.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score_ppm, n_hit_terms,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score_ppm DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    )
+"""
+
+
+@register(
+    "q131_bm25_batch",
+    "WITH" + _BM25_BATCH_CORE.format(queries=_BM25_QUERIES_SQL) + """
+    SELECT query_id, doc_id, score_ppm, n_hit_terms, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Batch BM25: top-10 documents PER QUERY for a 4-query eval set "
+    "in ONE plan — the form an eval harness or hard-negative miner "
+    "needs (per-query plans would pay the corpus scan per query). The "
+    "corpus is scanned once: postings filter against the union of all "
+    "query terms via a broadcast semi-join, tf/df/corpus stats are "
+    "shared, and only the bounded (doc, term) integer contribution "
+    "table fans out per query (broadcast term join). Per-query cut = "
+    "query-partitioned rank window, total order (score DESC, id). "
+    "Same exact-integer BM25 as q119 (DECIMAL(38,0)/HUGEINT "
+    "interiors) (operators/retrieval.bm25_batch_topk).",
+)
+def q131_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import bm25_batch_topk
+
+    d = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, terms array<string>"
+    )
+    return bm25_batch_topk(d, qdf, k=10)
+
+
+@register(
+    "q132_retrieval_metrics",
+    "WITH" + _BM25_BATCH_CORE.format(queries=_BM25_QUERIES_SQL) + """
+    , nq AS (SELECT query_id, CAST(LEN(terms) AS BIGINT) AS n_terms FROM qrs)
+    SELECT r.query_id, nq.n_terms,
+           CAST(COUNT(*) FILTER (WHERE r.n_hit_terms = nq.n_terms)
+                AS BIGINT) AS n_relevant,
+           CAST(COUNT(*) FILTER (WHERE r.n_hit_terms = nq.n_terms
+                                   AND r.rank <= 20) AS BIGINT) AS n_hits_top20,
+           CAST(COUNT(*) FILTER (WHERE r.n_hit_terms = nq.n_terms AND r.rank <= 20)
+                * 1000000
+                // LEAST(20, NULLIF(COUNT(*) FILTER (
+                       WHERE r.n_hit_terms = nq.n_terms), 0))
+                AS BIGINT) AS recall_at20_ppm,
+           CAST(1000000 // MIN(CASE WHEN r.n_hit_terms = nq.n_terms
+                                    THEN r.rank END) AS BIGINT) AS mrr_ppm
+    FROM ranked r JOIN nq USING (query_id)
+    GROUP BY r.query_id, nq.n_terms
+    """,
+    doc="Exact retrieval quality metrics over the q131 batch run, with "
+    "NO external labels: a document is 'relevant' to a query iff it "
+    "contains EVERY query term (n_hit_terms = |terms| — an objective, "
+    "engine-checkable relevance oracle), then recall@20 and reciprocal "
+    "rank of the first fully-matching document in exact integer ppm "
+    "(NULL when a query has no fully-matching documents). This is the "
+    "measurement leg of the retrieval family — the harness that "
+    "turns q119/q131 from 'produces rankings' into 'rankings are "
+    "evaluated', all inside the same one-scan plan.",
+)
+def q132_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import bm25_batch_topk
+
+    d = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, terms array<string>"
+    )
+    ranked = bm25_batch_topk(d, qdf, k=1 << 60)
+    nq = qdf.select(
+        "query_id", F.size("terms").cast("long").alias("n_terms")
+    )
+    full = F.col("n_hit_terms") == F.col("n_terms")
+    return (
+        ranked.join(F.broadcast(nq), "query_id")
+        .groupBy("query_id", "n_terms")
+        .agg(
+            F.count_if(full).cast("long").alias("n_relevant"),
+            F.count_if(full & (F.col("rank") <= 20))
+            .cast("long")
+            .alias("n_hits_top20"),
+            F.expr(
+                "CAST(count_if(n_hit_terms = n_terms AND rank <= 20) "
+                "* 1000000 div LEAST(20, NULLIF(count_if("
+                "n_hit_terms = n_terms), 0)) AS BIGINT)"
+            ).alias("recall_at20_ppm"),
+            F.expr(
+                "CAST(1000000 div MIN(CASE WHEN n_hit_terms = n_terms "
+                "THEN rank END) AS BIGINT)"
+            ).alias("mrr_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+@register(
+    "q133_hard_negatives",
+    """
+    WITH vq AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    anchors AS (SELECT * FROM vq WHERE vec_id % 50 = 0),
+    pairs AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               c.vec_id, c.label,
+               CAST(list_sum(list_transform(range(1, LEN(c.vq) + 1),
+                    i -> c.vq[i] * a.vq[i])) AS BIGINT) AS dot
+        FROM vq c JOIN anchors a
+          ON c.vec_id <> a.vec_id AND c.label <> a.label
+    )
+    SELECT anchor_id, anchor_label, vec_id AS neg_id, label AS neg_label, dot
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY dot DESC, vec_id) = 1
+    """,
+    doc="Hardest negative per anchor: for each anchor embedding, the "
+    "highest-similarity vector with a DIFFERENT label — the standard "
+    "mining step for contrastive/retriever training (the near-miss "
+    "with the wrong label carries the gradient; easy negatives teach "
+    "nothing). Similarity is the exact integer dot of quantized "
+    "vectors (q125's FLOOR(x*1000) discipline) — monotone in cosine "
+    "for unit-norm embeddings, bit-stable where float cosine is not. "
+    "The bounded anchor set broadcasts against ONE corpus scan "
+    "(|anchors| x |corpus| work, the knn shape — never corpus^2) and "
+    "the per-anchor argmax folds via min_by over a total order — no "
+    "window (operators/retrieval.hard_negatives).",
+)
+def q133_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import hard_negatives
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return hard_negatives(e, F.col("vec_id") % 50 == 0)
+
+
+# ---------------------------------------------------------------------------
 # q123: per-key EWMA smoothing — in-plan sequential fold, no UDF
 # ---------------------------------------------------------------------------
 

@@ -292,3 +292,70 @@ def test_mmr_rerank_matches_manual_funnel(spark):
 
     with pytest.raises(ValueError, match="no row"):
         mmr_rerank(df, query_id=999)
+
+
+def test_bm25_batch_equals_per_query_runs(spark):
+    """One-plan batch scoring must equal independent bm25_scores runs
+    per query, including ranks."""
+    from pyspark.sql import functions as Fn
+
+    from etl_guiacores_spark.operators.retrieval import bm25_batch_topk
+
+    docs = spark.createDataFrame(list(DOCS.items()), "doc_id long, text string")
+    queries = [(1, ["spark", "scan"]), (2, ["fast"]), (3, ["nosuchterm"])]
+    qdf = spark.createDataFrame(queries, "query_id long, terms array<string>")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score_ppm"], r["n_hit_terms"], r["rank"])
+        for r in bm25_batch_topk(docs, qdf, k=3).collect()
+    }
+    for qid, terms in queries:
+        per = sorted(
+            ((s, h, d) for d, (s, h) in _brute_bm25(DOCS, terms).items()),
+            key=lambda t: (-t[0], t[2]),
+        )[:3]
+        for rank, (s, h, d) in enumerate(per, start=1):
+            assert got[(qid, d)] == (s, h, rank), (qid, d)
+    assert not [k for k in got if k[0] == 3]  # no-hit query -> no rows
+
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(1, ["a", "a"])], "query_id long, terms array<string>"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_batch_topk(docs, dup, k=3)
+
+
+def test_hard_negatives_brute_force(spark):
+    import math
+
+    from etl_guiacores_spark.operators.retrieval import hard_negatives
+    from pyspark.sql import functions as Fn
+
+    vecs = [
+        (i, i % 3, [math.cos(0.3 * i + 0.5 * j) for j in range(6)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        r["anchor_id"]: (r["neg_id"], r["neg_label"], r["dot"])
+        for r in hard_negatives(df, Fn.col("vec_id") % 10 == 0).collect()
+    }
+
+    import struct as st
+
+    def q(e):
+        return [math.floor(st.unpack("f", st.pack("f", x))[0] * 1000) for x in e]
+
+    qv = {i: q(e) for i, _, e in vecs}
+    lab = {i: l for i, l, _ in vecs}
+    for a in (0, 10, 20):
+        cands = [
+            (sum(x * y for x, y in zip(qv[a], qv[c])), c)
+            for c in qv
+            if c != a and lab[c] != lab[a]
+        ]
+        best = max(cands, key=lambda t: (t[0], -t[1]))
+        assert got[a] == (best[1], lab[best[1]], best[0]), a

@@ -21,7 +21,10 @@ sys.path.insert(0, ".")
 INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
                      # query set x broadcast nlist-row centroid table —
                      # bounded by construction (ann.py probe stage)
-                     "q63_ivf_ann_fullprobe"}
+                     "q63_ivf_ann_fullprobe",
+                     # corpus x broadcast bounded anchor set (the knn
+                     # shape; retrieval.hard_negatives)
+                     "q133_hard_negatives"}
 # Scalar-join pattern: a cross join whose build side is a broadcast
 # 1-row ungrouped aggregate (e.g. q46's in-plan n_docs). The resulting
 # BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the
@@ -40,6 +43,10 @@ SCALAR_CROSS = {
     # 1-row (N, avgdl_micro) corpus stats joined onto the bounded
     # (doc, query-term) posting aggregate (retrieval.bm25_scores)
     "q119_bm25_topk",
+    # same 1-row stats scalar join, batch form (retrieval.bm25_batch_topk)
+    "q131_bm25_batch",
+    # q131's plan plus a 1-row per-query relevant-count aggregate
+    "q132_retrieval_metrics",
     # 1-row distinct-doc-count aggregate joined onto 1-row stats
     "q66b_packing_invariants",
     # 1-row corpus-total aggregate feeding the per-source keep rates

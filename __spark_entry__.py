@@ -38,6 +38,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (tools/check_oracle.py).
 _FIRST = [
     # new this round — no driver row at all yet
+    "q134_repeated_spans",
+    "q135_span_strip",
     "q131_bm25_batch",
     "q132_retrieval_metrics",
     "q133_hard_negatives",

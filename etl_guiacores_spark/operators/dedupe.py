@@ -65,3 +65,145 @@ def split_duplicates(
         ranked.filter(F.col("__rn") == 1).drop("__rn"),
         ranked.filter(F.col("__rn") > 1).drop("__rn"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL repeated token spans across documents — the exact
+    substring-dedup primitive of Lee et al.'s "Deduplicating Training
+    Data Makes Language Models Better", re-expressed as sliding
+    n-grams + interval coalescing. Every n-token window occurring in
+    >= ``min_docs`` distinct documents marks the interval
+    ``[pos, pos+n)``; overlapping/adjacent marked intervals merge into
+    maximal spans. Unlike the tiled q81 segmentation (non-overlapping
+    5-token cuts), the sliding window catches duplicated passages at
+    ANY offset — a copy straddling a tile boundary still matches — and
+    the merged span recovers the full extent of the shared passage,
+    not just one n-gram of it.
+
+    Plan shape: one posting shuffle on the 128-bit gram key
+    (md5 string here; xxhash64 pairs at 100 TB to halve shuffle
+    bytes — the interval algebra is hash-agnostic), one
+    count-distinct agg, one co-partitioned join back, then a window
+    PARTITIONED BY document — parallel across docs, bounded by
+    document length, never corpus-global. Because all intervals have
+    the same width ``n`` and per-doc start positions are unique, the
+    classic "start > running max(end)" island test reduces to
+    ``start - lag(start) > n`` — one LAG instead of a running-max
+    frame.
+
+    Returns (id_col, span_start 0-based, span_end exclusive,
+    span_tokens, n_grams).
+    """
+    from etl_guiacores_spark.operators.textstats import kgrams, tokens
+
+    if n < 1 or min_docs < 2:
+        raise ValueError("repeated_spans: need n >= 1 and min_docs >= 2")
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    grams = base.select(
+        id_col, F.posexplode(kgrams(F.col("__toks"), n)).alias("__pos", "__gram")
+    ).select(id_col, "__pos", F.md5("__gram").alias("__g"))
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g")
+    )
+    hits = grams.join(dup, "__g").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    flagged = hits.withColumn(
+        "__new",
+        F.when(
+            F.coalesce(
+                F.col("__pos") - F.lag("__pos").over(w), F.lit(n + 1)
+            )
+            > n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("__pos").cast("long").alias("span_start"),
+        (F.max("__pos") + n).cast("long").alias("span_end"),
+        (F.max("__pos") + n - F.min("__pos")).cast("long").alias(
+            "span_tokens"
+        ),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("__isl")
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every maximal repeated span (:func:`repeated_spans`)
+    from each document and account for the result — the apply step of
+    substring-level dedup: per document, total/duplicated/retained
+    token counts plus the md5 of the reconstructed survivor text
+    (order proven end-to-end, the q81 discipline). Documents shorter
+    than ``n`` tokens or with no repeated span pass through intact
+    (dup_tokens = 0).
+
+    The strip itself is IN-PLAN per row: the doc's merged spans
+    (bounded by document length / n) collect into one array column and
+    a positional ``filter``/``exists`` HOF drops covered tokens — no
+    second explode, no range join, no extra shuffle beyond
+    :func:`repeated_spans`'s own aggregation plus one co-partitioned
+    join back to the corpus.
+
+    Returns (id_col, n_tokens, dup_tokens, retained_tokens,
+    retained_md5).
+    """
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    spans = (
+        repeated_spans(docs, n=n, min_docs=min_docs, id_col=id_col,
+                       text_col=text_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("__spans"),
+            F.sum("span_tokens").cast("long").alias("__dup"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    joined = base.join(spans, id_col, "left").withColumn(
+        "__spans", F.coalesce("__spans", F.array())
+    )
+    kept = F.filter(
+        F.transform(
+            "__toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            "__spans",
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce("__dup", F.lit(0)).cast("long").alias("dup_tokens"),
+        (F.size("__toks") - F.coalesce("__dup", F.lit(0)))
+        .cast("long")
+        .alias("retained_tokens"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        ).alias("retained_md5"),
+    )

@@ -3144,3 +3144,132 @@ def q125_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     return mmr_rerank(e, query_id=0, k=10, n_candidates=32)
+
+
+# ---------------------------------------------------------------------------
+# q134/q135: maximal repeated spans (Lee et al. substring dedup) + strip
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 10
+
+_SPANS_CORE = f"""
+    base AS MATERIALIZED (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+        WHERE len(toks) >= {_SPAN_N}
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, u.i - 1 AS pos,
+               md5(array_to_string(toks[u.i:u.i+{_SPAN_N - 1}], ' ')) AS g
+        FROM base,
+             LATERAL unnest(range(1, len(toks) - {_SPAN_N} + 2)) u(i)
+    ),
+    dup AS (SELECT g FROM grams
+            GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN COALESCE(
+                        pos - LAG(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos),
+                        {_SPAN_N + 1}) > {_SPAN_N}
+                    THEN 1 ELSE 0 END AS nf
+        FROM hits),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {_SPAN_N} AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {_SPAN_N} - MIN(pos) AS BIGINT)
+                   AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM islands GROUP BY doc_id, isl)
+"""
+
+
+@register(
+    "q134_repeated_spans",
+    f"""
+    WITH {_SPANS_CORE}
+    SELECT doc_id, span_start, span_end, span_tokens, n_grams FROM spans
+    """,
+    doc="MAXIMAL repeated token spans across documents — the exact "
+    "substring-dedup primitive of Lee et al. (Deduplicating Training "
+    "Data Makes LMs Better) as sliding 10-gram match + interval "
+    "coalescing: every 10-token window shared by >= 2 distinct docs "
+    "marks [pos, pos+10), and overlapping/adjacent marks merge into "
+    "maximal spans. The sliding window catches duplicated passages at "
+    "ANY offset and recovers their full extent — exactly what q81's "
+    "non-overlapping tiling cannot (a copy straddling a tile boundary "
+    "is invisible there). One posting shuffle on the 128-bit md5 gram "
+    "key (xxhash64 at 100 TB), count-distinct, co-partitioned join "
+    "back, then doc-partitioned windows only; constant span width "
+    "turns the interval-merge running-max into a single LAG "
+    "(operators/dedupe.repeated_spans).",
+)
+def q134_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.dedupe import repeated_spans
+
+    return repeated_spans(_docs(spark, sf_dir), n=_SPAN_N, min_docs=2)
+
+
+@register(
+    "q135_span_strip",
+    f"""
+    WITH {_SPANS_CORE},
+    allb AS (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+        WHERE len(toks) > 0
+    ),
+    tokpos AS (
+        SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+        FROM allb, LATERAL unnest(range(1, len(toks) + 1)) u(i)
+    ),
+    kept AS (
+        SELECT t.doc_id,
+               md5(COALESCE(string_agg(tok, ' ' ORDER BY t.pos)
+                            FILTER (WHERE NOT EXISTS (
+                                SELECT 1 FROM spans sp
+                                WHERE sp.doc_id = t.doc_id
+                                  AND t.pos >= sp.span_start
+                                  AND t.pos < sp.span_end)), ''))
+                   AS retained_md5
+        FROM tokpos t GROUP BY t.doc_id
+    ),
+    dupagg AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(b.toks) - COALESCE(d.dup_tokens, 0) AS BIGINT)
+               AS retained_tokens,
+           k.retained_md5
+    FROM allb b
+    LEFT JOIN dupagg d USING (doc_id)
+    JOIN kept k ON k.doc_id = b.doc_id
+    """,
+    doc="Apply step of substring-level dedup: strip every q134 "
+    "maximal repeated span from its document and account for the "
+    "result — total/duplicated/retained token counts plus the md5 of "
+    "the reconstructed survivor text in original order (the q81 "
+    "reconstruction-proof discipline; a fully-duplicated doc keeps "
+    "md5('')). The strip is IN-PLAN per row: each doc's merged spans "
+    "(bounded by doc length / n) collect into one array and a "
+    "positional filter/exists HOF drops covered tokens — no second "
+    "explode, no range join; one co-partitioned join back to the "
+    "corpus beyond q134's own shuffles "
+    "(operators/dedupe.strip_repeated_spans).",
+)
+def q135_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.dedupe import strip_repeated_spans
+
+    return strip_repeated_spans(_docs(spark, sf_dir), n=_SPAN_N, min_docs=2)

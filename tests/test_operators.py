@@ -229,3 +229,97 @@ class TestMergeUpsertPartialColumns:
         assert got["a"]["nombre"] == "new-name" and got["a"]["ciudad"] == "old-city"
         # inserted row: ALL source values, not NULL outside update_cols
         assert got["b"]["nombre"] == "b-name" and got["b"]["ciudad"] == "b-city"
+
+
+class TestRepeatedSpans:
+    """Maximal repeated spans (Lee et al. substring dedup) + strip."""
+
+    @staticmethod
+    def _corpus(spark):
+        # docs 1 and 2 share the passage "p q r s t u v w" (8 tokens)
+        # at DIFFERENT offsets (1 vs 3) — a copy that straddles any
+        # fixed tiling; doc 3 is unique; doc 4 repeats doc 1 verbatim.
+        d1 = "a p q r s t u v w b c d"
+        d2 = "x y z p q r s t u v w k"
+        d3 = "one two three four five six seven eight nine"
+        d4 = d1
+        return spark.createDataFrame(
+            [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+        )
+
+    def test_maximal_spans_at_any_offset(self, spark):
+        from etl_guiacores_spark.operators.dedupe import repeated_spans
+
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"]): (
+                r["span_tokens"],
+                r["n_grams"],
+            )
+            for r in repeated_spans(
+                self._corpus(spark), n=4, min_docs=2
+            ).collect()
+        }
+        # docs 1/4 duplicate fully: one maximal span covering all 12
+        # tokens (9 four-gram hits merged). doc 2 shares only the
+        # 8-token passage at offset 3: [3, 11) from 5 hits.
+        assert got[(1, 0, 12)] == (12, 9)
+        assert got[(4, 0, 12)] == (12, 9)
+        assert got[(2, 3, 11)] == (8, 5)
+        assert not [k for k in got if k[0] == 3]
+        assert len(got) == 3  # exactly one maximal span per dup doc
+
+    def test_disjoint_islands_stay_separate(self, spark):
+        from etl_guiacores_spark.operators.dedupe import repeated_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, "s1 s2 s3 gap1 gap2 gap3 gap4 t1 t2 t3"),
+                (2, "s1 s2 s3 mid1 mid2 mid3 mid4 t1 t2 t3"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in repeated_spans(df, n=3, min_docs=2).collect()
+        )
+        assert got == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]
+
+    def test_strip_reconstruction(self, spark):
+        import hashlib
+
+        from etl_guiacores_spark.operators.dedupe import (
+            strip_repeated_spans,
+        )
+
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["dup_tokens"],
+                r["retained_tokens"],
+                r["retained_md5"],
+            )
+            for r in strip_repeated_spans(
+                self._corpus(spark), n=4, min_docs=2
+            ).collect()
+        }
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        # docs 1/4: everything stripped -> md5 of empty string
+        assert got[1] == (12, 12, 0, md5(""))
+        assert got[4] == (12, 12, 0, md5(""))
+        # doc 2: tokens [3,11) stripped, survivors keep order
+        assert got[2] == (12, 8, 4, md5("x y z k"))
+        # doc 3 untouched
+        assert got[3] == (
+            9,
+            0,
+            9,
+            md5("one two three four five six seven eight nine"),
+        )
+
+    def test_validation(self, spark):
+        import pytest
+
+        from etl_guiacores_spark.operators.dedupe import repeated_spans
+
+        with pytest.raises(ValueError, match="min_docs"):
+            repeated_spans(self._corpus(spark), n=4, min_docs=1)

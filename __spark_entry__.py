@@ -38,6 +38,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (tools/check_oracle.py).
 _FIRST = [
     # new this round — no driver row at all yet
+    "q136_pmi_collocations",
+    "q137_triangle_counts",
+    "q138_exact_quota_sample",
+    "q139_ohlc_resample",
     "q134_repeated_spans",
     "q135_span_strip",
     "q131_bm25_batch",

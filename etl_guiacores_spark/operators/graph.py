@@ -283,3 +283,85 @@ def _local_union_find(labels: DataFrame, sym: DataFrame) -> DataFrame:
         labels.join(F.broadcast(map_df), on="id", how="left")
         .select("id", F.coalesce(F.col("__mapped"), F.col("component")).alias("component"))
     )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation + exact-integer local
+    clustering coefficient over an undirected edge list (``src_col <
+    dst_col`` distinct pairs, the lsh_candidate_pairs shape). On a
+    near-dup candidate graph this is the cluster-density QA signal:
+    clustering ~ 1e6 ppm means the candidate neighborhood is a real
+    duplicate clique; low clustering flags band-collision noise worth
+    re-verifying before transitive dedup merges distinct documents.
+
+    Algorithm: degree-ordered ORIENTATION (Chiba-Nishizeki / the
+    standard MapReduce triangle scheme) — orient every edge from the
+    (degree, id)-smaller endpoint to the larger, so each triangle
+    {a,b,c} materializes exactly once as a->b, a->c, b->c. Out-degrees
+    are bounded by O(sqrt(m)) on hubs, so the wedge join E'(u,v) x
+    E'(u,w) never explodes the way a naive per-vertex neighbor-pair
+    expansion does on Zipf-hot nodes; the closing check is one more
+    equi-join on the oriented list. All equi-joins on ids — AQE
+    broadcasts the oriented list when small and skew-splits hot
+    vertices otherwise. clustering_ppm = 2e6 * triangles div
+    (deg * (deg - 1)), exact integers, NULL when deg < 2.
+
+    Returns (id, degree, triangles, clustering_ppm) for every node
+    incident to at least one edge.
+    """
+    deg = (
+        pairs.select(F.col(src_col).alias("id"))
+        .unionAll(pairs.select(F.col(dst_col).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    with_deg = (
+        pairs.join(deg.select(F.col("id").alias(src_col),
+                              F.col("degree").alias("__da")), src_col)
+        .join(deg.select(F.col("id").alias(dst_col),
+                         F.col("degree").alias("__db")), dst_col)
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col(src_col) < F.col(dst_col))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col(src_col)).otherwise(F.col(dst_col)).alias("src"),
+        F.when(a_first, F.col(dst_col)).otherwise(F.col(src_col)).alias("dst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return deg.join(per_node, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "CAST(2000000 * CAST(COALESCE(triangles, 0) AS DECIMAL(38,0))"
+                " div (degree * (degree - 1)) AS BIGINT)"
+            ),
+        ).alias("clustering_ppm"),
+    )

@@ -473,3 +473,40 @@ def ewma_smooth_global(
         F.explode(F.arrays_zip("__arr", F.col("__sarr").alias("__s"))).alias("__z")
     )
     return exploded.select(*out_fields)
+
+
+def ohlc_resample(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    bucket: str = "1 hour",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Downsample a tick stream to OHLC bars per key per time bucket —
+    the telemetry/market resample every monitoring or feature pipeline
+    runs before charting or model input. One partial-aggregable
+    groupBy: open/close fold via min_by/max_by over the
+    (time, tiebreak) STRUCT order (a total order — bare first()/last()
+    are partition-order-nondeterministic, the D2 lesson), high/low via
+    min/max. All five outputs are SELECTED raw values, never float
+    arithmetic — no sum-of-doubles, so the result is bit-identical
+    across engines, partitionings, and retries. Map-side combine does
+    the heavy lifting; the shuffle carries one row per (key, bucket).
+
+    Returns (keys..., bucket_start, open, high, low, close, n_events).
+    """
+    keys = keys or ["event_type"]
+    ordk = F.struct(F.col(time_col), F.col(tiebreak_col))
+    return (
+        events.groupBy(
+            *keys, F.window(time_col, bucket).start.alias("bucket_start")
+        )
+        .agg(
+            F.min_by(value_col, ordk).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ordk).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )

@@ -202,3 +202,94 @@ def temporal_split(
             ).otherwise(F.lit("train")),
         )
     )
+
+
+def exact_quota_stratified(
+    df: DataFrame,
+    strata: Sequence[str],
+    total: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Stratified sample hitting an EXACT total budget via
+    largest-remainder (Hamilton) apportionment — the dataset-mixing
+    primitive when the token/document budget is a hard contract
+    ("exactly 10B documents, source shares preserved"): fractional
+    rates (q73/q87) only hit a budget in expectation.
+
+    Per stratum s: base_s = floor(total*c_s/N); the L = total -
+    sum(base_s) leftover seats go to the L largest remainders
+    (total*c_s mod N, ties broken by stratum key — a total order, so
+    the apportionment is deterministic). All comparisons stay on the
+    shared denominator N in DECIMAL(38,0) — no fractions, no floats.
+    If total >= N every row is kept. Within each stratum the quota
+    picks the (md5-hash, id)-smallest rows — reproducible across
+    engines, retries, and repartitionings, and PREFIX-STABLE: a
+    stratum's selection is always a prefix of its fixed hash order,
+    so a budget change churns at most |quota delta| rows per stratum.
+    (The quota itself is Hamilton-apportioned and therefore not
+    monotone in ``total`` — the Alabama paradox — so a global
+    only-adds guarantee is impossible without switching to a divisor
+    method; prefix stability is the honest contract.)
+
+    Scale shape: the apportionment runs entirely on the BOUNDED
+    strata aggregate (grouping-key cardinality — the q82 contract);
+    its single-partition window orders #strata rows, never data. The
+    corpus itself sees one broadcast join of quotas and one
+    per-stratum rank window (parallel across strata; Zipf-hot strata
+    are AQE skew territory).
+
+    Returns the selected rows of ``df`` unchanged.
+    """
+    if total < 0:
+        raise ValueError("exact_quota_stratified: total must be >= 0")
+    skeys = [F.col(c) for c in strata]
+    counts = df.groupBy(*skeys).agg(F.count("*").cast("long").alias("__cs"))
+    n_tot = counts.agg(F.sum("__cs").cast("long").alias("__nt"))
+    q0 = (
+        counts.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "__base",
+            F.expr(
+                f"CAST(CAST({total} AS DECIMAL(38,0)) * __cs div __nt "
+                "AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "__md",
+            F.expr(
+                f"CAST(CAST({total} AS DECIMAL(38,0)) * __cs % __nt "
+                "AS BIGINT)"
+            ),
+        )
+    )
+    leftover = q0.agg(
+        (F.lit(total) - F.sum("__base")).cast("long").alias("__lv")
+    )
+    w = Window.orderBy(F.desc("__md"), *skeys)
+    quota = (
+        q0.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            *skeys,
+            F.when(F.col("__nt") <= F.lit(total), F.col("__cs"))
+            .otherwise(
+                F.col("__base")
+                + F.when(
+                    (F.col("__rk") <= F.col("__lv")) & (F.col("__md") > 0),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("__quota"),
+        )
+    )
+    rw = Window.partitionBy(*skeys).orderBy(
+        uniform_hash_u32(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(rw))
+        .join(F.broadcast(quota), list(strata))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

@@ -347,3 +347,109 @@ def extract_main_text(col: Column, min_line_tokens: int = 4) -> Column:
     count lines on the ARRAY, not by re-splitting the join, which
     turns zero lines into one empty line)."""
     return F.array_join(main_text_lines(col, min_line_tokens), "\n")
+
+
+def skipgram_pairs(toks: Column, window: int) -> Column:
+    """Ordered (left, right) token pairs with gap <= ``window`` — the
+    skip-gram neighborhood every collocation / word-association
+    estimator consumes. Pure column HOF (no self-join on position, no
+    extra shuffle): for each position i the inner transform emits
+    (t[i], t[i+d]) for d in 1..min(window, len-1-i). ``toks`` is
+    re-bound as a lambda variable first (interpreted HOFs have no CSE
+    — the kgrams lesson: referencing the raw split() k times per
+    window re-tokenizes the document per access).
+    """
+
+    def build(t: Column) -> Column:
+        pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), F.size(t) - i)
+                    ),
+                    lambda d: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + d).alias("w2"),
+                    ),
+                ),
+            )
+        )
+        empty = F.array().cast("array<struct<w1:string,w2:string>>")
+        return F.when(F.size(t) >= 2, pairs).otherwise(empty)
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+def pmi_collocations(
+    docs: "DataFrame",
+    window: int = 2,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """PMI-style collocation scores in EXACT integer arithmetic — the
+    phrase-mining / tokenizer-vocabulary signal (Mikolov et al.'s
+    word2vec phrase pass scores pairs the same way). For each ordered
+    pair within ``window``:
+
+        ratio_ppm = 1e6 * p(w1,w2) / (p(w1) * p(w2))
+                  = (c_pair * N * N * 1e6) div (P * c_w1 * c_w2)
+
+    with N = total tokens, P = total pairs — a pure integer ratio
+    (PMI = log2(ratio); the log is monotone, so ranking/thresholding
+    on the exact ratio avoids float divergence entirely; ppm > 1e6
+    means positive association). The numerator needs ~c*N^2*1e6
+    headroom — far past BIGINT at corpus scale — so the interior runs
+    in DECIMAL(38,0) (the BM25 discipline), good to N ~ 1e12 tokens.
+
+    Plan: pair explode (one column HOF, no position self-join) ->
+    one pair-key shuffle with map-side combine; the two 1-row totals
+    broadcast, while the unigram-count joins stay size-ADAPTIVE equi-
+    joins (a whitespace vocab at 100 TB runs 1e8+ distinct tokens —
+    forcing a broadcast there would OOM the driver; AQE broadcasts it
+    exactly when it is actually small). Zipf-hot pairs are AQE skew
+    territory, same as q71.
+
+    Returns (w1, w2, pair_count, ratio_ppm), pair_count >= min_count.
+    """
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    toks_tbl = base.select(F.explode("__toks").alias("__tok"))
+    uni = toks_tbl.groupBy("__tok").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    n_tot = toks_tbl.agg(F.count("*").cast("long").alias("__n"))
+    pair_tbl = base.select(
+        F.explode(skipgram_pairs(F.col("__toks"), window)).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    p_tot = pair_tbl.agg(F.count("*").cast("long").alias("__pt"))
+    pc = (
+        pair_tbl.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    return (
+        pc.join(
+            uni.select(F.col("__tok").alias("w1"),
+                       F.col("__c").alias("__c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("__tok").alias("w2"),
+                       F.col("__c").alias("__c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .withColumn(
+            "ratio_ppm",
+            F.expr(
+                "CAST(CAST(pair_count AS DECIMAL(38,0)) * __n * __n "
+                "* 1000000 div (CAST(__pt AS DECIMAL(38,0)) * __c1 "
+                "* __c2) AS BIGINT)"
+            ),
+        )
+        .select("w1", "w2", "pair_count", "ratio_ppm")
+    )

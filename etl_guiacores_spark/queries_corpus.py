@@ -3273,3 +3273,129 @@ def q135_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.dedupe import strip_repeated_spans
 
     return strip_repeated_spans(_docs(spark, sf_dir), n=_SPAN_N, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# q136: PMI collocations in exact integer ppm (phrase-mining signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q136_pmi_collocations",
+    f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+        WHERE len(toks) > 0
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+    ),
+    ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    pairs AS MATERIALIZED (
+        SELECT toks[u.i] AS w1, toks[u.i + v.d] AS w2
+        FROM base,
+             LATERAL unnest(range(1, len(toks))) u(i),
+             LATERAL unnest(range(1, least(2, len(toks) - u.i) + 1)) v(d)
+    ),
+    ptot AS (SELECT CAST(COUNT(*) AS BIGINT) AS pt FROM pairs),
+    pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    )
+    SELECT pc.w1, pc.w2, pc.pair_count,
+           CAST(CAST(pc.pair_count AS HUGEINT) * n * n * 1000000
+                // (CAST(pt AS HUGEINT) * u1.c * u2.c) AS BIGINT)
+               AS ratio_ppm
+    FROM pc
+    JOIN uni u1 ON u1.tok = pc.w1
+    JOIN uni u2 ON u2.tok = pc.w2
+    CROSS JOIN ntot CROSS JOIN ptot
+    """,
+    doc="PMI-style collocation scores in EXACT integer ppm — the "
+    "phrase-mining / tokenizer-vocabulary signal (word2vec's phrase "
+    "pass scores pairs the same way): for every ordered token pair "
+    "within a 2-token window, ratio_ppm = 1e6*p(w1,w2)/(p(w1)p(w2)) = "
+    "c_pair*N^2*1e6 div (P*c_w1*c_w2) — a pure integer ratio (PMI is "
+    "its monotone log, so thresholding on the ratio avoids float "
+    "divergence; > 1e6 means positive association). Interior in "
+    "DECIMAL(38,0)/HUGEINT (c*N^2*1e6 blows BIGINT at corpus scale — "
+    "the BM25 headroom discipline). Pair generation is a pure column "
+    "HOF (no position self-join); one pair-key shuffle with map-side "
+    "combine; 1-row totals broadcast while the unigram joins stay "
+    "size-adaptive (a 100 TB whitespace vocab is 1e8+ tokens — "
+    "force-broadcasting it would OOM; AQE broadcasts exactly when "
+    "small) (operators/textstats.pmi_collocations).",
+)
+def q136_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), window=2, min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# q138: exact-budget stratified sample (largest-remainder apportionment)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q138_exact_quota_sample",
+    """
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cs
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT CAST(SUM(cs) AS BIGINT) AS nt FROM c),
+    q0 AS (SELECT source, lang, cs,
+                  CAST(CAST(200 AS HUGEINT) * cs // nt AS BIGINT) AS base,
+                  CAST(CAST(200 AS HUGEINT) * cs % nt AS BIGINT) AS md,
+                  nt
+           FROM c CROSS JOIN t),
+    l AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS lv FROM q0),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY md DESC, source, lang)
+                        AS rk
+          FROM q0),
+    quota AS (
+        SELECT source, lang,
+               CASE WHEN nt <= 200 THEN cs
+                    ELSE base + CASE WHEN rk <= lv AND md > 0
+                                     THEN 1 ELSE 0 END
+               END AS quota
+        FROM r CROSS JOIN l),
+    ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY CAST(('0x' || substr(
+                       md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT), doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, source, lang
+    FROM ranked JOIN quota USING (source, lang)
+    WHERE rn <= quota
+    """,
+    doc="Stratified sample hitting an EXACT 200-document budget via "
+    "largest-remainder (Hamilton) apportionment over (source, lang) "
+    "strata — the dataset-mixing primitive when the budget is a hard "
+    "contract; fractional rates (q73/q87) only hit it in expectation. "
+    "base = floor(200*c_s/N), leftover seats to the largest "
+    "remainders (200*c_s mod N, stratum-key tiebreak — a total order) "
+    "on the shared denominator N in DECIMAL(38,0)/HUGEINT. Within a "
+    "stratum the quota takes the (md5, id)-smallest rows — "
+    "reproducible, and PREFIX-STABLE under budget changes (each "
+    "stratum's selection is a prefix of its fixed hash order; the "
+    "Hamilton quota itself is famously non-monotone — the Alabama "
+    "paradox — so prefix stability is the honest contract). "
+    "Apportionment runs on the BOUNDED strata aggregate "
+    "(its one single-partition window orders #strata rows, never "
+    "data); the corpus sees one broadcast quota join and one "
+    "per-stratum rank window "
+    "(operators/sampling.exact_quota_stratified).",
+)
+def q138_exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import exact_quota_stratified
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "lang"
+    )
+    return exact_quota_stratified(
+        d, ["source", "lang"], total=200, key_col="doc_id", seed="quota"
+    )

@@ -1816,3 +1816,123 @@ def q126_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_ingest_batch", F.lit(7).cast("bigint"))
     )
     return schema_drift_report(spark, li.schema, evolved.schema)
+
+
+# ---------------------------------------------------------------------------
+# q137: triangle counting / clustering coefficient on the near-dup graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "q137_triangle_counts",
+    _MINHASH_CTE
+    + """,
+    bands AS MATERIALIZED (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    verified AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    deg AS MATERIALIZED (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT id_a AS id FROM verified
+              UNION ALL SELECT id_b FROM verified)
+        GROUP BY id
+    ),
+    oriented AS MATERIALIZED (
+        SELECT CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND v.id_a < v.id_b)
+                    THEN v.id_a ELSE v.id_b END AS src,
+               CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND v.id_a < v.id_b)
+                    THEN v.id_b ELSE v.id_a END AS dst
+        FROM verified v
+        JOIN deg da ON da.id = v.id_a
+        JOIN deg db ON db.id = v.id_b
+    ),
+    tris AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM oriented e1
+        JOIN oriented e2 ON e2.src = e1.dst
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pn AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT u AS id FROM tris
+              UNION ALL SELECT v FROM tris
+              UNION ALL SELECT w FROM tris)
+        GROUP BY id
+    )
+    SELECT d.id, d.degree,
+           CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2000000 * CAST(COALESCE(pn.triangles, 0) AS HUGEINT)
+                          // (d.degree * (d.degree - 1)) AS BIGINT)
+           END AS clustering_ppm
+    FROM deg d LEFT JOIN pn ON pn.id = d.id
+    """,
+    doc="Per-node triangle counts + exact-integer local clustering "
+    "coefficient over the LSH near-dup candidate graph — the "
+    "cluster-density QA signal: clustering ~ 1e6 ppm means a "
+    "candidate neighborhood is a genuine duplicate clique, low values "
+    "flag band-collision noise worth re-verifying BEFORE transitive "
+    "dedup merges distinct docs. Degree-ordered orientation "
+    "(Chiba-Nishizeki): each triangle materializes exactly once as "
+    "a->b, a->c, b->c under the (degree, id) total order, and hub "
+    "out-degrees stay O(sqrt(m)) so the wedge join never explodes on "
+    "Zipf-hot vertices; the closing check is one more equi-join. "
+    "clustering_ppm = 2e6*T div (deg*(deg-1)) in DECIMAL(38,0)/"
+    "HUGEINT, NULL when deg < 2 (operators/graph.triangle_counts).",
+)
+def q137_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return triangle_counts(lsh_candidate_pairs(d.select("doc_id", "text"), "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# q139: OHLC bars (tick stream -> per-key per-bucket candle downsample)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q139_ohlc_resample",
+    """
+    SELECT event_type,
+           STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           MAX(value)                         AS high,
+           MIN(value)                         AS low,
+           LAST(value ORDER BY ts, event_id)  AS close,
+           CAST(COUNT(*) AS BIGINT)           AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    doc="OHLC candle downsample of the event tick stream: per "
+    "(event_type, 1h bucket) open/high/low/close/count — the "
+    "telemetry/market resample run before charting or feature "
+    "extraction. open/close fold via min_by/max_by over the "
+    "(ts, event_id) STRUCT order (a total order — bare first()/last() "
+    "are partition-order-nondeterministic, the D2 lesson); all four "
+    "price outputs are SELECTED raw doubles, never float arithmetic, "
+    "so the hash is bit-identical across engines/partitionings/"
+    "retries with no rounding contract needed. One partial-aggregable "
+    "groupBy — map-side combine reduces each partition to one row per "
+    "(key, bucket) before the shuffle "
+    "(operators/rollup_time.ohlc_resample).",
+)
+def q139_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import ohlc_resample
+
+    bars = ohlc_resample(_t(spark, sf_dir, "events"))
+    return bars.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        "open", "high", "low", "close", "n_events",
+    )

@@ -146,3 +146,31 @@ def test_pagerank_int_star_center_ranks_highest(spark):
     # re-run: bit-identical (pure integer arithmetic)
     again = {r["id"]: r["rank_scaled"] for r in pagerank_int(nodes, edges).collect()}
     assert again == got
+
+
+class TestTriangleCounts:
+    def test_k4_plus_pendant(self, spark):
+        from etl_guiacores_spark.operators.graph import triangle_counts
+
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["id"]: (r["degree"], r["triangles"], r["clustering_ppm"])
+            for r in triangle_counts(df).collect()
+        }
+        # node 1: deg 4, 3 triangles, cc = 2*3/(4*3) = 0.5
+        assert got[1] == (4, 3, 500_000)
+        for v in (2, 3, 4):
+            assert got[v] == (3, 3, 1_000_000)
+        assert got[5] == (1, 0, None)
+
+    def test_total_triangles_on_cycle_with_chord(self, spark):
+        from etl_guiacores_spark.operators.graph import triangle_counts
+
+        # 5-cycle + one chord (1,3): exactly one triangle {1,2,3}
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5), (1, 3)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        rows = triangle_counts(df).collect()
+        assert sum(r["triangles"] for r in rows) == 3  # one tri x 3 nodes
+        assert {r["id"] for r in rows if r["triangles"]} == {1, 2, 3}

@@ -269,3 +269,43 @@ class TestEwmaGlobal:
         empty = ewma_smooth_global(df.limit(0), "ts", "v", tiebreak_col="event_id")
         assert empty.columns == ["ts", "event_id", "v_micro", "ewma_micro"]
         assert empty.count() == 0
+
+
+class TestOhlcResample:
+    def test_bars(self, spark):
+        from datetime import datetime
+
+        from etl_guiacores_spark.operators.rollup_time import ohlc_resample
+
+        ts = lambda m: datetime(2024, 1, 1, 10, m)
+        rows = [
+            (1, ts(5), "x", 10.0),
+            (2, ts(1), "x", 7.0),   # earliest -> open
+            (3, ts(50), "x", 3.0),  # latest -> close, low
+            (4, ts(20), "x", 99.0),  # high
+            (5, ts(5), "y", 42.0),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "event_type", "value"]
+        )
+        got = {
+            r["event_type"]: (
+                r["open"], r["high"], r["low"], r["close"], r["n_events"]
+            )
+            for r in ohlc_resample(df).collect()
+        }
+        assert got["x"] == (7.0, 99.0, 3.0, 3.0, 4)
+        assert got["y"] == (42.0, 42.0, 42.0, 42.0, 1)
+
+    def test_same_ts_tiebreak_on_event_id(self, spark):
+        from datetime import datetime
+
+        from etl_guiacores_spark.operators.rollup_time import ohlc_resample
+
+        t0 = datetime(2024, 1, 1, 10, 0)
+        df = spark.createDataFrame(
+            [(2, t0, "x", 5.0), (1, t0, "x", 8.0)],
+            ["event_id", "ts", "event_type", "value"],
+        )
+        r = ohlc_resample(df).collect()[0]
+        assert (r["open"], r["close"]) == (8.0, 5.0)

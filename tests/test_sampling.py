@@ -78,3 +78,68 @@ class TestWeightedSampleTopk:
         )
         got = {r["k"] for r in weighted_sample_topk(df, "k", "w", 10).collect()}
         assert got == {1}
+
+
+class TestExactQuotaStratified:
+    @staticmethod
+    def _df(spark):
+        rows = (
+            [(i, "a") for i in range(10)]
+            + [(i, "b") for i in range(100, 107)]
+            + [(i, "c") for i in range(200, 203)]
+        )
+        return spark.createDataFrame(rows, ["doc_id", "src"])
+
+    def test_hamilton_apportionment_exact_total(self, spark):
+        from etl_guiacores_spark.operators.sampling import (
+            exact_quota_stratified,
+        )
+
+        got = exact_quota_stratified(
+            self._df(spark), ["src"], total=7, key_col="doc_id"
+        ).collect()
+        assert len(got) == 7
+        per = {}
+        for r in got:
+            per[r["src"]] = per.get(r["src"], 0) + 1
+        # shares 10/20, 7/20, 3/20 of 7 -> base 3,2,1 (sum 6); largest
+        # remainder: a=.5, b=.45, c=.05 -> extra seat to 'a'
+        assert per == {"a": 4, "b": 2, "c": 1}
+
+    def test_prefix_stability_per_stratum(self, spark):
+        """A stratum's selection is always a PREFIX of its fixed hash
+        order — the honest stability contract (Hamilton quotas are
+        non-monotone in total, so set-inclusion across budgets is not
+        guaranteed in general)."""
+        from collections import defaultdict
+
+        from etl_guiacores_spark.operators.sampling import (
+            exact_quota_stratified,
+        )
+
+        def by_stratum(total):
+            sel = defaultdict(set)
+            for r in exact_quota_stratified(
+                self._df(spark), ["src"], total=total, key_col="doc_id"
+            ).collect():
+                sel[r["src"]].add(r["doc_id"])
+            return sel
+
+        a, b = by_stratum(7), by_stratum(12)
+        assert sum(len(v) for v in b.values()) == 12
+        for src in set(a) | set(b):
+            small, big = a.get(src, set()), b.get(src, set())
+            # one is a subset of the other (both prefixes of one order)
+            assert small <= big or big <= small
+
+    def test_budget_at_or_above_n_keeps_all(self, spark):
+        from etl_guiacores_spark.operators.sampling import (
+            exact_quota_stratified,
+        )
+
+        assert (
+            exact_quota_stratified(
+                self._df(spark), ["src"], total=50, key_col="doc_id"
+            ).count()
+            == 20
+        )

@@ -160,3 +160,39 @@ class TestBoilerplateExtraction:
             extract_main_text(F.col("h")).alias("t")
         ).first()["t"]
         assert out == "The only legitimate sentence stands right here."
+
+
+class TestPmiCollocations:
+    def test_matches_brute_force(self, spark):
+        from collections import Counter
+
+        from etl_guiacores_spark.operators.textstats import pmi_collocations
+
+        docs = [
+            (1, "new york new york city hall"),
+            (2, "new york is big and new york is loud"),
+            (3, "city hall and york city"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        W, MIN = 2, 2
+        uni, pairs = Counter(), Counter()
+        for _, t in docs:
+            toks = t.split()
+            uni.update(toks)
+            for i in range(len(toks)):
+                for d in range(1, W + 1):
+                    if i + d < len(toks):
+                        pairs[(toks[i], toks[i + d])] += 1
+        n, p = sum(uni.values()), sum(pairs.values())
+        want = {
+            k: (c, (c * n * n * 1_000_000) // (p * uni[k[0]] * uni[k[1]]))
+            for k, c in pairs.items()
+            if c >= MIN
+        }
+        got = {
+            (r["w1"], r["w2"]): (r["pair_count"], r["ratio_ppm"])
+            for r in pmi_collocations(df, window=W, min_count=MIN).collect()
+        }
+        assert got == want
+        # 'new york' must be a strong positive collocation
+        assert got[("new", "york")][1] > 1_000_000

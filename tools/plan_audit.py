@@ -47,6 +47,12 @@ SCALAR_CROSS = {
     "q131_bm25_batch",
     # q131's plan plus a 1-row per-query relevant-count aggregate
     "q132_retrieval_metrics",
+    # 1-row N-total + 1-row leftover-seats aggregates joined onto the
+    # bounded strata table (sampling.exact_quota_stratified)
+    "q138_exact_quota_sample",
+    # 1-row token-total + 1-row pair-total aggregates joined onto the
+    # bounded (>= min_count) pair table (textstats.pmi_collocations)
+    "q136_pmi_collocations",
     # 1-row distinct-doc-count aggregate joined onto 1-row stats
     "q66b_packing_invariants",
     # 1-row corpus-total aggregate feeding the per-source keep rates

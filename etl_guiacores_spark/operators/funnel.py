@@ -1,0 +1,188 @@
+"""Event-sequence analytics: ordered funnels, cohort retention, and
+CUSUM drift — the product/telemetry queries every event warehouse runs
+daily, expressed as chained co-partitioned aggregates (funnel), one
+double-bucketed count (cohort), and a closed-form prefix-scan window
+(CUSUM). No recursion, no per-row Python, nothing corpus-global.
+
+The CUSUM trick: the clamped recurrence S_t = max(0, S_{t-1} + d_t)
+looks inherently sequential, but it has the exact closed form
+
+    S_t = P_t - min(0, min_{j<=t} P_j),   P = prefix sums of d
+
+so a running-sum window plus a running-min window compute it exactly —
+integer arithmetic end to end, per-key parallel, no recurrence left in
+the plan. (Same family as the EWMA affine-fold elimination, but here
+the recurrence disappears entirely instead of folding in-plan.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    window_micros: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel: for each user, the earliest timestamp of
+    step k that occurs STRICTLY AFTER their earliest qualifying step
+    k-1 (the standard earliest-completion greedy — provably maximizes
+    the number of users counted at every step). ``window_micros``
+    additionally requires the whole chain to finish within that span
+    of the step-1 time.
+
+    Shape: k-1 co-partitioned equi-joins on the user key, each fed by
+    the events relation FILTERED to that step's type before the join
+    (join inputs are step-sized, not corpus-sized) and followed by a
+    map-side-combinable min aggregate — never an event self-join,
+    never a per-user sort, no collect_list of a user's history. All
+    joins and aggregates share the user-key partitioning, so the
+    exchanges reuse. Output is one row per step: (step_idx,
+    step_name, n_users, conversion_ppm) with conversion measured
+    against step 1 in exact integer ppm.
+    """
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    micros = event_micros(events, time_col)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(micros).alias("__t1"))
+        .withColumn("__t_prev", F.col("__t1"))
+    )
+    reached = [cur]
+    for name in list(steps)[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == name)
+            .join(cur.select(user_col, "__t1", "__t_prev"), user_col)
+            .filter(micros > F.col("__t_prev"))
+        )
+        if window_micros is not None:
+            nxt = nxt.filter(micros <= F.col("__t1") + window_micros)
+        cur = nxt.groupBy(user_col, "__t1").agg(
+            F.min(micros).alias("__t_prev")
+        )
+        reached.append(cur)
+    counts = None
+    for i, (name, df) in enumerate(zip(steps, reached), start=1):
+        c = df.agg(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(name).alias("step_name"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    base = reached[0].agg(F.count("*").cast("long").alias("__n1"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .withColumn(
+            "conversion_ppm",
+            F.when(
+                F.col("__n1") > 0,
+                F.expr("CAST(n_users * 1000000 div __n1 AS BIGINT)"),
+            ),
+        )
+        .select("step_idx", "step_name", "n_users", "conversion_ppm")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted as retained in each later week they were active. Two
+    map-side-combinable aggregates — (user -> first week), then one
+    co-partitioned join and a distinct (cohort, offset, user) count.
+    The retention matrix itself is bounded (weeks x weeks).
+
+    Returns (cohort_week 'yyyy-MM-dd', week_offset, n_active,
+    cohort_size, retention_ppm) — exact integer ppm.
+    """
+    wk = F.date_trunc("week", F.col(time_col))
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(wk).alias("__cw"))
+    )
+    sizes = first.groupBy("__cw").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    active = (
+        events.select(user_col, wk.alias("__aw"))
+        .distinct()
+        .join(first, user_col)
+        .withColumn(
+            "week_offset",
+            F.expr(
+                "CAST(datediff(CAST(__aw AS DATE), CAST(__cw AS DATE)) "
+                "div 7 AS BIGINT)"
+            ),
+        )
+        .groupBy("__cw", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        active.join(sizes, "__cw")
+        .select(
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr(
+                "CAST(n_active * 1000000 div cohort_size AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_micro: Column | str,
+    target_micro: int,
+    slack_micro: int,
+    threshold_micro: int,
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per key in exact integer
+    micro-units: S_t = max(0, S_{t-1} + (x_t - target - slack)),
+    flagged where S_t > threshold — the classic upward change-point
+    monitor (Page 1954) for metric drift.
+
+    The clamped recurrence is eliminated via its closed form
+    S_t = P_t - min(0, min_{j<=t} P_j) over prefix sums P of the
+    deviations: one running-sum window + one running-min window,
+    both key-partitioned and ordered by the (time, tiebreak) total
+    order — exact integers, per-key parallel, zero sequential state.
+
+    Returns the input keys + (ts..., cusum_micro, drift_flag).
+    """
+    dev = (
+        (F.col(value_micro) if isinstance(value_micro, str) else value_micro)
+        - F.lit(target_micro)
+        - F.lit(slack_micro)
+    ).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.withColumn("__p", F.sum(dev).over(w))
+        .withColumn("__pmin", F.least(F.lit(0), F.min("__p").over(w)))
+        .withColumn(
+            "cusum_micro", (F.col("__p") - F.col("__pmin")).cast("long")
+        )
+        .withColumn("drift_flag", F.col("cusum_micro") > threshold_micro)
+    )
+    return out.drop("__p", "__pmin")

@@ -1936,3 +1936,146 @@ def q139_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "open", "high", "low", "close", "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# q140-q142: event-sequence analytics (funnel, cohort retention, CUSUM)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q140_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, s1.t1, MIN(epoch_us(e.ts)) AS tp
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) <= s1.t1 + 86400000000
+        GROUP BY e.user_id, s1.t1),
+    s3 AS (
+        SELECT e.user_id, s2.t1, MIN(epoch_us(e.ts)) AS tp
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > s2.tp
+          AND epoch_us(e.ts) <= s2.t1 + 86400000000
+        GROUP BY e.user_id, s2.t1),
+    counts AS (
+        SELECT 1 AS step_idx, 'view' AS step_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM s1)
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step_name, n_users,
+           CASE WHEN n1 > 0
+                THEN CAST(n_users * 1000000 // n1 AS BIGINT) END
+               AS conversion_ppm
+    FROM counts CROSS JOIN base
+    """,
+    doc="Strict-order view->click->purchase funnel inside a 24h "
+    "window: per user, the earliest step-k time strictly after their "
+    "earliest qualifying step-(k-1) time (earliest-completion greedy "
+    "— provably maximizes users counted at every step), whole chain "
+    "within 24h of step 1. k-1 co-partitioned user-key joins, each "
+    "fed by events FILTERED to that step's type first (join inputs "
+    "are step-sized); exchanges reuse across steps; conversion in "
+    "exact integer ppm against step 1 (operators/funnel.funnel_steps).",
+)
+def q140_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        window_micros=86_400_000_000,
+    )
+
+
+@register(
+    "q141_cohort_retention",
+    """
+    WITH first AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        FROM events GROUP BY user_id),
+    sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cw),
+    active AS (
+        SELECT f.cw,
+               CAST((CAST(a.aw AS DATE) - CAST(f.cw AS DATE)) // 7
+                    AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+              FROM events) a
+        JOIN first f ON f.user_id = a.user_id
+        GROUP BY f.cw, week_offset)
+    SELECT STRFTIME(a.cw, '%Y-%m-%d') AS cohort_week, week_offset,
+           n_active, cohort_size,
+           CAST(n_active * 1000000 // cohort_size AS BIGINT)
+               AS retention_ppm
+    FROM active a JOIN sizes s ON s.cw = a.cw
+    """,
+    doc="Weekly cohort retention matrix: users bucketed by first-seen "
+    "week, counted active per later week — (user -> first week) agg, "
+    "one distinct (user, week) projection, one co-partitioned join, "
+    "one bounded (weeks x weeks) matrix agg; retention in exact "
+    "integer ppm (operators/funnel.cohort_retention).",
+)
+def q141_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q142_cusum_drift",
+    """
+    WITH dev AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 1000000) AS BIGINT)
+                   - 50000000 - 5000000 AS d,
+               ts
+        FROM events),
+    p AS (
+        SELECT user_id, event_id, ts,
+               SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS pf
+        FROM dev),
+    s AS (
+        SELECT user_id, event_id,
+               CAST(pf - LEAST(0, MIN(pf) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_micro
+        FROM p)
+    SELECT user_id, event_id, cusum_micro,
+           cusum_micro > 2000000000 AS drift_flag
+    FROM s
+    """,
+    doc="One-sided CUSUM drift statistic per user over the event "
+    "value stream, exact integer micro-units (Page 1954): S_t = "
+    "max(0, S_{t-1} + (x - target - slack)), flag when S > 2000. The "
+    "clamped recurrence is ELIMINATED via its closed form S_t = P_t "
+    "- min(0, min_{j<=t} P_j) over deviation prefix sums — one "
+    "running-sum + one running-min window, key-partitioned, ordered "
+    "by the (ts, event_id) total order; zero sequential state, "
+    "per-key parallel (same recurrence-elimination family as the "
+    "EWMA affine fold, but here the recurrence vanishes entirely) "
+    "(operators/funnel.cusum_drift).",
+)
+def q142_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.funnel import cusum_drift
+
+    e = _t(spark, sf_dir, "events")
+    out = cusum_drift(
+        e.withColumn(
+            "__vmicro",
+            F.floor(F.col("value") * 1_000_000).cast("long"),
+        ),
+        ["user_id"],
+        "__vmicro",
+        target_micro=50_000_000,
+        slack_micro=5_000_000,
+        threshold_micro=2_000_000_000,
+    )
+    return out.select("user_id", "event_id", "cusum_micro", "drift_flag")

@@ -21,82 +21,70 @@ from etl_guiacores_spark.session import configure_session
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
-# order decides which rows get a fresh confirmation each round. Round-6
-# rotation: (1) queries NEW this round (q125 MMR re-rank, q126 schema
-# drift, q127 carry-select global EWMA, q128 winsorize, q129 majority
-# label, q130 temporal split, q131 batch BM25, q132 retrieval
-# metrics, q133 hard negatives), then (2) queries whose code
-# or oracle changed this round and need a fresh driver row (q119 BM25
-# DECIMAL(38,0) interiors, q122 null-safe snapshot-diff keys, q124 MAD
-# DECIMAL gate, q123 riding the blocked O(n) EWMA scan rewrite), then
-# (3) the 29 rows whose latest driver pass is round 3 — exactly the
-# tail the round-5 schedule deferred — then (4) the 8 oldest round-4
-# rows (q01-q08). The remaining round-4 rows
-# ride one more round and fill round 7's window; nothing in the
-# artifact union is ever more than two rounds stale. All rows are
-# locally oracle-verified every round regardless
-# (tools/check_oracle.py).
+# order decides which rows get a fresh confirmation each round. Round-7
+# rotation: (1) queries NEW this round with no driver row yet — q140
+# funnel / q141 cohort retention / q142 CUSUM drift (landed in the
+# round-6 end-of-round snapshot, after that round's window was emitted)
+# plus any queries added this round — then (2) the 44 rows whose latest
+# driver pass is round 4, now at the two-round staleness limit. That is
+# 47 rows; the remaining slots are spares for round-7 additions. The 46
+# round-5 rows ride one more round (2 rounds stale after this window,
+# still inside the limit) and lead round 8. All rows are locally
+# oracle-verified every round regardless (tools/check_oracle.py).
 _FIRST = [
-    # new this round — no driver row at all yet
-    "q136_pmi_collocations",
-    "q137_triangle_counts",
-    "q138_exact_quota_sample",
-    "q139_ohlc_resample",
-    "q134_repeated_spans",
-    "q135_span_strip",
-    "q131_bm25_batch",
-    "q132_retrieval_metrics",
-    "q133_hard_negatives",
-    "q128_winsorize",
-    "q129_majority_label",
-    "q130_temporal_split",
-    "q125_mmr_rerank",
-    "q126_schema_drift",
-    "q127_ewma_global",
-    # round-6 code/oracle changes — need a fresh driver row
-    "q119_bm25_topk",
-    "q122_snapshot_diff",
-    "q124_mad_outliers",
-    "q123_ewma_smooth",
-    # rows whose latest driver pass is round 3 (2 rounds stale)
-    "q30_tumbling_window",
-    "q31_sliding_window",
-    "q34_merge_upsert",
-    "q35_type_coercion",
-    "q36_phone_list_ops",
-    "q37_exact_dedupe",
-    "q38_running_totals",
-    "q39_pivot_events",
-    "q40_total_matches",
-    "q41_stat_aggregates",
-    "q42_conditional_agg",
-    "q43_json_props",
-    "q47_asof_join",
-    "q87_weighted_sample",
-    "q90_cluster_representatives",
-    "q91_ngram_novelty",
-    "q92_semantic_dup_groups",
-    "q93_dup_graph_degree",
-    "q94_mixture_rebalance",
-    "q96_source_overlap_matrix",
-    "q97_label_centroid_cosine",
-    "q98_zipf_slope",
-    "q99_funnel",
-    "q100_cohort_retention",
-    "q101_pagerank_neardup",
-    "q102_rank_windows",
-    "q103_topk_via_aggregate",
-    "q104_dsir_importance",
-    "q105_sketch_distinct_audit",
-    # oldest round-4 rows (the rest of round 4 rotates in round 7)
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
+    # new since the round-6 window was emitted — no driver row yet
+    "q140_funnel",
+    "q141_cohort_retention",
+    "q142_cusum_drift",
+    # new this round
+    "q143_session_windows_batch",
+    "q144_quantile_bins",
+    "q145_anchor_chain_join",
+    # rows whose latest driver pass is round 4 (staleness limit)
     "q03_regional_revenue",
     "q04_resume_anti_join",
     "q05_semi_join_segments",
     "q06_filter_cross_product",
     "q07_keep_first_dedupe",
     "q08_dup_report",
+    "q09_top3_orders_per_customer",
+    "q10_latest_version",
+    "q11_set_ops",
+    "q12_rollup_acctbal",
+    "q13_cube_orders",
+    "q32_sessionization",
+    "q33_event_dedupe_first",
+    "q44_document_chunking",
+    "q45_vocabulary",
+    "q46_tfidf",
+    "q48_range_join",
+    "q49_hypertable_rollup",
+    "q50_corpus_dedup_survivors",
+    "q51_range_frame_window",
+    "q52_grouping_sets_sql",
+    "q53_lateral_top_order",
+    "q54_bag_set_ops",
+    "q55_null_safe_join",
+    "q57_decimal_exact",
+    "q58_source_mixture",
+    "q59_decontamination",
+    "q60_pii_redaction",
+    "q61_repetition_score",
+    "q62_dedup_clusters",
+    "q70_salted_distinct_count",
+    "q80_dense_ids",
+    "q89_token_offsets",
+    "q95_shard_manifest",
+    "q106_linear_quality_score",
+    "q107_bloom_decontaminate",
+    "q108_scd2_history",
+    "q109_fuzzy_match_pairs",
+    "q110_entity_resolution",
+    "q111_scd2_asof_lookup",
+    "q112_gapfill_resample",
+    "q113_session_concurrency",
+    "q114_random_projection",
+    "q115_boilerplate_extract",
 ]
 
 

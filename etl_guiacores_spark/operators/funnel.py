@@ -33,10 +33,14 @@ def funnel_steps(
 ) -> DataFrame:
     """Strict-order funnel: for each user, the earliest timestamp of
     step k that occurs STRICTLY AFTER their earliest qualifying step
-    k-1 (the standard earliest-completion greedy — provably maximizes
-    the number of users counted at every step). ``window_micros``
-    additionally requires the whole chain to finish within that span
-    of the step-1 time.
+    k-1 (the standard earliest-completion greedy — with no window it
+    provably maximizes the number of users counted at every step).
+    ``window_micros`` additionally requires the whole chain to finish
+    within that span of the step-1 time; the chain is anchored at each
+    user's EARLIEST step-1 event (the usual product-analytics
+    semantics), so a user who could only complete the funnel starting
+    from a later step-1 occurrence is deliberately not counted — the
+    unwindowed optimality claim does not extend to this case.
 
     Shape: k-1 co-partitioned equi-joins on the user key, each fed by
     the events relation FILTERED to that step's type before the join

@@ -315,8 +315,9 @@ def mmr_rerank(
             # suite-wide empty-input contract); a MISSING id in real
             # data is still a loud error below
             spark = embeddings.sparkSession
+            id_type = embeddings.schema[id_col].dataType.simpleString()
             return spark.createDataFrame(
-                [], f"rank long, {id_col} long, rel long, mmr_score long"
+                [], f"rank long, {id_col} {id_type}, rel long, mmr_score long"
             )
         raise ValueError(f"mmr_rerank: no row with {id_col} == {query_id}")
     qlit = F.array(*[F.lit(int(v)) for v in qrow["__vq"]])

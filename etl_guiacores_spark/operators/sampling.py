@@ -20,6 +20,8 @@ any engine with md5+substring), which is how the oracle checks it.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -182,9 +184,18 @@ def temporal_split(
     ``tiebreak_col`` for a total order (same contract as EWMA).
 
     Returns the input plus (rank ascending from 1, n_rows, out_col).
+    ``rank`` and ``n_rows`` are RESERVED output names: raises if the
+    input already has either column (silently overwriting a caller's
+    column of the same name would corrupt the result).
     """
     if not 0 <= test_ppm <= 1_000_000:
         raise ValueError("test_ppm must be in [0, 1e6]")
+    clash = {"rank", "n_rows", out_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "temporal_split: input already has reserved output "
+            f"column(s) {sorted(clash)}; rename them first"
+        )
     order = [F.col(ts_col)]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))

@@ -57,6 +57,10 @@ SCALAR_CROSS = {
     "q66b_packing_invariants",
     # 1-row corpus-total aggregate feeding the per-source keep rates
     "q94_mixture_rebalance",
+    # k-row union-of-1-row step-count aggregates x broadcast 1-row
+    # step-1 total (funnel.funnel_steps conversion denominator):
+    # k x 1 with k = len(steps), bounded by construction
+    "q140_funnel",
 }
 
 

@@ -8,6 +8,15 @@ recovered query-by-query with a regex, so partially captured rounds
 still compare.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 0.3]
+       python tools/bench_compare.py --dump ARTIFACT.json OUT.json
+
+``--dump`` writes the parsed per-query map to OUT as a standalone
+``BENCH_r{N}_full.json`` — run it once per round against the driver's
+truncated wrapper (or against the full ``BENCH_full_latest.json`` the
+local bench run leaves behind) so cross-round comparison never again
+depends on how much of the line the driver's head-truncation kept.
+The dump records whether it was recovered from a truncated tail
+(``"partial": true``) or parsed from a complete queries dict.
 """
 
 from __future__ import annotations
@@ -18,13 +27,18 @@ import re
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str, *, meta: dict | None = None) -> dict[str, float]:
     raw = open(path).read()
     try:
         obj = json.loads(raw)
     except json.JSONDecodeError:
         obj = None
     if isinstance(obj, dict) and "queries" in obj:
+        if meta is not None:
+            meta["partial"] = False
+            for k in ("sf", "value", "cold_total", "timing_mode"):
+                if k in obj:
+                    meta[k] = obj[k]
         return {k: float(v) for k, v in obj["queries"].items()}
     text = obj.get("tail", raw) if isinstance(obj, dict) else raw
     # recover per-query entries from a possibly truncated JSON line
@@ -34,10 +48,42 @@ def load_queries(path: str) -> dict[str, float]:
     }
     if not out:
         raise SystemExit(f"{path}: no per-query timings found")
+    if meta is not None:
+        meta["partial"] = True
+        if isinstance(obj, dict) and "sf" in obj:
+            meta["sf"] = obj["sf"]
+        m = re.search(r'"value":\s*([0-9.]+)', text)
+        if m:
+            meta["value"] = float(m.group(1))
     return out
 
 
+def dump_full(artifact: str, out_path: str) -> int:
+    meta: dict = {}
+    queries = load_queries(artifact, meta=meta)
+    doc = {
+        "source": artifact,
+        "n_queries": len(queries),
+        **meta,
+        "queries": dict(sorted(queries.items())),
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    kind = "PARTIAL (regex-recovered from truncated tail)" if meta.get(
+        "partial"
+    ) else "complete"
+    print(f"{out_path}: {len(queries)} queries, {kind}")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--dump":
+        if len(sys.argv) != 4:
+            raise SystemExit(
+                "usage: bench_compare.py --dump ARTIFACT.json OUT.json"
+            )
+        return dump_full(sys.argv[2], sys.argv[3])
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")

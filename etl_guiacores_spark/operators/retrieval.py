@@ -48,9 +48,14 @@ ANSI-mode test at N > 5M where the old BIGINT path throws.
 Scale shape (100 TB): the posting explode filters to the query's
 terms BEFORE any shuffle, so shuffle volume is bounded by
 |matching docs| x |query terms| integer rows — text never moves. The
-per-term df table (<= |query terms| rows) and the 1-row corpus stats
-broadcast. Top-k is a distributed TakeOrderedAndProject (per-partition
-heads, merged on the driver; never a global sort).
+per-term document frequency is a window count over that bounded tf
+table (a second aggregate over the corpus would defeat exchange reuse
+and re-scan + re-tokenize everything); the 1-row corpus stats
+broadcast. Total corpus passes: exactly TWO (stats + filtered
+postings), independent of query count — asserted by
+tools/soak_retrieval.py. Top-k is a distributed
+TakeOrderedAndProject (per-partition heads, merged on the driver;
+never a global sort).
 
 Reference parity: the reference engine has no ranked retrieval; this
 extends the training-data surface (SURVEY.md extension ops) alongside
@@ -59,7 +64,7 @@ dedup/decontamination/DSIR.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.operators.textstats import tokens
@@ -106,12 +111,20 @@ def bm25_scores(
         F.count("*").cast("long").alias("__tf")
     )
 
-    # per-term document frequency: <= |query_terms| rows, broadcast
-    dfreq = tf.groupBy("__tok").agg(F.count("*").cast("long").alias("__df"))
+    # per-term document frequency as a window count over the BOUNDED
+    # tf table (one extra exchange of integer rows) — NOT a second
+    # aggregate over a separate read of ``base``: divergent column
+    # pruning between the two consumers defeats Spark's exchange
+    # reuse, and the "tiny df table" then silently costs a full
+    # third corpus scan + re-tokenize (measured by
+    # tools/soak_retrieval.py's scan-count assertion)
+    tf = tf.withColumn(
+        "__df",
+        F.count("*").over(Window.partitionBy("__tok")).cast("long"),
+    )
 
     scored = (
-        tf.join(F.broadcast(dfreq), "__tok")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf_ppm",
             F.expr(
@@ -177,7 +190,8 @@ def bm25_batch_topk(
     query would pay the corpus scan per query).
 
     Same exact-integer BM25 as :func:`bm25_scores` (DECIMAL(38,0)
-    interiors, RSJ odds-ratio idf). The corpus is scanned ONCE:
+    interiors, RSJ odds-ratio idf). The corpus is read exactly TWICE
+    (1-row stats + term-filtered postings) regardless of query count:
     postings filter against the distinct term set of ALL queries via a
     broadcast semi-join (never a driver-side isin list), tf/df/stats
     are computed once and shared across queries, and only then does
@@ -192,7 +206,6 @@ def bm25_batch_topk(
 
     Returns (query_id, id_col, score_ppm, n_hit_terms, rank<=k).
     """
-    from pyspark.sql import Window
 
     if queries.filter(
         F.size(F.col(terms_col)) != F.size(F.array_distinct(F.col(terms_col)))
@@ -219,10 +232,14 @@ def bm25_batch_topk(
     tf = posts.groupBy(id_col, "__tok", "__dl").agg(
         F.count("*").cast("long").alias("__tf")
     )
-    dfreq = tf.groupBy("__tok").agg(F.count("*").cast("long").alias("__df"))
+    # df via window over the bounded tf table — see bm25_scores for
+    # why a second aggregate would re-scan the corpus
+    tf = tf.withColumn(
+        "__df",
+        F.count("*").over(Window.partitionBy("__tok")).cast("long"),
+    )
     contrib = (
-        tf.join(F.broadcast(dfreq), "__tok")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf_ppm",
             F.expr(

@@ -148,6 +148,7 @@ def strip_repeated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Remove every maximal repeated span (:func:`repeated_spans`)
     from each document and account for the result — the apply step of
@@ -165,7 +166,9 @@ def strip_repeated_spans(
     join back to the corpus.
 
     Returns (id_col, n_tokens, dup_tokens, retained_tokens,
-    retained_md5).
+    retained_md5); with ``keep_text=True`` also ``retained_text``
+    (the whitespace-joined survivor tokens — what the corpus
+    pipeline's span-strip stage writes forward for chunking).
     """
     from etl_guiacores_spark.operators.textstats import tokens
 
@@ -196,8 +199,8 @@ def strip_repeated_spans(
             & (s["i"] < sp["span_end"]),
         ),
     )
-    return joined.select(
-        id_col,
+    cols = [
+        F.col(id_col),
         F.size("__toks").cast("long").alias("n_tokens"),
         F.coalesce("__dup", F.lit(0)).cast("long").alias("dup_tokens"),
         (F.size("__toks") - F.coalesce("__dup", F.lit(0)))
@@ -206,4 +209,11 @@ def strip_repeated_spans(
         F.md5(
             F.array_join(F.transform(kept, lambda s: s["t"]), " ")
         ).alias("retained_md5"),
-    )
+    ]
+    if keep_text:
+        cols.append(
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+                "retained_text"
+            )
+        )
+    return joined.select(*cols)

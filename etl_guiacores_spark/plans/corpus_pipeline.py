@@ -69,6 +69,18 @@ class CorpusConfig:
     #: (operators/inference.linear_score)
     model_weights_path: str | None = None
     model_threshold_ppm: int = 0
+    #: when True, after near-dup survivor selection the pipeline ALSO
+    #: strips maximal repeated token spans (Lee-et-al substring-level
+    #: dedup, operators/dedupe.strip_repeated_spans) from survivor
+    #: texts before chunking/vocab, landing a ``span_stripped`` stage
+    #: plus a per-doc ``span_accounting`` table. Token conservation
+    #: (n_tokens == dup + retained, and the WRITTEN stripped text
+    #: re-tokenizing to exactly the accounted retained total) is
+    #: asserted on the stored artifact — a corrupted strip fails the
+    #: run, it does not silently feed truncated text to training.
+    strip_spans: bool = False
+    span_n: int = 10
+    span_min_docs: int = 2
 
 
 def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
@@ -490,6 +502,68 @@ def run_corpus_pipeline(
     survivors, n_clean = _land(survivors_lazy, "clean")
     emit("near_dup", {"records": n_clean})
 
+    span_totals = None
+    if config.strip_spans:
+        from etl_guiacores_spark.operators.dedupe import strip_repeated_spans
+
+        stripped = strip_repeated_spans(
+            survivors,
+            n=config.span_n,
+            min_docs=config.span_min_docs,
+            keep_text=True,
+        )
+        accounting, _ = _land(
+            stripped.select(
+                "doc_id", "n_tokens", "dup_tokens", "retained_tokens",
+                "retained_md5",
+            ),
+            "span_accounting",
+        )
+        # survivors whose text tokenizes to [] pass through untouched
+        # (strip_repeated_spans excludes them by contract)
+        rebuilt = (
+            survivors.join(
+                stripped.select(
+                    "doc_id", F.col("retained_text").alias("__rt")
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn("text", F.coalesce("__rt", "text"))
+            .drop("__rt")
+        )
+        survivors, n_span = _land(rebuilt, "span_stripped")
+        # conservation, asserted on the STORED artifacts: per-doc
+        # split sums to the whole, and the written stripped text
+        # re-tokenizes to exactly the accounted retained total
+        from etl_guiacores_spark.operators.textstats import tokens as _toks
+
+        totals = accounting.agg(
+            F.sum("n_tokens").alias("t"),
+            F.sum("dup_tokens").alias("d"),
+            F.sum("retained_tokens").alias("r"),
+        ).first()
+        rewritten = (
+            survivors.join(accounting.select("doc_id"), "doc_id")
+            .select(F.sum(F.size(_toks(F.col("text")))).alias("k"))
+            .first()["k"]
+        ) or 0
+        if (totals["t"] != (totals["d"] or 0) + (totals["r"] or 0)) or (
+            rewritten != (totals["r"] or 0)
+        ):
+            raise RuntimeError(
+                "span-strip token conservation violated: "
+                f"total={totals['t']} dup={totals['d']} "
+                f"retained={totals['r']} rewritten={rewritten}"
+            )
+        span_totals = {
+            "span_docs": n_span,
+            "span_total_tokens": int(totals["t"] or 0),
+            "span_dup_tokens": int(totals["d"] or 0),
+            "span_retained_tokens": int(totals["r"] or 0),
+        }
+        emit("span_strip", {"records": n_span})
+
     chunks, n_chunks = _land(
         chunk_documents(
             survivors, chunk_tokens=config.chunk_tokens, overlap=config.chunk_overlap
@@ -509,6 +583,8 @@ def run_corpus_pipeline(
     }
     if n_decontam is not None:
         metrics["after_decontamination"] = n_decontam
+    if span_totals is not None:
+        metrics.update(span_totals)
     emit("chunks", {"records": n_chunks})
     emit("vocab", {"records": n_vocab})
     gio.write_stats_json(metrics, f"{out_dir}/metrics.json")

@@ -394,3 +394,49 @@ def test_streaming_ingest_keeps_shards_current(spark, tmp_path):
     finally:
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_strip_stage(spark, tmp_path):
+    # two long documents sharing a 12-token boilerplate passage at
+    # DIFFERENT offsets (the case tiled segmentation misses), plus a
+    # short doc that passes through intact
+    boiler = "this license text is repeated verbatim across every single document here"
+    a = "alpha beta gamma delta " + boiler + " epsilon zeta eta theta iota kappa"
+    b = boiler + " one two three four five six seven eight nine ten eleven twelve"
+    c = "completely unique text with no shared passage inside it at all today"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    cfg = CorpusConfig(
+        min_quality=0.0, near_dup_jaccard=0.99, chunk_tokens=8,
+        chunk_overlap=2, vocab_top_k=50, strip_spans=True, span_n=10,
+        span_min_docs=2,
+    )
+    out = tmp_path / "corpus"
+    metrics = run_corpus_pipeline(docs, str(out), cfg)
+
+    # conservation totals are in the metrics and internally consistent
+    assert metrics["span_total_tokens"] == (
+        metrics["span_dup_tokens"] + metrics["span_retained_tokens"]
+    )
+    assert metrics["span_dup_tokens"] > 0  # the boilerplate was found
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out / "span_stripped")).collect()
+    }
+    # the shared passage is gone from BOTH docs, unique text intact
+    assert boiler not in stripped[1] and boiler not in stripped[2]
+    assert "alpha beta gamma delta" in stripped[1]
+    assert stripped[3] == c
+    # downstream stages consumed the STRIPPED text
+    chunk_text = " ".join(
+        r["chunk_text"]
+        for r in spark.read.parquet(str(out / "chunks")).collect()
+    )
+    assert "repeated verbatim" not in chunk_text
+
+    acct = spark.read.parquet(str(out / "span_accounting")).collect()
+    by_id = {r["doc_id"]: r for r in acct}
+    assert by_id[1]["dup_tokens"] == by_id[2]["dup_tokens"] > 0
+    assert by_id[3]["dup_tokens"] == 0

@@ -30,6 +30,11 @@ def main() -> int:
                     help="connected-components survivor rule (exercises "
                     "the distributed CC loop above the union-find "
                     "threshold at stress edge volumes)")
+    ap.add_argument("--strip-spans", action="store_true",
+                    help="also run the Lee-et-al repeated-span strip "
+                    "stage over the survivors (conservation invariants "
+                    "asserted on the written artifact inside the "
+                    "pipeline)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -57,14 +62,32 @@ def main() -> int:
         "lang",
         "source",
     )
+    if args.strip_spans:
+        # give the span-strip stage real work: a 12-token boilerplate
+        # passage PREPENDED to every 3rd doc (prepended so it sits at
+        # a different token offset than the docs' own shared prefixes
+        # and survives near-dup removal on otherwise-distinct docs)
+        boiler = ("standard legal boilerplate notice repeated verbatim "
+                  "across many unrelated documents in this corpus")
+        reps = reps.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(boiler + " "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+            "source",
+        )
 
     out = tempfile.mkdtemp(prefix="corpus_stress_")
     t0 = time.time()
-    cfg = CorpusConfig(cluster_exact=args.cluster_exact)
+    cfg = CorpusConfig(cluster_exact=args.cluster_exact,
+                       strip_spans=args.strip_spans)
     metrics = run_corpus_pipeline(reps, out, cfg)
     wall = round(time.time() - t0, 1)
     print(json.dumps({
         "cluster_exact": args.cluster_exact,
+        "strip_spans": args.strip_spans,
         "replicas": args.replicas,
         "base_docs": n_base,
         "wall_s": wall,

@@ -1,5 +1,7 @@
 from etl_guiacores_spark.streaming.discovery import discover_until_idle
+from etl_guiacores_spark.streaming.drift import cusum_drift_stream
 from etl_guiacores_spark.streaming.windows import (
+    ohlc_bars,
     session_agg,
     sliding_counts,
     stream_dedupe,
@@ -7,7 +9,9 @@ from etl_guiacores_spark.streaming.windows import (
 )
 
 __all__ = [
+    "cusum_drift_stream",
     "discover_until_idle",
+    "ohlc_bars",
     "session_agg",
     "sliding_counts",
     "stream_dedupe",

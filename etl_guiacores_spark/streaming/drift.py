@@ -1,0 +1,181 @@
+"""Streaming CUSUM drift monitor — the stream twin of
+``operators/funnel.cusum_drift`` (q142).
+
+The batch form eliminates the clamped recurrence
+S_t = max(0, S_{t-1} + dev_t) via its closed form
+S_t = P_t - min(0, min_{j<=t} P_j) over deviation prefix sums. That
+closed form is also what makes the STREAM version cheap: the only
+state a key needs between micro-batches is the pair
+(p_last = P at its last seen row, p_min = min prefix so far) — two
+BIGINTs, not the row history. Each micro-batch computes its own
+LOCAL prefix/running-min windows (per-key parallel, the exact batch
+plan) and shifts them by the carried state:
+
+    P_t      = p_last_prev + localP_t
+    minP_t   = min(p_min_prev, p_last_prev + localMin_t)
+    cusum_t  = P_t - min(0, minP_t)
+
+which is algebraically identical to running the batch operator over
+the concatenated history — equivalence-tested against it in
+tests/test_streaming.py.
+
+Delivery contract (the same one every recurrence-over-a-stream
+carries, incl. the carry-select EWMA): rows must arrive in event-time
+order PER KEY across micro-batches — a row older than its key's last
+processed event would need history rewrite, so it raises rather than
+silently corrupting the statistic. Order WITHIN a batch is free (the
+local window sorts); use an upstream watermark + sorted replay for
+out-of-order sources.
+
+Crash/replay semantics (foreachBatch may redeliver a batch): both the
+per-batch output and the per-batch state snapshot are written to
+``batch=<id>`` directories with mode=overwrite, and the state read
+for batch N takes the LATEST snapshot with id < N — a replayed batch
+recomputes from its original input state and overwrites its own
+output: exactly-once results, no duplicated rows.
+
+State at 100 TB: the state table is one row per key (two BIGINTs) —
+it shuffles on the key like any keyed join; snapshots are parquet so
+a 1000-executor cluster reads them pruned. Old snapshots are pruned
+to the newest ``keep_snapshots``.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _latest_state_dir(root: Path, before_batch: int) -> Path | None:
+    if not root.exists():
+        return None
+    ids = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in root.glob("batch=*")
+        if p.name.split("=", 1)[1].isdigit()
+        and int(p.name.split("=", 1)[1]) < before_batch
+        and (p / "_SUCCESS").exists()
+    )
+    return root / f"batch={ids[-1]}" if ids else None
+
+
+def cusum_drift_stream(
+    events: DataFrame,
+    out_dir: str,
+    key_cols: Sequence[str],
+    value_micro: Column | str,
+    target_micro: int,
+    slack_micro: int,
+    threshold_micro: int,
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+    keep_snapshots: int = 3,
+):
+    """Start the streaming CUSUM monitor over ``events`` (a streaming
+    DataFrame). Per-batch outputs land in ``out_dir/out/batch=<id>``
+    with the batch operator's exact columns (input keys + ts,
+    cusum_micro, drift_flag); state snapshots in
+    ``out_dir/state/batch=<id>``. Returns the StreamingQuery."""
+    keys = list(key_cols)
+    dev = (
+        (F.col(value_micro) if isinstance(value_micro, str) else value_micro)
+        - F.lit(target_micro)
+        - F.lit(slack_micro)
+    ).cast("long")
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import types as T
+
+        spark = batch_df.sparkSession
+        state_root = Path(out_dir) / "state"
+        prev = _latest_state_dir(state_root, batch_id)
+        state_schema = T.StructType(
+            [batch_df.schema[k] for k in keys]
+            + [
+                T.StructField("p_last", T.LongType()),
+                T.StructField("p_min", T.LongType()),
+                T.StructField("ts_last", batch_df.schema[time_col].dataType),
+            ]
+        )
+        if prev is not None:
+            state = spark.read.schema(state_schema).parquet(str(prev))
+        else:
+            state = spark.createDataFrame([], state_schema)
+
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(time_col, tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = (
+            batch_df.withColumn("__lp", F.sum(dev).over(w))
+            .withColumn("__lmin", F.min("__lp").over(w))
+        )
+        joined = local.join(F.broadcast(state), keys, "left")
+        # in-order contract: a row at or before its key's last
+        # processed event time would need history rewrite — fail loud
+        n_late = joined.filter(
+            F.col("ts_last").isNotNull() & (F.col(time_col) <= F.col("ts_last"))
+        ).count()
+        if n_late:
+            raise RuntimeError(
+                f"cusum_drift_stream: batch {batch_id} carries {n_late} "
+                f"row(s) at or before already-processed event time for "
+                f"their key — per-key event-time order across batches "
+                f"is the operator's delivery contract"
+            )
+        shifted = (
+            joined.withColumn(
+                "__p", F.coalesce("p_last", F.lit(0)) + F.col("__lp")
+            )
+            .withColumn(
+                "__pmin",
+                F.least(
+                    F.coalesce("p_min", F.lit(None).cast("long")),
+                    F.coalesce("p_last", F.lit(0)) + F.col("__lmin"),
+                ),
+            )
+            .withColumn(
+                "cusum_micro",
+                (F.col("__p") - F.least(F.lit(0), F.col("__pmin"))).cast(
+                    "long"
+                ),
+            )
+            .withColumn("drift_flag", F.col("cusum_micro") > threshold_micro)
+        )
+        out_path = f"{out_dir}/out/batch={batch_id}"
+        shifted.select(
+            *batch_df.columns, "cusum_micro", "drift_flag"
+        ).write.mode("overwrite").parquet(out_path)
+
+        # new per-key state from what was just computed: last-row P and
+        # running min at the last row (which is min over ALL rows seen)
+        ordk = F.struct(F.col(time_col), F.col(tiebreak_col))
+        new_state = shifted.groupBy(*keys).agg(
+            F.max_by("__p", ordk).cast("long").alias("p_last"),
+            F.max_by("__pmin", ordk).cast("long").alias("p_min"),
+            F.max(time_col).alias("ts_last"),
+        )
+        carried = state.join(new_state.select(*keys), keys, "left_anti")
+        snap = carried.unionByName(new_state)
+        snap_path = state_root / f"batch={batch_id}"
+        snap.write.mode("overwrite").parquet(str(snap_path))
+        # prune old fenced snapshots, never the one just written
+        done = sorted(
+            int(p.name.split("=", 1)[1])
+            for p in state_root.glob("batch=*")
+            if (p / "_SUCCESS").exists()
+        )
+        for old in done[:-keep_snapshots]:
+            shutil.rmtree(state_root / f"batch={old}", ignore_errors=True)
+
+    writer = events.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

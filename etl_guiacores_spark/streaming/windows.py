@@ -100,6 +100,48 @@ def stream_dedupe(
     return wm.dropDuplicates(keys)
 
 
+def ohlc_bars(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    bucket: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/rollup_time.ohlc_resample``
+    (q139): per (key, event-time bucket) open/high/low/close/count as
+    a watermarked native window aggregate — state bounded, bars emit
+    in append mode when the watermark closes the bucket. Identical
+    aggregate expressions to the batch form (min_by/max_by over the
+    (time, tiebreak) STRUCT total order; all outputs SELECTED raw
+    values, never float arithmetic), so a closed bar is bit-identical
+    to the batch twin's row for the same data —
+    equivalence-tested in tests/test_streaming.py."""
+    keys = keys or ["event_type"]
+    ordk = F.struct(F.col(time_col), F.col(tiebreak_col))
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(*keys, F.window(time_col, bucket).alias("w"))
+        .agg(
+            F.min_by(value_col, ordk).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ordk).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

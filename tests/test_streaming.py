@@ -172,3 +172,118 @@ class TestStreamStreamJoin:
             assert {(r["l_id"], r["r_id"]) for r in rows} == {(1, 2)}
         finally:
             q.stop()
+
+
+class TestTelemetryTwins:
+    def test_ohlc_bars_equals_batch_twin(self, spark, tmp_path):
+        from etl_guiacores_spark.operators.rollup_time import ohlc_resample
+        from etl_guiacores_spark.streaming import ohlc_bars
+
+        src = str(tmp_path / "ohlc_src")
+        data = [
+            ev(1, 5, value=10.0), ev(2, 20, value=30.0),
+            ev(3, 40, value=5.0), ev(4, 55, value=20.0),
+            ev(5, 70, value=7.0), ev(6, 80, value=9.0),
+        ]
+        spark.createDataFrame(data, EVENTS_SCHEMA).write.mode("append").parquet(src)
+        q = run_stream(spark, src, ohlc_bars, "ohlc_out",
+                       str(tmp_path / "ohlc_ckpt"), mode="append")
+        try:
+            # push the watermark past hour 1 so both bars close
+            spark.createDataFrame([ev(9, 400)], EVENTS_SCHEMA).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+            got = {
+                (r["event_type"], r["bucket_start"]):
+                    (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+                for r in spark.sql("select * from ohlc_out").collect()
+            }
+            batch = spark.createDataFrame(data, EVENTS_SCHEMA)
+            want = {
+                (r["event_type"], r["bucket_start"]):
+                    (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+                for r in ohlc_resample(batch).collect()
+            }
+            # every batch bar whose window the watermark closed must be
+            # bit-identical in the stream output
+            for k, v in want.items():
+                assert got[k] == v, (k, got.get(k), v)
+            assert got[("click", data[0][1].replace(minute=0))][0] == 10.0
+        finally:
+            q.stop()
+
+    def test_cusum_stream_equals_batch_twin(self, spark, tmp_path):
+        from etl_guiacores_spark.operators.funnel import cusum_drift
+        from etl_guiacores_spark.streaming import cusum_drift_stream
+
+        kw = dict(key_cols=["user_id"],
+                  value_micro=(F.col("value") * 1_000_000).cast("long"),
+                  target_micro=1_000_000, slack_micro=0,
+                  threshold_micro=2_000_000)
+        # two users, values drifting upward for user 1 — split into 3
+        # event-time-ordered micro-batches
+        batches = [
+            [ev(1, 1, user=1, value=1.0), ev(2, 2, user=1, value=2.0),
+             ev(3, 1, user=2, value=0.5)],
+            [ev(4, 10, user=1, value=3.0), ev(5, 11, user=2, value=0.5)],
+            [ev(6, 20, user=1, value=4.0), ev(7, 21, user=2, value=6.0)],
+        ]
+        src = str(tmp_path / "cusum_src")
+        out = str(tmp_path / "cusum_out")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = cusum_drift_stream(stream, out,
+                               checkpoint_dir=str(tmp_path / "cusum_ckpt"),
+                               **kw)
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).write.mode(
+                    "append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r["event_id"]: (r["cusum_micro"], r["drift_flag"])
+            for r in spark.read.parquet(f"{out}/out").collect()
+        }
+        all_events = spark.createDataFrame(
+            [e for b in batches for e in b], EVENTS_SCHEMA)
+        want = {
+            r["event_id"]: (r["cusum_micro"], r["drift_flag"])
+            for r in cusum_drift(all_events, **kw).collect()
+        }
+        assert got == want
+        assert any(f for _, f in got.values())  # user 1 drifted
+
+    def test_cusum_stream_rejects_out_of_order_batch(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import cusum_drift_stream
+
+        kw = dict(key_cols=["user_id"],
+                  value_micro=(F.col("value") * 1_000_000).cast("long"),
+                  target_micro=0, slack_micro=0, threshold_micro=10)
+        src = str(tmp_path / "late_src")
+        out = str(tmp_path / "late_out")
+        spark.createDataFrame([ev(1, 30, user=1)], EVENTS_SCHEMA).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = cusum_drift_stream(stream, out,
+                               checkpoint_dir=str(tmp_path / "late_ckpt"),
+                               **kw)
+        try:
+            q.processAllAvailable()
+            # a row EARLIER than user 1's last processed event time
+            spark.createDataFrame([ev(2, 10, user=1)], EVENTS_SCHEMA).write.mode(
+                "append").parquet(src)
+            try:
+                q.processAllAvailable()
+                raised = False
+            except Exception:
+                raised = True
+            assert raised, "out-of-order batch must fail loud"
+        finally:
+            q.stop()

@@ -25,21 +25,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rotation: (1) queries NEW this round with no driver row yet — q140
 # funnel / q141 cohort retention / q142 CUSUM drift (landed in the
 # round-6 end-of-round snapshot, after that round's window was emitted)
-# plus any queries added this round — then (2) the 44 rows whose latest
-# driver pass is round 4, now at the two-round staleness limit. That is
-# 47 rows; the remaining slots are spares for round-7 additions. The 46
-# round-5 rows ride one more round (2 rounds stale after this window,
-# still inside the limit) and lead round 8. All rows are locally
-# oracle-verified every round regardless (tools/check_oracle.py).
+# plus q143 Cohen's kappa / q144 quantile report / q145 token
+# histogram (added this round) — then (2) the 44 rows whose latest
+# driver pass is round 4, now at the two-round staleness limit. That
+# is exactly 50 rows, filling the window. The 46 round-5 rows ride one
+# more round (2 rounds stale after this window, still inside the
+# limit) and lead round 8 together with the round-6 rows. All rows are
+# locally oracle-verified every round regardless
+# (tools/check_oracle.py).
 _FIRST = [
     # new since the round-6 window was emitted — no driver row yet
     "q140_funnel",
     "q141_cohort_retention",
     "q142_cusum_drift",
     # new this round
-    "q143_session_windows_batch",
-    "q144_quantile_bins",
-    "q145_anchor_chain_join",
+    "q143_cohen_kappa",
+    "q144_quantile_report",
+    "q145_token_histogram",
     # rows whose latest driver pass is round 4 (staleness limit)
     "q03_regional_revenue",
     "q04_resume_anti_join",

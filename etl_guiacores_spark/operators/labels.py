@@ -53,3 +53,73 @@ def majority_label(
             F.expr("CAST(votes_top * 1000000 div votes_total AS BIGINT)"),
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two label columns, per group, in exact
+    integer ppm — chance-corrected agreement, the standard step up
+    from raw accuracy for annotator-vs-annotator or
+    classifier-vs-gold evaluation (two raters who both answer 'en'
+    95% of the time agree 90% by luck alone; kappa subtracts that).
+
+        kappa = (p_o - p_e) / (1 - p_e)
+        p_o   = agreements / N
+        p_e   = sum_c row_c * col_c / N^2
+
+    Cross-multiplied to integers (the q58/q124 discipline):
+    ``kappa_ppm = PPM * (N*agree - marg) div (N*N - marg)`` with
+    ``marg = sum_c row_c * col_c``, every product in DECIMAL(38,0)
+    (``N*agree`` wraps BIGINT past N ~ 3e9 rows — real corpus scale);
+    NULL when ``N*N == marg`` (p_e = 1: both raters constant, kappa
+    undefined). Truncating division toward zero on BOTH engines:
+    negative kappa (worse-than-chance) truncates toward zero, pinned
+    in tests.
+
+    Scale shape: one groupBy over the data to the confusion table
+    (map-side combinable; bounded by |groups| x |classes|^2), then
+    marginal products and totals entirely on that bounded table —
+    the raw rows shuffle once, as counts.
+
+    Returns (group_cols..., n_items, n_agree, kappa_ppm).
+    """
+    g = list(group_cols)
+    conf = df.groupBy(
+        *g, F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).agg(F.count("*").cast("long").alias("__n"))
+    tot = conf.groupBy(*g).agg(
+        F.sum("__n").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rowt = conf.groupBy(*g, "__a").agg(F.sum("__n").alias("__ra"))
+    colt = conf.groupBy(*g, "__b").agg(F.sum("__n").alias("__cb"))
+    # class-matched marginal products: inner join on (group, class)
+    marg = (
+        rowt.withColumnRenamed("__a", "__c")
+        .join(colt.withColumnRenamed("__b", "__c"), [*g, "__c"])
+        .groupBy(*g)
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(__ra AS DECIMAL(38,0)) * __cb) "
+                "AS DECIMAL(38,0))"
+            ).alias("__marg")
+        )
+    )
+    return (
+        tot.join(marg, g)
+        .withColumn(
+            "kappa_ppm",
+            F.expr(
+                "CAST((CAST(n_items AS DECIMAL(38,0)) * n_agree - __marg) "
+                "* 1000000 div NULLIF(CAST(n_items AS DECIMAL(38,0)) "
+                "* n_items - __marg, 0) AS BIGINT)"
+            ),
+        )
+        .drop("__marg")
+    )

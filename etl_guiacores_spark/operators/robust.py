@@ -170,3 +170,43 @@ def winsorize(
         )
         .withColumn("clipped", (v16 != F.col("clamped16")).cast("int"))
     )
+
+
+def quantile_report(
+    df: DataFrame,
+    group_col: str,
+    value_micro_col: str,
+    sixteenths: tuple[int, ...] = (8, 12, 15),
+) -> DataFrame:
+    """Per-group order-statistics report — the latency/SLO summary
+    (p50/p75/p93.75-style) every telemetry rollup publishes, under
+    the engine's exactness discipline: quantile fractions restricted
+    to SIXTEENTHS (binary-exact doubles, so interpolation at rank
+    q*(n-1) lands on multiples of 1/16 and the value times 16 is an
+    exact BIGINT both engines agree on — :func:`winsorize`'s
+    discipline, reported instead of clamped). Min/max/count ride the
+    same single aggregate.
+
+    One partial-aggregable groupBy for count/min/max; the exact
+    percentiles need each group's values on one reducer (bounded-group
+    shape — swap the t-digest sketch for huge groups, documented
+    tolerance).
+
+    Returns (group_col, n_rows, min_micro, max_micro,
+    p<t>_16 for each t) — p-columns 16x-scaled.
+    """
+    for t in sixteenths:
+        if not 1 <= t <= 15:
+            raise ValueError("sixteenths must be in [1, 15]")
+    aggs = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(value_micro_col).cast("long").alias("min_micro"),
+        F.max(value_micro_col).cast("long").alias("max_micro"),
+    ] + [
+        F.expr(
+            f"CAST(16 * percentile({value_micro_col}, {t / 16.0!r}D) "
+            f"AS BIGINT)"
+        ).alias(f"p{t}_16")
+        for t in sixteenths
+    ]
+    return df.groupBy(group_col).agg(*aggs)

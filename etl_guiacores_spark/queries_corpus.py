@@ -3399,3 +3399,193 @@ def q138_exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quota_stratified(
         d, ["source", "lang"], total=200, key_col="doc_id", seed="quota"
     )
+
+
+# ---------------------------------------------------------------------------
+# q143: Cohen's kappa — chance-corrected classifier-vs-gold agreement
+# ---------------------------------------------------------------------------
+
+def _lang_pred_case() -> str:
+    """DuckDB twin of textstats.lang_id over a ``toks`` list column —
+    same marker vocabularies, same fixed en,es,de,fr priority fold,
+    same CJK override (shared with q22's oracle)."""
+    from etl_guiacores_spark.operators.textstats import LANG_MARKERS
+
+    counts = {
+        lang: f"LEN(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best, best_n = "'und'", "0"
+    for lang in ("en", "es", "de", "fr"):
+        c = counts[lang]
+        best = f"CASE WHEN {c} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"GREATEST({c}, {best_n})"
+    return (
+        "CASE WHEN LEN(regexp_extract_all(text, "
+        f"'[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh' ELSE {best} END"
+    )
+
+
+@register(
+    "q143_cohen_kappa",
+    f"""
+    WITH pred AS (
+        SELECT source, lang AS gold, {_lang_pred_case()} AS predicted
+        FROM (SELECT source, lang, text,
+                     list_transform({_TOKS}, t -> lower(t)) AS toks
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+    ),
+    conf AS (
+        SELECT source, gold, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY source, gold, predicted
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN gold = predicted THEN n ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM conf GROUP BY source
+    ),
+    rowt AS (SELECT source, gold AS c, SUM(n) AS ra
+             FROM conf GROUP BY source, gold),
+    colt AS (SELECT source, predicted AS c, SUM(n) AS cb
+             FROM conf GROUP BY source, predicted),
+    marg AS (
+        SELECT source, SUM(CAST(ra AS HUGEINT) * cb) AS marg
+        FROM rowt JOIN colt USING (source, c) GROUP BY source
+    )
+    SELECT t.source, t.n_items, t.n_agree,
+           CAST((CAST(t.n_items AS HUGEINT) * t.n_agree - m.marg) * 1000000
+                // NULLIF(CAST(t.n_items AS HUGEINT) * t.n_items - m.marg, 0)
+                AS BIGINT) AS kappa_ppm
+    FROM tot t JOIN marg m USING (source)
+    """,
+    doc="Cohen's kappa between the q22 language-ID heuristic and the "
+    "gold lang label, per source — chance-corrected agreement, the "
+    "eval metric that exposes what raw accuracy hides (a classifier "
+    "answering the majority language every time scores high accuracy "
+    "and kappa ~ 0). kappa = (p_o - p_e)/(1 - p_e) cross-multiplied "
+    "to exact integers: PPM*(N*agree - marg) div (N^2 - marg) with "
+    "marg = sum_c row_c*col_c, every product in DECIMAL(38,0)/"
+    "HUGEINT (N*agree wraps BIGINT past N ~ 3e9 rows), NULL at the "
+    "p_e = 1 degeneracy. One map-side-combinable groupBy to the "
+    "confusion table; marginals and products entirely on that "
+    "bounded |groups| x |langs|^2 relation "
+    "(operators/labels.cohen_kappa).",
+)
+def q143_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.labels import cohen_kappa
+    from etl_guiacores_spark.operators.textstats import lang_id
+
+    pred = _docs(spark, sf_dir).select(
+        "source",
+        F.col("lang").alias("gold"),
+        lang_id(F.col("text")).alias("predicted"),
+    )
+    return cohen_kappa(pred, ["source"], "gold", "predicted")
+
+
+# ---------------------------------------------------------------------------
+# q144: per-group order-statistics report (p50/p75/p93.75 exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q144_quantile_report",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(v_micro) AS BIGINT) AS min_micro,
+           CAST(MAX(v_micro) AS BIGINT) AS max_micro,
+           CAST(16 * quantile_cont(v_micro, 0.5) AS BIGINT) AS p8_16,
+           CAST(16 * quantile_cont(v_micro, 0.75) AS BIGINT) AS p12_16,
+           CAST(16 * quantile_cont(v_micro, 0.9375) AS BIGINT) AS p15_16
+    FROM v GROUP BY event_type
+    """,
+    doc="Per-event-type order-statistics report: n/min/max plus "
+    "interpolated p50/p75/p93.75 — the latency/SLO rollup every "
+    "telemetry pipeline publishes. Quantile fractions restricted to "
+    "SIXTEENTHS (binary-exact doubles) and reported 16x-scaled, so "
+    "the interpolated values are exact BIGINTs both engines agree "
+    "on — q128's winsorize discipline, reported instead of clamped. "
+    "One aggregate; exact percentiles need each bounded group on one "
+    "reducer, t-digest swaps in for huge groups "
+    "(operators/robust.quantile_report).",
+)
+def q144_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.robust import quantile_report
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    return quantile_report(ev, "event_type", "v_micro")
+
+
+# ---------------------------------------------------------------------------
+# q145: token-budget histogram — shard-planning length distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q145_token_histogram",
+    """
+    WITH d AS (
+        SELECT source, CAST(LEN(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT source,
+                     string_split_regex(trim(text),
+                                        '[ \\t\\n\\r\\f\\v]+') AS toks
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+    ),
+    h AS (
+        SELECT source,
+               CAST(LENGTH(bin(n_tokens)) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM d WHERE n_tokens > 0
+        GROUP BY source, bucket
+    )
+    SELECT source, bucket, n_docs, bucket_tokens,
+           CAST(CAST(bucket_tokens AS HUGEINT) * 1000000
+                // SUM(bucket_tokens) OVER (PARTITION BY source)
+                AS BIGINT) AS token_share_ppm
+    FROM h
+    """,
+    doc="Token-budget histogram: per (source, power-of-two length "
+    "bucket) document count, token total, and each bucket's exact-ppm "
+    "share of its source's tokens — the length-distribution audit "
+    "run before sequence packing / shard sizing (it decides "
+    "max_seq_len and exposes truncation exposure: how many tokens "
+    "live in docs longer than the context window). The bucket is "
+    "LENGTH(BIN(n)) = floor(log2 n)+1 — pure integer/string ops on "
+    "BOTH engines, immune to the float-log2 boundary hazard at exact "
+    "powers of two. One map-side-combinable groupBy; the share "
+    "window runs over the BOUNDED histogram (<= 64 buckets/source), "
+    "never the corpus; the share numerator in DECIMAL(38,0)/HUGEINT "
+    "(BIGINT wraps past ~9.2e12 bucket tokens — real corpus scale).",
+)
+def q145_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    h = d.groupBy(
+        "source",
+        F.expr("CAST(LENGTH(BIN(n_tokens)) AS BIGINT)").alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+    )
+    w = Window.partitionBy("source")
+    return (
+        h.withColumn("__src_tokens", F.sum("bucket_tokens").over(w))
+        .withColumn(
+            "token_share_ppm",
+            F.expr(
+                "CAST(CAST(bucket_tokens AS DECIMAL(38,0)) * 1000000 "
+                "div __src_tokens AS BIGINT)"
+            ),
+        )
+        .drop("__src_tokens")
+    )

@@ -51,3 +51,42 @@ def test_temporal_split_never_leaks_future_and_covers_entities(spark):
     all_train = temporal_split(df, "user", "ts", test_ppm=0,
                                tiebreak_col="event_id")
     assert all_train.filter(F.col("split") == "test").count() == 0
+
+
+class TestCohenKappa:
+    def _run(self, spark, rows):
+        from etl_guiacores_spark.operators.labels import cohen_kappa
+
+        df = spark.createDataFrame(rows, "g string, a string, b string")
+        return {
+            r["g"]: (r["n_items"], r["n_agree"], r["kappa_ppm"])
+            for r in cohen_kappa(df, ["g"], "a", "b").collect()
+        }
+
+    def test_perfect_and_textbook(self, spark):
+        rows = [("p", "x", "x")] * 7 + [("p", "y", "y")] * 3
+        # textbook 2x2: [[20,5],[10,15]] -> kappa = 0.4 exactly
+        rows += (
+            [("t", "x", "x")] * 20 + [("t", "x", "y")] * 5
+            + [("t", "y", "x")] * 10 + [("t", "y", "y")] * 15
+        )
+        got = self._run(spark, rows)
+        assert got["p"] == (10, 10, 1_000_000)
+        assert got["t"] == (50, 35, 400_000)
+
+    def test_degenerate_and_negative(self, spark):
+        # both raters constant -> p_e = 1 -> NULL
+        rows = [("c", "x", "x")] * 5
+        # perfect disagreement [[0,10],[10,0]] -> kappa = -1 exactly
+        rows += [("n", "x", "y")] * 10 + [("n", "y", "x")] * 10
+        # fractional negative [[1,4],[3,1]] -> -22/41 -> truncates
+        # toward zero to -536585 (floor would give -536586) — pins the
+        # engine-matching truncation semantics on negatives
+        rows += (
+            [("f", "x", "x")] * 1 + [("f", "x", "y")] * 4
+            + [("f", "y", "x")] * 3 + [("f", "y", "y")] * 1
+        )
+        got = self._run(spark, rows)
+        assert got["c"] == (5, 5, None)
+        assert got["n"] == (20, 0, -1_000_000)
+        assert got["f"] == (9, 2, -536_585)

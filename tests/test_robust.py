@@ -167,3 +167,27 @@ def test_winsorize_matches_python_quantiles(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, "grp", "v", tail_sixteenths=8)
+
+
+def test_quantile_report_exact_sixteenths(spark):
+    from etl_guiacores_spark.operators.robust import quantile_report
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (10, 20, 30, 40, 50)] + [("b", 7)],
+        "g string, v long",
+    )
+    got = {r["g"]: r.asDict() for r in quantile_report(df, "g", "v").collect()}
+    # n=5: rank q*(n-1); p50 -> 30*16, p75 -> 40*16, p15/16 -> rank
+    # 3.75 -> 47.5 interpolated, exact as 16x = 760
+    assert got["a"]["n_rows"] == 5
+    assert (got["a"]["min_micro"], got["a"]["max_micro"]) == (10, 50)
+    assert got["a"]["p8_16"] == 480
+    assert got["a"]["p12_16"] == 640
+    assert got["a"]["p15_16"] == 760
+    # singleton group: every percentile is the value itself
+    assert got["b"]["p8_16"] == got["b"]["p15_16"] == 7 * 16
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_report(df, "g", "v", sixteenths=(0,))

@@ -87,6 +87,14 @@ _FIRST = [
     "q113_session_concurrency",
     "q114_random_projection",
     "q115_boilerplate_extract",
+    # ---- positions 51+ (outside this round's 50-row window): queries
+    # added AFTER the window filled — locally oracle-verified now,
+    # they MUST lead the round-8 window together with the 46 round-5
+    # rows (46 + 4 = exactly 50)
+    "q146_spearman_trend",
+    "q147_last_touch",
+    "q148_gini_tokens",
+    "q149_twap",
 ]
 
 

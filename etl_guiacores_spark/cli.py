@@ -176,6 +176,8 @@ def cmd_corpus(spark, args) -> dict:
         portable_hashes=args.portable_hashes,
         chunk_tokens=args.chunk_tokens,
         benchmark_path=args.benchmark,
+        strip_spans=args.strip_spans,
+        span_n=args.span_n,
     )
     return run_corpus_pipeline(
         docs, args.out, cfg, progress_callback=_progress_cb(args)
@@ -382,6 +384,15 @@ def build_parser() -> argparse.ArgumentParser:
         "of the native xxhash64 default",
     )
     k.add_argument("--chunk-tokens", type=int, default=64)
+    k.add_argument(
+        "--strip-spans",
+        action="store_true",
+        help="also strip maximal repeated token spans (Lee-et-al "
+        "substring dedup) from near-dup survivors before chunking; "
+        "token conservation asserted on the written artifact",
+    )
+    k.add_argument("--span-n", type=int, default=10,
+                   help="repeated-span n-gram width (with --strip-spans)")
     k.add_argument("--benchmark", default=None,
                    help="benchmark/eval parquet (text column): drop docs "
                    "sharing word 3-grams with it (Bloom prefilter + "

@@ -190,3 +190,82 @@ def cusum_drift(
         .withColumn("drift_flag", F.col("cusum_micro") > threshold_micro)
     )
     return out.drop("__p", "__pmin")
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_micros: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every ``conversion_type`` event,
+    the LATEST preceding event of a ``touch_types`` kind by the same
+    user — the standard credit-assignment query behind every
+    conversion report. ``window_micros`` limits how far back a touch
+    may be (touches older than the lookback get no credit:
+    attributed columns NULL).
+
+    Shape: NO join. Touches and conversions ride ONE key-partitioned
+    window — each row carries ``last(touch struct, ignorenulls)`` over
+    the (time, tiebreak)-ordered stream per user, so attribution is a
+    single shuffle on the user key, then a filter to conversions.
+    The merge-streams trick (the as-of-join q47 lesson: an as-of is a
+    window over the union, not a range join) — at 100 TB this is one
+    exchange of (key, ts, type, id) rows, no build side, no skew-prone
+    range condition. "Preceding" is STRICT in the total order: a touch
+    at the exact (ts, tiebreak) of the conversion cannot claim it
+    (tiebreak ids are unique by contract, so same-ts touch/conversion
+    pairs order by id).
+
+    Returns one row per conversion: (user_col, conversion id/ts,
+    attributed touch id/type/ts or NULLs, gap_micros or NULL).
+    """
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    is_touch = F.col(type_col).isin(list(touch_types))
+    ordk = [F.col(time_col), F.col(tiebreak_col)]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*ordk)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # event_micros, not unix_micros: injective for TIMESTAMP_NTZ too
+    # (a cast through the session zone collapses DST spring-forward
+    # wall times — the as-of/q47 lesson)
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            F.col(time_col).alias("t"),
+            event_micros(events, time_col).alias("m"),
+            F.col(tiebreak_col).alias("i"),
+            F.col(type_col).alias("k"),
+        ),
+    )
+    base = (
+        events.filter(is_touch | (F.col(type_col) == conversion_type))
+        .withColumn("__m", event_micros(events, time_col))
+        .withColumn(
+            "__last_touch", F.last(touch_struct, ignorenulls=True).over(w)
+        )
+    )
+    conv = base.filter(F.col(type_col) == conversion_type)
+    gap = (F.col("__m") - F.col("__last_touch.m")).cast("long")
+    in_window = (
+        F.lit(True)
+        if window_micros is None
+        else gap <= F.lit(int(window_micros))
+    )
+    keep = F.col("__last_touch").isNotNull() & in_window
+    return conv.select(
+        user_col,
+        F.col(tiebreak_col).alias("conversion_id"),
+        F.col(time_col).alias("conversion_ts"),
+        F.when(keep, F.col("__last_touch.i")).alias("touch_id"),
+        F.when(keep, F.col("__last_touch.k")).alias("touch_type"),
+        F.when(keep, F.col("__last_touch.t")).alias("touch_ts"),
+        F.when(keep, gap).alias("gap_micros"),
+    )

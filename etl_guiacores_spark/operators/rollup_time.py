@@ -510,3 +510,77 @@ def ohlc_resample(
             F.count("*").cast("long").alias("n_events"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    bucket: str = "1 hour",
+    time_col: str = "ts",
+    value_micro_col: str = "v_micro",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key per bucket, exact
+    integers: each observation holds its value until the NEXT
+    observation of the same key (step interpolation); the last one in
+    a bucket holds to the bucket end. The honest mean for irregular
+    telemetry — the plain AVG the naive rollup computes overweights
+    bursts (10 samples in one busy second count 10x a quiet sample
+    covering an hour).
+
+        twap_micro = sum(v * dt) div sum(dt)
+
+    dt in microseconds from LEAD over the per-key (time, tiebreak)
+    total order, clamped to the bucket boundary; the weighted sum in
+    DECIMAL(38,0) (v_micro * dt_micros wraps BIGINT at ~2.5s of
+    holding a ~1e6-micro value — any real gap). One LEAD window + one
+    partial-aggregable groupBy, both on the same key partitioning.
+
+    Returns (keys..., bucket_start, n_obs, span_micros, twap_micro);
+    twap NULL only if a key's whole bucket span is zero (single
+    observation exactly at the bucket end).
+    """
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    keys = keys or ["event_type"]
+    wk = Window.partitionBy(*keys).orderBy(time_col, tiebreak_col)
+    # the dt arithmetic runs entirely in the event_micros domain
+    # (injective for TIMESTAMP_NTZ, no session-zone round trip); hour
+    # buckets are exact multiples of the duration in that domain, so
+    # floor-division bucketing agrees with F.window/date_trunc
+    dur = {"1 hour": 3_600_000_000}.get(bucket)
+    if dur is None:
+        raise ValueError(
+            "time_weighted_avg: unsupported bucket (micros-exact "
+            f"durations only): {bucket!r}"
+        )
+    m = event_micros(events, time_col)
+    with_m = events.withColumn("__m", m)
+    nxt_m = F.lead("__m").over(wk)
+    bend_m = (F.col("__m") - F.col("__m") % dur) + dur
+    hold_m = F.least(F.coalesce(nxt_m, bend_m), bend_m)
+    stepped = with_m.select(
+        *keys,
+        F.window(F.col(time_col), bucket).start.alias("bucket_start"),
+        F.col(value_micro_col).cast("long").alias("__v"),
+        (hold_m - F.col("__m")).cast("long").alias("__dt"),
+    )
+    return (
+        stepped.groupBy(*keys, "bucket_start")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.sum("__dt").cast("long").alias("span_micros"),
+            F.expr(
+                "CAST(sum(CAST(__v AS DECIMAL(38,0)) * __dt) "
+                "AS DECIMAL(38,0))"
+            ).alias("__vdt"),
+        )
+        .withColumn(
+            "twap_micro",
+            F.expr(
+                "CAST(__vdt div NULLIF(CAST(span_micros AS DECIMAL(38,0)),"
+                " 0) AS BIGINT)"
+            ),
+        )
+        .drop("__vdt")
+    )

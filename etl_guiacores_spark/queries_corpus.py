@@ -3589,3 +3589,238 @@ def q145_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__src_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146: Spearman rank correlation — non-parametric drift/trend per key
+# ---------------------------------------------------------------------------
+
+@register(
+    "q146_spearman_trend",
+    """
+    WITH v AS (
+        SELECT event_type, event_id, ts,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    r AS (
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY v_micro, event_id)
+                    AS BIGINT) AS rx,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS ry
+        FROM v
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST((CAST(1000000 AS HUGEINT) * COUNT(*)
+                 * (COUNT(*) * COUNT(*) - 1)
+                 - 6 * CAST(1000000 AS HUGEINT)
+                 * SUM((rx - ry) * (rx - ry)))
+                // NULLIF(CAST(COUNT(*) AS HUGEINT)
+                          * (COUNT(*) * COUNT(*) - 1), 0)
+                AS BIGINT) AS rho_ppm
+    FROM r GROUP BY event_type
+    """,
+    doc="Spearman rank correlation between value and TIME per "
+    "event_type — the non-parametric monotone-drift detector "
+    "(Mann-Kendall's cousin): rho near +-1e6 ppm flags a metric "
+    "trending without assuming linearity or caring about outliers, "
+    "where Pearson-over-doubles would both drift across engines (sum "
+    "order) and chase extreme values. rho = 1 - 6*sum(d^2)/(n(n^2-1)) "
+    "over ranks taken on the (value, id)/(ts, id) TOTAL orders "
+    "(deterministic tie policy — the distributed contract; classic "
+    "average-ranks diverges only under heavy ties), cross-multiplied "
+    "to exact ppm with DECIMAL(38,0)/HUGEINT interiors (n(n^2-1) "
+    "wraps BIGINT at n ~ 2.1M rows/group). Two per-group rank "
+    "windows + one aggregate (operators/rankstats.spearman_corr).",
+)
+def q146_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rankstats import spearman_corr
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    return spearman_corr(ev, "event_type", "v_micro", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q147: last-touch attribution — join-free credit assignment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q147_last_touch",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    wl AS (
+        SELECT user_id, event_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS) OVER w AS t_ts,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_id END IGNORE NULLS) OVER w AS t_id,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER w AS t_k
+        FROM s
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS conversion_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS conversion_ts,
+           CASE WHEN keep THEN t_id END AS touch_id,
+           CASE WHEN keep THEN t_k END AS touch_type,
+           CASE WHEN keep
+                THEN STRFTIME(t_ts, '%Y-%m-%d %H:%M:%S') END AS touch_ts,
+           CASE WHEN keep THEN gap END AS gap_micros
+    FROM (SELECT *,
+                 epoch_us(ts) - epoch_us(t_ts) AS gap,
+                 t_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(t_ts) <= 86400000000 AS keep
+          FROM wl)
+    WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution inside a 24h lookback: every purchase "
+    "credited to the user's latest preceding view/click — the "
+    "credit-assignment query behind every conversion report. NO join: "
+    "touches and conversions ride ONE key-partitioned window "
+    "(last(touch, ignorenulls) over the (ts, id)-ordered stream, "
+    "STRICTLY preceding frame), the merge-streams form of an as-of "
+    "join (the q47 lesson) — one exchange on the user key at any "
+    "scale, no build side, no skew-prone range condition. Out-of-"
+    "window touches yield NULL attribution (the row still reports), "
+    "gap in exact integer micros "
+    "(operators/funnel.last_touch_attribution).",
+)
+def q147_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.funnel import last_touch_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    out = last_touch_attribution(
+        ev, "purchase", ["view", "click"],
+        window_micros=86_400_000_000,
+    )
+    return out.select(
+        "user_id", "conversion_id",
+        F.date_format("conversion_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "conversion_ts"
+        ),
+        "touch_id", "touch_type",
+        F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss").alias("touch_ts"),
+        "gap_micros",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148: Gini concentration of token mass per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q148_gini_tokens",
+    f"""
+    WITH d AS (
+        SELECT source, doc_id, CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    r AS (
+        SELECT source, n_tokens AS x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_tokens, doc_id)
+                    AS BIGINT) AS i
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(x) AS BIGINT) AS total,
+           CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                 - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000
+                // NULLIF(CAST(COUNT(*) AS HUGEINT) * SUM(x), 0)
+                AS BIGINT) AS gini_ppm
+    FROM r GROUP BY source
+    """,
+    doc="Gini concentration of token mass per source — the corpus-"
+    "balance audit run before stratified sampling or packing ('is "
+    "90% of this source's tokens in 1% of its documents?'). G = "
+    "(2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over the "
+    "(n_tokens, doc_id) total order, cross-multiplied to exact ppm "
+    "(DECIMAL(38,0)/HUGEINT interiors — sum(i*x) wraps BIGINT at "
+    "~1e9 docs), NULL on zero total, negative inputs raise IN-PLAN "
+    "via assert_true (no second validation scan). One per-source "
+    "rank window + one aggregate "
+    "(operators/rankstats.gini_index).",
+)
+def q148_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rankstats import gini_index
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return gini_index(d, "source", "n_tokens", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q149: time-weighted average (TWAP) — step-interpolated telemetry mean
+# ---------------------------------------------------------------------------
+
+@register(
+    "q149_twap",
+    """
+    WITH v AS (
+        SELECT event_type, event_id, ts,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro,
+               date_trunc('hour', ts) AS bstart,
+               LEAD(ts) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, bstart, v_micro,
+               epoch_us(CASE WHEN nxt IS NOT NULL
+                              AND nxt < bstart + INTERVAL 1 HOUR
+                             THEN nxt
+                             ELSE bstart + INTERVAL 1 HOUR END)
+               - epoch_us(ts) AS dt
+        FROM v
+    )
+    SELECT event_type,
+           STRFTIME(bstart, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(dt) AS BIGINT) AS span_micros,
+           CAST(SUM(CAST(v_micro AS HUGEINT) * dt)
+                // NULLIF(CAST(SUM(dt) AS HUGEINT), 0)
+                AS BIGINT) AS twap_micro
+    FROM d GROUP BY event_type, bstart
+    """,
+    doc="Time-weighted average per (event_type, hour): each "
+    "observation holds its value until the next one of its key (step "
+    "interpolation), the last in a bucket holds to the bucket end — "
+    "the honest mean for irregular telemetry, where plain AVG "
+    "overweights bursts 10:1. twap = sum(v*dt) div sum(dt), dt in "
+    "exact integer micros from one LEAD over the per-key (ts, id) "
+    "total order clamped to the bucket boundary; the weighted sum in "
+    "DECIMAL(38,0)/HUGEINT (v*dt wraps BIGINT in ~seconds of "
+    "holding). One LEAD window + one partial-aggregable groupBy on "
+    "the same key partitioning "
+    "(operators/rollup_time.time_weighted_avg).",
+)
+def q149_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import time_weighted_avg
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    out = time_weighted_avg(ev, ["event_type"])
+    return out.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        "n_obs", "span_micros", "twap_micro",
+    )

@@ -1,0 +1,95 @@
+"""Last-touch attribution + TWAP (funnel/rollup_time round-7 ops)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.funnel import last_touch_attribution
+from etl_guiacores_spark.operators.rollup_time import time_weighted_avg
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+
+
+def ts(minute):
+    return datetime(2024, 3, 1) + timedelta(minutes=minute)
+
+
+class TestLastTouch:
+    def test_credit_window_and_orphans(self, spark):
+        h25 = 25 * 60
+        rows = [
+            # user 1: view -> click -> purchase: credit to the CLICK
+            (1, ts(0), 1, "view", 0.0),
+            (2, ts(10), 1, "click", 0.0),
+            (3, ts(20), 1, "purchase", 9.0),
+            # user 2: touch 25h before purchase -> outside 24h window
+            (4, ts(0), 2, "view", 0.0),
+            (5, ts(h25), 2, "purchase", 9.0),
+            # user 3: purchase with no touch at all
+            (6, ts(5), 3, "purchase", 9.0),
+            # user 4: later touch AFTER the purchase must not claim it
+            (7, ts(30), 4, "purchase", 9.0),
+            (8, ts(40), 4, "click", 0.0),
+        ]
+        out = {
+            r["conversion_id"]: r.asDict()
+            for r in last_touch_attribution(
+                spark.createDataFrame(rows, SCHEMA),
+                "purchase", ["view", "click"],
+                window_micros=24 * 3600 * 1_000_000,
+            ).collect()
+        }
+        assert out[3]["touch_id"] == 2 and out[3]["touch_type"] == "click"
+        assert out[3]["gap_micros"] == 10 * 60 * 1_000_000
+        assert out[5]["touch_id"] is None      # out of window
+        assert out[6]["touch_id"] is None      # no touch
+        assert out[7]["touch_id"] is None      # only a LATER touch
+        assert set(out) == {3, 5, 6, 7}        # one row per conversion
+
+    def test_no_window_means_unbounded_lookback(self, spark):
+        rows = [(1, ts(0), 1, "view", 0.0),
+                (2, ts(50 * 60), 1, "purchase", 9.0)]
+        out = last_touch_attribution(
+            spark.createDataFrame(rows, SCHEMA), "purchase", ["view"]
+        ).collect()
+        assert out[0]["touch_id"] == 1
+
+
+class TestTwap:
+    def test_step_weights_and_bucket_clamp(self, spark):
+        rows = [
+            # key a, hour 0: v=10 holds :00-:30, v=30 holds :30-:60
+            # -> twap 20; plain AVG would also be 20 here, so add a
+            # burst: v=30 resampled at :45 (AVG becomes 23.33, TWAP
+            # stays 20 because the :30 sample's hold just splits)
+            (1, ts(0), 1, "a", 10.0),
+            (2, ts(30), 1, "a", 30.0),
+            (3, ts(45), 1, "a", 30.0),
+            # key b: single event at :15 holds to the bucket end
+            (4, ts(15), 1, "b", 7.0),
+        ]
+        ev = spark.createDataFrame(rows, SCHEMA).select(
+            "event_type", "event_id", "ts",
+            F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+        )
+        got = {
+            r["event_type"]: r.asDict()
+            for r in time_weighted_avg(ev, ["event_type"]).collect()
+        }
+        assert got["a"]["n_obs"] == 3
+        assert got["a"]["span_micros"] == 3600 * 1_000_000
+        assert got["a"]["twap_micro"] == 20_000_000
+        assert got["b"]["span_micros"] == 45 * 60 * 1_000_000
+        assert got["b"]["twap_micro"] == 7_000_000
+
+    def test_unsupported_bucket_raises(self, spark):
+        import pytest
+
+        ev = spark.createDataFrame([], SCHEMA).select(
+            "event_type", "event_id", "ts",
+            F.lit(0).cast("long").alias("v_micro"),
+        )
+        with pytest.raises(ValueError):
+            time_weighted_avg(ev, ["event_type"], bucket="7 minutes")

@@ -274,3 +274,18 @@ def test_search_mode(spark):
     scores = [h["score_ppm"] for h in res["hits"]]
     assert scores == sorted(scores, reverse=True)
     assert all(h["n_hit_terms"] >= 1 for h in res["hits"])
+
+
+def test_corpus_mode_strip_spans(spark, tmp_path):
+    res = main(
+        ["--out", str(tmp_path / "cs"), "corpus",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--jaccard", "0.6", "--strip-spans", "--span-n", "10"],
+        spark=spark,
+    )
+    assert res["span_docs"] == res["after_near_dup"]
+    assert res["span_total_tokens"] == (
+        res["span_dup_tokens"] + res["span_retained_tokens"]
+    )
+    assert (tmp_path / "cs" / "span_stripped").exists()
+    assert (tmp_path / "cs" / "span_accounting").exists()

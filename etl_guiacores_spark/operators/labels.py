@@ -112,7 +112,14 @@ def cohen_kappa(
         )
     )
     return (
-        tot.join(marg, g)
+        # LEFT join + 0: a group whose raters share NO class has an
+        # empty marginal-product set — marg is 0 (p_e = 0, kappa =
+        # p_o), not a dropped row (caught by the hypothesis sweep)
+        tot.join(marg, g, "left")
+        .withColumn(
+            "__marg",
+            F.coalesce(F.col("__marg"), F.lit(0).cast("decimal(38,0)")),
+        )
         .withColumn(
             "kappa_ppm",
             F.expr(

@@ -3454,10 +3454,12 @@ def _lang_pred_case() -> str:
         FROM rowt JOIN colt USING (source, c) GROUP BY source
     )
     SELECT t.source, t.n_items, t.n_agree,
-           CAST((CAST(t.n_items AS HUGEINT) * t.n_agree - m.marg) * 1000000
-                // NULLIF(CAST(t.n_items AS HUGEINT) * t.n_items - m.marg, 0)
+           CAST((CAST(t.n_items AS HUGEINT) * t.n_agree
+                 - COALESCE(m.marg, 0)) * 1000000
+                // NULLIF(CAST(t.n_items AS HUGEINT) * t.n_items
+                          - COALESCE(m.marg, 0), 0)
                 AS BIGINT) AS kappa_ppm
-    FROM tot t JOIN marg m USING (source)
+    FROM tot t LEFT JOIN marg m USING (source)
     """,
     doc="Cohen's kappa between the q22 language-ID heuristic and the "
     "gold lang label, per source — chance-corrected agreement, the "

@@ -354,3 +354,127 @@ def test_snapshot_diff_reconstructs_new_from_old(spark, old_map, new_map):
             assert old_map[k] != new_map[k]
     for k in (set(old_map) | set(new_map)) - set(delta):
         assert old_map[k] == new_map[k]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_spearman_matches_direct_formula(spark, pairs):
+    from etl_guiacores_spark.operators.rankstats import spearman_corr
+
+    rows = [("g", x, y, i) for i, (x, y) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "g string, x long, y long, i long")
+    got = spearman_corr(df, "g", "x", "y", "i").collect()[0]
+
+    n = len(rows)
+    rx = {i: r + 1 for r, (_, _, _, i) in enumerate(
+        sorted(rows, key=lambda t: (t[1], t[3])))}
+    ry = {i: r + 1 for r, (_, _, _, i) in enumerate(
+        sorted(rows, key=lambda t: (t[2], t[3])))}
+    d2 = sum((rx[i] - ry[i]) ** 2 for _, _, _, i in rows)
+    denom = n * (n * n - 1)
+    want = int((1_000_000 * denom - 6 * 1_000_000 * d2) / denom)  # trunc
+    assert got["sum_d2"] == d2
+    assert got["rho_ppm"] == want
+    assert -1_000_000 <= got["rho_ppm"] <= 1_000_000
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=40))
+def test_gini_matches_direct_formula_and_bounds(spark, xs):
+    from etl_guiacores_spark.operators.rankstats import gini_index
+
+    rows = [("g", x, i) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, x long, i long")
+    got = gini_index(df, "g", "x", "i").collect()[0]
+
+    n, total = len(xs), sum(xs)
+    if total == 0:
+        assert got["gini_ppm"] is None
+        return
+    sx = sorted(xs)
+    ix = sum((i + 1) * x for i, x in enumerate(sx))
+    num = (2 * ix - (n + 1) * total) * 1_000_000
+    want = int(num / (n * total))  # truncation toward zero
+    assert got["gini_ppm"] == want
+    assert 0 <= got["gini_ppm"] < 1_000_000
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kappa_matches_direct_formula(spark, pairs):
+    from etl_guiacores_spark.operators.labels import cohen_kappa
+
+    rows = [("g", a, b) for a, b in pairs]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = cohen_kappa(df, ["g"], "a", "b").collect()[0]
+
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    marg = sum(
+        sum(1 for a, _ in pairs if a == c) * sum(1 for _, b in pairs if b == c)
+        for c in "abc"
+    )
+    assert got["n_items"] == n and got["n_agree"] == agree
+    if n * n == marg:
+        assert got["kappa_ppm"] is None
+    else:
+        num = (n * agree - marg) * 1_000_000
+        den = n * n - marg
+        q = abs(num) // den  # DECIMAL div truncates toward zero
+        assert got["kappa_ppm"] == (q if num >= 0 else -q)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7200), st.integers(-5000, 5000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_twap_conservation_and_bounds(spark, obs):
+    """Per key: bucket spans tile [first event, last bucket end]
+    exactly, and each bucket's TWAP lies within [min, max] of the
+    values that could hold in it."""
+    from datetime import datetime, timedelta
+
+    from etl_guiacores_spark.operators.rollup_time import time_weighted_avg
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=s), 1, "k", 0.0)
+        for i, (s, _) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    ).withColumn("v_micro", F.col("event_id") % 97)
+    out = time_weighted_avg(
+        df.select("event_type", "event_id", "ts", "v_micro"), ["event_type"]
+    ).collect()
+
+    # documented semantics: each observation holds until min(next
+    # observation, its OWN bucket end) — a gap spanning a bucket
+    # boundary leaves the tail of the gap uncovered by design
+    secs = sorted(s for s, _ in obs)
+    want_span = sum(
+        min(nxt, (s // 3600 + 1) * 3600) - s
+        for s, nxt in zip(secs, secs[1:] + [10**9])
+    )
+    total_span = sum(r["span_micros"] for r in out)
+    assert total_span == want_span * 1_000_000
+    for r in out:
+        assert r["twap_micro"] is None or 0 <= r["twap_micro"] <= 96

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
 import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
+import etl_guiacores_spark.queries_eval  # noqa: F401 — registers eval/drift queries
 import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
 from etl_guiacores_spark.queries import REGISTRY
 from etl_guiacores_spark.session import configure_session
@@ -89,12 +90,20 @@ _FIRST = [
     "q115_boilerplate_extract",
     # ---- positions 51+ (outside this round's 50-row window): queries
     # added AFTER the window filled — locally oracle-verified now,
-    # they MUST lead the round-8 window together with the 46 round-5
-    # rows (46 + 4 = exactly 50)
+    # they MUST lead the round-8 window (q146-q155 = 10 rows, then
+    # the oldest of the 46 round-5 rows fill the remaining 40; the
+    # last 6 round-5 rows ride to round 9, still inside the 2-round
+    # staleness limit counted from their round-7 local verification)
     "q146_spearman_trend",
     "q147_last_touch",
     "q148_gini_tokens",
     "q149_twap",
+    "q150_auc_roc",
+    "q151_ks_drift",
+    "q152_confusion_metrics",
+    "q153_transition_matrix",
+    "q154_pareto_frontier",
+    "q155_benford_digits",
 ]
 
 

@@ -1,0 +1,353 @@
+"""Evaluation / drift queries (round-7 continuation): exact AUC,
+two-sample KS drift, per-class confusion metrics, Markov transitions,
+Pareto frontier, Benford first-digit audit.
+
+Same contract as the rest of the suite: each Spark program has a
+DuckDB oracle over the identical parquet tables, every computed
+column aliased identically, all ratios as truncating integer ppm, so
+the driver's order-insensitive value-hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.queries import register
+from etl_guiacores_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q150: per-day exact ROC AUC (rank / Mann-Whitney identity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q150_auc_roc",
+    """
+    WITH s AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ),
+    by_score AS (
+        SELECT day, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(pos) AS BIGINT) AS pos
+        FROM s GROUP BY day, score
+    ),
+    r AS (
+        SELECT day, cnt, pos,
+               COALESCE(SUM(cnt) OVER (PARTITION BY day ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+        FROM by_score
+    )
+    SELECT day,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+           CAST(1000000 * (SUM(CAST(pos AS HUGEINT) * (2 * cum + cnt + 1))
+                           - CAST(SUM(pos) AS HUGEINT) * (SUM(pos) + 1))
+                // NULLIF(2 * CAST(SUM(pos) AS HUGEINT)
+                          * (SUM(cnt) - SUM(pos)), 0)
+                AS BIGINT) AS auc_ppm
+    FROM r GROUP BY day
+    """,
+    doc="Per-day exact ROC AUC of the event value score predicting "
+    "the purchase class, via the rank (Mann-Whitney U) identity with "
+    "tie-AVERAGE ranks carried as 2x-scaled integers — the daily "
+    "'is the ranking signal decaying' eval-drift tracker. One "
+    "map-side-combinable groupBy to (day, score) counts, one rank "
+    "window over that bounded relation (parallel across days), "
+    "DECIMAL(38,0)/HUGEINT interiors (2*R_pos reaches n^2), NULL on "
+    "single-class days (operators/evalmetrics.auc_roc).",
+)
+def q150_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import auc_roc
+
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("score"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return auc_roc(e, ["day"], "score", "is_purchase")
+
+
+# ---------------------------------------------------------------------------
+# q151: two-sample Kolmogorov-Smirnov distribution drift
+# ---------------------------------------------------------------------------
+
+@register(
+    "q151_ks_drift",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS in_b
+        FROM events
+    ),
+    by_val AS (
+        SELECT event_type, v,
+               CAST(SUM(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM s GROUP BY event_type, v
+    ),
+    stepped AS (
+        SELECT event_type,
+               SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cuma,
+               SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumb,
+               SUM(ca) OVER (PARTITION BY event_type) AS na,
+               SUM(cb) OVER (PARTITION BY event_type) AS nb
+        FROM by_val
+    )
+    SELECT event_type,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(1000000 * MAX(ABS(CAST(cuma AS HUGEINT) * nb
+                                  - CAST(cumb AS HUGEINT) * na))
+                // NULLIF(CAST(MAX(na) AS HUGEINT) * MAX(nb), 0)
+                AS BIGINT) AS d_ppm
+    FROM stepped GROUP BY event_type
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic per event type, "
+    "first half-month vs second — 'did the value distribution's "
+    "SHAPE move', complementing CUSUM's mean-shift localization "
+    "(q142). Exact: D evaluated at each distinct value with full "
+    "tied counts (right-continuous ECDFs, no tiebreak needed), "
+    "cross-multiplied to integer ppm with DECIMAL(38,0)/HUGEINT "
+    "interiors (cum*n reaches n^2). One groupBy to (type, value) "
+    "counts, cumulative windows over that bounded relation "
+    "(operators/evalmetrics.ks_2samp).",
+)
+def q151_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import ks_2samp
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .alias("in_b"),
+    )
+    return ks_2samp(e, ["event_type"], "v", "in_b")
+
+
+# ---------------------------------------------------------------------------
+# q152: per-class confusion-matrix precision / recall / F1
+# ---------------------------------------------------------------------------
+
+def _conf_oracle() -> str:
+    from etl_guiacores_spark.queries_corpus import _TOKS, _lang_pred_case
+
+    return f"""
+    WITH pred AS (
+        SELECT source, lang AS gold, {_lang_pred_case()} AS predicted
+        FROM (SELECT source, lang, text,
+                     list_transform({_TOKS}, t -> lower(t)) AS toks
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+    ),
+    conf AS (
+        SELECT source, gold, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY source, gold, predicted
+    ),
+    gold_m AS (SELECT source, gold AS class, CAST(SUM(n) AS BIGINT) AS ng
+               FROM conf GROUP BY source, gold),
+    pred_m AS (SELECT source, predicted AS class,
+                      CAST(SUM(n) AS BIGINT) AS np
+               FROM conf GROUP BY source, predicted),
+    diag AS (SELECT source, gold AS class, n AS tp FROM conf
+             WHERE gold = predicted),
+    base AS (
+        SELECT source, class,
+               CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+               CAST(COALESCE(p.np, 0) - COALESCE(d.tp, 0) AS BIGINT) AS fp,
+               CAST(COALESCE(g.ng, 0) - COALESCE(d.tp, 0) AS BIGINT) AS fn
+        FROM gold_m g
+        FULL JOIN pred_m p USING (source, class)
+        LEFT JOIN diag d USING (source, class)
+    )
+    SELECT source, class, tp, fp, fn,
+           CAST(1000000 * tp // NULLIF(tp + fp, 0) AS BIGINT)
+               AS precision_ppm,
+           CAST(1000000 * tp // NULLIF(tp + fn, 0) AS BIGINT)
+               AS recall_ppm,
+           CAST(2000000 * tp // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
+               AS f1_ppm
+    FROM base
+    """
+
+
+@register(
+    "q152_confusion_metrics",
+    _conf_oracle(),
+    doc="Per-(source, language) confusion-matrix breakdown of the "
+    "q22 language-ID heuristic vs the gold label: tp/fp/fn plus "
+    "exact ppm precision, recall, and F1 — the one-vs-rest view "
+    "Cohen's kappa (q143) collapses to a single number. The class "
+    "axis is the UNION of gold and predicted labels (full outer on "
+    "the marginals), so hallucinated classes (fp only) and "
+    "never-predicted classes (fn only) both get rows. One groupBy "
+    "to the confusion table; everything downstream on bounded "
+    "|sources| x |langs| relations "
+    "(operators/evalmetrics.confusion_metrics).",
+)
+def q152_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import confusion_metrics
+    from etl_guiacores_spark.operators.textstats import lang_id
+    from etl_guiacores_spark.queries_corpus import _docs
+
+    pred = _docs(spark, sf_dir).select(
+        "source",
+        F.col("lang").alias("gold"),
+        lang_id(F.col("text")).alias("predicted"),
+    )
+    return confusion_metrics(pred, ["source"], "gold", "predicted")
+
+
+# ---------------------------------------------------------------------------
+# q153: first-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+@register(
+    "q153_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_state,
+               event_type AS next_state
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_state IS NOT NULL
+        GROUP BY prev_state, next_state
+    )
+    SELECT prev_state, next_state, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY prev_state) AS BIGINT)
+               AS n_from,
+           CAST(1000000 * n_trans
+                // SUM(n_trans) OVER (PARTITION BY prev_state)
+                AS BIGINT) AS p_ppm
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences ((ts, event_id) total order): (prev -> next) counts "
+    "and exact row-stochastic ppm probabilities — next-action "
+    "baseline, funnel-leak detection, synthetic-sequence seed. "
+    "Per-user LAG windows (parallel across users), one groupBy to "
+    "the bounded |states|^2 matrix; row sums <= 1e6 by construction "
+    "with truncation residue (operators/evalmetrics."
+    "transition_matrix).",
+)
+def q153_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import transition_matrix
+
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        e, ["user_id"], "event_type", ["ts", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154: per-brand Pareto frontier (price minimized, size maximized)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q154_pareto_frontier",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_size,
+               CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    ),
+    flagged AS (
+        SELECT p_partkey, p_brand, p_size, price_cents,
+               COALESCE(MAX(p_size) OVER (PARTITION BY p_brand
+                   ORDER BY price_cents RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) >= p_size, FALSE)
+               OR MAX(p_size) OVER (PARTITION BY p_brand
+                   ORDER BY price_cents RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) > p_size AS dom
+        FROM p
+    )
+    SELECT p_partkey, p_brand, p_size, price_cents
+    FROM flagged WHERE NOT dom
+    """,
+    doc="Per-brand 2-D Pareto frontier (skyline) of parts: minimize "
+    "price, maximize size — no other part in the brand is at least "
+    "as cheap AND at least as large with one strict. Computed as "
+    "ONE partition-sort with two RANGE-frame running maxima "
+    "(strictly-cheaper and at-most-as-cheap best sizes), not the "
+    "naive all-pairs dominance join; exact duplicates are mutually "
+    "non-dominating and all kept, so no tiebreak is needed "
+    "(operators/evalmetrics.pareto_frontier).",
+)
+def q154_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import pareto_frontier
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"),
+    )
+    return pareto_frontier(p, ["p_brand"], "price_cents", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# q155: Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+def _benford_case() -> str:
+    from etl_guiacores_spark.operators.evalmetrics import BENFORD_PPM
+
+    arms = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items()
+    )
+    return f"CASE digit {arms} END"
+
+
+@register(
+    "q155_benford_digits",
+    f"""
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY o_orderpriority, digit
+    )
+    SELECT o_orderpriority, digit, n,
+           CAST(1000000 * n
+                // SUM(n) OVER (PARTITION BY o_orderpriority)
+                AS BIGINT) AS obs_ppm,
+           CAST({_benford_case()} AS BIGINT) AS benford_ppm,
+           CAST(1000000 * n
+                // SUM(n) OVER (PARTITION BY o_orderpriority)
+                - {_benford_case()} AS BIGINT) AS dev_ppm
+    FROM counts
+    """,
+    doc="Benford first-significant-digit distribution of order "
+    "totals per priority class, vs the exact-integer expected table "
+    "(rounded log10(1+1/d)*1e6, summing to exactly 1e6) — the "
+    "fabricated-data / synthetic-contamination audit for financial "
+    "and telemetry columns. First digit via the decimal STRING of "
+    "floor(value) (no log10 floats near power-of-ten boundaries); "
+    "one map-side-combinable groupBy, window totals over <= 9 rows "
+    "per group (operators/evalmetrics.benford_profile).",
+)
+def q155_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import benford_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_profile(o, ["o_orderpriority"], "o_totalprice")

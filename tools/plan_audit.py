@@ -70,6 +70,7 @@ def main() -> int:
     args = ap.parse_args()
 
     import etl_guiacores_spark.queries_extra  # noqa: F401
+    import etl_guiacores_spark.queries_eval  # noqa: F401 — registers eval/drift queries
     import etl_guiacores_spark.queries_scale  # noqa: F401
     import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
     from etl_guiacores_spark.queries import REGISTRY

@@ -426,3 +426,82 @@ def benford_profile(
         )
         .drop("__tot")
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-group decile lift table — the uplift/calibration view of a
+    ranking score (AUC's operational cousin: AUC says the ranking is
+    good, the lift table says WHERE to cut it): rows bucketed into
+    ``n_buckets`` score-ordered tiles (best scores first), each
+    bucket reporting its positive rate and the cumulative lift of
+    targeting the top buckets,
+
+        rate_ppm     = PPM * n_pos div n
+        cum_lift_ppm = PPM * cum_pos * tot_n div (cum_n * tot_pos)
+
+    (PPM = no lift; 3e6 = 3x the base rate; NULL when the group has
+    no positives). Bucketing is NTILE over the (score DESC, tiebreak)
+    total order — standard-SQL NTILE semantics (earlier tiles take
+    the remainder rows) on both engines, deterministic because the
+    order is total. Interiors DECIMAL(38,0): cum_pos * tot_n reaches
+    n^2.
+
+    Scale shape: one per-group NTILE window (the rankstats
+    bounded-group caveat: a group sorts on one reducer), one groupBy
+    to the n_buckets-row relation, cumulative windows over that
+    bounded relation only.
+
+    Returns (group_cols..., bucket, n, n_pos, rate_ppm,
+    cum_lift_ppm).
+    """
+    g = list(group_cols)
+    w_tile = Window.partitionBy(*g).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col)
+    )
+    tiled = df.select(
+        *g,
+        F.col(label_col).cast("long").alias("__pos"),
+        F.ntile(n_buckets).over(w_tile).alias("bucket"),
+    )
+    per_bucket = tiled.groupBy(*g, "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*g)
+    return (
+        per_bucket.select(
+            *g,
+            "bucket",
+            "n",
+            "n_pos",
+            F.sum("n").over(w_cum).alias("__cum_n"),
+            F.sum("n_pos").over(w_cum).alias("__cum_pos"),
+            F.sum("n").over(w_all).alias("__tot_n"),
+            F.sum("n_pos").over(w_all).alias("__tot_pos"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.expr(f"CAST({PPM} * n_pos div n AS BIGINT)"),
+        )
+        .withColumn(
+            "cum_lift_ppm",
+            F.expr(
+                f"CAST({PPM} * CAST(__cum_pos AS DECIMAL(38,0)) * __tot_n "
+                f"div NULLIF(CAST(__cum_n AS DECIMAL(38,0)) * __tot_pos, 0) "
+                f"AS BIGINT)"
+            ),
+        )
+        .drop("__cum_n", "__cum_pos", "__tot_n", "__tot_pos")
+    )

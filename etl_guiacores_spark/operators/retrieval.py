@@ -499,3 +499,57 @@ def mmr_select(
             if oid not in sims or d > sims[oid]:
                 sims[oid] = d
     return selected
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several per-query rankings into one
+    hybrid ranking — the standard way to combine a lexical (BM25) and
+    a vector (kNN) retriever without score calibration (Cormack et
+    al., SIGIR'09: rank positions are comparable across systems even
+    when raw scores are not):
+
+        rrf_ppm(d) = sum over systems  PPM div (rrf_k + rank_s(d))
+
+    ``rankings`` is the LONG-format union of the input rankings, one
+    row per (query, doc, rank) — callers just ``unionByName`` their
+    retrievers' top-k outputs (a doc absent from a system's list
+    simply contributes nothing: the top-k truncation IS the
+    candidate-generation step). Each term is an exact truncated
+    integer, so fused scores are BIGINT-exact and the fused order is
+    pinned by the (score DESC, doc_id) total order — deterministic
+    across runs and engines. rrf_k = 60 is the published default; it
+    caps any single system's influence (top-ranked contribution
+    PPM/61) so one retriever cannot dominate the fusion.
+
+    Scale shape: one groupBy on (query, doc) over candidate tuples
+    (top-k per system per query — bounded, never corpus-sized), one
+    per-query rank window over the fused candidates. Both shuffles
+    move id/rank tuples only.
+
+    Returns (query_id, doc_id, n_systems, rrf_ppm, fused_rank).
+    """
+    fused = rankings.groupBy(
+        F.col(query_id_col).alias("query_id"),
+        F.col(doc_id_col).alias("doc_id"),
+    ).agg(
+        F.count("*").cast("long").alias("n_systems"),
+        F.sum(
+            F.expr(f"CAST(1000000 div ({rrf_k} + {rank_col}) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("rrf_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("doc_id")
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out

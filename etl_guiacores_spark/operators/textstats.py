@@ -453,3 +453,73 @@ def pmi_collocations(
         )
         .select("w1", "w2", "pair_count", "ratio_ppm")
     )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard overlap between document groups
+    (sources, snapshots, shards) — the corpus-comparison diagnostic
+    behind "is this new source actually adding vocabulary or
+    repeating what we have": for each unordered group pair (a < b),
+
+        jaccard_ppm = PPM * |V_a intersect V_b|
+                      div (|V_a| + |V_b| - |V_a intersect V_b|)
+
+    over the groups' distinct lowercased token sets. Exact integer
+    ppm (set sizes are counts — plain BIGINT suffices).
+
+    Scale shape: explode to (group, token), ONE distinct (the only
+    data-sized shuffle, map-side combinable), then the intersection
+    self-join keys on token across the deduplicated vocabulary
+    relation — Zipf-hot tokens are exact-once per group after the
+    distinct, so the join fan-out per token is |groups|, not corpus
+    frequency. Output is bounded by C(|groups|, 2).
+
+    Returns (group_a, group_b, vocab_a, vocab_b, inter, jaccard_ppm).
+    """
+    vocab = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("g").agg(F.count("*").cast("long").alias("vs"))
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("g", "group_a")
+            .withColumnRenamed("vs", "vocab_a"),
+            "group_a",
+        )
+        .join(
+            sizes.withColumnRenamed("g", "group_b")
+            .withColumnRenamed("vs", "vocab_b"),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "vocab_a",
+            "vocab_b",
+            "inter",
+            F.expr(
+                "CAST(1000000 * inter div (vocab_a + vocab_b - inter) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -10,7 +10,7 @@ the driver's order-insensitive value-hash matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.queries import register
@@ -351,3 +351,212 @@ def q155_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return benford_profile(o, ["o_orderpriority"], "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# q156: reciprocal-rank fusion of cosine and L2 retriever rankings
+# ---------------------------------------------------------------------------
+
+@register(
+    "q156_rrf_fusion",
+    """
+    WITH cos AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       ROUND(
+                         list_sum(list_transform(range(1, LEN(q.embedding) + 1),
+                             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                         / (SQRT(list_sum(list_transform(range(1, LEN(q.embedding) + 1),
+                             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                          * SQRT(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+                             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+                       , 6) DESC, e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rank <= 10
+    ),
+    l2 AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       ROUND(
+                         list_sum(list_transform(range(1, LEN(q.embedding) + 1),
+                             i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                                  * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))
+                       , 6) ASC, e.vec_id) AS rank
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rank <= 10
+    ),
+    fused AS (
+        SELECT query_id, neighbor_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_systems,
+               CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+        FROM (SELECT * FROM cos UNION ALL SELECT * FROM l2)
+        GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, doc_id, n_systems, rrf_ppm, fused_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+                      AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 5
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al.) of two retrievers' "
+    "top-10 lists — cosine and (negative) L2 over the embedding "
+    "table — into one hybrid top-5: rrf_ppm = sum PPM div (60 + "
+    "rank), exact truncated integers, fused order pinned by "
+    "(score DESC, doc_id). The calibration-free way to combine a "
+    "lexical and a vector retriever; candidate tuples are top-k per "
+    "system per query, never corpus-sized "
+    "(operators/retrieval.rrf_fuse).",
+)
+def q156_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import rrf_fuse
+    from etl_guiacores_spark.operators.similarity import dot, knn_brute_force
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cos = knn_brute_force(e, q, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    qb = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    diff_sq = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist"), F.col("neighbor_id")
+    )
+    l2 = (
+        e.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(diff_sq, 6).alias("__dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return rrf_fuse(cos.unionByName(l2), top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# q157: per-day decile lift of the value score predicting purchases
+# ---------------------------------------------------------------------------
+
+@register(
+    "q157_decile_lift",
+    """
+    WITH s AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+               event_id
+        FROM events
+    ),
+    tiled AS (
+        SELECT day, pos,
+               NTILE(10) OVER (PARTITION BY day
+                   ORDER BY score DESC, event_id) AS bucket
+        FROM s
+    ),
+    per_bucket AS (
+        SELECT day, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM tiled GROUP BY day, bucket
+    )
+    SELECT day, bucket, n, n_pos,
+           CAST(1000000 * n_pos // n AS BIGINT) AS rate_ppm,
+           CAST(1000000
+                * CAST(SUM(n_pos) OVER (PARTITION BY day ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS HUGEINT)
+                * SUM(n) OVER (PARTITION BY day)
+                // NULLIF(CAST(SUM(n) OVER (PARTITION BY day ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS HUGEINT)
+                      * SUM(n_pos) OVER (PARTITION BY day), 0)
+                AS BIGINT) AS cum_lift_ppm
+    FROM per_bucket
+    """,
+    doc="Per-day decile lift table of the event value score "
+    "predicting the purchase class — AUC's operational cousin "
+    "(q150 says the ranking works; this says WHERE to cut it): "
+    "NTILE(10) over the (score DESC, event_id) total order, "
+    "per-bucket positive rate and cumulative lift vs the day's base "
+    "rate in exact ppm (DECIMAL(38,0)/HUGEINT interiors — cum_pos * "
+    "tot_n reaches n^2). One per-day NTILE window, then cumulative "
+    "windows over the bounded 10-rows-per-day relation "
+    "(operators/evalmetrics.decile_lift).",
+)
+def q157_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import decile_lift
+
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("score"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        "event_id",
+    )
+    return decile_lift(
+        e, ["day"], "score", "is_purchase", "event_id", n_buckets=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158: pairwise vocabulary Jaccard overlap between sources
+# ---------------------------------------------------------------------------
+
+@register(
+    "q158_vocab_jaccard",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT source AS g, unnest(
+            string_split_regex(trim(lower(text)),
+                               '[ \\t\\n\\r\\f\\v]+')) AS tok
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS vs
+              FROM vocab GROUP BY g),
+    inter AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.g < b.g
+        GROUP BY a.g, b.g
+    )
+    SELECT group_a, group_b,
+           sa.vs AS vocab_a, sb.vs AS vocab_b, inter,
+           CAST(1000000 * inter // (sa.vs + sb.vs - inter) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.g = group_a
+    JOIN sizes sb ON sb.g = group_b
+    """,
+    doc="Pairwise vocabulary Jaccard overlap between sources over "
+    "distinct lowercased token sets — 'is the new source adding "
+    "vocabulary or repeating what we have', the corpus-comparison "
+    "companion to the per-document near-dup legs. One explode + one "
+    "distinct (the only data-sized shuffle), intersection self-join "
+    "on the DEDUPLICATED vocabulary (Zipf-hot tokens appear once per "
+    "source, so join fan-out is |sources|, not corpus frequency); "
+    "output bounded by C(|sources|, 2) "
+    "(operators/textstats.vocab_overlap).",
+)
+def q158_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import vocab_overlap
+    from etl_guiacores_spark.queries_corpus import _docs
+
+    return vocab_overlap(_docs(spark, sf_dir), "source", "text")

@@ -285,3 +285,77 @@ class TestBenford:
         assert got[1]["obs_ppm"] == 3 * PPM // 5
         assert got[1]["benford_ppm"] == 301_030
         assert got[1]["dev_ppm"] == 3 * PPM // 5 - 301_030
+
+
+def _lift_direct(rows, n_buckets=4):
+    """Brute-force decile lift with standard-SQL NTILE semantics."""
+    srt = sorted(rows, key=lambda t: (-t[0], t[1]))  # (score, tb, pos)
+    n = len(srt)
+    base, rem = divmod(n, n_buckets)
+    out, i = {}, 0
+    for b in range(1, n_buckets + 1):
+        size = base + (1 if b <= rem else 0)
+        if size == 0:
+            continue
+        chunk = srt[i: i + size]
+        i += size
+        out[b] = (len(chunk), sum(p for _, _, p in chunk))
+    tot_n = n
+    tot_pos = sum(p for _, _, p in rows)
+    res = {}
+    cum_n = cum_pos = 0
+    for b in sorted(out):
+        nn, pp = out[b]
+        cum_n += nn
+        cum_pos += pp
+        lift = (
+            PPM * cum_pos * tot_n // (cum_n * tot_pos) if tot_pos else None
+        )
+        res[b] = (nn, pp, PPM * pp // nn, lift)
+    return res
+
+
+class TestDecileLift:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.booleans()),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def test_matches_brute_force(self, spark, rows):
+        from etl_guiacores_spark.operators.evalmetrics import decile_lift
+
+        data = [("g", s, p, i) for i, (s, p) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "g string, score long, pos boolean, tb long"
+        )
+        got = {
+            r["bucket"]: (r["n"], r["n_pos"], r["rate_ppm"], r["cum_lift_ppm"])
+            for r in decile_lift(
+                df, ["g"], "score", "pos", "tb", n_buckets=4
+            ).collect()
+        }
+        want = _lift_direct(
+            [(s, i, int(p)) for i, (s, p) in enumerate(rows)], 4
+        )
+        assert got == want
+
+    def test_perfect_ranking_concentrates_lift(self, spark):
+        from etl_guiacores_spark.operators.evalmetrics import decile_lift
+
+        # 20 rows, top 5 scores are the 5 positives -> bucket 1 pure
+        data = [("g", 100 - i, i < 5, i) for i in range(20)]
+        df = spark.createDataFrame(
+            data, "g string, score long, pos boolean, tb long"
+        )
+        got = {
+            r["bucket"]: (r["rate_ppm"], r["cum_lift_ppm"])
+            for r in decile_lift(
+                df, ["g"], "score", "pos", "tb", n_buckets=4
+            ).collect()
+        }
+        assert got[1] == (PPM, 4 * PPM)   # 100% rate, 4x base lift
+        assert got[4][0] == 0
+        assert got[4][1] == PPM           # full population = base rate

@@ -359,3 +359,47 @@ def test_hard_negatives_brute_force(spark):
         ]
         best = max(cands, key=lambda t: (t[0], -t[1]))
         assert got[a] == (best[1], lab[best[1]], best[0]), a
+
+
+class TestRrfFuse:
+    def test_fusion_scores_and_order(self, spark):
+        # system A ranks docs 1,2,3; system B ranks 3,2,4
+        rows = [
+            (0, 1, 1), (0, 2, 2), (0, 3, 3),
+            (0, 3, 1), (0, 2, 2), (0, 4, 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank long"
+        )
+        from etl_guiacores_spark.operators.retrieval import rrf_fuse
+
+        got = {
+            r["doc_id"]: (r["n_systems"], r["rrf_ppm"], r["fused_rank"])
+            for r in rrf_fuse(df).collect()
+        }
+        ppm = 1_000_000
+        # 1/61 + 1/63 > 2/62 (AM > HM): the rank-1+rank-3 doc edges
+        # out the double rank-2 doc
+        assert got[3] == (2, ppm // 61 + ppm // 63, 1)
+        assert got[2] == (2, 2 * (ppm // 62), 2)
+        assert got[1] == (1, ppm // 61, 3)
+        assert got[4] == (1, ppm // 63, 4)
+
+    def test_tie_breaks_to_smaller_doc_id(self, spark):
+        df = spark.createDataFrame(
+            [(0, 9, 1), (0, 4, 1)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        from etl_guiacores_spark.operators.retrieval import rrf_fuse
+
+        out = {r["doc_id"]: r["fused_rank"] for r in rrf_fuse(df).collect()}
+        assert out == {4: 1, 9: 2}
+
+    def test_top_k_truncates(self, spark):
+        df = spark.createDataFrame(
+            [(0, d, d) for d in range(1, 8)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        from etl_guiacores_spark.operators.retrieval import rrf_fuse
+
+        assert rrf_fuse(df, top_k=3).count() == 3

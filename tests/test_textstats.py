@@ -196,3 +196,28 @@ class TestPmiCollocations:
         assert got == want
         # 'new york' must be a strong positive collocation
         assert got[("new", "york")][1] > 1_000_000
+
+
+class TestVocabOverlap:
+    def test_jaccard_exact(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("a", "red green blue"),
+                ("a", "red RED"),          # case-folds, dedupes
+                ("b", "blue yellow"),
+                ("c", "purple"),
+            ],
+            "source string, text string",
+        )
+        from etl_guiacores_spark.operators.textstats import vocab_overlap
+
+        got = {
+            (r["group_a"], r["group_b"]): (
+                r["vocab_a"], r["vocab_b"], r["inter"], r["jaccard_ppm"]
+            )
+            for r in vocab_overlap(docs).collect()
+        }
+        # a = {red, green, blue}, b = {blue, yellow}, c = {purple}
+        assert got[("a", "b")] == (3, 2, 1, 1_000_000 // 4)
+        assert ("a", "c") not in got  # disjoint pairs have no row
+        assert ("b", "c") not in got

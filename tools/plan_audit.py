@@ -24,7 +24,11 @@ INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
                      "q63_ivf_ann_fullprobe",
                      # corpus x broadcast bounded anchor set (the knn
                      # shape; retrieval.hard_negatives)
-                     "q133_hard_negatives"}
+                     "q133_hard_negatives",
+                     # both retriever legs are the q28 knn shape:
+                     # corpus x broadcast 5-row query set (cosine via
+                     # knn_brute_force, L2 inline) feeding rrf_fuse
+                     "q156_rrf_fusion"}
 # Scalar-join pattern: a cross join whose build side is a broadcast
 # 1-row ungrouped aggregate (e.g. q46's in-plan n_docs). The resulting
 # BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the

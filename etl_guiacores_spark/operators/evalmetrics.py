@@ -505,3 +505,152 @@ def decile_lift(
         )
         .drop("__cum_n", "__cum_pos", "__tot_n", "__tot_pos")
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Association rules over (basket, item) pairs — market-basket
+    support / confidence / lift for every ordered item pair, in exact
+    integer ppm:
+
+        support_ppm    = PPM * n_both div n_baskets
+        confidence_ppm = PPM * n_both div n_antecedent
+        lift_ppm       = PPM * n_both * n_baskets
+                         div (n_antecedent * n_consequent)
+
+    (lift > PPM: positive association; < PPM: substitution). Items
+    are basket-DISTINCT first, so multiplicity within a basket does
+    not inflate counts — the standard presence semantics.
+
+    Scale shape: one distinct on (basket, item) (the only data-sized
+    shuffle), a basket-keyed self-join whose fan-out per basket is
+    |items-in-basket|^2 — bounded by the item vocabulary, NOT corpus
+    volume (Zipf-large baskets are AQE skew territory; a
+    max-basket-size filter is the documented guard for pathological
+    baskets). Marginals and the basket total are aggregates of the
+    deduplicated relation; the 1-row basket-count scalar rides the
+    plan as a broadcast (the q46/q58 scalar-join shape). Interiors
+    DECIMAL(38,0) — n_both * n_baskets reaches n^2.
+
+    Returns (antecedent, consequent, n_both, n_antecedent,
+    n_consequent, support_ppm, confidence_ppm, lift_ppm).
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = items.groupBy().agg(
+        F.count_distinct("__b").cast("long").alias("__nb")
+    )
+    marg = items.groupBy("__i").agg(F.count("*").cast("long").alias("__ni"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") != F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("antecedent"),
+            F.col("b.__i").alias("consequent"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            marg.withColumnRenamed("__i", "antecedent").withColumnRenamed(
+                "__ni", "n_antecedent"
+            ),
+            "antecedent",
+        )
+        .join(
+            marg.withColumnRenamed("__i", "consequent").withColumnRenamed(
+                "__ni", "n_consequent"
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            "n_consequent",
+            F.expr(f"CAST({PPM} * n_both div __nb AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr(
+                f"CAST({PPM} * n_both div n_antecedent AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                f"CAST({PPM} * CAST(n_both AS DECIMAL(38,0)) * __nb "
+                f"div (CAST(n_antecedent AS DECIMAL(38,0)) "
+                f"* n_consequent) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    chain_cols: list[str],
+    state_col: str,
+    order_cols: list[str],
+    prefix_len: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Most common session-opening paths: each chain's first
+    ``prefix_len`` states (ordered by ``order_cols``, which must be a
+    total order within a chain) joined into one ``a>b>c`` path
+    string, counted, top-``top_k`` by (count DESC, path) — the
+    deterministic total order that keeps the cut boundary stable
+    across runs and engines.
+
+    The product-analytics "what do users actually do first"
+    aggregation, and the funnel-discovery precursor (funnel_steps
+    checks a KNOWN sequence; this surfaces the candidates).
+
+    Scale shape: per-chain rank window (parallel across chains) to
+    keep the prefix, one groupBy per chain folding the prefix with
+    ``array_sort(collect_list(struct(rank, state)))`` — sorted AFTER
+    collection, so the fold is order-insensitive and deterministic
+    regardless of partitioning (bare collect_list order is not) —
+    then a groupBy on the bounded path relation and one global sort
+    of path COUNTS (|distinct prefixes| rows, never event volume).
+
+    Returns (path, n_chains, path_rank).
+    """
+    w = Window.partitionBy(*chain_cols).orderBy(*order_cols)
+    prefix = (
+        df.select(
+            *chain_cols,
+            F.col(state_col).alias("__s"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= prefix_len)
+    )
+    paths = (
+        prefix.groupBy(*chain_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "__s"))
+                    ),
+                    lambda x: x["__s"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_chains"))
+    )
+    w_rank = Window.orderBy(F.col("n_chains").desc(), F.col("path"))
+    return (
+        paths.withColumn(
+            "path_rank", F.row_number().over(w_rank).cast("long")
+        )
+        .filter(F.col("path_rank") <= top_k)
+    )

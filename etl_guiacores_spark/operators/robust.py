@@ -49,7 +49,7 @@ tables join back on the group key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -210,3 +210,56 @@ def quantile_report(
         for t in sixteenths
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group LOWER weighted median: the smallest value v such that
+
+        2 * sum(weight | value <= v)  >=  sum(weight)
+
+    — exact, no interpolation, deterministic without a tiebreak (the
+    cut is on VALUES, so tied rows pool their weight). With unit
+    weights this is the classic lower median; with token-count
+    weights over documents it answers "the document size below which
+    half the corpus TOKEN MASS lives" — the right centering statistic
+    for packing and shard sizing, where long docs matter by their
+    mass, not their count.
+
+    Scale shape: one map-side-combinable groupBy to (group, value)
+    weight sums, one cumulative window over that bounded
+    distinct-value relation (parallel across groups — the q150/q151
+    count-collapse discipline), one min-aggregate. Weights must be
+    non-negative integers; sums in plain BIGINT (weight totals, not
+    n^2 products).
+
+    Returns (group_cols..., total_weight, wmedian).
+    """
+    g = list(group_cols)
+    by_val = df.groupBy(*g, value_col).agg(
+        F.sum(weight_col).cast("long").alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*g)
+    stepped = by_val.select(
+        *g,
+        F.col(value_col),
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_all).alias("__tot"),
+    )
+    return (
+        stepped.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(*g)
+        .agg(
+            F.max("__tot").cast("long").alias("total_weight"),
+            F.min(value_col).alias("wmedian"),
+        )
+    )

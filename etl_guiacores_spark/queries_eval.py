@@ -560,3 +560,155 @@ def q158_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.queries_corpus import _docs
 
     return vocab_overlap(_docs(spark, sf_dir), "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# q159: token-mass weighted median document size per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "q159_weighted_median",
+    """
+    WITH d AS (
+        SELECT source, n_chars,
+               CAST(LEN(string_split_regex(trim(text),
+                        '[ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS w
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    by_val AS (
+        SELECT source, n_chars, CAST(SUM(w) AS BIGINT) AS w
+        FROM d GROUP BY source, n_chars
+    ),
+    st AS (
+        SELECT source, n_chars,
+               SUM(w) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(w) OVER (PARTITION BY source) AS tot
+        FROM by_val
+    )
+    SELECT source, CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(n_chars) AS BIGINT) AS wmedian
+    FROM st WHERE 2 * cum >= tot GROUP BY source
+    """,
+    doc="Lower weighted median of document size per source, weighted "
+    "by token count — 'the document size below which half the "
+    "source's TOKEN MASS lives', the right centering statistic for "
+    "packing and shard sizing (long docs matter by their mass, not "
+    "their count; the unweighted median undercounts them). Exact, "
+    "no interpolation: smallest v with 2*cumweight(<=v) >= total. "
+    "One groupBy to (source, size) weight sums, cumulative window "
+    "over that bounded distinct-value relation "
+    "(operators/robust.weighted_median).",
+)
+def q159_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.robust import weighted_median
+    from etl_guiacores_spark.operators.textstats import tokens
+    from etl_guiacores_spark.queries_corpus import _docs
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("w"),
+    )
+    return weighted_median(d, ["source"], "n_chars", "w")
+
+
+# ---------------------------------------------------------------------------
+# q160: market-basket association rules over user event types
+# ---------------------------------------------------------------------------
+
+@register(
+    "q160_assoc_rules",
+    """
+    WITH items AS (
+        SELECT DISTINCT user_id AS b, event_type AS i FROM events
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+           FROM items),
+    marg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni
+             FROM items GROUP BY i),
+    pairs AS (
+        SELECT a.i AS antecedent, b2.i AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b2
+          ON a.b = b2.b AND a.i <> b2.i
+        GROUP BY a.i, b2.i
+    )
+    SELECT antecedent, consequent, n_both,
+           ma.ni AS n_antecedent, mc.ni AS n_consequent,
+           CAST(1000000 * n_both // n_baskets AS BIGINT) AS support_ppm,
+           CAST(1000000 * n_both // ma.ni AS BIGINT) AS confidence_ppm,
+           CAST(1000000 * CAST(n_both AS HUGEINT) * n_baskets
+                // (CAST(ma.ni AS HUGEINT) * mc.ni) AS BIGINT)
+               AS lift_ppm
+    FROM pairs
+    JOIN marg ma ON ma.i = antecedent
+    JOIN marg mc ON mc.i = consequent
+    CROSS JOIN nb
+    """,
+    doc="Association rules over per-user event-type baskets: "
+    "support / confidence / lift for every ordered pair in exact "
+    "ppm (lift > 1e6 = positive association) — the market-basket "
+    "view of behavioral coupling, complementing the transition "
+    "matrix's SEQUENTIAL coupling (q153). Presence semantics (one "
+    "distinct on (user, type) first); basket self-join fan-out "
+    "bounded by |types|^2 per basket; the 1-row basket-count scalar "
+    "rides the plan as a broadcast (the q46/q58 shape); lift "
+    "interiors DECIMAL(38,0)/HUGEINT "
+    "(operators/evalmetrics.assoc_rules).",
+)
+def q160_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import assoc_rules
+
+    return assoc_rules(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q161: most common session-opening paths
+# ---------------------------------------------------------------------------
+
+@register(
+    "q161_top_paths",
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id
+    ),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_chains
+          FROM p GROUP BY path)
+    SELECT path, n_chains, path_rank FROM (
+        SELECT path, n_chains,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chains DESC, path)
+                    AS BIGINT) AS path_rank
+        FROM c
+    ) WHERE path_rank <= 20
+    """,
+    doc="Top-20 session-opening paths: each user's first 5 event "
+    "types joined into an 'a>b>c' path, counted, ranked by "
+    "(count DESC, path) — the funnel-DISCOVERY aggregation "
+    "(funnel_steps checks a known sequence; this surfaces the "
+    "candidates). Per-chain rank window, per-chain fold via "
+    "array_sort(collect_list(struct(rank, state))) — sorted AFTER "
+    "collection so the fold is deterministic regardless of "
+    "partitioning (bare collect_list order is not) — then counts "
+    "and one global sort of the bounded |distinct prefixes| "
+    "relation (operators/evalmetrics.top_paths).",
+)
+def q161_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.evalmetrics import top_paths
+
+    return top_paths(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        ["ts", "event_id"],
+        prefix_len=5,
+        top_k=20,
+    )

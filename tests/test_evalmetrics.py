@@ -359,3 +359,158 @@ class TestDecileLift:
         assert got[1] == (PPM, 4 * PPM)   # 100% rate, 4x base lift
         assert got[4][0] == 0
         assert got[4][1] == PPM           # full population = base rate
+
+
+class TestAssocRules:
+    def test_counts_and_lift(self, spark):
+        # baskets: u1={a,b}, u2={a,b}, u3={a}, u4={c}
+        rows = [
+            (1, "a"), (1, "b"), (1, "b"),  # duplicate presence collapses
+            (2, "a"), (2, "b"),
+            (3, "a"),
+            (4, "c"),
+        ]
+        df = spark.createDataFrame(rows, "u long, i string")
+        from etl_guiacores_spark.operators.evalmetrics import assoc_rules
+
+        got = {
+            (r["antecedent"], r["consequent"]): r
+            for r in assoc_rules(df, "u", "i").collect()
+        }
+        ab = got[("a", "b")]
+        assert (ab["n_both"], ab["n_antecedent"], ab["n_consequent"]) == (
+            2, 3, 2,
+        )
+        assert ab["support_ppm"] == 2 * PPM // 4
+        assert ab["confidence_ppm"] == 2 * PPM // 3
+        assert ab["lift_ppm"] == PPM * 2 * 4 // (3 * 2)
+        ba = got[("b", "a")]
+        assert ba["confidence_ppm"] == PPM  # every b-basket has a
+        assert ("a", "c") not in got  # never co-occur -> no row
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.sampled_from("abc")),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_brute_force(self, spark, rows):
+        from etl_guiacores_spark.operators.evalmetrics import assoc_rules
+
+        df = spark.createDataFrame(rows, "u long, i string")
+        got = {
+            (r["antecedent"], r["consequent"]): (
+                r["n_both"], r["support_ppm"], r["confidence_ppm"],
+                r["lift_ppm"],
+            )
+            for r in assoc_rules(df, "u", "i").collect()
+        }
+        baskets: dict[int, set[str]] = {}
+        for u, i in rows:
+            baskets.setdefault(u, set()).add(i)
+        nb = len(baskets)
+        items = sorted({i for _, i in rows})
+        want = {}
+        for a in items:
+            for c in items:
+                if a == c:
+                    continue
+                n_both = sum(
+                    1 for s in baskets.values() if a in s and c in s
+                )
+                if not n_both:
+                    continue
+                na = sum(1 for s in baskets.values() if a in s)
+                nc = sum(1 for s in baskets.values() if c in s)
+                want[(a, c)] = (
+                    n_both,
+                    PPM * n_both // nb,
+                    PPM * n_both // na,
+                    PPM * n_both * nb // (na * nc),
+                )
+        assert got == want
+
+
+class TestTopPaths:
+    def test_prefix_counts_and_rank_tiebreak(self, spark):
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+            (2, 1, "a"), (2, 2, "b"),
+            (3, 1, "a"), (3, 2, "b"), (3, 3, "c"), (3, 4, "d"),
+            (4, 1, "z"),
+        ]
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        from etl_guiacores_spark.operators.evalmetrics import top_paths
+
+        got = [
+            (r["path"], r["n_chains"], r["path_rank"])
+            for r in top_paths(
+                df, ["u"], "s", ["t"], prefix_len=2, top_k=3
+            ).collect()
+        ]
+        got.sort(key=lambda t: t[2])
+        # users 1,2,3 open a>b; user 4 opens z
+        assert got == [("a>b", 3, 1), ("z", 1, 2)]
+
+    def test_prefix_truncation(self, spark):
+        rows = [(1, i, str(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        from etl_guiacores_spark.operators.evalmetrics import top_paths
+
+        out = top_paths(df, ["u"], "s", ["t"], prefix_len=3).collect()
+        assert out[0]["path"] == "0>1>2"
+
+
+class TestWeightedMedian:
+    def test_unit_weights_are_lower_median(self, spark):
+        from etl_guiacores_spark.operators.robust import weighted_median
+
+        df = spark.createDataFrame(
+            [("g", v, 1) for v in (1, 2, 3, 4)], "g string, v long, w long"
+        )
+        r = weighted_median(df, ["g"], "v", "w").collect()[0]
+        assert (r["total_weight"], r["wmedian"]) == (4, 2)
+
+    def test_mass_pulls_median(self, spark):
+        from etl_guiacores_spark.operators.robust import weighted_median
+
+        # one heavy value dominates half the mass
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 1), ("g", 100, 2)],
+            "g string, v long, w long",
+        )
+        r = weighted_median(df, ["g"], "v", "w").collect()[0]
+        assert (r["total_weight"], r["wmedian"]) == (4, 2)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 5)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_brute_force(self, spark, rows):
+        from etl_guiacores_spark.operators.robust import weighted_median
+
+        df = spark.createDataFrame(
+            [("g", v, w) for v, w in rows], "g string, v long, w long"
+        )
+        out = weighted_median(df, ["g"], "v", "w").collect()
+        tot = sum(w for _, w in rows)
+        if tot == 0:
+            # zero total mass: every prefix satisfies 2*0 >= 0, so the
+            # smallest value wins — degenerate but deterministic
+            assert out[0]["wmedian"] == min(v for v, _ in rows)
+            return
+        cum = 0
+        want = None
+        for v in sorted({v for v, _ in rows}):
+            cum += sum(w for vv, w in rows if vv == v)
+            if 2 * cum >= tot:
+                want = v
+                break
+        assert out[0]["wmedian"] == want
+        assert out[0]["total_weight"] == tot

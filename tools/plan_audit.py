@@ -65,6 +65,9 @@ SCALAR_CROSS = {
     # step-1 total (funnel.funnel_steps conversion denominator):
     # k x 1 with k = len(steps), bounded by construction
     "q140_funnel",
+    # 1-row basket-count aggregate joined onto the bounded
+    # |types|^2 rule table (evalmetrics.assoc_rules)
+    "q160_assoc_rules",
 }
 
 

@@ -49,14 +49,14 @@ class TestWindowedStreams:
     def test_tumbling_counts_with_watermark(self, spark, tmp_path):
         src = str(tmp_path / "src")
         batch1 = [ev(1, 5), ev(2, 15), ev(3, 65)]
-        spark.createDataFrame(batch1, EVENTS_SCHEMA).write.mode("append").parquet(src)
+        spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
         q = run_stream(spark, src, tumbling_counts, "tumbling_out",
                        str(tmp_path / "ckpt"), mode="append")
         try:
             # append mode emits only watermark-closed windows; push the
             # watermark forward with a late-hour batch
-            spark.createDataFrame([ev(4, 300)], EVENTS_SCHEMA).write.mode("append").parquet(src)
+            spark.createDataFrame([ev(4, 300)], EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
             rows = {
                 (r["window_start"].minute, r["window_start"].hour): r["n_events"]
@@ -77,11 +77,11 @@ class TestWindowedStreams:
 class TestStreamDedupe:
     def test_dedupe_across_batches(self, spark, tmp_path):
         src = str(tmp_path / "src")
-        spark.createDataFrame([ev(1, 0), ev(2, 1)], EVENTS_SCHEMA).write.mode("append").parquet(src)
+        spark.createDataFrame([ev(1, 0), ev(2, 1)], EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
         q = run_stream(spark, src, stream_dedupe, "dedupe_out", str(tmp_path / "ckpt"))
         try:
             # same (user, type) again in a later batch -> suppressed by state
-            spark.createDataFrame([ev(3, 2)], EVENTS_SCHEMA).write.mode("append").parquet(src)
+            spark.createDataFrame([ev(3, 2)], EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
             assert spark.sql("select count(*) n from dedupe_out").collect()[0]["n"] == 1
         finally:
@@ -91,7 +91,7 @@ class TestStreamDedupe:
 class TestExactlyOnceAppend:
     def test_checkpoint_prevents_reprocessing(self, spark, tmp_path):
         src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
-        spark.createDataFrame([ev(1, 0)], EVENTS_SCHEMA).write.mode("append").parquet(src)
+        spark.createDataFrame([ev(1, 0)], EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
         def start():
             return (
@@ -143,11 +143,11 @@ class TestStreamStreamJoin:
         # left: purchases at minute 30; right: views at minutes 0 (inside
         # 1h window) and a view 2h earlier (outside)
         spark.createDataFrame([ev(1, 150, user=1, etype="purchase")], EVENTS_SCHEMA) \
-            .write.mode("append").parquet(lsrc)
+            .coalesce(1).write.mode("append").parquet(lsrc)
         spark.createDataFrame(
             [ev(2, 120, user=1, etype="view"), ev(3, 10, user=1, etype="view")],
             EVENTS_SCHEMA,
-        ).write.mode("append").parquet(rsrc)
+        ).coalesce(1).write.mode("append").parquet(rsrc)
 
         left = spark.readStream.schema(EVENTS_SCHEMA).parquet(lsrc).select(
             "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("l_id")
@@ -185,12 +185,12 @@ class TestTelemetryTwins:
             ev(3, 40, value=5.0), ev(4, 55, value=20.0),
             ev(5, 70, value=7.0), ev(6, 80, value=9.0),
         ]
-        spark.createDataFrame(data, EVENTS_SCHEMA).write.mode("append").parquet(src)
+        spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
         q = run_stream(spark, src, ohlc_bars, "ohlc_out",
                        str(tmp_path / "ohlc_ckpt"), mode="append")
         try:
             # push the watermark past hour 1 so both bars close
-            spark.createDataFrame([ev(9, 400)], EVENTS_SCHEMA).write.mode(
+            spark.createDataFrame([ev(9, 400)], EVENTS_SCHEMA).coalesce(1).write.mode(
                 "append").parquet(src)
             q.processAllAvailable()
             got = {
@@ -230,7 +230,13 @@ class TestTelemetryTwins:
         ]
         src = str(tmp_path / "cusum_src")
         out = str(tmp_path / "cusum_out")
-        spark.createDataFrame(batches[0], EVENTS_SCHEMA).write.mode(
+        # coalesce(1): one file per logical batch. With
+        # maxFilesPerTrigger=1 a multi-file write splits one batch
+        # into several micro-batches in file order, which can deliver
+        # a key's rows out of event-time order — and the operator
+        # (correctly) fails loud on that. The contract is ordered
+        # DELIVERY, which a one-file-per-append source guarantees.
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(1).write.mode(
             "append").parquet(src)
         stream = spark.readStream.schema(EVENTS_SCHEMA).option(
             "maxFilesPerTrigger", 1).parquet(src)
@@ -240,7 +246,7 @@ class TestTelemetryTwins:
         try:
             q.processAllAvailable()
             for b in batches[1:]:
-                spark.createDataFrame(b, EVENTS_SCHEMA).write.mode(
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(1).write.mode(
                     "append").parquet(src)
                 q.processAllAvailable()
         finally:
@@ -267,7 +273,7 @@ class TestTelemetryTwins:
                   target_micro=0, slack_micro=0, threshold_micro=10)
         src = str(tmp_path / "late_src")
         out = str(tmp_path / "late_out")
-        spark.createDataFrame([ev(1, 30, user=1)], EVENTS_SCHEMA).write.mode(
+        spark.createDataFrame([ev(1, 30, user=1)], EVENTS_SCHEMA).coalesce(1).write.mode(
             "append").parquet(src)
         stream = spark.readStream.schema(EVENTS_SCHEMA).option(
             "maxFilesPerTrigger", 1).parquet(src)
@@ -277,7 +283,7 @@ class TestTelemetryTwins:
         try:
             q.processAllAvailable()
             # a row EARLIER than user 1's last processed event time
-            spark.createDataFrame([ev(2, 10, user=1)], EVENTS_SCHEMA).write.mode(
+            spark.createDataFrame([ev(2, 10, user=1)], EVENTS_SCHEMA).coalesce(1).write.mode(
                 "append").parquet(src)
             try:
                 q.processAllAvailable()

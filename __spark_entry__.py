@@ -110,6 +110,7 @@ _FIRST = [
     "q159_weighted_median",
     "q160_assoc_rules",
     "q161_top_paths",
+    "q162_kcore_dedup",
 ]
 
 

@@ -285,6 +285,69 @@ def _local_union_find(labels: DataFrame, sym: DataFrame) -> DataFrame:
     )
 
 
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected edge list: iteratively peel every
+    vertex whose degree is below ``k`` until none remains, and return
+    the surviving vertices as ``(id, degree)`` with degree counted
+    INSIDE the core. Empty result when the whole graph peels away.
+
+    On a near-dup candidate graph this separates dense duplicate
+    communities (each member corroborated by >= k distinct collision
+    partners) from pendant band-collision noise — the standard
+    evidence-redundancy cut run before trusting transitive dedup
+    merges, complementing triangle_counts' per-node density signal
+    with a global fixpoint guarantee.
+
+    Engine shape per peel round: one map-side-combinable groupBy for
+    degrees, one scalar count of below-k vertices (the round's single
+    action), and two left-semi joins that keep only edges whose both
+    endpoints survive — every step keyed on the node id, so a
+    co-partitioned layout runs the loop exchange-free; survivor sets
+    are bounded by the node count and broadcast when small. Lineage is
+    truncated per round via localCheckpoint like connected_components.
+    Peeling is a monotone fixpoint (each round strictly shrinks the
+    edge set), so the loop terminates in <= rounds-to-fixpoint;
+    raises if ``max_iterations`` is hit first (loud, never wrong —
+    path-like graphs can peel one layer per round).
+    """
+    if k < 1:
+        raise ValueError("kcore requires k >= 1")
+    sym = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
+        deg = deg.persist()
+        n_low = deg.filter(F.col("degree") < k).count()
+        if n_low == 0:
+            out = deg.select(F.col("src").alias("id"), "degree")
+            # materialize the result before releasing the cache it reads
+            out = out.localCheckpoint(eager=True)
+            deg.unpersist()
+            return out
+        survivors = deg.filter(F.col("degree") >= k).select("src")
+        nxt = (
+            sym.join(survivors, "src", "left_semi")
+            .join(survivors.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        deg.unpersist()
+        sym = nxt
+    raise RuntimeError(f"kcore did not converge in {max_iterations} peel rounds")
+
+
 def triangle_counts(
     pairs: DataFrame,
     src_col: str = "id_a",

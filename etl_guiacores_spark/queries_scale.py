@@ -1939,6 +1939,75 @@ def q139_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q162: k-core of the near-dup candidate graph (fixpoint peel)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q162_kcore_dedup",
+    _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    bands AS MATERIALIZED (
+        SELECT doc_id, '0|' || sig_0 AS band FROM sigs WHERE sig_0 IS NOT NULL
+        UNION ALL SELECT doc_id, '1|' || sig_1 FROM sigs WHERE sig_1 IS NOT NULL
+        UNION ALL SELECT doc_id, '2|' || sig_2 FROM sigs WHERE sig_2 IS NOT NULL
+        UNION ALL SELECT doc_id, '3|' || sig_3 FROM sigs WHERE sig_3 IS NOT NULL
+    ),
+    verified AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    peel(iter, src, dst) AS (
+        SELECT 0, src, dst FROM sym
+        UNION ALL
+        SELECT p.iter + 1, p.src, p.dst
+        FROM peel p
+        WHERE p.src IN (SELECT src FROM peel GROUP BY src
+                        HAVING COUNT(*) >= 2)
+          AND p.dst IN (SELECT src FROM peel GROUP BY src
+                        HAVING COUNT(*) >= 2)
+          AND EXISTS (SELECT 1 FROM peel GROUP BY src
+                      HAVING COUNT(*) < 2)
+    ),
+    lastp AS (
+        SELECT src, dst FROM peel
+        WHERE iter = (SELECT MAX(iter) FROM peel)
+    ),
+    core AS (
+        SELECT src, dst FROM lastp
+        WHERE NOT EXISTS (SELECT 1 FROM lastp GROUP BY src
+                          HAVING COUNT(*) < 2)
+    )
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM core GROUP BY src
+    """,
+    doc="2-core of the LSH near-dup candidate graph: iteratively peel "
+    "every doc with fewer than 2 collision partners until a fixpoint, "
+    "returning the surviving docs with their in-core degree — the "
+    "evidence-redundancy cut that separates dense duplicate "
+    "communities (every member corroborated twice over) from pendant "
+    "single-band collisions BEFORE transitive dedup merges on thin "
+    "evidence; complements q137's per-node clustering density with a "
+    "global fixpoint guarantee. Spark side is a monotone peel loop "
+    "(degree groupBy + two left-semi joins per round, all keyed on "
+    "doc id, lineage truncated per round); the oracle is a genuine "
+    "DuckDB recursive-CTE fixpoint with the empty-core edge handled, "
+    "so convergence itself is cross-checked, not just one round "
+    "(operators/graph.kcore).",
+)
+def q162_kcore_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.graph import kcore
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return kcore(
+        lsh_candidate_pairs(d.select("doc_id", "text"), "doc_id", "text"), k=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # q140-q142: event-sequence analytics (funnel, cohort retention, CUSUM)
 # ---------------------------------------------------------------------------
 

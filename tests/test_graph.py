@@ -174,3 +174,41 @@ class TestTriangleCounts:
         rows = triangle_counts(df).collect()
         assert sum(r["triangles"] for r in rows) == 3  # one tri x 3 nodes
         assert {r["id"] for r in rows if r["triangles"]} == {1, 2, 3}
+
+
+class TestKCore:
+    def test_triangle_survives_path_and_pendant_peel(self, spark):
+        from etl_guiacores_spark.operators.graph import kcore
+
+        # path 1-2-3-4 (peels away), triangle 5-6-7 + pendant 7-8
+        edges = [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7), (6, 7), (7, 8)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["degree"] for r in kcore(df, k=2).collect()}
+        assert got == {5: 2, 6: 2, 7: 2}
+
+    def test_empty_core(self, spark):
+        from etl_guiacores_spark.operators.graph import kcore
+
+        # pure path: 2-core is empty (peels one layer per round)
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        assert kcore(df, k=2).count() == 0
+
+    def test_k3_inner_clique(self, spark):
+        from etl_guiacores_spark.operators.graph import kcore
+
+        # K4 {1..4} with pendants off each vertex: 3-core == the K4
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (1, 10), (2, 11), (3, 12), (4, 13)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["degree"] for r in kcore(df, k=3).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_nonconvergence_raises(self, spark):
+        from etl_guiacores_spark.operators.graph import kcore
+
+        edges = [(i, i + 1) for i in range(10)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        import pytest
+        with pytest.raises(RuntimeError, match="converge"):
+            kcore(df, k=2, max_iterations=2)

@@ -111,6 +111,8 @@ _FIRST = [
     "q160_assoc_rules",
     "q161_top_paths",
     "q162_kcore_dedup",
+    "q163_golden_record",
+    "q164_kanonymity",
 ]
 
 

@@ -327,3 +327,65 @@ def qgram_match_pairs(
         )
     )
     return posting_pairs.unionByName(short_pairs)
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    mode_col: str,
+    value_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Survivorship merge: one canonical ("golden") record per entity
+    from its conflicting observations — the step after entity
+    resolution turns clusters into master data. The reference keeps
+    whichever row its keyed dedupe saw first
+    (/root/reference/src/common/utils.py:48-62); survivorship
+    generalizes that to explicit field-level rules:
+
+    - ``mode_col`` -> MODE rule: the most frequent non-null value,
+      ties broken by lexicographic minimum (deterministic, never
+      partition-order).
+    - ``value_col`` -> RECENCY rule: the last non-null observation
+      under the (``ts_col``, ``order_col``) total order, via
+      ``max_by .. FILTER`` so nulls never win merely by being recent.
+    - provenance: first/last observation time and observation count.
+
+    Engine shape: the mode rule is one map-side-combinable groupBy to
+    (entity, value) counts plus a rank window over that BOUNDED
+    relation (parallel across entities); the recency/provenance rules
+    are a single aggregate pass; one final equi-join on the entity id
+    stitches them. No per-column shuffle storm: two shuffles total on
+    the same key regardless of how many provenance fields ride along.
+
+    Returns (entity_col, top_value, top_value_n, latest_value,
+    first_seen, last_seen, n_records).
+    """
+    by_val = (
+        df.filter(F.col(mode_col).isNotNull())
+        .groupBy(entity_col, mode_col)
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col("__n").desc(), F.col(mode_col).asc()
+    )
+    mode = (
+        by_val.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            entity_col,
+            F.col(mode_col).alias("top_value"),
+            F.col("__n").alias("top_value_n"),
+        )
+    )
+    prov = df.groupBy(entity_col).agg(
+        F.expr(
+            f"max_by({value_col}, struct({ts_col}, {order_col})) "
+            f"FILTER (WHERE {value_col} IS NOT NULL)"
+        ).alias("latest_value"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+        F.count("*").cast("long").alias("n_records"),
+    )
+    return prov.join(mode, entity_col, "left")

@@ -712,3 +712,106 @@ def q161_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_len=5,
         top_k=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# q163: golden-record survivorship merge (post-ER master data)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q163_golden_record",
+    """
+    WITH by_val AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    mode AS (
+        SELECT user_id, event_type AS top_value, n AS top_value_n
+        FROM (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, event_type ASC) AS rn
+            FROM by_val
+        ) WHERE rn = 1
+    ),
+    prov AS (
+        SELECT user_id,
+               arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+                              + event_id)
+                   FILTER (WHERE value IS NOT NULL) AS latest_value,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+               STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+               CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, m.top_value, m.top_value_n, p.latest_value,
+           p.first_seen, p.last_seen, p.n_records
+    FROM prov p LEFT JOIN mode m ON m.user_id = p.user_id
+    """,
+    doc="Golden-record survivorship merge per user: MODE rule for the "
+    "characteristic action (most frequent event type, ties broken "
+    "lexicographically — deterministic, never partition-order), "
+    "RECENCY rule for the live metric (last non-null value under the "
+    "(ts, event_id) total order via max_by..FILTER), plus "
+    "first/last-seen provenance — the post-entity-resolution step "
+    "that turns observation clusters into one master record, "
+    "generalizing the reference's keep-first keyed dedupe "
+    "(src/common/utils.py:48-62) to explicit field-level rules. "
+    "Engine shape: mode = map-side-combinable groupBy to (entity, "
+    "value) counts + a rank window over that BOUNDED relation; "
+    "recency/provenance = one aggregate pass; one equi-join stitches "
+    "— two shuffles total on one key regardless of field count. "
+    "latest_value is a SELECTED raw double (never arithmetic), the "
+    "q139 exactness convention; the oracle linearizes the struct "
+    "order as a HUGEINT epoch_us*1e10+event_id key, order-identical "
+    "while event_id < 1e10 (operators/linkage.golden_record).",
+)
+def q163_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.linkage import golden_record
+
+    g = golden_record(
+        _t(spark, sf_dir, "events"),
+        entity_col="user_id", mode_col="event_type",
+        value_col="value", ts_col="ts", order_col="event_id",
+    )
+    return g.select(
+        "user_id", "top_value", "top_value_n", "latest_value",
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        "n_records",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q164_kanonymity",
+    """
+    SELECT lang, source, n_chars // 100 AS chars_bin,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < 5 AS violates
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    """,
+    doc="k-anonymity audit (Sweeney 2002) of the corpus release: "
+    "equivalence classes over the quasi-identifier combination "
+    "(lang, source, 100-char size bucket) with class sizes and a "
+    "violation flag for classes smaller than k=5 — the "
+    "re-identification-risk report a data release review reads, "
+    "generalizing the reference's direct-identifier scrub "
+    "(src/etl/transformers.py social/phone cleanup) to indirect "
+    "identifiers. One map-side-combinable groupBy; the companion "
+    "suppress_below_k enforcement pass (nulls quasi columns in "
+    "violating classes, null-safe on the class key) is "
+    "pytest-covered (operators/privacy.k_anonymity_audit).",
+)
+def q164_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.privacy import k_anonymity_audit
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "chars_bin", F.expr("n_chars div 100")
+    )
+    return k_anonymity_audit(d, ["lang", "source", "chars_bin"], k=5)

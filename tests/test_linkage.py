@@ -248,3 +248,45 @@ class TestQgramMatchPairs:
               for r in resolve_entities(df, "id", "name", max_dist=3, method="qgram").collect()}
         assert blocked == {1: 1, 2: 2, 3: 3}   # blocking misses 1-2
         assert qg == {1: 1, 2: 1, 3: 3}        # qgram merges them
+
+
+class TestGoldenRecord:
+    def test_mode_recency_and_provenance(self, spark):
+        from datetime import datetime
+        from etl_guiacores_spark.operators.linkage import golden_record
+
+        rows = [
+            # entity 1: mode 'a' (2 vs 1), latest non-null value at t3
+            (1, "a", 10.0, datetime(2024, 1, 1, 0, 0), 1),
+            (1, "a", 20.0, datetime(2024, 1, 2, 0, 0), 2),
+            (1, "b", None, datetime(2024, 1, 3, 0, 0), 3),  # null never wins
+            # entity 2: tie 'x'/'y' -> lexicographic min 'x'
+            (2, "y", 5.0, datetime(2024, 1, 1, 0, 0), 4),
+            (2, "x", 7.0, datetime(2024, 1, 1, 0, 0), 5),
+        ]
+        df = spark.createDataFrame(
+            rows, ["uid", "etype", "value", "ts", "eid"]
+        )
+        got = {
+            r["uid"]: r
+            for r in golden_record(
+                df, "uid", "etype", "value", "ts", "eid"
+            ).collect()
+        }
+        assert got[1]["top_value"] == "a" and got[1]["top_value_n"] == 2
+        assert got[1]["latest_value"] == 20.0  # t3's null skipped
+        assert got[1]["n_records"] == 3
+        assert got[2]["top_value"] == "x"  # deterministic tiebreak
+        assert got[2]["latest_value"] == 7.0  # same ts -> higher eid
+
+    def test_all_mode_null_entity_keeps_provenance(self, spark):
+        from datetime import datetime
+        from etl_guiacores_spark.operators.linkage import golden_record
+
+        df = spark.createDataFrame(
+            [(1, None, 3.0, datetime(2024, 1, 1), 1)],
+            "uid long, etype string, value double, ts timestamp, eid long",
+        )
+        r = golden_record(df, "uid", "etype", "value", "ts", "eid").collect()[0]
+        assert r["top_value"] is None and r["n_records"] == 1
+        assert r["latest_value"] == 3.0

@@ -90,9 +90,9 @@ _FIRST = [
     "q115_boilerplate_extract",
     # ---- positions 51+ (outside this round's 50-row window): queries
     # added AFTER the window filled — locally oracle-verified now,
-    # they MUST lead the round-8 window (q146-q161 = 16 rows, then
-    # the oldest of the 46 round-5 rows fill the remaining 34; the
-    # last 12 round-5 rows ride to round 9, still inside the 2-round
+    # they MUST lead the round-8 window (q146-q167 = 22 rows, then
+    # the oldest of the 46 round-5 rows fill the remaining 28; the
+    # last 18 round-5 rows ride to round 9, still inside the 2-round
     # staleness limit counted from their round-7 local verification)
     "q146_spearman_trend",
     "q147_last_touch",
@@ -113,6 +113,9 @@ _FIRST = [
     "q162_kcore_dedup",
     "q163_golden_record",
     "q164_kanonymity",
+    "q165_interval_union",
+    "q166_l_diversity",
+    "q167_column_profile",
 ]
 
 

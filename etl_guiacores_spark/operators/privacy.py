@@ -79,3 +79,36 @@ def suppress_below_k(
             for c in df.columns
         ]
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    diversity: int,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala 2007): k-anonymity
+    stops an attacker from singling a record out, but a class whose
+    members all share one SENSITIVE value still leaks it (homogeneity
+    attack — "every document in this small bucket came from the same
+    crawl source"). Distinct l-diversity additionally requires every
+    equivalence class to carry at least ``diversity`` distinct
+    sensitive values.
+
+    One map-side-combinable groupBy over the quasi columns with an
+    exact COUNT(DISTINCT sensitive) — at 100 TB the class table is
+    bounded by quasi-combo cardinality, and the distinct is a
+    two-phase partial aggregate, never a row-wise shuffle of the
+    sensitive payload. NULL sensitive values are not counted as a
+    distinct value (COUNT DISTINCT semantics, identical on both
+    engines), the conservative read: a class of all-NULL sensitives
+    has diversity 0.
+
+    Returns (quasi_cols..., class_size, n_sensitive, violates).
+    """
+    if diversity < 1:
+        raise ValueError("l_diversity_audit requires diversity >= 1")
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+    ).withColumn("violates", F.col("n_sensitive") < F.lit(diversity))

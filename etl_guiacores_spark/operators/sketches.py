@@ -73,3 +73,97 @@ def count_min_frequencies(
     bais = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
     return {p: sketch.estimateCount(p) for p in probes}
+
+
+def countmin_audit(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+    seed: str = "cms",
+) -> DataFrame:
+    """Audit an EXPLICIT relational Count-Min sketch against exact
+    counts — the frequency twin of the q105 HLL-vs-exact audit.
+
+    ``count_min_frequencies`` above uses Spark's built-in JVM sketch;
+    this operator instead BUILDS the sketch relationally (depth x
+    width counters, md5-derived bucket per hash row) so the result
+    is engine-independent and a DuckDB oracle can replay it exactly.
+    That is the validate-then-trust protocol for sketches at 100 TB:
+    run sketch and exact side by side on one stratum, assert the
+    estimate never undercounts and stays inside the e*N/width
+    overcount bound, then run the KB-sized sketch fleet-wide where
+    the exact groupBy would be the dominant shuffle.
+
+    Input is the (key, exact_count) relation (already aggregated —
+    one shuffle the caller pays anyway for the exact side). The
+    sketch builds FROM those counts: explode each distinct key across
+    ``depth`` hash rows, sum counts per (row, bucket) — a bounded
+    depth*width-cell table that collapses map-side; the audited
+    top-k keys join back on (row, bucket) and take the MIN estimate.
+
+    Mergeability is inherited from SUM: the sketch of a union is the
+    cell-wise sum of the parts' sketches.
+
+    Returns the top-k keys by exact count (ties broken by key asc):
+    (key, n_exact, n_est, overcount, within_bound) with the bound
+    fixed at overcount <= (3 * N) // width, N = total count mass
+    (3 standing in for e; CMS guarantees the e*N/width bound with
+    probability 1 - 2^-depth, and the flag makes a violated bound
+    VISIBLE instead of silently trusted).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("countmin_audit requires depth >= 1, width >= 2")
+    key, cnt = F.col(key_col), F.col(count_col).cast("long")
+    reps = counts.select(
+        key.alias("__k"), cnt.alias("__c"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("__r"),
+    ).withColumn(
+        "__bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.col("__r").cast("string"),
+                        F.lit(":"),
+                        F.col("__k"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % width,
+    )
+    sketch = reps.groupBy("__r", "__bucket").agg(
+        F.sum("__c").cast("long").alias("__cell")
+    )
+    total = counts.agg(F.sum(cnt).cast("long").alias("__n"))
+    top = (
+        counts.select(key.alias("__k"), cnt.alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("__k").asc())
+        .limit(top_k)
+    )
+    probes = top.join(reps.select("__k", "__r", "__bucket"), "__k")
+    est = (
+        probes.join(sketch, ["__r", "__bucket"])
+        .groupBy("__k", "n_exact")
+        .agg(F.min("__cell").cast("long").alias("n_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__k").alias(key_col),
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
+            (
+                F.col("n_est") - F.col("n_exact")
+                <= F.expr(f"(3 * __n) div {width}")
+            ).alias("within_bound"),
+        )
+    )

@@ -815,3 +815,170 @@ def q164_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_bin", F.expr("n_chars div 100")
     )
     return k_anonymity_audit(d, ["lang", "source", "chars_bin"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# q165: interval union — per-user activity coverage (overlap counted once)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q165_interval_union",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts)
+                   + (CAST(FLOOR(value * 60) AS BIGINT) + 1) * 1000000 AS e
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS nw
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f
+    ),
+    g AS (
+        SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT)          AS n_intervals,
+           CAST(COUNT(*) AS BIGINT)        AS n_islands,
+           CAST(SUM(i_e - i_s) AS BIGINT)  AS covered,
+           CAST(MAX(i_e - i_s) AS BIGINT)  AS max_island
+    FROM g GROUP BY user_id
+    """,
+    doc="Interval-union coverage per user: each event opens an "
+    "activity span [ts, ts + (floor(value*60)+1)s]; overlapping and "
+    "touching spans coalesce into islands via the classical sweep "
+    "(running MAX(end) over preceding rows flags island starts, a "
+    "running SUM of flags numbers them), and the report is per-user "
+    "interval count, island count, UNION length (overlap counted "
+    "once — the number naive SUM(duration) gets wrong), and longest "
+    "contiguous extent. The primitive behind session coverage, "
+    "crawler lease accounting, and span-dedupe bookkeeping; the "
+    "substring-level twin already runs inside repeated_spans. Engine "
+    "shape: both windows and both rollups share ONE exchange on "
+    "user_id — the interval list never moves twice; integer epoch- "
+    "microsecond arithmetic end to end "
+    "(operators/intervals.interval_coverage).",
+)
+def q165_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.intervals import interval_coverage
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.floor(F.col("value") * 60).cast("long") + 1) * 1_000_000
+        ).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e")
+
+
+# ---------------------------------------------------------------------------
+# q166: distinct l-diversity audit (homogeneity-attack check)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q166_l_diversity",
+    """
+    SELECT lang, n_chars // 200 AS chars_bin,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT source) < 3 AS violates
+    FROM documents
+    GROUP BY lang, n_chars // 200
+    """,
+    doc="Distinct l-diversity audit (Machanavajjhala 2007), the "
+    "companion to q164's k-anonymity: a quasi-identifier class can "
+    "be large enough to hide IN but still leak the sensitive "
+    "attribute if every member shares it (homogeneity attack). Here "
+    "the quasi combination is (lang, 200-char size bucket), the "
+    "sensitive attribute is the crawl source, l=3: every class must "
+    "span >=3 distinct sources. One map-side-combinable groupBy "
+    "with an exact two-phase COUNT(DISTINCT) — the class table is "
+    "bounded by combo cardinality, never row count "
+    "(operators/privacy.l_diversity_audit).",
+)
+def q166_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.privacy import l_diversity_audit
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "chars_bin", F.expr("n_chars div 200")
+    )
+    return l_diversity_audit(d, ["lang", "chars_bin"], "source", 3)
+
+
+# ---------------------------------------------------------------------------
+# q167: column profile — null/cardinality/mergeable content checksum
+# ---------------------------------------------------------------------------
+
+@register(
+    "q167_column_profile",
+    """
+    WITH vals AS (
+        SELECT 'o_orderkey' AS col_name,
+               CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL SELECT 'o_totalprice',
+               CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        FROM orders
+        UNION ALL SELECT 'o_orderdate',
+               STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           CAST(SUM(COALESCE(CAST(('0x' || substr(md5(val), 1, 15))
+                                  AS BIGINT), 0))
+                % 2305843009213693951 AS BIGINT) AS checksum
+    FROM vals GROUP BY col_name
+    """,
+    doc="Per-column profile of the orders table: row/null counts, "
+    "exact distinct cardinality, and an ORDER-INSENSITIVE mergeable "
+    "content checksum (sum of 60-bit md5 prefixes mod the Mersenne "
+    "prime 2^61-1, DECIMAL(38,0) interiors) — the stage-boundary "
+    "'is this still the same table' fingerprint that catches a "
+    "silent backfill or codec bug row counts cannot. Values hash "
+    "through engine-independent STRING renderings (ints as decimal "
+    "strings, the price through a fixed-point cents floor, the date "
+    "through one format), never raw binary. The checksum of a union "
+    "is the modular sum of parts, so 1000 executors profile 100 TB "
+    "with one tiny final reduce and an incremental loader updates a "
+    "stored profile without rescanning history "
+    "(operators/profiling.column_profile).",
+)
+def q167_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.profiling import column_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return column_profile(
+        o,
+        {
+            "o_orderkey": F.col("o_orderkey").cast("string"),
+            "o_custkey": F.col("o_custkey").cast("string"),
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_orderpriority": F.col("o_orderpriority"),
+            "o_totalprice": F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .cast("string"),
+            "o_orderdate": F.date_format(
+                "o_orderdate", "yyyy-MM-dd HH:mm:ss"
+            ),
+        },
+    )

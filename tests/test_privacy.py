@@ -50,3 +50,38 @@ def test_bad_k_raises(spark):
 
     with pytest.raises(ValueError):
         k_anonymity_audit(_df(spark), ["lang"], 0)
+
+
+# --- l-diversity -----------------------------------------------------------
+
+def _ldf(spark):
+    rows = [
+        # class (es,): 3 rows, 3 distinct sources -> diverse at l=3
+        (1, "es", "a"), (2, "es", "b"), (3, "es", "c"),
+        # class (en,): 3 rows but one source -> homogeneity leak
+        (4, "en", "a"), (5, "en", "a"), (6, "en", "a"),
+        # class (fr,): sensitive all NULL -> diversity 0, violates
+        (7, "fr", None), (8, "fr", None),
+    ]
+    return spark.createDataFrame(rows, "id long, lang string, src string")
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from etl_guiacores_spark.operators.privacy import l_diversity_audit
+
+    got = {
+        r["lang"]: (r["class_size"], r["n_sensitive"], r["violates"])
+        for r in l_diversity_audit(_ldf(spark), ["lang"], "src", 3).collect()
+    }
+    assert got["es"] == (3, 3, False)
+    assert got["en"] == (3, 1, True)   # large class, one sensitive value
+    assert got["fr"] == (2, 0, True)   # NULL sensitive counts as nothing
+
+
+def test_l_diversity_bad_l_raises(spark):
+    import pytest
+
+    from etl_guiacores_spark.operators.privacy import l_diversity_audit
+
+    with pytest.raises(ValueError):
+        l_diversity_audit(_ldf(spark), ["lang"], "src", 0)

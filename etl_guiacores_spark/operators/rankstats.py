@@ -135,3 +135,80 @@ def gini_index(
         )
         .drop("__ix")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_key,
+    out_col: str = "normalized",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cross-group quantile normalization: re-express every row's
+    value as the GLOBAL value at the same quantile position, so a
+    90th-percentile row in any group maps to the global 90th
+    percentile. This is the score-calibration step a multi-source
+    corpus needs before mixing per-source quality scores — raw
+    scores are not comparable across domains (a mid-tier news doc
+    and a mid-tier forum doc score differently on the same model),
+    but their within-source ranks are.
+
+    ``order_key`` is a Column expression that must be UNIQUE and
+    order-isomorphic to ``value_col`` (value with a tiebreak packed
+    in, e.g. ``value * 10^10 + id``) — the same pin-a-total-order
+    contract as the rest of this module; ties are resolved by the
+    tiebreak, making the mapping deterministic across engines.
+
+    Mapping (integer-exact): a row at within-group rank r of m maps
+    to global rank ``1 + (r-1)(N-1) // (m-1)`` (endpoints to
+    endpoints, interior truncated), singleton groups to the lower
+    median ``(N+1) // 2``. The (r-1)(N-1) product runs in
+    DECIMAL(38,0) — it wraps BIGINT at ~3B rows.
+
+    Scale shape: one range-exchange for the global ranking
+    (operators/ordering.dense_ids — local ranks + broadcast
+    partition offsets, no single-reducer stage), one hash exchange
+    for the per-group rank window, one equi-join on the looked-up
+    global rank. No collects, no UDFs. Per-GROUP skew is a sort
+    within partitions, not a shuffle blowup.
+
+    Returns the input columns plus ``out_col`` (the global value at
+    the mapped rank).
+    """
+    from etl_guiacores_spark.operators.ordering import dense_ids
+
+    if "__qn_key" in df.columns:
+        raise ValueError(
+            "quantile_normalize: input already has a '__qn_key' column"
+        )
+    base = df.withColumn("__qn_key", order_key)
+    ranked = dense_ids(
+        base, "__qn_key", id_name="__grank", num_partitions=num_partitions
+    )
+    total = ranked.agg(F.max("__grank").alias("__n"))
+    wg = Window.partitionBy(*group_cols).orderBy("__qn_key")
+    wg_all = Window.partitionBy(*group_cols)
+    local = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("__rs", F.row_number().over(wg).cast("long"))
+        .withColumn("__ms", F.count("*").over(wg_all).cast("long"))
+    )
+    local = local.withColumn(
+        "__num",
+        (F.col("__rs") - 1).cast("decimal(38,0)")
+        * (F.col("__n") - 1).cast("decimal(38,0)"),
+    )
+    idx = F.when(
+        F.col("__ms") > 1,
+        F.expr("CAST(1 + __num div (__ms - 1) AS BIGINT)"),
+    ).otherwise(F.expr("(__n + 1) div 2"))
+    lookup = ranked.select(
+        F.col("__grank").alias("__idx"), F.col(value_col).alias(out_col)
+    )
+    out_cols = [c for c in df.columns if c != "__qn_key"]
+    return (
+        local.withColumn("__idx", idx)
+        .join(lookup, "__idx")
+        .select(*out_cols, out_col)
+    )

@@ -3826,3 +3826,139 @@ def q149_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_obs", "span_micros", "twap_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# q168: Count-Min sketch audit — estimate vs exact on top tokens
+# ---------------------------------------------------------------------------
+
+@register(
+    "q168_countmin_audit",
+    f"""
+    WITH tc AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM (SELECT unnest({_TOKS}) AS tok
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n FROM tc),
+    reps AS (
+        SELECT tok, n_exact, r,
+               CAST(('0x' || substr(md5('cms:' || CAST(r AS VARCHAR)
+                                    || ':' || tok), 1, 8)) AS BIGINT)
+                   % 256 AS bucket
+        FROM tc, (SELECT unnest([0, 1, 2, 3]) AS r)
+    ),
+    sketch AS (
+        SELECT r, bucket, CAST(SUM(n_exact) AS BIGINT) AS cell
+        FROM reps GROUP BY r, bucket
+    ),
+    top AS (
+        SELECT tok, n_exact FROM tc
+        ORDER BY n_exact DESC, tok ASC LIMIT 20
+    ),
+    est AS (
+        SELECT t.tok, t.n_exact, CAST(MIN(s.cell) AS BIGINT) AS n_est
+        FROM top t
+        JOIN reps p ON p.tok = t.tok
+        JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+        GROUP BY t.tok, t.n_exact
+    )
+    SELECT tok, n_exact, n_est,
+           CAST(n_est - n_exact AS BIGINT) AS overcount,
+           n_est - n_exact <= (3 * (SELECT n FROM tot)) // 256
+               AS within_bound
+    FROM est
+    """,
+    doc="Count-Min sketch audit, the frequency twin of q105's "
+    "HLL-vs-exact check: an EXPLICIT relational CMS (4 md5 hash rows "
+    "x 256 counters — engine-independent, so the oracle replays it "
+    "bit-exactly, unlike Spark's built-in JVM sketch) built over the "
+    "token frequency table, then the top-20 exact tokens join back "
+    "through their buckets to take the MIN-over-rows estimate. "
+    "Emits exact, estimate, overcount (CMS never undercounts) and a "
+    "within-3N/width bound flag — the validate-then-trust protocol "
+    "before running the KB-sized mergeable sketch fleet-wide at "
+    "100 TB where the exact per-token groupBy is the dominant "
+    "shuffle. Sketch cells collapse map-side (bounded 4x256 table); "
+    "the only corpus-sized shuffle is the exact count both sides "
+    "share (operators/sketches.countmin_audit).",
+)
+def q168_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sketches import countmin_audit
+
+    d = _docs(spark, sf_dir)
+    tok_counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return countmin_audit(
+        tok_counts, "tok", "n", depth=4, width=256, top_k=20, seed="cms"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169: cross-source quantile normalization of document lengths
+# ---------------------------------------------------------------------------
+
+@register(
+    "q169_quantile_normalize",
+    """
+    WITH base AS (
+        SELECT doc_id, source, n_chars,
+               n_chars * 10000000000 + doc_id AS k
+        FROM documents
+    ),
+    g AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY k) AS grank,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    s AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY k) AS rs,
+               COUNT(*) OVER (PARTITION BY source) AS ms
+        FROM g
+    ),
+    idx AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN ms > 1
+                    THEN 1 + CAST(rs - 1 AS HUGEINT) * (n - 1) // (ms - 1)
+                    ELSE (n + 1) // 2 END AS i
+        FROM s
+    )
+    SELECT x.doc_id, x.source, x.n_chars,
+           CAST(l.n_chars AS BIGINT) AS norm_chars
+    FROM idx x JOIN g l ON l.grank = x.i
+    """,
+    doc="Cross-source quantile normalization of document length: "
+    "every document's n_chars is re-expressed as the GLOBAL n_chars "
+    "at the same within-source quantile position (endpoints to "
+    "endpoints, interior rank mapped by 1+(r-1)(N-1) div (m-1), "
+    "singleton sources to the lower median) — the calibration step "
+    "that makes per-source quality scores comparable before mixing, "
+    "since raw scores are domain-skewed but within-source ranks are "
+    "not. Total order pinned by (n_chars, doc_id) packed into one "
+    "key. Engine shape: global ranking via the q80 dense-ids "
+    "range-exchange (local ranks + broadcast offsets, NO "
+    "single-reducer window), one per-source rank window, one "
+    "equi-join on the mapped rank; the (r-1)(N-1) product runs in "
+    "DECIMAL(38,0)/HUGEINT — it wraps BIGINT at ~3B rows "
+    "(operators/rankstats.quantile_normalize).",
+)
+def q169_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rankstats import quantile_normalize
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(
+        d,
+        ["source"],
+        "n_chars",
+        F.col("n_chars") * F.lit(10_000_000_000) + F.col("doc_id"),
+        out_col="norm_chars",
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.col("norm_chars").cast("long").alias("norm_chars"),
+    )

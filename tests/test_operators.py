@@ -323,3 +323,42 @@ class TestRepeatedSpans:
 
         with pytest.raises(ValueError, match="min_docs"):
             repeated_spans(self._corpus(spark), n=4, min_docs=1)
+
+
+# --- relational Count-Min audit ---------------------------------------------
+
+def test_countmin_never_undercounts_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.sketches import countmin_audit
+
+    rows = [(f"tok{i % 37}",) for i in range(500)] + [("hot",)] * 200
+    counts = (
+        spark.createDataFrame(rows, "tok string")
+        .groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    )
+    out = countmin_audit(counts, "tok", "n", depth=4, width=64, top_k=10)
+    got = out.collect()
+    assert len(got) == 10
+    by_tok = {r["tok"]: r for r in got}
+    assert "hot" in by_tok and by_tok["hot"]["n_exact"] == 200
+    for r in got:
+        assert r["n_est"] >= r["n_exact"]          # CMS never undercounts
+        assert r["overcount"] == r["n_est"] - r["n_exact"]
+    # a huge width leaves the top key collision-free -> exact estimate
+    wide = countmin_audit(counts, "tok", "n", depth=4, width=65536, top_k=1)
+    r = wide.collect()[0]
+    assert r["n_est"] == r["n_exact"] and r["within_bound"]
+
+
+def test_countmin_bad_params_raise(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.sketches import countmin_audit
+
+    counts = spark.createDataFrame([("a", 1)], "tok string, n long")
+    with pytest.raises(ValueError):
+        countmin_audit(counts, "tok", "n", depth=0)
+    with pytest.raises(ValueError):
+        countmin_audit(counts, "tok", "n", width=1)

@@ -60,3 +60,53 @@ class TestGini:
         df = _rows(spark, [("n", -1, 1), ("n", 3, 2)])
         with pytest.raises(Exception, match="negative"):
             gini_index(df, "g", "x", "i").collect()
+
+
+# --- quantile normalization --------------------------------------------------
+
+def _qn(spark, rows):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.rankstats import quantile_normalize
+
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    return quantile_normalize(
+        df, ["grp"], "v", F.col("v") * 1000 + F.col("id"),
+        out_col="norm",
+    )
+
+
+def test_qn_single_group_is_identity(spark):
+    rows = [(i, "a", v) for i, v in enumerate([5, 1, 9, 3, 7])]
+    out = {r["id"]: r["norm"] for r in _qn(spark, rows).collect()}
+    want = {i: v for i, v in enumerate([5, 1, 9, 3, 7])}
+    assert out == want
+
+
+def test_qn_endpoints_map_to_global_extremes(spark):
+    # group a: 1..3 (low), group b: 100..102 (high); each group's min
+    # maps to the global min and max to the global max.
+    rows = [(1, "a", 1), (2, "a", 2), (3, "a", 3),
+            (4, "b", 100), (5, "b", 101), (6, "b", 102)]
+    out = {r["id"]: r["norm"] for r in _qn(spark, rows).collect()}
+    assert out[1] == 1 and out[4] == 1        # both group minima -> global min
+    assert out[3] == 102 and out[6] == 102    # both group maxima -> global max
+
+
+def test_qn_singleton_group_maps_to_lower_median(spark):
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "s", 999)]
+    out = {r["id"]: r["norm"] for r in _qn(spark, rows).collect()}
+    # N=4 -> lower median is global rank 2 (value 20)
+    assert out[4] == 20
+
+
+def test_qn_reserved_column_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.rankstats import quantile_normalize
+
+    df = spark.createDataFrame([(1, "a", 1, 0)],
+                               "id long, grp string, v long, __qn_key long")
+    with pytest.raises(ValueError):
+        quantile_normalize(df, ["grp"], "v", F.col("v"))

@@ -584,3 +584,158 @@ def time_weighted_avg(
         )
         .drop("__vdt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend), in-plan
+# ---------------------------------------------------------------------------
+
+_HOLT_NULL_SEED = (
+    "named_struct('l', CAST(NULL AS BIGINT), 't', CAST(NULL AS BIGINT))"
+)
+_HOLT_ARR = "ARRAY<STRUCT<l: BIGINT, t: BIGINT>>"
+
+
+def _holt_step(sl: str, st: str, v: str, a: int, b: int, g: int, h: int) -> str:
+    """SQL for one truncated Holt step from state (sl, st) on value v:
+    l' = (a*v + b*(l+t)) div 1e6; t' = (g*(l'-l) + h*t) div 1e6. The
+    l' sub-expression is textually repeated inside t' — SQL has no
+    let-binding — which costs nothing after codegen CSE."""
+    lp = f"(({a} * ({v}) + {b} * (({sl}) + ({st}))) div 1000000)"
+    return (
+        f"CASE WHEN ({sl}) IS NULL THEN "
+        f"named_struct('l', ({v}), 't', CAST(0 AS BIGINT)) "
+        f"ELSE named_struct('l', {lp}, "
+        f"'t', ({g} * ({lp} - ({sl})) + {h} * ({st})) div 1000000) END"
+    )
+
+
+def _holt_end_expr(
+    vals_sql: str, seed_sql: str, a: int, b: int, g: int, h: int
+) -> str:
+    """END state of the Holt recurrence folded over ``vals_sql`` from
+    ``seed_sql`` (a struct<l,t>; NULL l = no state yet)."""
+    return (
+        f"aggregate({vals_sql}, {seed_sql}, "
+        f"(s, v) -> " + _holt_step("s.l", "s.t", "v", a, b, g, h) + ")"
+    )
+
+
+def _holt_block_seeds_expr(
+    vals_sql: str, a: int, b: int, g: int, h: int, block: int = _EWMA_BLOCK
+) -> str:
+    """Per-block incoming states — the scalar chained fold of the
+    two-level scan, struct-state edition of _ewma_block_seeds_expr."""
+    return (
+        f"aggregate(sequence(0, greatest({_nb(vals_sql, block)}, 1) - 1), "
+        f"array({_HOLT_NULL_SEED}), "
+        f"(acc, i) -> array_append(acc, "
+        + _holt_end_expr(
+            f"slice({vals_sql}, i * {block} + 1, {block})",
+            "element_at(acc, -1)",
+            a, b, g, h,
+        )
+        + "))"
+    )
+
+
+def _holt_scan_expr(
+    vals_sql: str,
+    bseeds_sql: str,
+    a: int,
+    b: int,
+    g: int,
+    h: int,
+    block: int = _EWMA_BLOCK,
+) -> str:
+    """ALL running (level, trend) states: per-block array builds from
+    precomputed incoming states, capped at ``block`` elements."""
+    prev = (
+        f"(CASE WHEN size(o) = 0 THEN element_at({bseeds_sql}, i + 1) "
+        f"ELSE element_at(o, -1) END)"
+    )
+    step = _holt_step(f"{prev}.l", f"{prev}.t", "v", a, b, g, h)
+    return (
+        f"CASE WHEN size({vals_sql}) = 0 THEN CAST(array() AS {_HOLT_ARR}) "
+        f"ELSE flatten(transform(sequence(0, {_nb(vals_sql, block)} - 1), "
+        f"i -> aggregate(slice({vals_sql}, i * {block} + 1, {block}), "
+        f"CAST(array() AS {_HOLT_ARR}), "
+        f"(o, v) -> array_append(o, {step})))) END"
+    )
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_micro_col: str,
+    alpha_ppm: int = 200_000,
+    beta_ppm: int = 100_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) over
+    event time, exact integer micro-units — the trend-aware upgrade
+    of :func:`ewma_smooth` (EWMA lags a trending series by a constant
+    offset; Holt's second state estimates the slope and feeds it
+    back, so the level tracks ramps instead of trailing them). The
+    standard short-horizon forecaster for capacity/ingest-rate
+    monitoring: forecast(k) = level + k * trend.
+
+    Recurrence (all BIGINT, ``div`` truncation, identical in DuckDB):
+
+        l_1 = v_1, t_1 = 0
+        l_i = (alpha*v_i + (1e6-alpha)*(l_{i-1} + t_{i-1})) div 1e6
+        t_i = (beta*(l_i - l_{i-1}) + (1e6-beta)*t_{i-1}) div 1e6
+
+    Same engine shape as ewma_smooth — inherently sequential per key,
+    folded INSIDE the plan with the ``aggregate`` higher-order
+    function over each key's collected structs, zero Python, one
+    shuffle on the key — but with a STRUCT<l,t> accumulator, proving
+    the blocked two-level scan generalizes from scalar state to any
+    fixed-width state vector. Per-key work stays linear: block seeds
+    fold scalar-ly, array builds cap at ``_EWMA_BLOCK`` elements.
+    Trend can be NEGATIVE; Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero (verified), so engines agree on negatives.
+
+    Headroom: interior products are ``(1e6 - alpha) * (l + t)`` — at
+    micro-unit states up to ~1e12 that is ~1e18, inside BIGINT; for
+    larger magnitudes pre-scale the input down (same contract as
+    ewma_smooth).
+
+    Returns one row per input row: (key, ts, [tiebreak], v_micro,
+    level_micro, trend_micro).
+    """
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError("alpha_ppm must be in (0, 1e6]")
+    if not 0 < beta_ppm <= 1_000_000:
+        raise ValueError("beta_ppm must be in (0, 1e6]")
+    a, b = alpha_ppm, 1_000_000 - alpha_ppm
+    g, h = beta_ppm, 1_000_000 - beta_ppm
+    fields = [F.col(ts_col).alias("ts")]
+    if tiebreak_col is not None:
+        fields.append(F.col(tiebreak_col).alias("tb"))
+    fields.append(F.col(value_micro_col).cast("long").alias("v"))
+    grouped = (
+        df.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(F.struct(*fields))).alias("__arr"))
+        .withColumn("__vals", F.expr("transform(__arr, x -> x.v)"))
+        .withColumn(
+            "__bseeds",
+            F.expr(_holt_block_seeds_expr("__vals", a, b, g, h)),
+        )
+    )
+    sarr = F.expr(_holt_scan_expr("__vals", "__bseeds", a, b, g, h))
+    exploded = grouped.select(
+        key_col,
+        F.explode(F.arrays_zip("__arr", sarr.alias("__s"))).alias("__z"),
+    )
+    out = [
+        F.col(key_col),
+        F.col("__z.__arr.ts").alias(ts_col),
+    ]
+    if tiebreak_col is not None:
+        out.append(F.col("__z.__arr.tb").alias(tiebreak_col))
+    out.append(F.col("__z.__arr.v").alias("v_micro"))
+    out.append(F.col("__z.__s.l").alias("level_micro"))
+    out.append(F.col("__z.__s.t").alias("trend_micro"))
+    return exploded.select(*out)

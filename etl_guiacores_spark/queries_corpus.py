@@ -3962,3 +3962,77 @@ def q169_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars",
         F.col("norm_chars").cast("long").alias("norm_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170: per-key Holt level+trend smoothing — 2-state in-plan fold, no UDF
+# ---------------------------------------------------------------------------
+
+@register(
+    "q170_holt_trend",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ho AS (
+        SELECT user_id, event_id, ts, v, rn,
+               v AS l, CAST(0 AS BIGINT) AS t
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.v, o.rn,
+               CAST((200000 * o.v + 800000 * (e.l + e.t)) // 1000000
+                    AS BIGINT),
+               CAST((100000 * ((200000 * o.v + 800000 * (e.l + e.t))
+                               // 1000000 - e.l)
+                     + 900000 * e.t) // 1000000 AS BIGINT)
+        FROM ho e JOIN ordered o
+          ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           v AS v_micro,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(t AS BIGINT) AS trend_micro
+    FROM ho
+    """,
+    doc="Per-user Holt double-exponential smoothing (alpha=0.2, "
+    "beta=0.1) of the event value stream: q123's EWMA upgraded with "
+    "a trend state, so the level tracks ramps instead of lagging "
+    "them by a constant offset — the standard short-horizon "
+    "forecaster (forecast(k) = level + k*trend) for ingest-rate and "
+    "capacity monitoring. Engine shape identical to q123 — the "
+    "inherently sequential recurrence folds INSIDE the plan via the "
+    "aggregate higher-order function, zero Python, one shuffle on "
+    "the key — but with a STRUCT<level,trend> accumulator through "
+    "the blocked two-level scan, proving the in-plan scan "
+    "generalizes from scalar to fixed-width state vectors. Integer "
+    "fixed point throughout; trend goes NEGATIVE on downswings and "
+    "Spark div / DuckDB // agree on truncation toward zero; the "
+    "oracle replays the 2-state recurrence rank-by-rank as a "
+    "recursive CTE (operators/rollup_time.holt_smooth).",
+)
+def q170_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import holt_smooth
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    sm = holt_smooth(
+        ev, "user_id", "ts", "v_micro",
+        alpha_ppm=200_000, beta_ppm=100_000, tiebreak_col="event_id",
+    )
+    return sm.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "v_micro",
+        "level_micro",
+        "trend_micro",
+    )

@@ -309,3 +309,85 @@ class TestOhlcResample:
         )
         r = ohlc_resample(df).collect()[0]
         assert (r["open"], r["close"]) == (8.0, 5.0)
+
+
+# --- Holt double-exponential smoothing ---------------------------------------
+
+def _trunc_div(x, y):
+    q = abs(x) // abs(y)
+    return q if (x >= 0) == (y >= 0) else -q
+
+
+def _holt_ref(vals, a=200_000, be=100_000):
+    b, h = 1_000_000 - a, 1_000_000 - be
+    out, l, t = [], None, None
+    for v in vals:
+        if l is None:
+            l, t = v, 0
+        else:
+            lp = _trunc_div(a * v + b * (l + t), 1_000_000)
+            t = _trunc_div(be * (lp - l) + h * t, 1_000_000)
+            l = lp
+        out.append((l, t))
+    return out
+
+
+def test_holt_matches_sequential_reference_across_blocks(spark):
+    import random
+
+    from etl_guiacores_spark.operators.rollup_time import holt_smooth
+
+    random.seed(11)
+    # 700 rows > 2 x _EWMA_BLOCK: exercises block-seed chaining; mixed
+    # signs exercise truncation-toward-zero on negative trends.
+    vals = [random.randint(-500, 2000) for _ in range(700)]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, ts long, v long"
+    )
+    got = {
+        r["ts"]: (r["level_micro"], r["trend_micro"])
+        for r in holt_smooth(df, "k", "ts", "v").collect()
+    }
+    want = _holt_ref(vals)
+    assert [got[i] for i in range(len(vals))] == want
+
+
+def test_holt_tracks_linear_ramp_better_than_ewma(spark):
+    from etl_guiacores_spark.operators.rollup_time import (
+        ewma_smooth,
+        holt_smooth,
+    )
+
+    # a pure ramp: EWMA lags by a constant offset, Holt converges on it
+    vals = [1000 * i for i in range(300)]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, ts long, v long"
+    )
+    h_last = (
+        holt_smooth(df, "k", "ts", "v").filter("ts = 299").collect()[0]
+    )
+    e_last = (
+        ewma_smooth(df, "k", "ts", "v").filter("ts = 299").collect()[0]
+    )
+    true_val = vals[299]
+    assert abs(h_last["level_micro"] - true_val) < abs(
+        e_last["ewma_micro"] - true_val
+    )
+    assert h_last["trend_micro"] > 0
+
+
+def test_holt_multiple_keys_and_param_validation(spark):
+    import pytest
+
+    from etl_guiacores_spark.operators.rollup_time import holt_smooth
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 20), (2, 0, 5)], "k long, ts long, v long"
+    )
+    got = {(r["k"], r["ts"]): r["level_micro"]
+           for r in holt_smooth(df, "k", "ts", "v").collect()}
+    assert got[(1, 0)] == 10 and got[(2, 0)] == 5  # seeds per key
+    with pytest.raises(ValueError):
+        holt_smooth(df, "k", "ts", "v", alpha_ppm=0)
+    with pytest.raises(ValueError):
+        holt_smooth(df, "k", "ts", "v", beta_ppm=2_000_000)

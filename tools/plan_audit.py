@@ -68,6 +68,13 @@ SCALAR_CROSS = {
     # 1-row basket-count aggregate joined onto the bounded
     # |types|^2 rule table (evalmetrics.assoc_rules)
     "q160_assoc_rules",
+    # 1-row total-count-mass aggregate x the bounded top-k estimate
+    # table (sketches.countmin_audit bound denominator)
+    "q168_countmin_audit",
+    # 1-row N aggregate (max global rank) joined onto every row for
+    # the rank mapping (rankstats.quantile_normalize) — the scalar
+    # stays in-plan instead of a driver count() + literal
+    "q169_quantile_normalize",
 }
 
 

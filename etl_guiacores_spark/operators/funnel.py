@@ -269,3 +269,100 @@ def last_touch_attribution(
         F.when(keep, F.col("__last_touch.t")).alias("touch_ts"),
         F.when(keep, gap).alias("gap_micros"),
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    window_micros: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    conversion's credit is split across ALL its preceding touches
+    inside the lookback — 40% to the first touch, 40% to the last,
+    20% spread over the middles — instead of last-touch's
+    winner-takes-all. The multi-touch report marketers reconcile
+    against last-touch (q147) to see how much credit the funnel's
+    top is owed.
+
+    Join-free, the merge-streams shape again but FORWARD: each touch
+    row picks up its NEXT conversion via ``first(conversion struct,
+    ignorenulls)`` over the strictly-FOLLOWING frame of the same
+    user-partitioned (time, tiebreak)-ordered window — so a touch
+    credits the conversion that follows it, and a touch after the
+    user's last conversion credits nothing. One exchange on the user
+    key, then one bounded re-window per (user, conversion) group for
+    positions. A touch at the exact (ts, tiebreak) of a conversion
+    is NOT attributed (strict order), matching q147's strictness.
+
+    Credit is integer ppm and SUMS TO EXACTLY 1e6 per conversion:
+    n=1 -> 1e6; n=2 -> 500000/500000; n>=3 -> first 400000, middles
+    ``200000 div (n-2)`` each, last 400000 PLUS the truncation
+    remainder ``200000 - (n-2)*mid`` (deterministic, documented —
+    conservation is what lets downstream reports reconcile totals).
+
+    Returns one row per attributed touch: (user, conversion_id,
+    touch_id, touch_type, pos, n_touches, credit_ppm).
+    """
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    is_touch = F.col(type_col).isin(list(touch_types))
+    is_conv = F.col(type_col) == conversion_type
+    w_fwd = (
+        Window.partitionBy(user_col)
+        .orderBy(time_col, tiebreak_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    conv_struct = F.when(
+        is_conv,
+        F.struct(
+            event_micros(events, time_col).alias("m"),
+            F.col(tiebreak_col).alias("i"),
+        ),
+    )
+    touched = (
+        events.filter(is_touch | is_conv)
+        .withColumn("__m", event_micros(events, time_col))
+        .withColumn("__next", F.first(conv_struct, ignorenulls=True).over(w_fwd))
+        .filter(
+            is_touch
+            & F.col("__next").isNotNull()
+            & (
+                (F.col("__next.m") - F.col("__m"))
+                <= F.lit(int(window_micros))
+            )
+        )
+    )
+    w_conv = Window.partitionBy(user_col, "__next.i").orderBy(
+        time_col, tiebreak_col
+    )
+    w_conv_all = Window.partitionBy(user_col, "__next.i")
+    sized = touched.withColumn(
+        "pos", F.row_number().over(w_conv).cast("long")
+    ).withColumn("n_touches", F.count("*").over(w_conv_all).cast("long"))
+    n, pos = F.col("n_touches"), F.col("pos")
+    mid = F.expr("200000 div (n_touches - 2)")
+    credit = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .when(pos == 1, F.lit(400_000))
+        .when(
+            pos == n,
+            F.lit(400_000)
+            + (F.lit(200_000) - mid * (n - 2)),
+        )
+        .otherwise(mid)
+    )
+    return sized.select(
+        F.col(user_col),
+        F.col("__next.i").alias("conversion_id"),
+        F.col(tiebreak_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        "pos",
+        "n_touches",
+        credit.cast("long").alias("credit_ppm"),
+    )

@@ -95,6 +95,130 @@ def pack_chunks(
 
 
 # applyInPandas closures travel by value (see shipping.py)
+
+def padding_waste_report(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    max_len: int = 512,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Padding-waste accounting across batching strategies — the
+    sizing study a training pipeline runs before choosing how to
+    batch variable-length sequences (padding is pure wasted FLOPs;
+    at 100 TB the difference between pad-to-max and length-sorted
+    batching is a double-digit compute percentage).
+
+    Four strategies, one report row each (lengths CLIPPED at
+    ``max_len``; splitting overflow into chunks is q44's job):
+
+    - ``pad_to_max``: every sequence padded to ``max_len`` — the
+      naive collator.
+    - ``pow2_bucket``: padded to the next power of two (min 16, cap
+      ``max_len``) — static bucketing, kernel-cache friendly.
+    - ``sorted_batch``: global sort by length desc, fixed
+      ``batch_size`` batches, each padded to its batch max — the
+      standard length-sorted collator. The global ordering uses the
+      q80 dense-ids range exchange (local ranks + broadcast offsets,
+      NO single-reducer stage); ties break by ``id_col``.
+    - ``packed_lower_bound``: ceil(total/max_len)*max_len — what
+      perfect sample packing (q66) into FIXED max_len rows would
+      cost. A floor for pad_to_max (which also emits fixed rows),
+      NOT for pow2/sorted batching: those emit shorter rows, so
+      their padded totals can undercut it. The only universal floor
+      is total_tokens itself.
+
+    All integer arithmetic; waste_ppm = (padded-total)*1e6 div
+    padded. ``max_len`` must be a power of two >= 16 (the bucket
+    ladder's contract).
+
+    Returns (strategy, n_seqs, total_tokens, padded_tokens,
+    waste_ppm).
+    """
+    from etl_guiacores_spark.operators.ordering import dense_ids
+
+    if max_len < 16 or max_len & (max_len - 1):
+        raise ValueError("max_len must be a power of two >= 16")
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    clip = F.least(F.col(len_col).cast("long"), F.lit(max_len))
+    base = df.select(
+        F.col(id_col).alias("__id"), clip.alias("__l")
+    )
+    # pow2 ladder (engine-independent; no float log2 at boundaries)
+    buckets = [16]
+    while buckets[-1] < max_len:
+        buckets.append(buckets[-1] * 2)
+    pow2 = F.lit(buckets[0])
+    for b in buckets[1:]:
+        pow2 = F.when(F.col("__l") > b // 2, F.lit(b)).otherwise(pow2)
+
+    def _report(name: str, padded_agg, src: DataFrame) -> DataFrame:
+        return src.groupBy().agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("long").alias("n_seqs"),
+            F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+            padded_agg.cast("long").alias("padded_tokens"),
+        )
+
+    pad_max = _report(
+        "pad_to_max", F.count("*") * max_len, base
+    )
+    pad_pow2 = _report(
+        "pow2_bucket",
+        F.coalesce(F.sum(pow2), F.lit(0)),
+        base,
+    )
+    ranked = dense_ids(
+        base.withColumn(
+            "__k",
+            (F.lit(max_len) - F.col("__l")).cast("decimal(38,0)")
+            * F.lit(10**12).cast("decimal(38,0)")
+            + F.col("__id").cast("decimal(38,0)"),
+        ),
+        "__k",
+        id_name="__rank",
+    ).withColumn("__batch", F.expr(f"(__rank - 1) div {batch_size}"))
+    per_batch = ranked.groupBy("__batch").agg(
+        F.count("*").cast("long").alias("__n"),
+        F.max("__l").alias("__bmax"),
+        F.sum("__l").cast("long").alias("__btok"),
+    )
+    pad_sorted = per_batch.groupBy().agg(
+        F.lit("sorted_batch").alias("strategy"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_seqs"),
+        F.coalesce(F.sum("__btok"), F.lit(0)).cast("long").alias(
+            "total_tokens"
+        ),
+        F.coalesce(F.sum(F.col("__n") * F.col("__bmax")), F.lit(0))
+        .cast("long")
+        .alias("padded_tokens"),
+    )
+    lower = base.groupBy().agg(
+        F.lit("packed_lower_bound").alias("strategy"),
+        F.count("*").cast("long").alias("n_seqs"),
+        F.coalesce(F.sum("__l"), F.lit(0)).cast("long").alias(
+            "total_tokens"
+        ),
+        F.expr(
+            f"CAST((coalesce(sum(__l), 0) + {max_len} - 1) "
+            f"div {max_len} * {max_len} AS BIGINT)"
+        ).alias("padded_tokens"),
+    )
+    out = pad_max.unionByName(pad_pow2).unionByName(pad_sorted).unionByName(
+        lower
+    )
+    return out.withColumn(
+        "waste_ppm",
+        F.expr(
+            "CAST((padded_tokens - total_tokens) * 1000000 "
+            "div NULLIF(padded_tokens, 0) AS BIGINT)"
+        ),
+    )
+
+
 import sys as _sys  # noqa: E402
 
 from etl_guiacores_spark import shipping as _shipping  # noqa: E402

@@ -4036,3 +4036,255 @@ def q170_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "level_micro",
         "trend_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# q171: position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "q171_position_attribution",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS m
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    fwd AS (
+        SELECT *,
+               first_value(CASE WHEN event_type = 'purchase'
+                                THEN struct_pack(m := m, i := event_id)
+                           END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nxt
+        FROM s
+    ),
+    t AS (
+        SELECT user_id, event_id, ts, event_type, m,
+               nxt.i AS conversion_id
+        FROM fwd
+        WHERE event_type IN ('view', 'click') AND nxt IS NOT NULL
+              AND nxt.m - m <= 86400000000
+    ),
+    p AS (
+        SELECT user_id, conversion_id, event_id AS touch_id,
+               event_type AS touch_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, conversion_id
+                                  ORDER BY ts, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, conversion_id) AS n
+        FROM t
+    )
+    SELECT user_id, conversion_id, touch_id, touch_type,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(n AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN pos = 1 THEN 400000
+                     WHEN pos = n THEN 400000
+                          + (200000 - (200000 // (n - 2)) * (n - 2))
+                     ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+    FROM p
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution inside a "
+    "24h lookback: every purchase's credit splits over ALL its "
+    "preceding view/click touches — 40% first, 40% last, 20% across "
+    "middles — the report reconciled against last-touch (q147) to "
+    "price the funnel's top. Join-free: each touch picks up its NEXT "
+    "conversion via first(conv, ignorenulls) over the strictly- "
+    "FOLLOWING frame of the same user-partitioned ordered window "
+    "(the q147 merge-streams shape, run forward), then one bounded "
+    "re-window per (user, conversion) for positions. Credit is "
+    "integer ppm and sums to EXACTLY 1e6 per conversion — the "
+    "truncation remainder of the middle split lands on the last "
+    "touch, deterministically — so downstream totals reconcile "
+    "(operators/funnel.position_attribution).",
+)
+def q171_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.funnel import position_attribution
+
+    ev = load_table(spark, "events", sf_dir)
+    return position_attribution(
+        ev, "purchase", ["view", "click"], window_micros=86_400_000_000
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172: mixture water-filling — budget allocation with capacity caps
+# ---------------------------------------------------------------------------
+
+@register(
+    "q172_mixture_waterfill",
+    f"""
+    WITH tc AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS avail
+        FROM (SELECT source, unnest({_TOKS}) AS tok
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+        GROUP BY source
+    ),
+    w AS (
+        SELECT source, avail,
+               CAST(('0x' || substr(md5('wf:' || source), 1, 8)) AS BIGINT)
+                   % 4 + 1 AS weight
+        FROM tc
+    ),
+    b AS (
+        SELECT *, SUM(avail) OVER () // 2 AS budget,
+               CAST(avail AS HUGEINT) * 1000000000000 // weight AS ratio
+        FROM w
+    ),
+    st AS (
+        SELECT *,
+               COALESCE(SUM(avail) OVER (ORDER BY ratio, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix_a,
+               COALESCE(SUM(weight) OVER (ORDER BY ratio, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix_w,
+               SUM(weight) OVER () AS total_w
+        FROM b
+    ),
+    c AS (
+        SELECT *, CASE WHEN CAST(avail AS HUGEINT) * (total_w - prefix_w)
+                            <= CAST(budget - prefix_a AS HUGEINT) * weight
+                       THEN 1 ELSE 0 END AS cond
+        FROM st
+    ),
+    cc AS (
+        SELECT *, MIN(cond) OVER (ORDER BY ratio, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                      AS capped
+        FROM c
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN capped THEN avail ELSE 0 END) AS BIGINT)
+                   AS capped_a,
+               CAST(SUM(CASE WHEN NOT capped THEN weight ELSE 0 END)
+                    AS BIGINT) AS open_w
+        FROM cc
+    )
+    SELECT source, avail, CAST(weight AS BIGINT) AS weight, capped,
+           CAST(CASE WHEN capped THEN avail
+                ELSE CAST(budget - (SELECT capped_a FROM tot) AS HUGEINT)
+                     * weight // NULLIF((SELECT open_w FROM tot), 0)
+                END AS BIGINT) AS alloc
+    FROM cc
+    """,
+    doc="Mixture water-filling: allocate a token budget (half the "
+    "corpus) across sources with md5-frozen target-share weights and "
+    "per-source capacity caps — the step that turns q82/q94-style "
+    "target SHARES into a feasible ALLOCATION when small sources "
+    "can't supply their share. The fixpoint runs in ONE relational "
+    "pass, no loop: sources sort by cap ratio avail/weight (1e-12 "
+    "fixed-point key, id tiebreak), a source caps iff "
+    "avail*suffix_w <= remaining*weight (cross-multiplied "
+    "DECIMAL(38,0)/HUGEINT — division-free), a cumulative-AND window "
+    "pins the capped prefix, and uncapped sources split the "
+    "remainder by truncating proportional division. Everything runs "
+    "on the BOUNDED per-source relation; the only corpus-sized work "
+    "is the token groupBy. Truncation undershoot < |uncapped| stays "
+    "visible in the report (operators/mixing.waterfill_allocation).",
+)
+def q172_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.mixing import waterfill_allocation
+
+    d = _docs(spark, sf_dir)
+    src = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("avail"))
+        .withColumn(
+            "weight",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("wf:"), F.col("source"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % 4 + 1,
+        )
+        .withColumn("budget", F.expr("sum(avail) over () div 2"))
+    )
+    return waterfill_allocation(src, "avail", "weight", "budget", "source")
+
+
+# ---------------------------------------------------------------------------
+# q173: padding-waste report across batching strategies
+# ---------------------------------------------------------------------------
+
+@register(
+    "q173_padding_waste",
+    f"""
+    WITH L AS (
+        SELECT doc_id,
+               LEAST(CAST(len({_TOKS}) AS BIGINT), 512) AS l
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    pmax AS (
+        SELECT 'pad_to_max' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(l) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) * 512 AS BIGINT) AS padded_tokens
+        FROM L
+    ),
+    ppow AS (
+        SELECT 'pow2_bucket' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(l) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN l > 256 THEN 512 WHEN l > 128 THEN 256
+                             WHEN l > 64 THEN 128 WHEN l > 32 THEN 64
+                             WHEN l > 16 THEN 32 ELSE 16 END) AS BIGINT)
+                   AS padded_tokens
+        FROM L
+    ),
+    r AS (
+        SELECT l, ROW_NUMBER() OVER (ORDER BY l DESC, doc_id ASC) AS rk
+        FROM L
+    ),
+    pb AS (
+        SELECT (rk - 1) // 32 AS b, COUNT(*) AS n, MAX(l) AS bmax,
+               SUM(l) AS btok
+        FROM r GROUP BY 1
+    ),
+    psort AS (
+        SELECT 'sorted_batch' AS strategy,
+               CAST(SUM(n) AS BIGINT) AS n_seqs,
+               CAST(SUM(btok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n * bmax) AS BIGINT) AS padded_tokens
+        FROM pb
+    ),
+    plow AS (
+        SELECT 'packed_lower_bound' AS strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(l) AS BIGINT) AS total_tokens,
+               CAST((SUM(l) + 511) // 512 * 512 AS BIGINT) AS padded_tokens
+        FROM L
+    ),
+    u AS (
+        SELECT * FROM pmax UNION ALL SELECT * FROM ppow
+        UNION ALL SELECT * FROM psort UNION ALL SELECT * FROM plow
+    )
+    SELECT strategy, n_seqs, total_tokens, padded_tokens,
+           CAST((padded_tokens - total_tokens) * 1000000
+                // NULLIF(padded_tokens, 0) AS BIGINT) AS waste_ppm
+    FROM u
+    """,
+    doc="Padding-waste accounting across four batching strategies "
+    "(pad-to-max, power-of-two buckets, length-sorted batches of 32, "
+    "and the perfect-packing lower bound) over whitespace token "
+    "counts clipped at 512 — the sizing study that prices the "
+    "collator choice in wasted FLOPs before a training run (padding "
+    "is pure waste; sorted batching typically recovers a double- "
+    "digit percentage). The length-sorted strategy's global order "
+    "uses the q80 dense-ids range exchange (local ranks + broadcast "
+    "offsets, NO single-reducer window); the pow2 ladder is an "
+    "integer CASE, no float log2 at boundaries; all arithmetic "
+    "BIGINT with truncating ppm "
+    "(operators/packing.padding_waste_report).",
+)
+def q173_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.packing import padding_waste_report
+    from etl_guiacores_spark.operators.textstats import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return padding_waste_report(
+        d, "n_tok", "doc_id", max_len=512, batch_size=32
+    )

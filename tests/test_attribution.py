@@ -93,3 +93,73 @@ class TestTwap:
         )
         with pytest.raises(ValueError):
             time_weighted_avg(ev, ["event_type"], bucket="7 minutes")
+
+
+# --- position-based (U-shaped) attribution -----------------------------------
+
+def _ev(spark, rows):
+    # (user, event_id, ts_micros, type) with ts as timestamp
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, event_id long, tus long, event_type string")
+    return df.withColumn("ts", F.timestamp_micros("tus")).drop("tus")
+
+
+def _credits(spark, rows, window=86_400_000_000):
+    from etl_guiacores_spark.operators.funnel import position_attribution
+
+    out = position_attribution(
+        _ev(spark, rows), "purchase", ["view", "click"],
+        window_micros=window,
+    )
+    return {r["touch_id"]: r for r in out.collect()}
+
+
+def test_u_shape_credit_conserves_ppm(spark):
+    M = 60_000_000
+    rows = [(1, i, i * M, "view") for i in range(1, 6)]   # 5 touches
+    rows.append((1, 99, 6 * M, "purchase"))
+    got = _credits(spark, rows)
+    assert len(got) == 5
+    assert got[1]["credit_ppm"] == 400_000                 # first
+    assert got[2]["credit_ppm"] == 66_666                  # 200000 div 3
+    assert got[3]["credit_ppm"] == 66_666
+    assert got[4]["credit_ppm"] == 66_666
+    assert got[5]["credit_ppm"] == 400_000 + (200_000 - 3 * 66_666)  # last + remainder
+    assert sum(r["credit_ppm"] for r in got.values()) == 1_000_000
+
+
+def test_single_and_double_touch_splits(spark):
+    M = 60_000_000
+    rows = [
+        (1, 1, 1 * M, "click"), (1, 9, 2 * M, "purchase"),       # n=1
+        (2, 2, 1 * M, "view"), (2, 3, 2 * M, "click"),
+        (2, 8, 3 * M, "purchase"),                               # n=2
+    ]
+    got = _credits(spark, rows)
+    assert got[1]["credit_ppm"] == 1_000_000
+    assert got[2]["credit_ppm"] == 500_000 and got[3]["credit_ppm"] == 500_000
+
+
+def test_touch_credits_only_next_conversion_within_window(spark):
+    M = 60_000_000
+    rows = [
+        (1, 1, 1 * M, "view"),
+        (1, 5, 2 * M, "purchase"),   # touch 1 -> this conversion
+        (1, 2, 3 * M, "view"),
+        (1, 6, 4 * M, "purchase"),   # touch 2 -> this one
+        (1, 3, 5 * M, "view"),       # after last conversion: no credit
+    ]
+    got = _credits(spark, rows)
+    assert got[1]["conversion_id"] == 5
+    assert got[2]["conversion_id"] == 6
+    assert 3 not in got
+
+
+def test_out_of_window_touch_gets_nothing(spark):
+    rows = [
+        (1, 1, 0, "view"),                            # 2 days before
+        (1, 2, 2 * 86_400_000_000, "purchase"),
+    ]
+    got = _credits(spark, rows)
+    assert got == {}

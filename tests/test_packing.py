@@ -47,3 +47,41 @@ def test_packing_preserves_document_order(spark):
     rows = packed.collect()
     assert len(rows) == 1
     assert rows[0]["text"] == "zebra one apple two mango three"
+
+
+# --- padding-waste report -----------------------------------------------------
+
+def test_padding_waste_strategies_ordered_and_exact(spark):
+    import pytest
+
+    from etl_guiacores_spark.operators.packing import padding_waste_report
+
+    rows = [(i, l) for i, l in enumerate([10, 20, 100, 200, 500, 512, 600])]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {r["strategy"]: r for r in
+           padding_waste_report(df, "n", "doc_id", max_len=512,
+                                batch_size=2).collect()}
+    assert set(got) == {"pad_to_max", "pow2_bucket", "sorted_batch",
+                        "packed_lower_bound"}
+    total = 10 + 20 + 100 + 200 + 500 + 512 + 512  # 600 clipped
+    assert all(r["total_tokens"] == total for r in got.values())
+    assert got["pad_to_max"]["padded_tokens"] == 7 * 512
+    # pow2: 16,32,128,256,512,512,512
+    assert got["pow2_bucket"]["padded_tokens"] == 16 + 32 + 128 + 256 + 512 * 3
+    # sorted desc: [512,512],[500,200],[100,20],[10] -> 1024+1000+200+10
+    assert got["sorted_batch"]["padded_tokens"] == 1024 + 1000 + 200 + 10
+    assert got["packed_lower_bound"]["padded_tokens"] == \
+        (total + 511) // 512 * 512
+    # guaranteed bounds: every strategy pads (>= total), pad-to-max is
+    # the ceiling, and the packing floor bounds the other FIXED-row
+    # strategy. pow2/sorted emit variable-length rows, so they can
+    # undercut the packing floor (pow2 does here: 1968 < 2048) and
+    # have no fixed order between themselves — that's what the
+    # report is for.
+    hi = got["pad_to_max"]["padded_tokens"]
+    for s in ("pow2_bucket", "sorted_batch", "packed_lower_bound"):
+        assert total <= got[s]["padded_tokens"] <= hi
+    with pytest.raises(ValueError):
+        padding_waste_report(df, "n", "doc_id", max_len=100)
+    with pytest.raises(ValueError):
+        padding_waste_report(df, "n", "doc_id", batch_size=0)

@@ -90,9 +90,9 @@ _FIRST = [
     "q115_boilerplate_extract",
     # ---- positions 51+ (outside this round's 50-row window): queries
     # added AFTER the window filled — locally oracle-verified now,
-    # they MUST lead the round-8 window (q146-q173 = 28 rows, then
-    # the oldest of the 46 round-5 rows fill the remaining 22; the
-    # last 24 round-5 rows ride to round 9, still inside the 2-round
+    # they MUST lead the round-8 window (q146-q175 = 30 rows, then
+    # the oldest of the 46 round-5 rows fill the remaining 20; the
+    # last 26 round-5 rows ride to round 9, still inside the 2-round
     # staleness limit counted from their round-7 local verification)
     "q146_spearman_trend",
     "q147_last_touch",
@@ -122,6 +122,8 @@ _FIRST = [
     "q171_position_attribution",
     "q172_mixture_waterfill",
     "q173_padding_waste",
+    "q174_pq_assign",
+    "q175_hll_audit",
 ]
 
 

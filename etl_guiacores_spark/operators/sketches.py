@@ -167,3 +167,97 @@ def countmin_audit(
             ).alias("within_bound"),
         )
     )
+
+
+def hll_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Audit an EXPLICIT relational HyperLogLog against exact distinct
+    counts — completing the sketch-audit family: q105 validates
+    Spark's built-in HLL++ behind a tolerance flag, q168 the
+    Count-Min frequencies; this one BUILDS the HLL itself from
+    relational primitives (md5 hash, integer log2 via the minimal
+    binary-string length — identical in Spark and DuckDB), so the
+    oracle replays every register bit-exactly.
+
+    Layout: p=6 -> m=64 registers per group. The 60-bit md5 hash
+    splits into a 6-bit bucket and a 54-bit tail; the register keeps
+    max(rho) where rho = leading zeros of the tail in its 54-bit
+    field + 1 (tail 0 -> 55). The raw estimator is
+    alpha_64 * m^2 / sum(2^-M_b) with EMPTY registers contributing
+    2^0 — a bucket spine (group x sequence(0,63)) left-joins the
+    observed registers so silence counts. All interior arithmetic is
+    exact: 2^(60-M) as BIGINT shifts summed in DECIMAL(38,0)
+    (64 * 2^60 overflows BIGINT), alpha frozen at 709365 ppm
+    (0.7213/(1+1.079/64)), truncating divisions.
+
+    Registers are MERGEABLE (max commutes), which is the 100 TB
+    story: 64 BIGINTs per group per executor, one tiny final
+    max-merge, versus the full (group, value) distinct shuffle the
+    exact side pays — run both on a stratum (this audit), then trust
+    the sketch fleet-wide. The small-range correction regime
+    (E <= 2.5m with empty buckets) is reported via n_empty rather
+    than applied — ln() is float territory; callers in that regime
+    should use exact counts anyway.
+
+    Returns (group_col, n_exact, hll_est, err_ppm, n_empty) — all
+    BIGINT; err_ppm is signed (est - exact) * 1e6 div exact.
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    ).cast("long")
+    hashed = df.select(
+        F.col(group_col).alias("__g"),
+        h.alias("__h"),
+    ).select(
+        "__g",
+        (F.col("__h") % 64).alias("__bucket"),
+        F.expr("__h div 64").alias("__rest"),
+    ).withColumn(
+        "__rho",
+        F.when(F.col("__rest") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("__rest")))
+        ),
+    )
+    regs = hashed.groupBy("__g", "__bucket").agg(
+        F.max("__rho").alias("__m")
+    )
+    exact = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.countDistinct(value_col).cast("long").alias("n_exact")
+    )
+    spine = exact.select(
+        "__g", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__bucket")
+    )
+    full = spine.join(regs, ["__g", "__bucket"], "left").withColumn(
+        "__m", F.coalesce(F.col("__m"), F.lit(0))
+    )
+    per_group = full.groupBy("__g").agg(
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), 60 - CAST(__m AS INT)) "
+                "AS DECIMAL(38,0))"
+            )
+        ).alias("__s"),
+        F.sum(F.when(F.col("__m") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+    ).withColumn(
+        "hll_est",
+        F.expr(
+            "CAST(CAST(709365 AS DECIMAL(38,0)) * 4096 "
+            "* CAST(1152921504606846976 AS DECIMAL(38,0)) "
+            "div __s div 1000000 AS BIGINT)"
+        ),
+    )
+    return exact.join(per_group, "__g").select(
+        F.col("__g").alias(group_col),
+        "n_exact",
+        "hll_est",
+        F.expr(
+            "CAST((hll_est - n_exact) * 1000000 "
+            "div NULLIF(n_exact, 0) AS BIGINT)"
+        ).alias("err_ppm"),
+        "n_empty",
+    )

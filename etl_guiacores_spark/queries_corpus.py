@@ -4288,3 +4288,152 @@ def q173_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_waste_report(
         d, "n_tok", "doc_id", max_len=512, batch_size=32
     )
+
+
+# ---------------------------------------------------------------------------
+# q174: product-quantization assignment (integer-exact argmin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q174_pq_assign",
+    """
+    WITH edim AS (
+        SELECT vec_id, d - 1 AS d0, (d - 1) // 16 AS sub,
+               CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS fx
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d)
+    ),
+    cdim AS (
+        SELECT vec_id AS cid, d0, sub, fx AS cfx
+        FROM edim WHERE vec_id < 8
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.sub, c.cid,
+               CAST(SUM((e.fx - c.cfx) * (e.fx - c.cfx)) AS BIGINT) AS d2
+        FROM edim e JOIN cdim c ON c.d0 = e.d0
+        GROUP BY e.vec_id, e.sub, c.cid
+    ),
+    best AS (
+        SELECT vec_id, sub, cid AS code, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cid) AS rn
+        FROM d2
+    )
+    SELECT vec_id,
+           CAST(SUM(code * CASE sub WHEN 0 THEN 1 WHEN 1 THEN 8
+                                    WHEN 2 THEN 64 ELSE 512 END)
+                AS BIGINT) AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS sq_err
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    doc="Product-quantization assignment: every 64-dim embedding "
+    "compresses to 4 subspace codes (k=8 centroids each, packed "
+    "into one 12-bit pq_code) plus its exact integer squared "
+    "reconstruction distance — the bits-per-vector compression "
+    "behind IVF-PQ at billion scale, complementing q63's IVF coarse "
+    "cells and q64's scalar int8. Coordinates quantize to 1e-6 "
+    "fixed point BEFORE distance math, so the argmin (ties by "
+    "centroid id) replays bit-identically — doubles would tie-break "
+    "on float noise. Codebook = the 8 lowest-id vectors (the frozen "
+    "deterministic sample; production passes k-means centroids "
+    "through the same seam — the ivf_build train-on-sample "
+    "philosophy). Engine shape: dims explode relationally, equi-join "
+    "the BROADCAST codebook dims, partial-aggregate squared diffs, "
+    "one (d2, cid)-ordered argmin window per (vector, subspace) — "
+    "no UDF, no BNLJ, corpus-sized shuffle keys on (vector, "
+    "subspace) only (operators/quantize.pq_assign).",
+)
+def q174_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.quantize import pq_assign
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = e.filter(F.col("vec_id") < 8)
+    a = pq_assign(
+        e, cb, vec_col="embedding", id_col="vec_id",
+        code_id_col="vec_id", dim=64, n_sub=4,
+    )
+    factor = F.expr(
+        "CASE sub WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 64 ELSE 512 END"
+    )
+    return a.groupBy("vec_id").agg(
+        F.sum(F.col("code") * factor).cast("long").alias("pq_code"),
+        F.sum("d2").cast("long").alias("sq_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175: explicit relational HyperLogLog vs exact distinct counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "q175_hll_audit",
+    f"""
+    WITH v AS (
+        SELECT source, tok
+        FROM (SELECT source, unnest({_TOKS}) AS tok
+              FROM documents WHERE LENGTH(trim(text)) > 0)
+    ),
+    b AS (
+        SELECT source, h % 64 AS bucket, h // 64 AS rest
+        FROM (SELECT source,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+              FROM v)
+    ),
+    r AS (
+        SELECT source, bucket,
+               MAX(CASE WHEN rest = 0 THEN 55
+                        ELSE 55 - length(bin(rest)) END) AS m
+        FROM b GROUP BY source, bucket
+    ),
+    ex AS (
+        SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+        FROM v GROUP BY source
+    ),
+    spine AS (
+        SELECT source, d AS bucket
+        FROM ex CROSS JOIN generate_series(0, 63) t(d)
+    ),
+    fl AS (
+        SELECT s.source, COALESCE(r.m, 0) AS m
+        FROM spine s LEFT JOIN r ON r.source = s.source
+                                AND r.bucket = s.bucket
+    ),
+    pg AS (
+        SELECT source,
+               SUM(CAST(1 AS BIGINT) << (60 - m)) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty
+        FROM fl GROUP BY source
+    )
+    SELECT p.source, x.n_exact,
+           CAST(CAST(709365 AS HUGEINT) * 4096 * 1152921504606846976
+                // p.s // 1000000 AS BIGINT) AS hll_est,
+           CAST((CAST(CAST(709365 AS HUGEINT) * 4096 * 1152921504606846976
+                      // p.s // 1000000 AS BIGINT) - x.n_exact) * 1000000
+                // NULLIF(x.n_exact, 0) AS BIGINT) AS err_ppm,
+           p.n_empty
+    FROM pg p JOIN ex x USING (source)
+    """,
+    doc="Explicit relational HyperLogLog audited against exact "
+    "per-source distinct-token counts — q105 validates Spark's "
+    "built-in HLL++ behind a tolerance flag; this builds the sketch "
+    "ITSELF from relational primitives (60-bit md5 split into 6-bit "
+    "bucket + 54-bit tail, rho = leading zeros + 1 via the minimal "
+    "binary-string length — integer-exact log2, no floats), so the "
+    "oracle replays every register bit-for-bit. Empty registers "
+    "count (bucket spine left-join), indicator sums run as "
+    "2^(60-M) BIGINT shifts in DECIMAL(38,0)/HUGEINT, alpha frozen "
+    "at 709365 ppm. Registers are max-mergeable — 64 BIGINTs per "
+    "group at 100 TB vs the exact side's full distinct shuffle: "
+    "validate on this stratum, run the sketch fleet-wide. The "
+    "small-range regime is REPORTED (n_empty), not ln()-corrected "
+    "(operators/sketches.hll_audit).",
+)
+def q175_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sketches import hll_audit
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return hll_audit(toks, "source", "tok")

@@ -362,3 +362,30 @@ def test_countmin_bad_params_raise(spark):
         countmin_audit(counts, "tok", "n", depth=0)
     with pytest.raises(ValueError):
         countmin_audit(counts, "tok", "n", width=1)
+
+
+# --- explicit relational HyperLogLog -------------------------------------------
+
+def test_hll_audit_accuracy_and_duplicate_insensitivity(spark):
+    from etl_guiacores_spark.operators.sketches import hll_audit
+
+    rows = [("g", f"val{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = hll_audit(df, "g", "v").collect()[0]
+    assert got["n_exact"] == 2000
+    # m=64 -> typical relative error ~13%; generous 30% test bound
+    assert abs(got["err_ppm"]) < 300_000
+    assert got["n_empty"] == 0
+    # registers are max-based: duplicates change nothing
+    dup = hll_audit(df.union(df), "g", "v").collect()[0]
+    assert dup["hll_est"] == got["hll_est"]
+
+
+def test_hll_audit_small_range_reports_empty_registers(spark):
+    from etl_guiacores_spark.operators.sketches import hll_audit
+
+    rows = [("g", f"v{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = hll_audit(df, "g", "v").collect()[0]
+    assert got["n_exact"] == 5
+    assert got["n_empty"] >= 59  # the caller's signal to distrust est

@@ -101,3 +101,36 @@ class TestRandomProjection:
             proj.append(np.linalg.norm(rows[i] - rows[i + 1]) / MICRO)
         corr = np.corrcoef(orig, proj)[0, 1]
         assert corr > 0.3, corr
+
+
+# --- product quantization -----------------------------------------------------
+
+def test_pq_assign_picks_nearest_and_breaks_ties_by_cid(spark):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.quantize import pq_assign
+
+    # dim=4, n_sub=2 (2 dims per subspace); codebook = first 2 vectors
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [10.0, 10.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 1.0, 1.0]),    # sub0 near cb0, sub1 near cb1
+        (3, [5.0, 5.0, 5.0, 5.0]),    # equidistant -> tie -> cid 0 wins
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = df.filter(F.col("vec_id") < 2)
+    got = {(r["vec_id"], r["sub"]): (r["code"], r["d2"])
+           for r in pq_assign(df, cb, code_id_col="vec_id", dim=4, n_sub=2).collect()}
+    assert got[(2, 0)][0] == 0 and got[(2, 1)][0] == 1
+    assert got[(3, 0)][0] == 0 and got[(3, 1)][0] == 0  # ties -> lowest cid
+    assert got[(0, 0)] == (0, 0) and got[(1, 1)] == (1, 0)  # self-distance 0
+
+
+def test_pq_assign_dim_validation(spark):
+    import pytest
+
+    from etl_guiacores_spark.operators.quantize import pq_assign
+
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        pq_assign(df, df, code_id_col="vec_id", dim=5, n_sub=2)

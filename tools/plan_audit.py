@@ -75,6 +75,9 @@ SCALAR_CROSS = {
     # the rank mapping (rankstats.quantile_normalize) — the scalar
     # stays in-plan instead of a driver count() + literal
     "q169_quantile_normalize",
+    # 1-row (capped_a, open_w) totals aggregate joined onto the
+    # BOUNDED per-source relation (mixing.waterfill_allocation)
+    "q172_mixture_waterfill",
 }
 
 

@@ -135,3 +135,99 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def kmeans_step_exact(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_id_col: str = "cid",
+    dim: int = 64,
+) -> DataFrame:
+    """ONE exact Lloyd iteration in integer fixed point — the
+    verifiable unit of k-means training. ``ivf_build`` above trains
+    with Spark ML's KMeans (float, seed-dependent, fine for an index
+    whose QUALITY is what matters); this operator is the twin for
+    pipelines that need the training step itself to be auditable and
+    reproducible across engines: assignment and re-estimation both
+    run on 1e-6 fixed-point coordinates with truncating division, so
+    a DuckDB oracle (q176) replays the step bit-for-bit. Production
+    loops it (assignments stabilize = converged); each iteration is
+    the same two-shuffle plan.
+
+    Step: assign every vector to its nearest codebook centroid
+    (quantize.pq_assign with n_sub=1 — exact integer argmin, ties by
+    centroid id), then re-estimate each centroid as the per-dimension
+    TRUNCATED mean of its members. Empty clusters keep their old
+    centroid (shift 0, size 0) — the keep-centroid convention, made
+    visible rather than resampled.
+
+    Returns one row per centroid: (cluster, n_assigned, inertia,
+    centroid_checksum, shift_l1) — inertia the exact summed squared
+    distance of members, checksum the sum of the NEW centroid's
+    fixed-point coords (the engine-comparable fingerprint), shift_l1
+    the L1 move from the old centroid in 1e-6 units (the convergence
+    monitor).
+    """
+    from etl_guiacores_spark.operators.quantize import pq_assign
+
+    assign = pq_assign(
+        embeddings, codebook, vec_col=vec_col, id_col=id_col,
+        code_id_col=code_id_col, dim=dim, n_sub=1,
+    ).select(F.col(id_col).alias("__vid"), "code", "d2")
+
+    edim = embeddings.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(vec_col).alias("d", "x"),
+    ).select(
+        "__vid", "d",
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("fx"),
+    )
+    cdim = codebook.select(
+        F.col(code_id_col).alias("code"),
+        F.posexplode(vec_col).alias("d", "x"),
+    ).select(
+        "code", "d",
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("old_fx"),
+    )
+    members = edim.join(assign.select("__vid", "code"), "__vid")
+    new_dims = members.groupBy("code", "d").agg(
+        F.expr("CAST(sum(fx) div count(*) AS BIGINT)").alias("new_fx"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    per_cluster = (
+        cdim.join(new_dims, ["code", "d"], "left")
+        .withColumn(
+            "new_fx", F.coalesce(F.col("new_fx"), F.col("old_fx"))
+        )
+        .groupBy("code")
+        .agg(
+            F.sum("new_fx").cast("long").alias("centroid_checksum"),
+            F.sum(F.abs(F.col("new_fx") - F.col("old_fx")))
+            .cast("long")
+            .alias("shift_l1"),
+        )
+    )
+    stats = assign.groupBy("code").agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
+    return (
+        per_cluster.join(stats, "code", "left")
+        .select(
+            F.col("code").cast("long").alias("cluster"),
+            F.coalesce(F.col("n_assigned"), F.lit(0))
+            .cast("long")
+            .alias("n_assigned"),
+            F.coalesce(F.col("inertia"), F.lit(0))
+            .cast("long")
+            .alias("inertia"),
+            "centroid_checksum",
+            "shift_l1",
+        )
+    )

@@ -4437,3 +4437,85 @@ def q175_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens(F.col("text"))).alias("tok")
     )
     return hll_audit(toks, "source", "tok")
+
+
+# ---------------------------------------------------------------------------
+# q176: one exact k-means Lloyd step (integer fixed point)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q176_kmeans_step",
+    """
+    WITH edim AS (
+        SELECT vec_id, d - 1 AS d0,
+               CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS fx
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d)
+    ),
+    cdim AS (
+        SELECT vec_id AS cid, d0, fx AS old_fx
+        FROM edim WHERE vec_id < 8
+    ),
+    d2 AS (
+        SELECT e.vec_id, c.cid,
+               CAST(SUM((e.fx - c.old_fx) * (e.fx - c.old_fx)) AS BIGINT)
+                   AS d2
+        FROM edim e JOIN cdim c ON c.d0 = e.d0
+        GROUP BY e.vec_id, c.cid
+    ),
+    best AS (
+        SELECT vec_id, cid AS code, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM d2
+    ),
+    assign AS (SELECT vec_id, code, d2 FROM best WHERE rn = 1),
+    nd AS (
+        SELECT a.code, e.d0,
+               CAST(SUM(e.fx) // COUNT(*) AS BIGINT) AS new_fx
+        FROM edim e JOIN assign a ON a.vec_id = e.vec_id
+        GROUP BY a.code, e.d0
+    ),
+    pc AS (
+        SELECT c.cid AS cluster,
+               CAST(SUM(COALESCE(n.new_fx, c.old_fx)) AS BIGINT)
+                   AS centroid_checksum,
+               CAST(SUM(ABS(COALESCE(n.new_fx, c.old_fx) - c.old_fx))
+                    AS BIGINT) AS shift_l1
+        FROM cdim c LEFT JOIN nd n ON n.code = c.cid AND n.d0 = c.d0
+        GROUP BY c.cid
+    ),
+    st AS (
+        SELECT code AS cluster, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(d2) AS BIGINT) AS inertia
+        FROM assign GROUP BY code
+    )
+    SELECT p.cluster,
+           CAST(COALESCE(s.n_assigned, 0) AS BIGINT) AS n_assigned,
+           CAST(COALESCE(s.inertia, 0) AS BIGINT) AS inertia,
+           p.centroid_checksum, p.shift_l1
+    FROM pc p LEFT JOIN st s ON s.cluster = p.cluster
+    """,
+    doc="One EXACT k-means Lloyd iteration over the embeddings (k=8, "
+    "codebook = lowest-id vectors): integer fixed-point assignment "
+    "(the q174 argmin with one full-vector subspace) followed by "
+    "per-dimension TRUNCATED-mean re-estimation, emitting per "
+    "cluster its size, exact inertia, the new centroid's coordinate "
+    "checksum, and the L1 shift from the old centroid (the "
+    "convergence monitor). ivf_build trains with Spark ML's float "
+    "KMeans where only index QUALITY matters; this is the auditable "
+    "twin for pipelines that must reproduce the training step "
+    "itself across engines — production loops the same two-shuffle "
+    "plan until shift stabilizes. Empty clusters keep their old "
+    "centroid (visible: size 0, shift 0) rather than resampling "
+    "(operators/ann.kmeans_step_exact).",
+)
+def q176_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ann import kmeans_step_exact
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = e.filter(F.col("vec_id") < 8)
+    return kmeans_step_exact(
+        e, cb, vec_col="embedding", id_col="vec_id",
+        code_id_col="vec_id", dim=64,
+    )

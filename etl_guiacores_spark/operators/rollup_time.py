@@ -622,13 +622,22 @@ def _holt_end_expr(
 
 
 def _holt_block_seeds_expr(
-    vals_sql: str, a: int, b: int, g: int, h: int, block: int = _EWMA_BLOCK
+    vals_sql: str,
+    a: int,
+    b: int,
+    g: int,
+    h: int,
+    block: int = _EWMA_BLOCK,
+    seed_sql: str = _HOLT_NULL_SEED,
 ) -> str:
     """Per-block incoming states — the scalar chained fold of the
-    two-level scan, struct-state edition of _ewma_block_seeds_expr."""
+    two-level scan, struct-state edition of _ewma_block_seeds_expr.
+    ``seed_sql`` is the series' incoming struct<l,t> state (the NULL
+    seed starts a fresh series; the streaming twin passes the carried
+    per-key state so a batch continues its history exactly)."""
     return (
         f"aggregate(sequence(0, greatest({_nb(vals_sql, block)}, 1) - 1), "
-        f"array({_HOLT_NULL_SEED}), "
+        f"array(CAST({seed_sql} AS STRUCT<l: BIGINT, t: BIGINT>)), "
         f"(acc, i) -> array_append(acc, "
         + _holt_end_expr(
             f"slice({vals_sql}, i * {block} + 1, {block})",

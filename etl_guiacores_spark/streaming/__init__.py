@@ -1,5 +1,6 @@
 from etl_guiacores_spark.streaming.discovery import discover_until_idle
 from etl_guiacores_spark.streaming.drift import cusum_drift_stream
+from etl_guiacores_spark.streaming.smooth import holt_smooth_stream
 from etl_guiacores_spark.streaming.windows import (
     ohlc_bars,
     session_agg,
@@ -11,6 +12,7 @@ from etl_guiacores_spark.streaming.windows import (
 __all__ = [
     "cusum_drift_stream",
     "discover_until_idle",
+    "holt_smooth_stream",
     "ohlc_bars",
     "session_agg",
     "sliding_counts",

@@ -293,3 +293,82 @@ class TestTelemetryTwins:
             assert raised, "out-of-order batch must fail loud"
         finally:
             q.stop()
+
+
+class TestHoltStream:
+    def test_holt_stream_equals_batch_twin(self, spark, tmp_path):
+        from etl_guiacores_spark.operators.rollup_time import holt_smooth
+        from etl_guiacores_spark.streaming import holt_smooth_stream
+
+        # two users, 3 event-time-ordered micro-batches; values vary so
+        # level AND trend both move (incl. a downswing -> negative trend)
+        batches = [
+            [ev(1, 1, user=1, value=1.0), ev(2, 2, user=1, value=3.0),
+             ev(3, 1, user=2, value=5.0)],
+            [ev(4, 10, user=1, value=6.0), ev(5, 11, user=2, value=4.0),
+             ev(6, 12, user=2, value=2.0)],
+            [ev(7, 20, user=1, value=2.0), ev(8, 21, user=2, value=1.0)],
+        ]
+        src = str(tmp_path / "holt_src")
+        out = str(tmp_path / "holt_out")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = holt_smooth_stream(
+            stream, out, key_cols=["user_id"],
+            value_micro=(F.col("value") * 1_000_000).cast("long"),
+            checkpoint_dir=str(tmp_path / "holt_ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(1).write.mode(
+                    "append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r["event_id"]: (r["level_micro"], r["trend_micro"])
+            for r in spark.read.parquet(f"{out}/out").collect()
+        }
+        all_events = spark.createDataFrame(
+            [e for b in batches for e in b], EVENTS_SCHEMA
+        ).withColumn("v_micro", (F.col("value") * 1_000_000).cast("long"))
+        want = {
+            r["event_id"]: (r["level_micro"], r["trend_micro"])
+            for r in holt_smooth(
+                all_events, "user_id", "ts", "v_micro",
+                tiebreak_col="event_id",
+            ).collect()
+        }
+        assert got == want
+        assert any(t < 0 for _, t in got.values())  # downswing seen
+
+    def test_holt_stream_rejects_out_of_order_batch(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import holt_smooth_stream
+
+        src = str(tmp_path / "hlate_src")
+        out = str(tmp_path / "hlate_out")
+        spark.createDataFrame([ev(1, 30, user=1)], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = holt_smooth_stream(
+            stream, out, key_cols=["user_id"],
+            value_micro=(F.col("value") * 1_000_000).cast("long"),
+            checkpoint_dir=str(tmp_path / "hlate_ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame([ev(2, 10, user=1)], EVENTS_SCHEMA).coalesce(
+                1).write.mode("append").parquet(src)
+            raised = False
+            try:
+                q.processAllAvailable()
+            except Exception:
+                raised = True
+            assert raised, "out-of-order batch must fail loud"
+        finally:
+            q.stop()

@@ -14,7 +14,7 @@ repetition scoring.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.operators.similarity import word_shingles
@@ -121,3 +121,80 @@ def repetition_score(col: Column, n: int = 3) -> Column:
         )
 
     return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+def cross_span_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SPAN-level cross-set decontamination: maximal token spans of a
+    training document that appear verbatim (as sliding n-gram
+    windows) anywhere in the eval/benchmark set. Document-level
+    decontamination (exact_decontaminate above, q59/q107's bloom
+    twin) drops a doc when it IS a benchmark member; this finds docs
+    that QUOTE one — the eval-leakage mode Lee et al. flag, where a
+    training page embeds a benchmark question — and returns the
+    exact char... token extents, so the strip step can excise the
+    quotation instead of discarding the document.
+
+    Machinery is repeated_spans' sliding-gram + interval-merge with
+    the duplicate test swapped for membership in the EVAL gram
+    dictionary: train grams semi-join the distinct eval grams, and
+    surviving positions coalesce by the constant-width LAG island
+    test. The eval gram dictionary is bounded by the benchmark's
+    size — KBs-to-MBs against a 100 TB corpus — so it BROADCASTS and
+    the train side never shuffles at all for the membership test;
+    the only exchange left is the per-doc window, parallel across
+    docs. (repeated_spans must shuffle its postings because its test
+    is a cross-document COUNT; membership needs no count.)
+
+    Returns (id_col, span_start 0-based, span_end exclusive,
+    span_tokens, n_grams) — one row per maximal contaminated span
+    per training document.
+    """
+    from etl_guiacores_spark.operators.textstats import kgrams, tokens
+
+    if n < 1:
+        raise ValueError("cross_span_contamination: need n >= 1")
+
+    def grams(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        ).filter(F.size("__toks") >= n)
+        return base.select(
+            id_col,
+            F.posexplode(kgrams(F.col("__toks"), n)).alias(
+                "__pos", "__gram"
+            ),
+        ).select(id_col, "__pos", F.md5("__gram").alias("__g"))
+
+    eval_grams = grams(eval_docs).select("__g").distinct()
+    hits = grams(train).join(
+        F.broadcast(eval_grams), "__g", "left_semi"
+    ).select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    flagged = hits.withColumn(
+        "__new",
+        F.when(
+            F.coalesce(
+                F.col("__pos") - F.lag("__pos").over(w), F.lit(n + 1)
+            )
+            > n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("__pos").cast("long").alias("span_start"),
+        (F.max("__pos") + n).cast("long").alias("span_end"),
+        (F.max("__pos") + n - F.min("__pos")).cast("long").alias(
+            "span_tokens"
+        ),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("__isl")

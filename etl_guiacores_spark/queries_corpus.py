@@ -4519,3 +4519,75 @@ def q176_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, cb, vec_col="embedding", id_col="vec_id",
         code_id_col="vec_id", dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: span-level cross-set decontamination (eval leakage extents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q177_span_decontam",
+    f"""
+    WITH tbase AS MATERIALIZED (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0 AND doc_id % 37 <> 0)
+        WHERE len(toks) >= 8
+    ),
+    ebase AS MATERIALIZED (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0 AND doc_id % 37 = 0)
+        WHERE len(toks) >= 8
+    ),
+    egrams AS (
+        SELECT DISTINCT md5(array_to_string(toks[u.i:u.i+7], ' ')) AS g
+        FROM ebase, LATERAL unnest(range(1, len(toks) - 6)) u(i)
+    ),
+    tgrams AS (
+        SELECT doc_id, u.i - 1 AS pos,
+               md5(array_to_string(toks[u.i:u.i+7], ' ')) AS g
+        FROM tbase, LATERAL unnest(range(1, len(toks) - 6)) u(i)
+    ),
+    hits AS (SELECT doc_id, pos FROM tgrams JOIN egrams USING (g)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN COALESCE(pos - LAG(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos), 9) > 8
+                    THEN 1 ELSE 0 END AS nf
+        FROM hits),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM islands GROUP BY doc_id, isl
+    """,
+    doc="Span-level cross-set decontamination: maximal token spans of "
+    "TRAINING documents (doc_id % 37 <> 0) that appear verbatim as "
+    "sliding 8-gram windows anywhere in the EVAL split (doc_id % 37 "
+    "= 0) — the eval-leakage mode where a training page QUOTES a "
+    "benchmark rather than being one, which doc-level q59/q107 "
+    "cannot see; the returned extents feed a span strip that excises "
+    "the quotation instead of discarding the document. Same sliding- "
+    "gram + constant-width LAG interval-merge as q134, but the "
+    "duplicate COUNT is swapped for membership in the eval gram "
+    "dictionary, which is bounded by the benchmark's size and "
+    "BROADCASTS — the 100 TB train side never shuffles for the "
+    "membership test; only the per-doc island window exchanges "
+    "(operators/decontam.cross_span_contamination).",
+)
+def q177_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.decontam import (
+        cross_span_contamination,
+    )
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    return cross_span_contamination(train, ev, n=8)

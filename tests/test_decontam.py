@@ -119,3 +119,67 @@ class TestBloomDecontam:
         assert 1 not in clean_ids and {2, 3} <= clean_ids
         deconta = spark.read.parquet(str(tmp_path / "out" / "decontaminated"))
         assert {r["doc_id"] for r in deconta.collect()} == {2, 3}
+
+
+# --- span-level cross-set decontamination --------------------------------------
+
+def test_cross_span_finds_quoted_benchmark_extent(spark):
+    from etl_guiacores_spark.operators.decontam import (
+        cross_span_contamination,
+    )
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    train_rows = [
+        # doc 1 embeds the benchmark mid-page -> one maximal span [3, 11)
+        (1, "one two three " + bench + " tail1 tail2"),
+        # doc 2 shares no 8-gram
+        (2, "totally unrelated words that never quote the benchmark "
+            "at all in any window"),
+    ]
+    eval_rows = [(100, "intro " + bench + " outro")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = cross_span_contamination(train, ev, n=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["doc_id"] == 1
+    assert (r["span_start"], r["span_end"]) == (3, 11)
+    assert r["span_tokens"] == 8 and r["n_grams"] == 1
+
+
+def test_cross_span_merges_adjacent_windows(spark):
+    from etl_guiacores_spark.operators.decontam import (
+        cross_span_contamination,
+    )
+
+    # a 10-token quotation yields three sliding 8-grams that coalesce
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    train = spark.createDataFrame(
+        [(1, "pre " + quote + " post")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, quote)], "doc_id long, text string"
+    )
+    got = cross_span_contamination(train, ev, n=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["span_start"], r["span_end"], r["n_grams"]) == (1, 11, 3)
+
+
+def test_cross_span_no_false_positive_within_train(spark):
+    from etl_guiacores_spark.operators.decontam import (
+        cross_span_contamination,
+    )
+
+    # two TRAIN docs share a long passage but the eval set doesn't
+    # have it -> cross-set contamination must stay empty (that case
+    # belongs to repeated_spans, not this operator)
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    train = spark.createDataFrame(
+        [(1, shared), (2, shared + " more")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, "nothing in common here at all with those words")],
+        "doc_id long, text string",
+    )
+    assert cross_span_contamination(train, ev, n=8).count() == 0

@@ -178,6 +178,8 @@ def cmd_corpus(spark, args) -> dict:
         benchmark_path=args.benchmark,
         strip_spans=args.strip_spans,
         span_n=args.span_n,
+        decontam_spans=args.decontam_spans,
+        decontam_span_n=args.decontam_span_n,
     )
     return run_corpus_pipeline(
         docs, args.out, cfg, progress_callback=_progress_cb(args)
@@ -397,6 +399,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="benchmark/eval parquet (text column): drop docs "
                    "sharing word 3-grams with it (Bloom prefilter + "
                    "exact verify) before near-dup removal")
+    k.add_argument("--decontam-spans", action="store_true",
+                   help="with --benchmark: also EXCISE maximal token "
+                   "spans quoting the benchmark verbatim from "
+                   "surviving docs (span-level decontamination)")
+    k.add_argument("--decontam-span-n", type=int, default=8,
+                   help="quoted-span n-gram width (with "
+                   "--decontam-spans)")
 
     r = sub.add_parser("resolve")
     r.add_argument("--input", required=True, help="records parquet path")

@@ -170,11 +170,34 @@ def strip_repeated_spans(
     (the whitespace-joined survivor tokens — what the corpus
     pipeline's span-strip stage writes forward for chunking).
     """
+    spans = repeated_spans(docs, n=n, min_docs=min_docs, id_col=id_col,
+                           text_col=text_col)
+    return strip_given_spans(docs, spans, id_col=id_col,
+                             text_col=text_col, keep_text=keep_text)
+
+
+def strip_given_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
+) -> DataFrame:
+    """The APPLY half of span stripping, factored so any span source
+    can drive it: :func:`repeated_spans` (within-corpus dedup) and
+    ``decontam.cross_span_contamination`` (eval-leakage excision)
+    produce the same (id, span_start, span_end, span_tokens) shape,
+    and the excision + accounting is identical. Spans must be
+    non-overlapping per document (both producers merge islands, so
+    they are by construction).
+
+    Same in-plan mechanics and return contract as
+    :func:`strip_repeated_spans`.
+    """
     from etl_guiacores_spark.operators.textstats import tokens
 
     spans = (
-        repeated_spans(docs, n=n, min_docs=min_docs, id_col=id_col,
-                       text_col=text_col)
+        spans
         .groupBy(id_col)
         .agg(
             F.collect_list(

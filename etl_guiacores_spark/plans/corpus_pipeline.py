@@ -81,6 +81,16 @@ class CorpusConfig:
     strip_spans: bool = False
     span_n: int = 10
     span_min_docs: int = 2
+    #: when True (requires benchmark_path), ALSO excise maximal token
+    #: spans that quote the benchmark verbatim (sliding n-grams,
+    #: operators/decontam.cross_span_contamination) from documents
+    #: that survived the doc-level decontam drop — the eval-leakage
+    #: mode where a page QUOTES a benchmark instead of being one.
+    #: Lands an ``eval_span_accounting`` table and rewrites text
+    #: before near-dup/chunking, with the same token-conservation
+    #: assert as the strip_spans stage.
+    decontam_spans: bool = False
+    decontam_span_n: int = 8
 
 
 def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
@@ -420,6 +430,11 @@ def run_corpus_pipeline(
     from etl_guiacores_spark.sources.tables import spread_narrow_input
 
     config = config or CorpusConfig()
+    if config.decontam_spans and config.benchmark_path is None:
+        raise ValueError(
+            "decontam_spans requires benchmark_path (the eval set "
+            "whose quoted spans get excised)"
+        )
     emit = progress_callback or (lambda stage, info: None)
     spark = docs.sparkSession
 
@@ -466,6 +481,68 @@ def run_corpus_pipeline(
             exact.join(dirty, "doc_id", "left_anti"), "decontaminated"
         )
         emit("decontam", {"records": n_decontam})
+
+        if config.decontam_spans:
+            from etl_guiacores_spark.operators.decontam import (
+                cross_span_contamination,
+            )
+            from etl_guiacores_spark.operators.dedupe import (
+                strip_given_spans,
+            )
+            from etl_guiacores_spark.operators.textstats import (
+                tokens as _dtoks,
+            )
+
+            ev_spans = cross_span_contamination(
+                exact,
+                bench.select(F.lit(0).alias("doc_id"), "text"),
+                n=config.decontam_span_n,
+            )
+            excised = strip_given_spans(exact, ev_spans, keep_text=True)
+            ev_acct, _ = _land(
+                excised.select(
+                    "doc_id", "n_tokens", "dup_tokens",
+                    "retained_tokens", "retained_md5",
+                ),
+                "eval_span_accounting",
+            )
+            rebuilt = (
+                exact.join(
+                    excised.select(
+                        "doc_id", F.col("retained_text").alias("__rt")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn("text", F.coalesce("__rt", "text"))
+                .drop("__rt")
+            )
+            exact, n_excised = _land(rebuilt, "eval_span_stripped")
+            ev_tot = ev_acct.agg(
+                F.sum("n_tokens").alias("t"),
+                F.sum("dup_tokens").alias("d"),
+                F.sum("retained_tokens").alias("r"),
+            ).first()
+            ev_rewritten = (
+                exact.join(ev_acct.select("doc_id"), "doc_id")
+                .select(F.sum(F.size(_dtoks(F.col("text")))).alias("k"))
+                .first()["k"]
+            ) or 0
+            if (
+                ev_tot["t"] != (ev_tot["d"] or 0) + (ev_tot["r"] or 0)
+            ) or ev_rewritten != (ev_tot["r"] or 0):
+                raise RuntimeError(
+                    "eval-span-strip token conservation violated: "
+                    f"total={ev_tot['t']} dup={ev_tot['d']} "
+                    f"retained={ev_tot['r']} rewritten={ev_rewritten}"
+                )
+            emit(
+                "decontam_spans",
+                {
+                    "records": n_excised,
+                    "excised_tokens": int(ev_tot["d"] or 0),
+                },
+            )
 
     # land the VERIFIED PAIRS, not the lazy survivor plan: both the
     # survivor derivation and the pair count then read the stored pair

@@ -440,3 +440,64 @@ def test_span_strip_stage(spark, tmp_path):
     by_id = {r["doc_id"]: r for r in acct}
     assert by_id[1]["dup_tokens"] == by_id[2]["dup_tokens"] > 0
     assert by_id[3]["dup_tokens"] == 0
+
+
+def test_decontam_spans_stage(spark, tmp_path):
+    import pytest
+
+    # doc 1 QUOTES the benchmark mid-page (must be excised, doc kept);
+    # doc 2 is clean; neither IS a benchmark member, so the doc-level
+    # drop keeps both
+    bench_text = ("which of the following best describes the "
+                  "capital allocation strategy question")
+    a = ("intro words here " + bench_text +
+         " closing words after the quotation run on")
+    b = "a perfectly ordinary document with nothing quoted from anywhere"
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    bench_p = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("preamble " + bench_text + " postamble",)], ["text"]
+    ).write.parquet(bench_p)
+
+    cfg = CorpusConfig(
+        min_quality=0.0, near_dup_jaccard=0.99, chunk_tokens=8,
+        chunk_overlap=2, vocab_top_k=50,
+        benchmark_path=bench_p,
+        # 3-gram doc-level overlap would drop doc 1 entirely; require
+        # an impossible overlap count so only the SPAN stage acts
+        decontam_min_overlaps=10_000,
+        decontam_spans=True, decontam_span_n=8,
+    )
+    out = tmp_path / "corpus"
+    metrics = run_corpus_pipeline(docs, str(out), cfg)
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out / "eval_span_stripped")).collect()
+    }
+    assert len(stripped) == 2                     # no doc dropped
+    assert bench_text not in stripped[1]          # quotation excised
+    assert "intro words here" in stripped[1]      # rest survives
+    assert stripped[2] == b                       # clean doc untouched
+
+    acct = {r["doc_id"]: r for r in
+            spark.read.parquet(str(out / "eval_span_accounting")).collect()}
+    assert acct[1]["dup_tokens"] > 0
+    assert acct[2]["dup_tokens"] == 0
+    assert all(
+        r["n_tokens"] == r["dup_tokens"] + r["retained_tokens"]
+        for r in acct.values()
+    )
+    # downstream chunks never see the quotation
+    chunk_text = " ".join(
+        r["chunk_text"]
+        for r in spark.read.parquet(str(out / "chunks")).collect()
+    )
+    assert "capital allocation strategy" not in chunk_text
+
+    # misconfiguration fails loud
+    with pytest.raises(ValueError):
+        run_corpus_pipeline(
+            docs, str(tmp_path / "bad"),
+            CorpusConfig(decontam_spans=True),
+        )

@@ -166,3 +166,90 @@ def range_join_pairs(
         .select(key, "id_a", "id_b", "t_a", "t_b")
         .distinct()
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Kaplan-Meier survival curve in exact integer ppm — the
+    standard retention/churn estimator under right-censoring (a user
+    still active at the observation cutoff hasn't churned; dropping
+    them biases survival down, counting them as churned biases it
+    up; KM handles them correctly by shrinking the risk set).
+
+    Input: one row per subject with its ``duration_col`` (integer
+    time units) and ``observed_col`` (TRUE = the event happened,
+    FALSE = censored at that duration). Estimator over the sorted
+    distinct event times t_i with n_i at risk and d_i events:
+
+        S_i = trunc(S_{i-1} * trunc((n_i - d_i) * ppm / n_i) / ppm)
+
+    — a product of per-step truncated ppm factors, deterministic and
+    engine-replayable (a float product drifts with evaluation
+    order; the oracle replays the same recurrence as a recursive
+    CTE).
+
+    Engine shape: subjects aggregate to the per-duration risk table
+    (one map-side-combinable groupBy + one prefix-sum window over
+    the BOUNDED distinct-duration relation), and the sequential
+    product folds IN-PLAN over that bounded table's collected
+    structs via the aggregate higher-order function — the q123/q170
+    fold pattern applied to a relation that is small by construction
+    (|distinct durations|, never |subjects|), then explodes back to
+    rows. Censored-only durations appear in the risk-set shrinkage
+    but emit no curve step (standard KM: steps at event times only).
+
+    Returns one row per distinct EVENT duration: (duration, n_risk,
+    n_events, surv_ppm), surv_ppm non-increasing from ppm.
+    """
+    d, obs = F.col(duration_col), F.col(observed_col)
+    per_t = durations.groupBy(d.alias("t")).agg(
+        F.count("*").cast("long").alias("n_here"),
+        F.sum(F.when(obs, 1).otherwise(0)).cast("long").alias("d_i"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_pre = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.withColumn(
+        "n_i",
+        (
+            F.sum("n_here").over(w_all)
+            - F.coalesce(F.sum("n_here").over(w_pre), F.lit(0))
+        ).cast("long"),
+    )
+    folded = (
+        risk.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("t", "n_i", "d_i"))
+            ).alias("__arr")
+        )
+        .withColumn(
+            "__s",
+            F.expr(
+                f"""
+                aggregate(__arr, CAST(array() AS ARRAY<BIGINT>),
+                  (o, x) -> array_append(o,
+                    (CASE WHEN size(o) = 0 THEN CAST({ppm} AS BIGINT)
+                          ELSE element_at(o, -1) END)
+                    * (((x.n_i - x.d_i) * {ppm}) div x.n_i)
+                    div {ppm}))
+                """
+            ),
+        )
+    )
+    exploded = folded.select(
+        F.explode(F.arrays_zip("__arr", F.col("__s").alias("__sv"))).alias(
+            "__z"
+        )
+    )
+    return exploded.select(
+        F.col("__z.__arr.t").cast("long").alias("duration"),
+        F.col("__z.__arr.n_i").alias("n_risk"),
+        F.col("__z.__arr.d_i").alias("n_events"),
+        F.col("__z.__sv").cast("long").alias("surv_ppm"),
+    ).filter(F.col("n_events") > 0)

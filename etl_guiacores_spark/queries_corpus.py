@@ -4591,3 +4591,82 @@ def q177_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 37 != 0)
     ev = d.filter(F.col("doc_id") % 37 == 0)
     return cross_span_contamination(train, ev, n=8)
+
+
+# ---------------------------------------------------------------------------
+# q178: Kaplan-Meier retention curve (right-censored, integer ppm)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q178_kaplan_meier",
+    """
+    WITH RECURSIVE subj AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                           THEN CAST(ts AS DATE) END),
+                                  DATE '2024-01-31')) AS dur,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   IS NOT NULL AS observed
+        FROM events GROUP BY user_id
+    ),
+    per_t AS (
+        SELECT dur AS t, CAST(COUNT(*) AS BIGINT) AS n_here,
+               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_i
+        FROM subj GROUP BY dur
+    ),
+    risk AS (
+        SELECT t, d_i,
+               CAST(SUM(n_here) OVER ()
+                    - COALESCE(SUM(n_here) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_i,
+               ROW_NUMBER() OVER (ORDER BY t) AS rn
+        FROM per_t
+    ),
+    km AS (
+        SELECT t, d_i, n_i, rn,
+               CAST(1000000 * (((n_i - d_i) * 1000000) // n_i)
+                    // 1000000 AS BIGINT) AS s
+        FROM risk WHERE rn = 1
+        UNION ALL
+        SELECT r.t, r.d_i, r.n_i, r.rn,
+               CAST(k.s * (((r.n_i - r.d_i) * 1000000) // r.n_i)
+                    // 1000000 AS BIGINT)
+        FROM km k JOIN risk r ON r.rn = k.rn + 1
+    )
+    SELECT CAST(t AS BIGINT) AS duration, n_i AS n_risk,
+           d_i AS n_events, s AS surv_ppm
+    FROM km WHERE d_i > 0
+    """,
+    doc="Kaplan-Meier time-to-conversion curve: per user, days from "
+    "first event to first purchase, right-censored at 2024-01-31 "
+    "for users who never purchase — KM handles censored subjects by "
+    "shrinking the risk set instead of mis-counting them either "
+    "way; the conversion/churn estimator every product-analytics "
+    "warehouse runs. Exact integer ppm: the "
+    "survival product applies per-step TRUNCATED ppm factors "
+    "(S_i = S_{i-1} * trunc((n_i-d_i)*1e6/n_i) div 1e6), replayed "
+    "by the oracle as a recursive CTE — a float product drifts with "
+    "evaluation order. Engine shape: one map-side-combinable "
+    "groupBy to subjects, one to the per-duration risk table, a "
+    "prefix window and the in-plan aggregate fold BOTH over the "
+    "BOUNDED distinct-duration relation (|durations|, never "
+    "|subjects|) (operators/temporal.kaplan_meier).",
+)
+def q178_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.temporal import kaplan_meier
+
+    ev = load_table(spark, "events", sf_dir)
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+    )
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.coalesce(first_purchase, F.lit("2024-01-31").cast("date")),
+            F.min(F.to_date("ts")),
+        ).cast("long").alias("dur"),
+        first_purchase.isNotNull().alias("observed"),
+    )
+    return kaplan_meier(subj, "dur", "observed")

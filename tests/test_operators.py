@@ -389,3 +389,46 @@ def test_hll_audit_small_range_reports_empty_registers(spark):
     got = hll_audit(df, "g", "v").collect()[0]
     assert got["n_exact"] == 5
     assert got["n_empty"] >= 59  # the caller's signal to distrust est
+
+
+# --- Kaplan-Meier survival ------------------------------------------------------
+
+def test_kaplan_meier_textbook_example(spark):
+    from etl_guiacores_spark.operators.temporal import kaplan_meier
+
+    # classic small example: events at t=1 (1 of 5), t=3 (1 of 3);
+    # censored at t=2 and t=3; survivor to t=4 censored
+    rows = [
+        (1, 1, True),    # event at 1     n=5 -> S=4/5
+        (2, 2, False),   # censored at 2
+        (3, 3, True),    # event at 3     n=3 -> S = 4/5 * 2/3
+        (4, 3, False),   # censored at 3 (counted at risk at t=3)
+        (5, 4, False),   # censored at 4
+    ]
+    df = spark.createDataFrame(rows, "id long, dur long, obs boolean")
+    got = {r["duration"]: r for r in
+           kaplan_meier(df, "dur", "obs").collect()}
+    assert set(got) == {1, 3}  # steps at event times only
+    assert got[1]["n_risk"] == 5 and got[1]["n_events"] == 1
+    assert got[1]["surv_ppm"] == 800_000
+    assert got[3]["n_risk"] == 3 and got[3]["n_events"] == 1
+    # 800000 * trunc(2/3 * 1e6) // 1e6 = 800000 * 666666 // 1e6
+    assert got[3]["surv_ppm"] == 800_000 * 666_666 // 1_000_000
+
+
+def test_kaplan_meier_all_censored_is_empty_and_monotone(spark):
+    from etl_guiacores_spark.operators.temporal import kaplan_meier
+
+    allc = spark.createDataFrame(
+        [(i, i, False) for i in range(1, 6)], "id long, dur long, obs boolean"
+    )
+    assert kaplan_meier(allc, "dur", "obs").count() == 0
+    mixed = spark.createDataFrame(
+        [(i, i % 4, i % 2 == 0) for i in range(1, 20)],
+        "id long, dur long, obs boolean",
+    )
+    curve = sorted(
+        (r["duration"], r["surv_ppm"])
+        for r in kaplan_meier(mixed, "dur", "obs").collect()
+    )
+    assert all(a[1] >= b[1] for a, b in zip(curve, curve[1:]))  # non-increasing

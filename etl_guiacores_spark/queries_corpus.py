@@ -4670,3 +4670,175 @@ def q178_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_purchase.isNotNull().alias("observed"),
     )
     return kaplan_meier(subj, "dur", "observed")
+
+
+# ---------------------------------------------------------------------------
+# q179: PQ codebook balance audit (chi-square uniformity, integer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q179_codebook_balance",
+    """
+    WITH edim AS (
+        SELECT vec_id, d - 1 AS d0, (d - 1) // 16 AS sub,
+               CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS fx
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(d)
+    ),
+    cdim AS (
+        SELECT vec_id AS cid, d0, sub, fx AS cfx
+        FROM edim WHERE vec_id < 8
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.sub, c.cid,
+               CAST(SUM((e.fx - c.cfx) * (e.fx - c.cfx)) AS BIGINT) AS d2
+        FROM edim e JOIN cdim c ON c.d0 = e.d0
+        GROUP BY e.vec_id, e.sub, c.cid
+    ),
+    best AS (
+        SELECT vec_id, sub, cid AS code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cid) AS rn
+        FROM d2
+    ),
+    usage AS (
+        SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS o
+        FROM best WHERE rn = 1 GROUP BY sub, code
+    ),
+    withn AS (
+        SELECT sub, code, o, SUM(o) OVER (PARTITION BY sub) AS n
+        FROM usage
+    ),
+    stats AS (
+        SELECT sub,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_used,
+               CAST(MAX(o) AS BIGINT) AS max_count,
+               CAST(MIN(o) AS BIGINT) AS min_count,
+               CAST(SUM((8 * CAST(o AS HUGEINT) - n)
+                        * (8 * CAST(o AS HUGEINT) - n)) AS HUGEINT) AS sq
+        FROM withn GROUP BY sub
+    )
+    SELECT CAST(sub AS BIGINT) AS sub, n, k_used, max_count, min_count,
+           CAST(sq * 1000000 // (CAST(n AS HUGEINT) * 8) AS BIGINT)
+               AS chi2_ppm
+    FROM stats
+    """,
+    doc="PQ codebook balance audit over q174's assignments: per "
+    "subspace, code-usage counts (k_used of 8, max/min) and an "
+    "integer chi-square uniformity statistic — chi2 = sum((k*o - "
+    "n)^2) / (n*k) in exact HUGEINT/DECIMAL ppm (algebraically "
+    "identical to sum((o - n/k)^2 / (n/k)), kept division-free until "
+    "the final truncation). A skewed codebook wastes bits (hot codes "
+    "carry most vectors, reconstruction error concentrates) — this "
+    "is the retrain trigger an IVF-PQ index monitors, the same "
+    "validate-the-structure discipline as q105/q168/q175. Unused "
+    "codes are visible via k_used < 8 rather than zero-filled "
+    "(operators/quantize.pq_assign + one bounded aggregate).",
+)
+def q179_codebook_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.quantize import pq_assign
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = e.filter(F.col("vec_id") < 8)
+    assign = pq_assign(
+        e, cb, vec_col="embedding", id_col="vec_id",
+        code_id_col="vec_id", dim=64, n_sub=4,
+    )
+    usage = assign.groupBy("sub", "code").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    w_sub = Window.partitionBy("sub")
+    staged = usage.withColumn(
+        "__n", F.sum("o").over(w_sub).cast("long")
+    ).withColumn(
+        "__sq",
+        F.expr(
+            "(8 * CAST(o AS DECIMAL(38,0)) - __n) "
+            "* (8 * CAST(o AS DECIMAL(38,0)) - __n)"
+        ),
+    )
+    return staged.groupBy("sub").agg(
+        F.max("__n").alias("n"),
+        F.count("*").cast("long").alias("k_used"),
+        F.max("o").cast("long").alias("max_count"),
+        F.min("o").cast("long").alias("min_count"),
+        F.expr(
+            "CAST(sum(__sq) * 1000000 div (CAST(max(__n) AS DECIMAL(38,0))"
+            " * 8) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    ).select(
+        F.col("sub").cast("long").alias("sub"),
+        "n", "k_used", "max_count", "min_count", "chi2_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180: deterministic negative sampling for contrastive training
+# ---------------------------------------------------------------------------
+
+@register(
+    "q180_negative_sampling",
+    """
+    WITH items AS (SELECT DISTINCT o_orderpriority AS item FROM orders),
+    users AS (SELECT DISTINCT o_custkey AS u FROM orders),
+    seen AS (SELECT DISTINCT o_custkey AS u, o_orderpriority AS item
+             FROM orders),
+    cand AS (
+        SELECT users.u, items.item
+        FROM users CROSS JOIN items
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen s
+            WHERE s.u = users.u AND s.item = items.item)
+    ),
+    ranked AS (
+        SELECT u, item,
+               ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY md5('neg:' || CAST(u AS VARCHAR)
+                               || ':' || item), item) AS rk
+        FROM cand
+    )
+    SELECT u AS custkey, item AS negative_item, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 2
+    """,
+    doc="Deterministic negative sampling: for every customer, up to "
+    "2 order priorities they have NEVER used, ranked by a frozen "
+    "md5('neg:'||user||':'||item) draw — the negatives a contrastive "
+    "recommender/embedding trainer pairs against observed positives. "
+    "Hash-ranked sampling is the q73/q87 discipline: reproducible "
+    "across engines, retries, and partitionings where rand() is "
+    "not. Shape: the candidate space is users x DISTINCT types "
+    "(bounded vocabulary — the type table broadcasts), minus the "
+    "seen pairs via anti-join semantics; the only corpus-sized "
+    "shuffle is the distinct over (user, type). At a real item "
+    "vocabulary the same plan holds with the rank window keyed per "
+    "user (in-batch negatives at training time complement these "
+    "hard absences).",
+)
+def q180_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    items = o.select(F.col("o_orderpriority").alias("item")).distinct()
+    users = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    seen = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("item"),
+    ).distinct()
+    cand = users.crossJoin(F.broadcast(items)).join(
+        seen, ["custkey", "item"], "left_anti"
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("neg:"),
+                F.col("custkey").cast("string"),
+                F.lit(":"),
+                F.col("item"),
+            )
+        ),
+        "item",
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("custkey", F.col("item").alias("negative_item"), "rk")
+    )

@@ -28,7 +28,7 @@ import shutil
 from pathlib import Path
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.streaming.drift import _latest_state_dir

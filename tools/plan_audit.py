@@ -28,7 +28,12 @@ INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
                      # both retriever legs are the q28 knn shape:
                      # corpus x broadcast 5-row query set (cosine via
                      # knn_brute_force, L2 inline) feeding rrf_fuse
-                     "q156_rrf_fusion"}
+                     "q156_rrf_fusion",
+                     # negative-sampling candidate space: users x the
+                     # broadcast DISTINCT item vocabulary (bounded by
+                     # |items|, 5 here) minus seen pairs — enumerating
+                     # the complement REQUIRES the product
+                     "q180_negative_sampling"}
 # Scalar-join pattern: a cross join whose build side is a broadcast
 # 1-row ungrouped aggregate (e.g. q46's in-plan n_docs). The resulting
 # BroadcastNestedLoopJoin is n x 1 — bounded by construction, and the

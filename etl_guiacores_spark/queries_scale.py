@@ -2148,3 +2148,216 @@ def q142_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_micro=2_000_000_000,
     )
     return out.select("user_id", "event_id", "cusum_micro", "drift_flag")
+
+
+# ---------------------------------------------------------------------------
+# q181: intra-cluster cohesion audit (did LSH over-merge?)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q181_cluster_cohesion",
+    _CC_REACH_CTE
+    + """,
+    labels AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    small AS (
+        SELECT component FROM labels
+        GROUP BY component HAVING COUNT(*) BETWEEN 2 AND 64
+    ),
+    m AS (
+        SELECT l.component, s.doc_id, s.sh
+        FROM labels l
+        JOIN small c ON c.component = l.component
+        JOIN shingled s ON s.doc_id = l.id
+    ),
+    p AS (
+        SELECT a.component,
+               CASE WHEN LEN(list_distinct(list_concat(a.sh, b.sh))) = 0
+                    THEN 0
+                    ELSE CAST(LEN(list_intersect(a.sh, b.sh)) AS BIGINT)
+                         * 1000000
+                         // LEN(list_distinct(list_concat(a.sh, b.sh)))
+                    END AS j
+        FROM m a JOIN m b
+          ON b.component = a.component AND b.doc_id > a.doc_id
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(j) AS BIGINT) AS min_jacc_ppm,
+           CAST(SUM(j) // COUNT(*) AS BIGINT) AS mean_jacc_ppm
+    FROM p GROUP BY component
+    """,
+    doc="Intra-cluster cohesion audit over the q62 near-dup "
+    "components: every intra-component document pair scored with "
+    "EXACT shingle Jaccard in integer ppm (|intersect|*1e6 div "
+    "|union| — no float rounding), aggregated to per-component pair "
+    "count, minimum, and truncated mean. Transitive CC merges chain "
+    "A~B~C into one cluster without ever comparing A to C — this is "
+    "the did-LSH-over-merge check (low min_jacc_ppm = a chained "
+    "merge of dissimilar ends) run before trusting cluster-level "
+    "survivor selection, the structure-validation discipline of "
+    "q105/q168/q175/q179 applied to dedup itself. Pair expansion is "
+    "HARD-CAPPED at 64-member components (the cap is the operator "
+    "contract, not an optimization: one 4,944-member component at "
+    "sf0.1 is 12.2M intra pairs — the all-pairs blowup the audit "
+    "exists to avoid; giant components are exactly the over-merge "
+    "suspects and get flagged by SIZE, audited by sampling, not "
+    "enumerated) "
+    "(operators/similarity.jaccard_of_shingles over CC labels).",
+)
+def q181_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.graph import connected_components
+    from etl_guiacores_spark.operators.similarity import word_shingles
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    labels = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    sh = d.select(
+        "doc_id",
+        F.when(
+            F.size(tokens(F.col("text"))) >= 3, word_shingles(F.col("text"))
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    small = (
+        labels.groupBy("component")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= 64))
+        .select("component")
+    )
+    m = (
+        labels.select(F.col("id").alias("doc_id"), "component")
+        .join(F.broadcast(small), "component")
+        .join(sh, "doc_id")
+    )
+    a = m.select(
+        "component", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = m.select(
+        "component", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs2 = a.join(b, "component").filter(F.col("id_b") > F.col("id_a"))
+    j = F.when(
+        F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.expr(
+            "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000 "
+            "div size(array_union(sh_a, sh_b))"
+        )
+    )
+    return (
+        pairs2.withColumn("j", j)
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("j").cast("long").alias("min_jacc_ppm"),
+            F.expr("CAST(sum(j) div count(*) AS BIGINT)").alias(
+                "mean_jacc_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182: near-dup threshold sweep (the tuning curve before committing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q182_threshold_sweep",
+    _CC_REACH_CTE.replace(
+        ",\n    reach AS (\n        SELECT doc_id AS id, doc_id AS lbl FROM shingled\n        UNION\n        -- edges is MATERIALIZED so the shingle->sig->band chain is not\n        -- re-evaluated every recursion round (was ~12s fixed cost, now\n        -- ~0.25s at sf0.01); r.lbl < e.dst prunes the closure to labels\n        -- that can still lower a node's minimum — sound because the\n        -- component minimum m is < every other member id, so m always\n        -- propagates, and MIN(lbl) ignores the pruned larger labels.\n        SELECT e.dst AS id, r.lbl\n        FROM reach r JOIN edges e ON e.src = r.id\n        WHERE r.lbl < e.dst\n    )\n    ", ""
+    )
+    + """,
+    scored AS (
+        SELECT v.id_a, v.id_b,
+               CASE WHEN LEN(list_distinct(list_concat(a.sh, b.sh))) = 0
+                    THEN 0
+                    ELSE CAST(LEN(list_intersect(a.sh, b.sh)) AS BIGINT)
+                         * 1000000
+                         // LEN(list_distinct(list_concat(a.sh, b.sh)))
+                    END AS j
+        FROM verified v
+        JOIN shingled a ON a.doc_id = v.id_a
+        JOIN shingled b ON b.doc_id = v.id_b
+    ),
+    th AS (SELECT unnest([700000, 800000, 900000]) AS threshold_ppm)
+    SELECT t.threshold_ppm,
+           CAST(COUNT(s.j) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN s.j IS NOT NULL
+                                    THEN s.id_b END) AS BIGINT)
+               AS n_docs_dropped
+    FROM th t LEFT JOIN scored s ON s.j >= t.threshold_ppm
+    GROUP BY t.threshold_ppm
+    """,
+    doc="Near-dup threshold tuning curve: the LSH candidate pairs "
+    "exact-verified once (integer-ppm shingle Jaccard), then counted "
+    "against thresholds 0.7/0.8/0.9 — surviving pair count and how "
+    "many documents the greedy drop-higher-id rule would remove at "
+    "each setting. This is the sweep a pipeline owner reads before "
+    "committing near_dup_jaccard: one verify pass, three CASE "
+    "buckets — the expensive leg (LSH + verify) is NOT re-run per "
+    "threshold, at 100 TB the difference between one corpus pass and "
+    "three. Thresholds join as a 3-row broadcast spine so zero-"
+    "survivor settings still report (n_pairs 0) "
+    "(operators/similarity.lsh_candidate_pairs + jaccard verify).",
+)
+def q182_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.similarity import word_shingles
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = d.select("doc_id", "text")
+    cand = lsh_candidate_pairs(docs, "doc_id", "text")
+    sh = d.select(
+        "doc_id",
+        F.when(
+            F.size(tokens(F.col("text"))) >= 3, word_shingles(F.col("text"))
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) == 0,
+                F.lit(0).cast("long"),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) "
+                    "* 1000000 div size(array_union(sh_a, sh_b))"
+                )
+            )
+            .alias("j"),
+        )
+    )
+    th = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(700_000), F.lit(800_000), F.lit(900_000))
+        ).alias("threshold_ppm")
+    )
+    joined = F.broadcast(th).join(
+        scored, scored["j"] >= th["threshold_ppm"], "left"
+    )
+    return joined.groupBy("threshold_ppm").agg(
+        F.count("j").cast("long").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("j").isNotNull(), F.col("id_b"))
+        )
+        .cast("long")
+        .alias("n_docs_dropped"),
+    )

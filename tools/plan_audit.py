@@ -83,6 +83,11 @@ SCALAR_CROSS = {
     # 1-row (capped_a, open_w) totals aggregate joined onto the
     # BOUNDED per-source relation (mixing.waterfill_allocation)
     "q172_mixture_waterfill",
+    # 3-row broadcast threshold spine left-joined on an inequality
+    # (j >= threshold) — the sweep's whole point is one verify pass
+    # fanned across a CONSTANT threshold list, never a data-sized
+    # non-equi join
+    "q182_threshold_sweep",
 }
 
 

@@ -304,3 +304,36 @@ def exact_quota_stratified(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+#: cumulative Poisson(1) inverse-CDF thresholds on a 32-bit hash:
+#: P(X<=k) * 2^32 for k = 0..4 (weight 5 beyond — P(X>=5) ~ 0.37%).
+#: Frozen integers so Spark and any oracle draw IDENTICAL weights.
+_POISSON1_T32 = (1580030169, 3160060337, 3950075422, 4213413783,
+                 4279248374)
+
+
+def poisson_bootstrap_weight(seed: str, *cols) -> "Column":
+    """Deterministic Poisson(1) bootstrap weight for a row: an md5 of
+    (seed, cols...) maps through the frozen inverse-CDF thresholds.
+
+    The Poisson bootstrap is THE distributed bootstrap (each replicate
+    re-weights every row independently with Poisson(1) counts —
+    indistinguishable from multinomial resampling at scale), because
+    it needs NO resampling shuffle: weights are computed map-side from
+    the row's own key, so B replicates cost one pass with a
+    map-side-combinable (group, b) aggregate, not B shuffles. Hash
+    determinism is the q73/q87/q180 frozen-draw discipline: identical
+    across engines, retries, and partitionings.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), *[c.cast("string") for c in cols])),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.lit(5)
+    for k in range(len(_POISSON1_T32) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON1_T32[k]), F.lit(k)).otherwise(w)
+    return w

@@ -4842,3 +4842,247 @@ def q180_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("custkey", F.col("item").alias("negative_item"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183: Poisson-bootstrap confidence interval (one-pass distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q183_bootstrap_ci",
+    f"""
+    WITH dt AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    reps AS (
+        SELECT source, t.b, n_tok,
+               CAST(('0x' || substr(md5('bs:' || CAST(t.b AS VARCHAR)
+                     || ':' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM dt CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t
+    ),
+    w AS (
+        SELECT source, b, n_tok,
+               CASE WHEN h < 1580030169 THEN 0
+                    WHEN h < 3160060337 THEN 1
+                    WHEN h < 3950075422 THEN 2
+                    WHEN h < 4213413783 THEN 3
+                    WHEN h < 4279248374 THEN 4
+                    ELSE 5 END AS wt
+        FROM reps
+    ),
+    rm AS (
+        SELECT source, b,
+               CAST(SUM(wt * n_tok) AS HUGEINT) * 1000000
+                   // NULLIF(SUM(wt), 0) AS rep_mean
+        FROM w GROUP BY source, b
+    ),
+    ranked AS (
+        SELECT source, rep_mean,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY rep_mean) AS rn
+        FROM rm WHERE rep_mean IS NOT NULL
+    ),
+    pt AS (
+        SELECT source,
+               CAST(SUM(n_tok) AS HUGEINT) * 1000000 // COUNT(*)
+                   AS point_ppm
+        FROM dt GROUP BY source
+    )
+    SELECT p.source,
+           CAST(p.point_ppm AS BIGINT) AS mean_ppm,
+           CAST(MAX(CASE WHEN rn = 4 THEN rep_mean END) AS BIGINT)
+               AS ci_lo_ppm,
+           CAST(MAX(CASE WHEN rn = 61 THEN rep_mean END) AS BIGINT)
+               AS ci_hi_ppm
+    FROM pt p JOIN ranked r ON r.source = p.source
+    GROUP BY p.source, p.point_ppm
+    """,
+    doc="Per-source mean document length with a 90% Poisson-bootstrap "
+    "confidence interval (B=64 replicates, order statistics 4/61): "
+    "the uncertainty bar that separates 'source A really is longer' "
+    "from sampling noise before a mixture decision. The Poisson "
+    "bootstrap is the ONE-PASS distributed bootstrap — every row "
+    "draws a deterministic Poisson(1) weight per replicate from a "
+    "frozen md5 inverse-CDF ladder (operators/sampling."
+    "poisson_bootstrap_weight), so B replicates cost one map-side "
+    "explode + one combinable (source, b) aggregate, never B "
+    "resampling shuffles; at 100 TB B rides the existing aggregation "
+    "for free. All integer: replicate means in HUGEINT/DECIMAL ppm "
+    "with truncating division, CI bounds selected by rank windows "
+    "over the BOUNDED 64-replicate relation. The frozen hash draw is "
+    "the q73/q87/q180 reproducibility discipline.",
+)
+def q183_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.sampling import (
+        poisson_bootstrap_weight,
+    )
+    from etl_guiacores_spark.operators.textstats import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    reps = d.select(
+        "source",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "doc_id",
+    ).withColumn(
+        "wt", poisson_bootstrap_weight("bs", F.col("b"), F.col("doc_id"))
+    )
+    rm = reps.groupBy("source", "b").agg(
+        F.expr(
+            "CAST(sum(wt * n_tok) AS DECIMAL(38,0)) * 1000000 "
+            "div NULLIF(sum(wt), 0)"
+        ).alias("rep_mean")
+    ).filter(F.col("rep_mean").isNotNull())
+    w = Window.partitionBy("source").orderBy("rep_mean")
+    ranked = rm.withColumn("rn", F.row_number().over(w))
+    pt = d.groupBy("source").agg(
+        F.expr(
+            "CAST(CAST(sum(n_tok) AS DECIMAL(38,0)) * 1000000 "
+            "div count(*) AS BIGINT)"
+        ).alias("mean_ppm")
+    )
+    ci = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == 4, F.col("rep_mean")))
+        .cast("long")
+        .alias("ci_lo_ppm"),
+        F.max(F.when(F.col("rn") == 61, F.col("rep_mean")))
+        .cast("long")
+        .alias("ci_hi_ppm"),
+    )
+    return pt.join(ci, "source").select(
+        "source", "mean_ppm", "ci_lo_ppm", "ci_hi_ppm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184: two-arm conversion readout with exact chi-square (no floats)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q184_ab_readout",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a * 1000000 // n_a
+                - conv_b * 1000000 // n_b AS BIGINT) AS lift_ppm,
+           CAST((n_a + n_b)
+                * CAST(conv_a * (n_b - conv_b)
+                       - conv_b * (n_a - conv_a) AS HUGEINT)
+                * CAST(conv_a * (n_b - conv_b)
+                       - conv_b * (n_a - conv_a) AS HUGEINT)
+                * 1000000
+                // NULLIF(CAST(n_a AS HUGEINT) * n_b
+                          * (conv_a + conv_b)
+                          * NULLIF(n_a + n_b - conv_a - conv_b, 0), 0)
+                AS BIGINT) AS chi2_ppm,
+           (n_a + n_b)
+               * CAST(conv_a * (n_b - conv_b)
+                      - conv_b * (n_a - conv_a) AS HUGEINT)
+               * CAST(conv_a * (n_b - conv_b)
+                      - conv_b * (n_a - conv_a) AS HUGEINT)
+               * 1000000
+               > CAST(3841459 AS HUGEINT)
+                 * NULLIF(CAST(n_a AS HUGEINT) * n_b
+                          * (conv_a + conv_b)
+                          * NULLIF(n_a + n_b - conv_a - conv_b, 0), 0)
+               AS significant
+    FROM c
+    """,
+    doc="Two-arm conversion readout: users hash-split into arms "
+    "(frozen md5 — the q73 split discipline, so assignment is "
+    "reproducible and balanced), per-arm conversion counts, lift in "
+    "ppm, and the EXACT 2x2 chi-square statistic in integer ppm — "
+    "chi2 = N(ad-bc)^2 / (row and column margins), all "
+    "HUGEINT/DECIMAL products, no sqrt/float z-score — with the "
+    "significance flag evaluated by CROSS-MULTIPLICATION against "
+    "the 3.841459 critical value (alpha=0.05, df=1) so even the "
+    "comparison is division-free. One aggregation pass over the "
+    "per-user conversion table; at 100 TB the contingency cells are "
+    "four map-side-combinable counters. Headroom: the N*(ad-bc)^2 "
+    "interior stays inside DECIMAL(38,0)/HUGEINT to ~1e6 subjects "
+    "per readout; beyond that, divide all four cells by a common "
+    "factor first (the statistic is scale-covariant in that "
+    "regime).",
+)
+def q184_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn(
+        "arm",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2,
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    staged = c.withColumn(
+        "__adbc",
+        F.expr(
+            "CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b) "
+            "- CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a)"
+        ),
+    ).withColumn(
+        "__den",
+        F.expr(
+            "NULLIF(CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b) "
+            "* NULLIF(n_a + n_b - conv_a - conv_b, 0), 0)"
+        ),
+    ).withColumn(
+        "__num",
+        F.expr(
+            "CAST(n_a + n_b AS DECIMAL(38,0)) * __adbc * __adbc * 1000000"
+        ),
+    )
+    return staged.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.expr(
+            "CAST(conv_a * 1000000 div n_a "
+            "- conv_b * 1000000 div n_b AS BIGINT)"
+        ).alias("lift_ppm"),
+        F.expr("CAST(__num div __den AS BIGINT)").alias("chi2_ppm"),
+        F.expr(
+            "__num > CAST(3841459 AS DECIMAL(38,0)) * __den"
+        ).alias("significant"),
+    )

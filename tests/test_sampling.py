@@ -143,3 +143,37 @@ class TestExactQuotaStratified:
             ).count()
             == 20
         )
+
+
+# --- Poisson bootstrap weights ---------------------------------------------------
+
+def test_poisson_bootstrap_weight_distribution_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.sampling import (
+        poisson_bootstrap_weight,
+    )
+
+    df = spark.range(20000).select(F.col("id"))
+    w = df.select(
+        poisson_bootstrap_weight("t", F.col("id")).alias("w")
+    )
+    counts = {r["w"]: r["n"] for r in
+              w.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    n = 20000
+    # Poisson(1): P(0)=P(1)~.368, P(2)~.184 — allow generous slack
+    assert abs(counts.get(0, 0) / n - 0.368) < 0.02
+    assert abs(counts.get(1, 0) / n - 0.368) < 0.02
+    assert abs(counts.get(2, 0) / n - 0.184) < 0.02
+    assert set(counts) <= {0, 1, 2, 3, 4, 5}
+    # mean ~ 1 (weights preserve total mass in expectation)
+    total = sum(k * v for k, v in counts.items())
+    assert abs(total / n - 1.0) < 0.02
+    # frozen draw: same seed+key -> same weight across evaluations
+    a = w.collect()
+    b = df.select(poisson_bootstrap_weight("t", F.col("id")).alias("w")).collect()
+    assert a == b
+    # different seed -> different (but valid) draw
+    c = {r["w"] for r in df.select(
+        poisson_bootstrap_weight("u", F.col("id")).alias("w")).collect()}
+    assert c <= {0, 1, 2, 3, 4, 5}

@@ -5086,3 +5086,82 @@ def q184_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__num > CAST(3841459 AS DECIMAL(38,0)) * __den"
         ).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185: exact inter-event gap percentiles (the latency report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q185_gap_percentiles",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    gaps AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+    r AS (
+        SELECT event_type, gap,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gap) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM gaps
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN gap END)
+                AS BIGINT) AS p95_us,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN gap END)
+                AS BIGINT) AS p99_us
+    FROM r GROUP BY event_type
+    """,
+    doc="Exact inter-event gap percentiles per event type (p50/p95/"
+    "p99 in integer microseconds): gaps between a user's consecutive "
+    "events of the same type via one LAG window, then the "
+    "disc-percentile-by-rank selection of the q144 family — element "
+    "at rank ceil(p*n/100), an ACTUAL observed gap, never an "
+    "interpolated float — per type. The tail-latency/engagement-"
+    "cadence report every telemetry warehouse runs; p99 is where "
+    "SLO regressions live and where approximate sketches are least "
+    "trustworthy, hence the exact path. Shape: the LAG window keys "
+    "on (user, type) — fully parallel; the rank window partitions "
+    "by TYPE (few, large groups — the bounded-group caveat the "
+    "rank-statistics family documents and soaks at 2M rows).",
+)
+def q185_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    m = event_micros(ev, "ts")
+    gaps = (
+        ev.withColumn("__m", m)
+        .withColumn("gap", F.col("__m") - F.lag("__m").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap")
+    wn = Window.partitionBy("event_type")
+    r = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    def pick(p: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {p} + 99) div 100"),
+                F.col("gap"),
+            )
+        ).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        pick(50).alias("p50_us"),
+        pick(95).alias("p95_us"),
+        pick(99).alias("p99_us"),
+    )

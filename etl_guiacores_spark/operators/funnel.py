@@ -310,6 +310,13 @@ def position_attribution(
     """
     from etl_guiacores_spark.operators.temporal import event_micros
 
+    reserved = {"__m", "__next", "pos", "n_touches"} & set(events.columns)
+    if reserved:
+        raise ValueError(
+            f"position_attribution: input columns {sorted(reserved)} "
+            "collide with the operator's working/output names — rename "
+            "them first"
+        )
     is_touch = F.col(type_col).isin(list(touch_types))
     is_conv = F.col(type_col) == conversion_type
     w_fwd = (

@@ -62,6 +62,12 @@ def merge_intervals(
     types (intended: integer epoch micros) and ``n_merged`` the
     number of source intervals folded into the island.
     """
+    reserved = {"__s", "__e", "__new", "island"} & set(df.columns)
+    if reserved - {start_col, end_col}:
+        raise ValueError(
+            f"merge_intervals: input columns {sorted(reserved)} collide "
+            "with the operator's working names — rename them first"
+        )
     start, end = F.col(start_col), F.col(end_col)
     w_prev = (
         Window.partitionBy(*keys)

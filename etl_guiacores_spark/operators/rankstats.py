@@ -178,9 +178,15 @@ def quantile_normalize(
     """
     from etl_guiacores_spark.operators.ordering import dense_ids
 
-    if "__qn_key" in df.columns:
+    reserved = {
+        "__qn_key", "__grank", "__rs", "__ms", "__num", "__idx", "__n",
+        out_col,
+    } & set(df.columns)
+    if reserved:
         raise ValueError(
-            "quantile_normalize: input already has a '__qn_key' column"
+            f"quantile_normalize: input columns {sorted(reserved)} "
+            "collide with the operator's working/output names — rename "
+            "them first"
         )
     base = df.withColumn("__qn_key", order_key)
     ranked = dense_ids(

@@ -163,3 +163,14 @@ def test_out_of_window_touch_gets_nothing(spark):
     ]
     got = _credits(spark, rows)
     assert got == {}
+
+
+def test_position_attribution_reserved_column_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.operators.funnel import position_attribution
+
+    df = _ev(spark, [(1, 1, 0, "view")]).withColumn("pos", F.lit(1))
+    with pytest.raises(ValueError):
+        position_attribution(df, "purchase", ["view"], 1)

@@ -61,3 +61,13 @@ def test_duplicate_intervals_fold_into_island(spark):
     df = _iv(spark, [(1, 0, 10), (1, 0, 10), (1, 0, 10)])
     got = interval_coverage(df, ["k"], "s", "e").collect()[0]
     assert (got["n_intervals"], got["n_islands"], got["covered"]) == (3, 1, 10)
+
+
+def test_reserved_column_collision_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, 9)], "k long, s long, e long, island long"
+    )
+    with pytest.raises(ValueError):
+        merge_intervals(df, ["k"], "s", "e")

@@ -90,9 +90,9 @@ _FIRST = [
     "q115_boilerplate_extract",
     # ---- positions 51+ (outside this round's 50-row window): queries
     # added AFTER the window filled — locally oracle-verified now,
-    # they MUST lead the round-8 window (q146-q185 = 40 rows, then
-    # the oldest of the 46 round-5 rows fill the remaining 10; the
-    # last 36 round-5 rows ride to round 9, still inside the 2-round
+    # they MUST lead the round-8 window (q146-q186 = 41 rows, then
+    # the oldest of the 46 round-5 rows fill the remaining 9; the
+    # last 37 round-5 rows ride to round 9, still inside the 2-round
     # staleness limit counted from their round-7 local verification)
     "q146_spearman_trend",
     "q147_last_touch",
@@ -134,6 +134,7 @@ _FIRST = [
     "q183_bootstrap_ci",
     "q184_ab_readout",
     "q185_gap_percentiles",
+    "q186_daily_acquisition",
 ]
 
 

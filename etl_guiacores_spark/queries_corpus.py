@@ -5165,3 +5165,76 @@ def q185_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(95).alias("p95_us"),
         pick(99).alias("p99_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186: daily new-vs-returning users with cumulative reach
+# ---------------------------------------------------------------------------
+
+@register(
+    "q186_daily_acquisition",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    news AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY first_day
+    )
+    SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+           d.n_events, d.n_active,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(d.n_active - COALESCE(n.n_new, 0) AS BIGINT)
+               AS n_returning,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+    doc="Daily acquisition report: events, distinct active users, NEW "
+    "users (first-ever-seen that day), returning = active - new, and "
+    "cumulative reach as a running sum of news — the new-vs-returning "
+    "split every growth dashboard leads with, and the exact "
+    "complement of q141's cohort retention (which follows the new "
+    "users q186 counts). Engine shape: first-seen is one "
+    "map-side-combinable MIN per user; the daily rollup is one "
+    "groupBy; cumulative reach is a running sum over the BOUNDED "
+    "per-day relation (|days|, never |events|) — equal to "
+    "COUNT(DISTINCT user) over an expanding window but without "
+    "re-counting history each day, because first-seen linearizes the "
+    "distinct (each user contributes to exactly one day, so the "
+    "running sum of news IS the running distinct).",
+)
+def q186_daily_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_active"),
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = daily.join(news, "day", "left").withColumn(
+        "n_new", F.coalesce("n_new", F.lit(0)).cast("long")
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias(
+            "n_returning"
+        ),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )

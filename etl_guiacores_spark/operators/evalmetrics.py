@@ -39,6 +39,36 @@ from pyspark.sql import functions as F
 PPM = 1_000_000
 
 
+def _guard_columns(op: str, df: DataFrame, reserved: set[str]) -> None:
+    """Fail loud when an input column collides with an operator's
+    working/output names (the rankstats/intervals discipline: a silent
+    collision would overwrite user data or break the final select)."""
+    hit = reserved & set(df.columns)
+    if hit:
+        raise ValueError(
+            f"{op}: input columns {sorted(hit)} collide with the "
+            "operator's working/output names — rename them first"
+        )
+
+
+def _non_null(op: str, col: str, typ: str):
+    """Column expr that casts ``col`` to ``typ`` and raises in-plan on
+    NULL. AUC/KS are rank statistics over a labeled population — a NULL
+    label has no rank semantics, and silently pooling it (the old
+    ``count(*) - sum(label)`` arithmetic) biased the negative count.
+    Fail-loud beats silent bias: the caller filters or imputes first."""
+    return F.when(
+        F.col(col).isNotNull(), F.col(col).cast(typ)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL in {col!r} — filter or impute NULL labels "
+                "before computing the metric"
+            )
+        )
+    )
+
+
 def auc_roc(
     df: DataFrame,
     group_cols: list[str],
@@ -69,12 +99,25 @@ def auc_roc(
     ``score_col`` must be integer-typed (micro-scale floats first:
     the q124/q144 convention); ``label_col`` boolean.
 
+    ``label_col`` must be NULL-free — a NULL label has no rank
+    semantics, and the ``n_neg = count(*) - sum(label)`` arithmetic
+    would silently count it as a negative; the operator raises in-plan
+    instead (filter or impute first).
+
     Returns (group_cols..., n_pos, n_neg, auc_ppm).
     """
     g = list(group_cols)
+    _guard_columns(
+        "auc_roc",
+        df,
+        {"__cnt", "__pos", "__2rpos", "__cum", "n_pos", "n_neg", "auc_ppm"}
+        - {*g, score_col},
+    )
     by_score = df.groupBy(*g, score_col).agg(
         F.count("*").cast("long").alias("__cnt"),
-        F.sum(F.col(label_col).cast("long")).cast("long").alias("__pos"),
+        F.sum(_non_null("auc_roc", label_col, "long"))
+        .cast("long")
+        .alias("__pos"),
     )
     w = (
         Window.partitionBy(*g)
@@ -131,16 +174,22 @@ def ks_2samp(
 
     ``value_col`` must be integer-typed; ``in_b_col`` boolean.
 
+    ``in_b_col`` must be NULL-free — a row in neither sample is a
+    caller bug, raised in-plan rather than silently dropped into A.
+
     Returns (group_cols..., n_a, n_b, d_ppm).
     """
     g = list(group_cols)
+    _guard_columns(
+        "ks_2samp",
+        df,
+        {"__ca", "__cb", "__cuma", "__cumb", "__na", "__nb", "__dnum",
+         "n_a", "n_b", "d_ppm"} - {*g, value_col},
+    )
+    inb = _non_null("ks_2samp", in_b_col, "boolean")
     by_val = df.groupBy(*g, value_col).agg(
-        F.sum(F.when(~F.col(in_b_col), 1).otherwise(0))
-        .cast("long")
-        .alias("__ca"),
-        F.sum(F.when(F.col(in_b_col), 1).otherwise(0))
-        .cast("long")
-        .alias("__cb"),
+        F.sum(F.when(~inb, 1).otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when(inb, 1).otherwise(0)).cast("long").alias("__cb"),
     )
     w_cum = (
         Window.partitionBy(*g)
@@ -206,6 +255,12 @@ def confusion_metrics(
     recall_ppm, f1_ppm).
     """
     g = list(group_cols)
+    _guard_columns(
+        "confusion_metrics",
+        df,
+        {"__g", "__p", "__n", "__ng", "__np", "__tp", "class", "tp",
+         "fp", "fn", "precision_ppm", "recall_ppm", "f1_ppm"} - {*g},
+    )
     conf = df.groupBy(
         *g, F.col(gold_col).alias("__g"), F.col(pred_col).alias("__p")
     ).agg(F.count("*").cast("long").alias("__n"))
@@ -282,6 +337,12 @@ def transition_matrix(
 
     Returns (prev_state, next_state, n_trans, n_from, p_ppm).
     """
+    _guard_columns(
+        "transition_matrix",
+        df,
+        {"prev_state", "next_state", "n_trans", "n_from", "p_ppm"}
+        - {state_col},
+    )
     w = Window.partitionBy(*chain_cols).orderBy(*order_cols)
     pairs = (
         df.select(
@@ -338,6 +399,7 @@ def pareto_frontier(
 
     Returns the input rows (all columns) on the frontier.
     """
+    _guard_columns("pareto_frontier", df, {"__dom"})
     w_lt = (
         Window.partitionBy(*group_cols)
         .orderBy(cost_col)
@@ -400,6 +462,12 @@ def benford_profile(
     Returns (group_cols..., digit, n, obs_ppm, benford_ppm, dev_ppm).
     """
     g = list(group_cols)
+    _guard_columns(
+        "benford_profile",
+        df,
+        {"digit", "n", "__tot", "obs_ppm", "benford_ppm", "dev_ppm"}
+        - {*g},
+    )
     digit = F.substring(
         F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
     ).cast("int")
@@ -462,12 +530,18 @@ def decile_lift(
     cum_lift_ppm).
     """
     g = list(group_cols)
+    _guard_columns(
+        "decile_lift",
+        df,
+        {"__pos", "bucket", "n", "n_pos", "__cum_n", "__cum_pos",
+         "__tot_n", "__tot_pos", "rate_ppm", "cum_lift_ppm"} - {*g},
+    )
     w_tile = Window.partitionBy(*g).orderBy(
         F.col(score_col).desc(), F.col(tiebreak_col)
     )
     tiled = df.select(
         *g,
-        F.col(label_col).cast("long").alias("__pos"),
+        _non_null("decile_lift", label_col, "long").alias("__pos"),
         F.ntile(n_buckets).over(w_tile).alias("bucket"),
     )
     per_bucket = tiled.groupBy(*g, "bucket").agg(
@@ -538,6 +612,13 @@ def assoc_rules(
     Returns (antecedent, consequent, n_both, n_antecedent,
     n_consequent, support_ppm, confidence_ppm, lift_ppm).
     """
+    _guard_columns(
+        "assoc_rules",
+        df,
+        {"__b", "__i", "__nb", "__ni", "antecedent", "consequent",
+         "n_both", "n_antecedent", "n_consequent", "support_ppm",
+         "confidence_ppm", "lift_ppm"},
+    )
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -622,6 +703,9 @@ def top_paths(
 
     Returns (path, n_chains, path_rank).
     """
+    _guard_columns(
+        "top_paths", df, {"__s", "__rn", "path", "n_chains", "path_rank"}
+    )
     w = Window.partitionBy(*chain_cols).orderBy(*order_cols)
     prefix = (
         df.select(

@@ -171,12 +171,19 @@ def padding_waste_report(
         F.coalesce(F.sum(pow2), F.lit(0)),
         base,
     )
+    # Rank key as a STRUCT (length-gap, id) ordered lexicographically —
+    # not an arithmetic packed key: the old `(max_len - __l) * 10^12 +
+    # __id` assumed a numeric id below 10^12 (a string id cast to NULL
+    # decimal => nondeterministic ranking; an id >= 10^12 bled into the
+    # next length band). Struct ordering is exact for any orderable id
+    # type, and dense_ids range-partitions on the struct directly.
     ranked = dense_ids(
         base.withColumn(
             "__k",
-            (F.lit(max_len) - F.col("__l")).cast("decimal(38,0)")
-            * F.lit(10**12).cast("decimal(38,0)")
-            + F.col("__id").cast("decimal(38,0)"),
+            F.struct(
+                (F.lit(max_len) - F.col("__l")).cast("long").alias("g"),
+                F.col("__id").alias("i"),
+            ),
         ),
         "__k",
         id_name="__rank",

@@ -557,7 +557,13 @@ def time_weighted_avg(
     m = event_micros(events, time_col)
     with_m = events.withColumn("__m", m)
     nxt_m = F.lead("__m").over(wk)
-    bend_m = (F.col("__m") - F.col("__m") % dur) + dur
+    # bucket end must use FLOOR-division semantics: Spark's % keeps the
+    # dividend's sign, so `(__m - __m % dur) + dur` lands one bucket too
+    # high for pre-epoch (negative) micros and disagrees with the
+    # F.window-derived bucket_start. pmod gives the non-negative
+    # residue, making bstart = __m - pmod(__m, dur) the true floor
+    # bucket start for any sign.
+    bend_m = (F.col("__m") - F.pmod(F.col("__m"), F.lit(dur))) + dur
     hold_m = F.least(F.coalesce(nxt_m, bend_m), bend_m)
     stepped = with_m.select(
         *keys,

@@ -37,30 +37,76 @@ output: exactly-once results, no duplicated rows.
 State at 100 TB: the state table is one row per key (two BIGINTs) —
 it shuffles on the key like any keyed join; snapshots are parquet so
 a 1000-executor cluster reads them pruned. Old snapshots are pruned
-to the newest ``keep_snapshots``.
+to the newest ``keep_snapshots``. Snapshot listing/pruning goes
+through the Hadoop FileSystem API, so ``out_dir`` may be any Spark
+path (HDFS/S3/local alike). A replay DEEPER than the retained window
+(batch N redelivered after its input snapshot was pruned) is refused
+with an error instead of silently refolding from empty state —
+exactly-once only holds within the last ``keep_snapshots`` batches,
+which must cover the sink's maximum redelivery depth.
 """
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _latest_state_dir(root: Path, before_batch: int) -> Path | None:
-    if not root.exists():
-        return None
-    ids = sorted(
-        int(p.name.split("=", 1)[1])
-        for p in root.glob("batch=*")
-        if p.name.split("=", 1)[1].isdigit()
-        and int(p.name.split("=", 1)[1]) < before_batch
-        and (p / "_SUCCESS").exists()
-    )
-    return root / f"batch={ids[-1]}" if ids else None
+def _snapshot_ids(spark: SparkSession, root: str) -> list[int]:
+    """Sorted ids of FENCED (``_SUCCESS``-marked) ``batch=<id>``
+    snapshot dirs under ``root``, via the Hadoop FileSystem API — NOT
+    local pathlib/glob: ``out_dir`` is a Spark path, so on HDFS/S3 (the
+    cluster deployment) a driver-local listing would silently see
+    nothing and every batch would start from empty state."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    ids = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch=")):
+            continue
+        suffix = name.split("=", 1)[1]
+        if not suffix.isdigit():
+            continue
+        success = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(success):
+            ids.append(int(suffix))
+    return sorted(ids)
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _resolve_prev_snapshot(
+    spark: SparkSession, state_root: str, batch_id: int, op: str
+) -> str | None:
+    """Path of the state snapshot batch ``batch_id`` must read (the
+    latest fenced id strictly below it), or None for genuinely-fresh
+    state. Replay fence: if snapshots at or past this batch exist
+    (=> the batch already ran) but no earlier snapshot survives, its
+    input state was pruned — a recompute would silently refold from
+    empty, so refuse. Exactly-once only holds within the last
+    ``keep_snapshots`` batches; size that to the sink's maximum
+    redelivery depth."""
+    ids = _snapshot_ids(spark, state_root)
+    before = [i for i in ids if i < batch_id]
+    if not before and batch_id > 0 and any(i >= batch_id for i in ids):
+        raise RuntimeError(
+            f"{op}: replay of batch {batch_id} is deeper than the "
+            f"retained state window (fenced snapshots: {ids}) — its "
+            f"input snapshot was pruned. Raise keep_snapshots or "
+            f"restart from a fresh out_dir."
+        )
+    return f"{state_root}/batch={before[-1]}" if before else None
 
 
 def cusum_drift_stream(
@@ -93,8 +139,10 @@ def cusum_drift_stream(
         from pyspark.sql import types as T
 
         spark = batch_df.sparkSession
-        state_root = Path(out_dir) / "state"
-        prev = _latest_state_dir(state_root, batch_id)
+        state_root = f"{out_dir}/state"
+        prev = _resolve_prev_snapshot(
+            spark, state_root, batch_id, "cusum_drift_stream"
+        )
         state_schema = T.StructType(
             [batch_df.schema[k] for k in keys]
             + [
@@ -104,7 +152,7 @@ def cusum_drift_stream(
             ]
         )
         if prev is not None:
-            state = spark.read.schema(state_schema).parquet(str(prev))
+            state = spark.read.schema(state_schema).parquet(prev)
         else:
             state = spark.createDataFrame([], state_schema)
 
@@ -164,16 +212,11 @@ def cusum_drift_stream(
         )
         carried = state.join(new_state.select(*keys), keys, "left_anti")
         snap = carried.unionByName(new_state)
-        snap_path = state_root / f"batch={batch_id}"
-        snap.write.mode("overwrite").parquet(str(snap_path))
+        snap.write.mode("overwrite").parquet(f"{state_root}/batch={batch_id}")
         # prune old fenced snapshots, never the one just written
-        done = sorted(
-            int(p.name.split("=", 1)[1])
-            for p in state_root.glob("batch=*")
-            if (p / "_SUCCESS").exists()
-        )
+        done = _snapshot_ids(spark, state_root)
         for old in done[:-keep_snapshots]:
-            shutil.rmtree(state_root / f"batch={old}", ignore_errors=True)
+            _delete_dir(spark, f"{state_root}/batch={old}")
 
     writer = events.writeStream.foreachBatch(process_batch)
     if checkpoint_dir is not None:

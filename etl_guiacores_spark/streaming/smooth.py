@@ -24,14 +24,16 @@ per key, shuffled like any keyed join; snapshots parquet-pruned.
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_guiacores_spark.streaming.drift import _latest_state_dir
+from etl_guiacores_spark.streaming.drift import (
+    _delete_dir,
+    _resolve_prev_snapshot,
+    _snapshot_ids,
+)
 
 
 def holt_smooth_stream(
@@ -72,8 +74,10 @@ def holt_smooth_stream(
         from pyspark.sql import types as T
 
         spark = batch_df.sparkSession
-        state_root = Path(out_dir) / "state"
-        prev = _latest_state_dir(state_root, batch_id)
+        state_root = f"{out_dir}/state"
+        prev = _resolve_prev_snapshot(
+            spark, state_root, batch_id, "holt_smooth_stream"
+        )
         state_schema = T.StructType(
             [batch_df.schema[k] for k in keys]
             + [
@@ -83,7 +87,7 @@ def holt_smooth_stream(
             ]
         )
         if prev is not None:
-            state = spark.read.schema(state_schema).parquet(str(prev))
+            state = spark.read.schema(state_schema).parquet(prev)
         else:
             state = spark.createDataFrame([], state_schema)
 
@@ -150,15 +154,10 @@ def holt_smooth_stream(
         )
         carried = state.join(new_state.select(*keys), keys, "left_anti")
         snap = carried.unionByName(new_state)
-        snap_path = state_root / f"batch={batch_id}"
-        snap.write.mode("overwrite").parquet(str(snap_path))
-        done = sorted(
-            int(p.name.split("=", 1)[1])
-            for p in state_root.glob("batch=*")
-            if (p / "_SUCCESS").exists()
-        )
+        snap.write.mode("overwrite").parquet(f"{state_root}/batch={batch_id}")
+        done = _snapshot_ids(spark, state_root)
         for old in done[:-keep_snapshots]:
-            shutil.rmtree(state_root / f"batch={old}", ignore_errors=True)
+            _delete_dir(spark, f"{state_root}/batch={old}")
 
     writer = events.writeStream.foreachBatch(process_batch)
     if checkpoint_dir is not None:

@@ -84,6 +84,36 @@ class TestTwap:
         assert got["b"]["span_micros"] == 45 * 60 * 1_000_000
         assert got["b"]["twap_micro"] == 7_000_000
 
+    def test_pre_epoch_bucket_clamp(self, spark):
+        # Pre-epoch (negative-micros) timestamps: Spark's % keeps the
+        # dividend's sign, so the old `(__m - __m % dur) + dur` bucket
+        # end overshot by one bucket for 1969 data and __dt exceeded
+        # the bucket boundary. pmod-based floor bucketing must agree
+        # with the F.window-derived bucket_start.
+        rows = [
+            # 1969-12-31 23:15 — single event holds to the hour end
+            (1, datetime(1969, 12, 31, 23, 15), 1, "a", 7.0),
+            # 1969-12-31 22:30 and 22:45 in one bucket
+            (2, datetime(1969, 12, 31, 22, 30), 1, "b", 10.0),
+            (3, datetime(1969, 12, 31, 22, 45), 1, "b", 30.0),
+        ]
+        ev = spark.createDataFrame(rows, SCHEMA).select(
+            "event_type", "event_id", "ts",
+            F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_micro"),
+        )
+        got = {
+            r["event_type"]: r.asDict()
+            for r in time_weighted_avg(ev, ["event_type"]).collect()
+        }
+        # key a: holds 23:15 -> 24:00 = 45 min, never past the epoch
+        assert got["a"]["span_micros"] == 45 * 60 * 1_000_000
+        assert got["a"]["twap_micro"] == 7_000_000
+        assert got["a"]["bucket_start"] == datetime(1969, 12, 31, 23, 0)
+        # key b: v=10 holds 15 min, v=30 holds 15 min -> twap 20
+        assert got["b"]["span_micros"] == 30 * 60 * 1_000_000
+        assert got["b"]["twap_micro"] == 20_000_000
+        assert got["b"]["bucket_start"] == datetime(1969, 12, 31, 22, 0)
+
     def test_unsupported_bucket_raises(self, spark):
         import pytest
 

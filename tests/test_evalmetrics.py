@@ -54,6 +54,40 @@ class TestAuc:
         assert got["rev"] == (3, 3, 0)
         assert got["one"] == (4, 0, None)
 
+    def test_null_label_raises_in_plan(self, spark):
+        # NULL labels have no rank semantics; the old arithmetic
+        # silently counted them as negatives. Must fail loud.
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        df = spark.createDataFrame(
+            [("g", 1, True), ("g", 2, None)],
+            "g string, score long, lab boolean",
+        )
+        with pytest.raises((Py4JJavaError, Exception), match="NULL"):
+            auc_roc(df, ["g"], "score", "lab").collect()
+        with pytest.raises((Py4JJavaError, Exception), match="NULL"):
+            ks_2samp(df, ["g"], "score", "lab").collect()
+
+    def test_reserved_column_collision_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [("g", 1, True, 0)], "g string, score long, lab boolean, __cum int"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            auc_roc(df, ["g"], "score", "lab")
+        df2 = spark.createDataFrame(
+            [("g", 1, True, 0)], "g string, score long, lab boolean, __dnum int"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            ks_2samp(df2, ["g"], "score", "lab")
+        df3 = spark.createDataFrame(
+            [("g", "a", "a", 0)], "g string, gold string, pred string, __tp int"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            confusion_metrics(df3, ["g"], "gold", "pred")
+
     def test_all_tied_is_half(self, spark):
         rows = [("g", 7, i % 2 == 0) for i in range(10)]
         df = spark.createDataFrame(rows, "g string, score long, lab boolean")

@@ -85,3 +85,35 @@ def test_padding_waste_strategies_ordered_and_exact(spark):
         padding_waste_report(df, "n", "doc_id", max_len=100)
     with pytest.raises(ValueError):
         padding_waste_report(df, "n", "doc_id", batch_size=0)
+
+
+def test_padding_waste_string_and_huge_ids(spark):
+    # Regression for the arithmetic rank key `(max_len - l)*10^12 + id`:
+    # a STRING id cast to NULL decimal (nondeterministic ranking) and an
+    # id >= 10^12 bled into the next length band. The struct key must
+    # give the same sorted-batch result for string, huge-numeric, and
+    # small-numeric ids over the same lengths.
+    from etl_guiacores_spark.operators.packing import padding_waste_report
+
+    lens = [10, 20, 100, 200, 500, 512, 600]
+    expect_sorted = 1024 + 1000 + 200 + 10
+
+    small = spark.createDataFrame(
+        list(enumerate(lens)), "doc_id long, n long"
+    )
+    huge = spark.createDataFrame(
+        [(10**13 + i, l) for i, l in enumerate(lens)], "doc_id long, n long"
+    )
+    strs = spark.createDataFrame(
+        [(f"doc-{i}", l) for i, l in enumerate(lens)],
+        "doc_id string, n long",
+    )
+    for df in (small, huge, strs):
+        got = {
+            r["strategy"]: r
+            for r in padding_waste_report(
+                df, "n", "doc_id", max_len=512, batch_size=2
+            ).collect()
+        }
+        assert got["sorted_batch"]["padded_tokens"] == expect_sorted
+        assert got["sorted_batch"]["n_seqs"] == 7

@@ -295,6 +295,57 @@ class TestTelemetryTwins:
             q.stop()
 
 
+class TestSnapshotFencing:
+    """The shared snapshot-resolution contract of the CUSUM/Holt
+    stream twins: Hadoop-FS listing (works on any Spark path scheme)
+    and the replay fence (a redelivery deeper than the retained
+    window must refuse, not silently refold from empty state)."""
+
+    def _mk_snap(self, tmp_path, bid, fenced=True):
+        d = tmp_path / "state" / f"batch={bid}"
+        d.mkdir(parents=True)
+        if fenced:
+            (d / "_SUCCESS").touch()
+
+    def test_listing_ignores_unfenced_and_noise(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming.drift import _snapshot_ids
+
+        root = str(tmp_path / "state")
+        assert _snapshot_ids(spark, root) == []  # missing dir
+        self._mk_snap(tmp_path, 0)
+        self._mk_snap(tmp_path, 2)
+        self._mk_snap(tmp_path, 1, fenced=False)  # crashed write
+        (tmp_path / "state" / "batch=junk").mkdir()
+        assert _snapshot_ids(spark, root) == [0, 2]
+
+    def test_replay_fence(self, spark, tmp_path):
+        import pytest
+
+        from etl_guiacores_spark.streaming.drift import (
+            _resolve_prev_snapshot,
+        )
+
+        root = str(tmp_path / "state")
+        # fresh state: nothing on disk
+        assert _resolve_prev_snapshot(spark, root, 0, "op") is None
+        assert _resolve_prev_snapshot(spark, root, 3, "op") is None
+        self._mk_snap(tmp_path, 4)
+        self._mk_snap(tmp_path, 5)
+        # normal forward progress / shallow replay: read latest < N
+        assert _resolve_prev_snapshot(spark, root, 6, "op").endswith(
+            "batch=5")
+        assert _resolve_prev_snapshot(spark, root, 5, "op").endswith(
+            "batch=4")
+        # replay deeper than the retained window: batch 3 already ran
+        # (snapshots 4,5 exist) but its input snapshot is pruned
+        with pytest.raises(RuntimeError, match="deeper than the retained"):
+            _resolve_prev_snapshot(spark, root, 3, "op")
+        # batch 0 with no earlier history is genuinely fresh only when
+        # nothing at-or-past it exists; with snapshots present it is
+        # ambiguous-but-safe: id 0 can never have had a prior snapshot
+        assert _resolve_prev_snapshot(spark, root, 0, "op") is None
+
+
 class TestHoltStream:
     def test_holt_stream_equals_batch_twin(self, spark, tmp_path):
         from etl_guiacores_spark.operators.rollup_time import holt_smooth

@@ -167,7 +167,14 @@ def cmd_corpus(spark, args) -> dict:
 
     from etl_guiacores_spark.plans.corpus_pipeline import CorpusConfig, run_corpus_pipeline
 
-    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    raw = spark.read.parquet(args.input)
+    # keep the mixture strata columns through the run when present
+    # (the quota stage needs them; doc_id+text suffice otherwise)
+    keep = ["doc_id", "text"] + [
+        c for c in (args.mixture_strata or "source").split(",")
+        if c in raw.columns and c not in ("doc_id", "text")
+    ]
+    docs = raw.select(*keep)
     docs = docs.filter(F.length(F.trim("text")) > 0)
     cfg = CorpusConfig(
         min_quality=args.min_quality,
@@ -180,6 +187,16 @@ def cmd_corpus(spark, args) -> dict:
         span_n=args.span_n,
         decontam_spans=args.decontam_spans,
         decontam_span_n=args.decontam_span_n,
+        gopher_gate=args.gopher_gate,
+        gopher_min_tokens=args.gopher_min_tokens,
+        gopher_max_tokens=args.gopher_max_tokens,
+        mixture_total=args.mixture_total,
+        mixture_strata=tuple(
+            (args.mixture_strata or "source").split(",")
+        ),
+        write_shards=args.write_shards,
+        budget_tokens=args.budget_tokens,
+        sequences_per_shard=args.sequences_per_shard,
     )
     return run_corpus_pipeline(
         docs, args.out, cfg, progress_callback=_progress_cb(args)
@@ -406,6 +423,29 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--decontam-span-n", type=int, default=8,
                    help="quoted-span n-gram width (with "
                    "--decontam-spans)")
+    k.add_argument("--gopher-gate", action="store_true",
+                   help="apply the Gopher document quality rules as a "
+                   "second gate AFTER span rewriting (gating must see "
+                   "final text)")
+    k.add_argument("--gopher-min-tokens", type=int, default=20)
+    k.add_argument("--gopher-max-tokens", type=int, default=80)
+    k.add_argument("--mixture-total", type=int, default=None,
+                   help="downsample survivors to EXACTLY this many "
+                   "docs, source shares preserved (largest-remainder "
+                   "apportionment over --mixture-strata)")
+    k.add_argument("--mixture-strata", default="source",
+                   help="comma-separated strata columns for "
+                   "--mixture-total (default: source)")
+    k.add_argument("--write-shards", action="store_true",
+                   help="last mile: pack final survivors into "
+                   "fixed-budget sequences and land size-bounded "
+                   "shards + an atomically-committed manifest under "
+                   "OUT/shards, with chunk-count and token "
+                   "conservation asserted against the chunks stage")
+    k.add_argument("--budget-tokens", type=int, default=512,
+                   help="packed sequence token budget (with "
+                   "--write-shards)")
+    k.add_argument("--sequences-per-shard", type=int, default=10_000)
 
     r = sub.add_parser("resolve")
     r.add_argument("--input", required=True, help="records parquet path")

@@ -1,8 +1,16 @@
 """Training-data corpus pipeline: the north-star operators composed.
 
-documents -> quality/language filter -> exact dedup -> near-dup
-removal (MinHash-LSH candidates, exact-Jaccard verify, greedy
-keep-lowest-id) -> chunking -> vocabulary, with per-stage metrics.
+documents -> quality/language filter -> exact dedup -> [doc + span
+decontamination] -> near-dup removal (MinHash-LSH candidates,
+exact-Jaccard verify, greedy keep-lowest-id or exact CC) -> [repeated
+-span strip] -> [Gopher quality gate] -> [exact mixture quota] ->
+chunking -> vocabulary -> [packed training shards + atomic manifest],
+with per-stage metrics and cross-stage conservation asserts (token
+totals, monotone filters, exact quota counts) — the full "golden
+corpus run" a pretraining-data job executes as ONE invocation
+(reference analog: the staged E->T->L chain at
+/root/reference/src/extractors/run_extraction.py:49-152 ->
+run_transformation.py -> run_loading.py, generalized to curation).
 
 Every stage is one of the engine's tested operators; the pipeline is
 the composition a 100 TB pretraining-data job runs. Stage boundaries
@@ -91,6 +99,34 @@ class CorpusConfig:
     #: assert as the strip_spans stage.
     decontam_spans: bool = False
     decontam_span_n: int = 8
+    #: when True, after span stripping the pipeline ALSO applies the
+    #: Gopher-style document quality rules (textstats.gopher_quality —
+    #: token band, mean-token-length band, alpha fraction, stopword
+    #: presence) as a second gate. Runs at scan speed (pure codegen
+    #: arithmetic) but is placed here rather than first because the
+    #: span-strip stages REWRITE text — gating must see final text.
+    gopher_gate: bool = False
+    gopher_min_tokens: int = 20
+    gopher_max_tokens: int = 80
+    #: when set, survivors are downsampled to EXACTLY this many
+    #: documents with source shares preserved (largest-remainder
+    #: apportionment over ``mixture_strata`` —
+    #: sampling.exact_quota_stratified). None = keep all.
+    mixture_total: int | None = None
+    mixture_strata: tuple[str, ...] = ("source",)
+    #: when True, the run's last mile packs the final survivor set
+    #: into fixed-budget training sequences and lands them as
+    #: size-bounded shards with an atomically-committed manifest
+    #: (plans/shard_writer.write_training_shards) under
+    #: ``{out_dir}/shards``. Chunk/overlap parameters are shared with
+    #: the chunking stage, so the pipeline asserts chunk-count and
+    #: token conservation between its own ``chunks`` artifact and the
+    #: shard manifest — the composition invariant that proves the
+    #: stages agree on what a token is.
+    write_shards: bool = False
+    budget_tokens: int = 512
+    sequences_per_shard: int = 10_000
+    shard_bins: int = 32
 
 
 def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
@@ -641,13 +677,120 @@ def run_corpus_pipeline(
         }
         emit("span_strip", {"records": n_span})
 
+    n_before_gopher = n_clean if span_totals is None else span_totals["span_docs"]
+    n_gopher = None
+    if config.gopher_gate:
+        from etl_guiacores_spark.operators.textstats import gopher_quality
+
+        passing = (
+            gopher_quality(
+                survivors,
+                min_tokens=config.gopher_min_tokens,
+                max_tokens=config.gopher_max_tokens,
+            )
+            .filter(F.col("passes") == 1)
+            .select("doc_id")
+        )
+        survivors, n_gopher = _land(
+            survivors.join(passing, "doc_id", "left_semi"), "gopher_gated"
+        )
+        if n_gopher > n_before_gopher:
+            raise RuntimeError(
+                "gopher gate produced MORE docs than it was given "
+                f"({n_gopher} > {n_before_gopher}) — a filter stage "
+                "must be monotone"
+            )
+        emit("gopher_gate", {"records": n_gopher})
+
+    n_sampled = None
+    if config.mixture_total is not None:
+        from etl_guiacores_spark.operators.sampling import (
+            exact_quota_stratified,
+        )
+
+        missing = [c for c in config.mixture_strata
+                   if c not in survivors.columns]
+        if missing:
+            raise ValueError(
+                f"mixture_total set but strata column(s) {missing} are "
+                f"not in the document schema {survivors.columns} — "
+                "carry them through ingest (the CLI keeps 'source' "
+                "when present)"
+            )
+        survivors, n_sampled = _land(
+            exact_quota_stratified(
+                survivors,
+                list(config.mixture_strata),
+                config.mixture_total,
+                key_col="doc_id",
+            ),
+            "sampled",
+        )
+        n_avail = n_gopher if n_gopher is not None else n_before_gopher
+        want = min(config.mixture_total, n_avail)
+        if n_sampled != want:
+            raise RuntimeError(
+                "mixture quota did not land the exact budget: got "
+                f"{n_sampled}, expected {want} (= min(total="
+                f"{config.mixture_total}, available={n_avail}))"
+            )
+        emit("mixture", {"records": n_sampled})
+
     chunks, n_chunks = _land(
         chunk_documents(
             survivors, chunk_tokens=config.chunk_tokens, overlap=config.chunk_overlap
         ),
         "chunks",
     )
+    emit("chunks", {"records": n_chunks})
     vocab, n_vocab = _land(build_vocab(survivors, top_k=config.vocab_top_k), "vocab")
+    emit("vocab", {"records": n_vocab})
+
+    shard_stats = None
+    if config.write_shards:
+        from etl_guiacores_spark.plans.shard_writer import (
+            write_training_shards,
+        )
+
+        shard_stats = write_training_shards(
+            survivors.select("doc_id", "text"),
+            f"{out_dir}/shards",
+            budget_tokens=config.budget_tokens,
+            chunk_tokens=config.chunk_tokens,
+            overlap=config.chunk_overlap,
+            num_bins=config.shard_bins,
+            sequences_per_shard=config.sequences_per_shard,
+        )
+        # Composition invariants, asserted on the STORED artifacts:
+        # the shard writer re-chunks with the same parameters, so its
+        # chunk count must equal the pipeline's landed chunks table,
+        # and the manifest's token total must equal the chunk tables'
+        # token sum — packing may only rearrange tokens, never create
+        # or drop them. A disagreement means two stages disagree on
+        # tokenization, the bug class that silently truncates
+        # training data.
+        chunk_tok = (
+            chunks.agg(F.sum("n_chunk_tokens").cast("long").alias("t"))
+            .first()["t"]
+        ) or 0
+        if shard_stats["n_chunks"] != n_chunks:
+            raise RuntimeError(
+                "shard-writer chunk count disagrees with the chunks "
+                f"stage: {shard_stats['n_chunks']} != {n_chunks}"
+            )
+        if shard_stats["total_tokens"] != chunk_tok:
+            raise RuntimeError(
+                "token conservation violated between chunks and shard "
+                f"manifest: manifest={shard_stats['total_tokens']} "
+                f"chunks={chunk_tok}"
+            )
+        emit(
+            "shards",
+            {
+                "records": shard_stats["n_sequences"],
+                "n_shards": shard_stats["n_shards"],
+            },
+        )
 
     metrics = {
         "raw_docs": n_raw,
@@ -662,8 +805,12 @@ def run_corpus_pipeline(
         metrics["after_decontamination"] = n_decontam
     if span_totals is not None:
         metrics.update(span_totals)
-    emit("chunks", {"records": n_chunks})
-    emit("vocab", {"records": n_vocab})
+    if n_gopher is not None:
+        metrics["after_gopher_gate"] = n_gopher
+    if n_sampled is not None:
+        metrics["after_mixture_quota"] = n_sampled
+    if shard_stats is not None:
+        metrics["shards"] = shard_stats
     gio.write_stats_json(metrics, f"{out_dir}/metrics.json")
     emit("done", {"records": n_clean})
     return metrics

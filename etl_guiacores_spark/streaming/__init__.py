@@ -1,3 +1,7 @@
+from etl_guiacores_spark.streaming.acquisition import (
+    daily_acquisition_stream,
+    read_daily_acquisition,
+)
 from etl_guiacores_spark.streaming.discovery import discover_until_idle
 from etl_guiacores_spark.streaming.drift import cusum_drift_stream
 from etl_guiacores_spark.streaming.smooth import holt_smooth_stream
@@ -11,7 +15,9 @@ from etl_guiacores_spark.streaming.windows import (
 
 __all__ = [
     "cusum_drift_stream",
+    "daily_acquisition_stream",
     "discover_until_idle",
+    "read_daily_acquisition",
     "holt_smooth_stream",
     "ohlc_bars",
     "session_agg",

@@ -1,0 +1,246 @@
+"""Streaming daily acquisition — the stream twin of q186's
+new-vs-returning report, completing the telemetry streaming family
+(OHLC / CUSUM / Holt twins landed round 7).
+
+The batch form linearizes the expanding COUNT DISTINCT: first-seen is
+one MIN per user, so the running distinct is a running sum of per-day
+"new" counts. The stream version carries exactly that linearization's
+state between micro-batches:
+
+- ``first``-seen table: one row per user ever seen (user_id,
+  first_day). Under the delivery contract below a user's first
+  occurrence arrives before any later one, so a landed first_day is
+  immutable — no retroactive rewrites.
+- the OPEN day (the max day seen so far): its event counter and its
+  distinct-user set. Only the open day can still receive rows, so
+  closed days carry NO per-user state — at 100 TB the carried state
+  is |users| + |one day's actives| rows, keyed-shuffled like any
+  join, never event history.
+
+Each micro-batch emits the report rows (day, n_events, n_active,
+n_new, n_returning, cum_users) for every day it touches, with UPSERT
+semantics: a later batch that extends the then-open day re-emits that
+day's row, and the read-side merge (``read_daily_acquisition``)
+takes each day's row from the latest batch. The concatenated result
+equals running the batch q186 logic over the full history —
+equivalence-tested in tests/test_streaming.py.
+
+Delivery contract (the day-granular version of the CUSUM twin's
+per-key order): batches must arrive in event-DAY order — a batch
+containing any day EARLIER than the current open day would need
+closed-day rewrite and raises instead. Rows within a batch and
+within the open day across batches may arrive in any order.
+
+Crash/replay semantics are the drift.py protocol verbatim: outputs
+and state snapshots land in ``batch=<id>`` dirs with ``_SUCCESS``
+fencing, batch N reads the latest fenced snapshot with id < N
+(Hadoop-FS listing, replay fence on pruned-state redelivery), so a
+foreachBatch redelivery recomputes from its original inputs and
+overwrites its own output: exactly-once upserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.streaming.drift import (
+    _delete_dir,
+    _resolve_prev_snapshot,
+    _snapshot_ids,
+)
+
+#: union-schema state table: one fenced parquet per snapshot.
+#: kind='first' -> (user_id, first_day); kind='open' -> (day,
+#: n_events) single row; kind='openuser' -> (user_id) per open-day
+#: active user.
+_STATE_SCHEMA = (
+    "kind string, user_id long, first_day date, day date, n_events long"
+)
+
+
+def daily_acquisition_stream(
+    events: DataFrame,
+    out_dir: str,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    checkpoint_dir: str | None = None,
+    keep_snapshots: int = 3,
+):
+    """Start the streaming acquisition report over ``events`` (a
+    streaming DataFrame). Per-batch report rows land in
+    ``out_dir/out/batch=<id>`` (plus a ``batch_id`` column for the
+    read-side upsert merge); state snapshots in
+    ``out_dir/state/batch=<id>``. Returns the StreamingQuery."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state_root = f"{out_dir}/state"
+        prev = _resolve_prev_snapshot(
+            spark, state_root, batch_id, "daily_acquisition_stream"
+        )
+        if prev is not None:
+            state = spark.read.schema(_STATE_SCHEMA).parquet(prev)
+        else:
+            state = spark.createDataFrame([], _STATE_SCHEMA)
+        firsts0 = state.filter(F.col("kind") == "first").select(
+            "user_id", "first_day"
+        )
+        open0 = state.filter(F.col("kind") == "open").select(
+            "day", "n_events"
+        )
+        openusers0 = state.filter(F.col("kind") == "openuser").select(
+            "user_id"
+        )
+
+        rows = batch_df.select(
+            F.col(user_col).alias("user_id"),
+            F.to_date(time_col).alias("day"),
+        )
+        open_row = open0.first()
+        open_day = open_row["day"] if open_row else None
+        if open_day is not None:
+            n_early = rows.filter(F.col("day") < F.lit(open_day)).count()
+            if n_early:
+                raise RuntimeError(
+                    f"daily_acquisition_stream: batch {batch_id} carries "
+                    f"{n_early} row(s) on days before the open day "
+                    f"{open_day} — closed days are immutable; batches "
+                    f"must arrive in event-day order"
+                )
+
+        # first-seen: landed rows are immutable (day-order contract);
+        # only genuinely-new users append, at their batch-min day
+        new_firsts = (
+            rows.groupBy("user_id")
+            .agg(F.min("day").alias("first_day"))
+            .join(firsts0.select("user_id"), "user_id", "left_anti")
+        )
+        firsts = firsts0.unionByName(new_firsts)
+
+        # per-day batch facts, folding in the carried open-day state
+        day_events = rows.groupBy("day").agg(
+            F.count("*").cast("long").alias("n_events")
+        )
+        if open_day is not None:
+            carried = open0.select(
+                "day", F.col("n_events").cast("long").alias("n_events")
+            )
+            day_events = (
+                day_events.unionByName(carried)
+                .groupBy("day")
+                .agg(F.sum("n_events").cast("long").alias("n_events"))
+            )
+        day_users = rows.select("day", "user_id").distinct()
+        if open_day is not None:
+            day_users = day_users.unionByName(
+                openusers0.select(
+                    F.lit(open_day).alias("day"), "user_id"
+                )
+            ).distinct()
+        # restrict to days this batch touches (the carried open day is
+        # re-emitted only if extended; otherwise its row already
+        # landed in a previous batch and is final)
+        touched = rows.select("day").distinct()
+        day_active = (
+            day_users.join(touched, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_active"))
+        )
+
+        # exact n_new / cum_users from the full first-seen relation:
+        # per-day new counts are bounded (|days|), and the running sum
+        # over them IS the expanding count distinct
+        news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+            F.count("*").cast("long").alias("n_new")
+        )
+        w = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        news_cum = news.withColumn(
+            "cum_users", F.sum("n_new").over(w).cast("long")
+        )
+        report = (
+            day_events.join(touched, "day", "left_semi")
+            .join(day_active, "day")
+            .join(news_cum, "day", "left")
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "n_events",
+                "n_active",
+                F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+                (
+                    F.col("n_active") - F.coalesce("n_new", F.lit(0))
+                ).cast("long").alias("n_returning"),
+                "cum_users",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        report.write.mode("overwrite").parquet(
+            f"{out_dir}/out/batch={batch_id}"
+        )
+
+        # new state: firsts + the NEW open day (global max) and its
+        # distinct actives
+        new_open_day = rows.agg(F.max("day")).first()[0]
+        if open_day is not None and open_day > new_open_day:
+            new_open_day = open_day  # defensive; contract rules this out
+        snap = (
+            firsts.select(
+                F.lit("first").alias("kind"),
+                "user_id",
+                "first_day",
+                F.lit(None).cast("date").alias("day"),
+                F.lit(None).cast("long").alias("n_events"),
+            )
+            .unionByName(
+                day_events.filter(
+                    F.col("day") == F.lit(new_open_day)
+                ).select(
+                    F.lit("open").alias("kind"),
+                    F.lit(None).cast("long").alias("user_id"),
+                    F.lit(None).cast("date").alias("first_day"),
+                    "day",
+                    "n_events",
+                )
+            )
+            .unionByName(
+                day_users.filter(
+                    F.col("day") == F.lit(new_open_day)
+                ).select(
+                    F.lit("openuser").alias("kind"),
+                    "user_id",
+                    F.lit(None).cast("date").alias("first_day"),
+                    F.lit(None).cast("date").alias("day"),
+                    F.lit(None).cast("long").alias("n_events"),
+                )
+            )
+        )
+        snap.write.mode("overwrite").parquet(
+            f"{state_root}/batch={batch_id}"
+        )
+        done = _snapshot_ids(spark, state_root)
+        for old in done[:-keep_snapshots]:
+            _delete_dir(spark, f"{state_root}/batch={old}")
+
+    writer = events.writeStream.foreachBatch(process_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_daily_acquisition(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge the per-batch upsert outputs into the current report: for
+    each day, the row from the LATEST batch that emitted it (a bounded
+    |days|-row window, never event volume)."""
+    rows = spark.read.parquet(f"{out_dir}/out")
+    w = Window.partitionBy("day").orderBy(F.col("batch_id").desc())
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        # 'batch' is the partition-discovery column from batch=<id>
+        # dirs; batch_id is the explicit copy the merge ordered by
+        .drop("__rn", "batch_id", "batch")
+    )

@@ -105,6 +105,31 @@ def test_corpus_mode(spark, tmp_path):
     assert clean.count() == res["after_near_dup"]
 
 
+def test_corpus_mode_golden_run_flags(spark, tmp_path):
+    """The CLI drives the whole golden chain: gopher gate, exact
+    mixture quota over source, and the packed-shard last mile with
+    its manifest, all from flags."""
+    res = main(
+        ["--out", str(tmp_path / "g"), "corpus",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--jaccard", "0.6", "--min-quality", "0.0",
+         "--gopher-gate", "--gopher-min-tokens", "10",
+         "--gopher-max-tokens", "120",
+         "--mixture-total", "40",
+         "--write-shards", "--budget-tokens", "64",
+         "--chunk-tokens", "16",
+         "--sequences-per-shard", "50"],
+        spark=spark,
+    )
+    assert res["after_mixture_quota"] == min(40, res["after_gopher_gate"])
+    assert res["shards"]["n_sequences"] > 0
+    manifest = spark.read.parquet(str(tmp_path / "g" / "shards" / "manifest"))
+    assert manifest.count() == res["shards"]["n_shards"]
+    sampled = spark.read.parquet(str(tmp_path / "g" / "sampled"))
+    assert sampled.count() == res["after_mixture_quota"]
+    assert "source" in sampled.columns  # strata carried through the CLI
+
+
 def test_manual_file_mode_parses_and_keys_local_html(spark, tmp_path):
     """manual --file: ids come from the FILENAME (no 'id=' in a file
     path), so local-HTML rows must flow to silver instead of being

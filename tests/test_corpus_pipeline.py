@@ -341,6 +341,119 @@ def test_pipeline_all_optional_stages_together(spark, tmp_path):
     assert res["after_near_dup"] == 2
 
 
+def test_golden_corpus_run_composes_all_stages(spark, tmp_path):
+    """The full golden run in ONE invocation: ingest -> filter ->
+    exact dedup -> doc + span decontam -> near-dup CC survivors ->
+    repeated-span strip -> Gopher gate -> exact mixture quota ->
+    chunks/vocab -> packed shards + atomic manifest. The pipeline
+    itself asserts token conservation and quota exactness at every
+    boundary, so completing IS most of the test; here we additionally
+    verify the metrics chain is monotone, the quota hit its budget
+    with source shares apportioned, and the landed shard set agrees
+    with its manifest."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text", "source"
+    )
+    # benchmark that overlaps real corpus text: take 8-token windows
+    # out of two documents so both the doc-level drop and the
+    # span-excise paths fire
+    bench_rows = [
+        (" ".join(r["text"].split()[2:10]),)
+        for r in docs.orderBy("doc_id").limit(2).collect()
+    ]
+    bench_p = str(tmp_path / "bench")
+    spark.createDataFrame(bench_rows, "text string").write.parquet(bench_p)
+
+    cfg = CorpusConfig(
+        min_quality=0.0,
+        near_dup_jaccard=0.6,
+        cluster_exact=True,
+        chunk_tokens=16,
+        chunk_overlap=4,
+        vocab_top_k=200,
+        benchmark_path=bench_p,
+        decontam_spans=True,
+        decontam_span_n=6,
+        strip_spans=True,
+        span_n=8,
+        gopher_gate=True,
+        gopher_min_tokens=10,
+        gopher_max_tokens=120,
+        mixture_total=60,
+        mixture_strata=("source",),
+        write_shards=True,
+        budget_tokens=64,
+        sequences_per_shard=50,
+    )
+    stages = []
+    out = str(tmp_path / "golden")
+    m = run_corpus_pipeline(
+        docs, out, cfg, progress_callback=lambda s, i: stages.append(s)
+    )
+
+    # every optional stage actually ran, in order
+    for s in ("raw", "filtered", "exact_dedup", "decontam",
+              "decontam_spans", "near_dup", "span_strip", "gopher_gate",
+              "mixture", "chunks", "vocab", "shards", "done"):
+        assert s in stages, f"stage {s} never emitted"
+
+    # monotone filter chain
+    assert (m["raw_docs"] >= m["after_quality_lang_filter"]
+            >= m["after_exact_dedup"] >= m["after_decontamination"]
+            >= m["after_near_dup"] >= m["after_gopher_gate"]
+            >= m["after_mixture_quota"])
+    assert m["after_mixture_quota"] == min(60, m["after_gopher_gate"])
+
+    # quota: per-source counts follow largest-remainder apportionment
+    # of the gopher-gated population (recomputed independently here)
+    gated = (
+        spark.read.parquet(f"{out}/gopher_gated")
+        .groupBy("source").count().collect()
+    )
+    pop = {r["source"]: r["count"] for r in gated}
+    n = sum(pop.values())
+    total = min(60, n)
+    base = {s: total * c // n for s, c in pop.items()}
+    left = total - sum(base.values())
+    by_rem = sorted(
+        pop, key=lambda s: (-(total * pop[s] % n), s)
+    )
+    for s in by_rem[:left]:
+        base[s] += 1
+    got = {
+        r["source"]: r["count"]
+        for r in spark.read.parquet(f"{out}/sampled")
+        .groupBy("source").count().collect()
+    }
+    assert got == {s: q for s, q in base.items() if q > 0}
+
+    # shard set agrees with its manifest (count + token totals), and
+    # the stats the pipeline recorded are the manifest's
+    manifest = spark.read.parquet(f"{out}/shards/manifest")
+    shards = spark.read.parquet(f"{out}/shards/shards")
+    agg = manifest.agg(
+        F.sum("n_sequences").alias("s"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert shards.count() == agg["s"] == m["shards"]["n_sequences"]
+    assert (shards.agg(F.sum("n_tokens")).first()[0] or 0) == agg["t"]
+    assert m["shards"]["total_tokens"] == agg["t"]
+    # no sequence exceeds the budget (chunk_tokens <= budget_tokens)
+    assert (shards.agg(F.max("n_tokens")).first()[0] or 0) <= 64
+
+
+def test_golden_run_quota_missing_stratum_column_fails_loud(spark, tmp_path):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, NEAR)], ["doc_id", "text"]  # no 'source' column
+    )
+    cfg = CorpusConfig(min_quality=0.0, mixture_total=1)
+    with pytest.raises(ValueError, match="strata column"):
+        run_corpus_pipeline(docs, str(tmp_path / "x"), cfg)
+
+
 def test_streaming_ingest_keeps_shards_current(spark, tmp_path):
     """With shards_dir set, each micro-batch's survivors append to a
     live training-shard set: after two drops the shard stream must be

@@ -295,6 +295,111 @@ class TestTelemetryTwins:
             q.stop()
 
 
+class TestAcquisitionStream:
+    """Streaming twin of q186: first-seen carry-state across
+    micro-batches, upsert day rows, equality with the batch logic."""
+
+    def _batch_report(self, spark, all_events):
+        from pyspark.sql import Window
+
+        ev = spark.createDataFrame(all_events, EVENTS_SCHEMA)
+        firsts = ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("first_day"))
+        daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_active"))
+        news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+            F.count("*").cast("long").alias("n_new"))
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        joined = daily.join(news, "day", "left").withColumn(
+            "n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        return joined.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events", "n_active", "n_new",
+            (F.col("n_active") - F.col("n_new")).cast("long").alias(
+                "n_returning"),
+            F.sum("n_new").over(w).cast("long").alias("cum_users"))
+
+    def test_stream_equals_batch_twin_with_split_day(self, spark, tmp_path):
+        from datetime import datetime as dt
+
+        from etl_guiacores_spark.streaming import (
+            daily_acquisition_stream,
+            read_daily_acquisition,
+        )
+
+        def e(eid, day, hour, user):
+            return (eid, dt(2024, 1, day, hour), user, "click", 1.0)
+
+        # day 1 split across batches 0 and 1 (open-day carry must
+        # accumulate its events AND distinct users); day 2+3 in batch
+        # 1; day 3 extended by batch 2 (another open-day carry); user
+        # 1 returns on every day, users 2-5 stagger in
+        batches = [
+            [e(1, 1, 8, user=1), e(2, 1, 9, user=2)],
+            [e(3, 1, 12, user=1), e(4, 1, 13, user=3),
+             e(5, 2, 8, user=1), e(6, 2, 9, user=4),
+             e(7, 3, 8, user=2)],
+            [e(8, 3, 12, user=1), e(9, 3, 13, user=5),
+             e(10, 3, 14, user=2)],
+        ]
+        src = str(tmp_path / "acq_src")
+        out = str(tmp_path / "acq_out")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = daily_acquisition_stream(
+            stream, out, checkpoint_dir=str(tmp_path / "acq_ckpt"))
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r["day"]: r.asDict() for r in
+               read_daily_acquisition(spark, out).collect()}
+        want = {r["day"]: r.asDict() for r in self._batch_report(
+            spark, [x for b in batches for x in b]).collect()}
+        assert got == want
+        # sanity on the semantics themselves
+        assert want["2024-01-01"]["n_new"] == 3
+        assert want["2024-01-03"]["n_new"] == 1          # only user 5
+        assert want["2024-01-03"]["n_returning"] == 2    # users 1, 2
+        assert want["2024-01-03"]["cum_users"] == 5
+
+    def test_rejects_closed_day_rows(self, spark, tmp_path):
+        from datetime import datetime as dt
+
+        from etl_guiacores_spark.streaming import daily_acquisition_stream
+
+        src = str(tmp_path / "acqlate_src")
+        out = str(tmp_path / "acqlate_out")
+        spark.createDataFrame(
+            [(1, dt(2024, 1, 5, 8), 1, "click", 1.0)], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = daily_acquisition_stream(
+            stream, out, checkpoint_dir=str(tmp_path / "acqlate_ckpt"))
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [(2, dt(2024, 1, 3, 8), 2, "click", 1.0)], EVENTS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            raised = False
+            try:
+                q.processAllAvailable()
+            except Exception:
+                raised = True
+            assert raised, "closed-day row must fail loud"
+        finally:
+            q.stop()
+
+
 class TestSnapshotFencing:
     """The shared snapshot-resolution contract of the CUSUM/Holt
     stream twins: Hadoop-FS listing (works on any Spark path scheme)

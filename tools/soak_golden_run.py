@@ -1,0 +1,218 @@
+"""Golden corpus run soak: EVERY pipeline stage in ONE invocation, 20x.
+
+Round-5's soak proved filter->dedup->near-dup->shards as separate
+invocations; round-7 wired span stages into the pipeline. This soak
+runs the COMPLETE composed chain exactly as a training job would —
+one ``run_corpus_pipeline`` call with every optional stage enabled:
+
+    ingest -> quality filter -> exact dedup -> doc-level decontam ->
+    span-level decontam (excise quoted benchmark spans) -> LSH
+    near-dup + exact CC survivors -> repeated-span strip -> Gopher
+    gate -> exact mixture quota (source shares) -> chunks/vocab ->
+    packed shards + atomic manifest
+
+The pipeline asserts token conservation and quota exactness at every
+boundary internally (a violated invariant aborts the run); this soak
+then re-verifies the WRITTEN artifacts independently:
+
+- quota: per-source counts of the stored ``sampled`` table equal a
+  from-scratch largest-remainder apportionment of the stored
+  ``gopher_gated`` table
+- decontamination: no sampled document's final text contains any
+  benchmark passage verbatim
+- shards: manifest == shard files (counts + tokens), global_seq dense
+  0..n-1, shards tile the token stream, zero over-budget sequences
+
+Usage: python tools/soak_golden_run.py [--replicas 20] [--sf DIR]
+Prints ONE JSON line with per-stage seconds and check results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=20)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mixture-total", type=int, default=3000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        CorpusConfig,
+        run_corpus_pipeline,
+    )
+    from etl_guiacores_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-golden-run")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{args.sf}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    # 20x replication with near-dup cliques (rep 0 verbatim, others
+    # with a suffix perturbation) — the same corpus shape as the
+    # round-5 shards soak so stage timings stay comparable
+    reps = base.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(args.replicas - 1))).alias(
+            "rep"
+        ),
+    ).select(
+        (F.col("doc_id") * args.replicas + F.col("rep")).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"), F.lit(" rep "), (F.col("rep") % 7).cast(
+                    "string"
+                )
+            )
+        )
+        .alias("text"),
+        "source",
+    )
+
+    out = tempfile.mkdtemp(prefix="soak_golden_")
+    # benchmark: 8-token windows from 40 base documents -> both the
+    # doc-level drop and the span-excise paths do real work
+    bench_rows = [
+        (" ".join(r["text"].split()[2:10]),)
+        for r in base.orderBy("doc_id").limit(40).collect()
+        if len(r["text"].split()) >= 10
+    ]
+    bench_p = f"{out}/bench"
+    spark.createDataFrame(bench_rows, "text string").write.parquet(bench_p)
+
+    cfg = CorpusConfig(
+        min_quality=0.0,
+        near_dup_jaccard=0.6,
+        cluster_exact=True,
+        chunk_tokens=64,
+        chunk_overlap=8,
+        vocab_top_k=1000,
+        benchmark_path=bench_p,
+        decontam_spans=True,
+        decontam_span_n=8,
+        strip_spans=True,
+        span_n=10,
+        gopher_gate=True,
+        gopher_min_tokens=10,
+        gopher_max_tokens=200,
+        mixture_total=args.mixture_total,
+        mixture_strata=("source",),
+        write_shards=True,
+        budget_tokens=512,
+        sequences_per_shard=1000,
+    )
+    stage_t: dict[str, float] = {}
+    last = time.time()
+
+    def cb(stage, info):
+        nonlocal last
+        now = time.time()
+        stage_t[stage] = round(now - last, 1)
+        last = now
+
+    t0 = time.time()
+    pdir = f"{out}/run"
+    metrics = run_corpus_pipeline(reps, pdir, cfg, progress_callback=cb)
+    wall = round(time.time() - t0, 1)
+    checks: dict[str, str] = {}
+
+    # --- quota re-verified from the stored artifacts -----------------
+    pop = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{pdir}/gopher_gated")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n = sum(pop.values())
+    total = min(args.mixture_total, n)
+    quota = {s: total * c // n for s, c in pop.items()}
+    left = total - sum(quota.values())
+    for s in sorted(pop, key=lambda s: (-(total * pop[s] % n), s))[:left]:
+        quota[s] += 1
+    got = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{pdir}/sampled")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {s: q for s, q in quota.items() if q > 0}, (
+        "quota apportionment mismatch"
+    )
+    checks["quota"] = "ok"
+
+    # --- decontamination on the final sampled text -------------------
+    sampled = spark.read.parquet(f"{pdir}/sampled")
+    bench_lit = [b[0] for b in bench_rows]
+    cond = None
+    for b in bench_lit:
+        c = F.col("text").contains(F.lit(b))
+        cond = c if cond is None else (cond | c)
+    leaked = sampled.filter(cond).count()
+    assert leaked == 0, f"{leaked} sampled docs still quote the benchmark"
+    checks["decontam"] = "ok"
+
+    # --- shard artifacts vs manifest ---------------------------------
+    budget = cfg.budget_tokens
+    chunks = spark.read.parquet(f"{pdir}/shards/chunks")
+    shards = spark.read.parquet(f"{pdir}/shards/shards")
+    manifest = [
+        r.asDict()
+        for r in spark.read.parquet(f"{pdir}/shards/manifest")
+        .orderBy("shard_id")
+        .collect()
+    ]
+    chunk_tokens = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    agg = shards.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.count("*").alias("n"),
+        F.min("global_seq").alias("lo"),
+        F.max("global_seq").alias("hi"),
+        F.count_distinct("global_seq").alias("nd"),
+        F.max((F.col("n_tokens") > budget).cast("int")).alias("over"),
+    ).first()
+    assert agg["tok"] == chunk_tokens == metrics["shards"]["total_tokens"]
+    assert (agg["lo"], agg["hi"], agg["nd"]) == (0, agg["n"] - 1, agg["n"])
+    assert agg["over"] == 0
+    run_tok = 0
+    for m in manifest:
+        assert m["first_token"] == run_tok
+        run_tok += m["n_tokens"]
+    assert run_tok == chunk_tokens
+    checks["shards"] = f"ok ({int(agg['n'])} sequences)"
+
+    print(
+        json.dumps(
+            {
+                "soak": "golden_run",
+                "replicas": args.replicas,
+                "wall_s": wall,
+                "stage_s": stage_t,
+                "metrics": {
+                    k: v for k, v in metrics.items() if k != "shards"
+                },
+                "shards": metrics["shards"],
+                "checks": checks,
+            }
+        )
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
 import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
 import etl_guiacores_spark.queries_eval  # noqa: F401 — registers eval/drift queries
+import etl_guiacores_spark.queries_analytics  # noqa: F401 — registers round-8 analytics queries
 import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
 from etl_guiacores_spark.queries import REGISTRY
 from etl_guiacores_spark.session import configure_session
@@ -91,12 +92,20 @@ _FIRST = [
     "q20_clean_text_documents",
     "q21_token_quality",
     "q22_lang_id",
-    # ---- positions 51-87: the 37 remaining round-5 rows — they lead
-    # the round-9 window (3 rounds stale after this window, the
-    # steady-state worst case for a 187-query registry under a 50-row
-    # cap; see header comment). Any query added in round 8 must be
-    # inserted ABOVE this block (new-row debt outranks stale-row debt)
-    # and counted against the 13-row slack in round 9's window.
+    # ---- positions 51-56: the 6 queries ADDED in round 8 (analytics
+    # wave, queries_analytics.py) — no driver row yet; they lead the
+    # round-9 window ahead of the stale round-5 rows (new-row debt
+    # outranks stale-row debt). 6 new + 37 round-5 = 43 <= 50: the
+    # round-9 window closes the whole backlog with 7 rows of slack.
+    "q187_max_drawdown",
+    "q188_state_dwell",
+    "q189_lead_lag_xcorr",
+    "q190_coo_matmul",
+    "q191_fk_orphan_audit",
+    "q192_wow_growth",
+    # ---- positions 57-93: the 37 remaining round-5 rows (3 rounds
+    # stale after this window, the steady-state worst case for a
+    # 193-query registry under a 50-row cap; see header comment).
     "q23_fingerprint",
     "q24_minhash_signatures",
     "q25_lsh_candidates",

@@ -38,6 +38,7 @@ def main() -> None:
 
     import etl_guiacores_spark.queries_extra  # noqa: F401 — registers coverage queries
     import etl_guiacores_spark.queries_eval  # noqa: F401 — registers eval/drift queries
+    import etl_guiacores_spark.queries_analytics  # noqa: F401 — registers round-8 analytics queries
     import etl_guiacores_spark.queries_scale  # noqa: F401 — registers scale queries
     import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
     from etl_guiacores_spark.queries import REGISTRY

@@ -1,0 +1,457 @@
+"""Round-8 analytics wave: financial drawdown, state dwell times,
+lead-lag cross-correlation, sparse COO matrix multiply, referential-
+integrity audit, week-over-week growth.
+
+Six territories the registry had not covered: finance-style path
+statistics over a cumulative series (q187), telemetry state-duration
+accounting (q188), signal lead-lag analysis between two event series
+(q189), distributed sparse linear algebra (q190), cross-table data-
+quality auditing (q191), and the BI reporting staple (q192).
+
+Same contract as the whole suite: each Spark program has a DuckDB
+oracle over the identical parquet tables, every computed column
+aliased identically, ratios as truncating integer ppm, timestamps
+rendered as strings (QUERIES.md output-type contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.queries import register
+from etl_guiacores_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q187: per-user maximum drawdown of the revenue-minus-cost curve
+# ---------------------------------------------------------------------------
+
+@register(
+    "q187_max_drawdown",
+    """
+    WITH flows AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 1000000) AS BIGINT)
+                    ELSE -CAST(FLOOR(value * 1000000) AS BIGINT)
+               END AS flow
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    cums AS (
+        SELECT user_id, ts, event_id, flow,
+               SUM(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM flows
+    ),
+    path AS (
+        SELECT user_id, flow, cum,
+               MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM cums
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(flow) AS BIGINT) AS final_micro,
+           CAST(MAX(peak) AS BIGINT) AS peak_micro,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_micro
+    FROM path GROUP BY user_id
+    """,
+    doc="Per-user maximum drawdown of the cumulative revenue-minus-"
+    "cost curve (purchase adds value, error subtracts; micro-units): "
+    "running sum over the (ts, event_id) total order, running peak "
+    "over the running sum, drawdown = peak - current, reported as "
+    "the path maximum together with the final balance and global "
+    "peak. The classic path statistic a plain groupBy cannot see "
+    "(two identical final balances can hide wildly different risk "
+    "paths). Shape: two stacked per-user ROWS windows on one "
+    "partition-sort — parallel across users, no self-join, no "
+    "O(n^2) peak scan; all integer micro-units.",
+)
+def q187_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    flow = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 1_000_000).cast("long"),
+    ).otherwise(-F.floor(F.col("value") * 1_000_000).cast("long"))
+    flows = ev.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select("user_id", "ts", "event_id", flow.alias("flow"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    path = flows.withColumn("cum", F.sum("flow").over(w)).withColumn(
+        "peak", F.max("cum").over(w)
+    )
+    return path.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_flows"),
+        F.sum("flow").cast("long").alias("final_micro"),
+        F.max("peak").cast("long").alias("peak_micro"),
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
+            "max_drawdown_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188: state dwell times (how long each event type "holds")
+# ---------------------------------------------------------------------------
+
+@register(
+    "q188_state_dwell",
+    """
+    WITH d AS (
+        SELECT event_type,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dwell
+        FROM events
+    ),
+    held AS (SELECT event_type, dwell FROM d WHERE dwell IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_holds,
+           CAST(SUM(dwell) AS BIGINT) AS total_dwell_us,
+           CAST(CAST(SUM(dwell) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mean_dwell_us,
+           CAST(MAX(dwell) AS BIGINT) AS max_dwell_us
+    FROM held GROUP BY event_type
+    """,
+    doc="State dwell-time accounting: each event 'holds' its state "
+    "(event_type) until the user's next event — one LEAD over the "
+    "per-user (ts, event_id) total order gives the dwell in integer "
+    "microseconds; a user's last event holds indefinitely and is "
+    "excluded (honest: its dwell is right-censored). Aggregated per "
+    "state: hold count, total/mean/max dwell. The 'where does user "
+    "time actually go' report — TWAP's (q149) categorical cousin: "
+    "TWAP weights VALUES by hold time, this accounts the hold time "
+    "itself. Shape: one per-user LEAD window (parallel across "
+    "users), one map-side-combinable groupBy to |event types| rows; "
+    "dwell arithmetic in the event_micros injective integer domain.",
+)
+def q188_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    m = event_micros(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type", (F.lead(m).over(w) - m).alias("dwell")
+    ).filter(F.col("dwell").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_holds"),
+        F.sum("dwell").cast("long").alias("total_dwell_us"),
+        F.expr("sum(dwell) div count(*)").cast("long").alias(
+            "mean_dwell_us"
+        ),
+        F.max("dwell").cast("long").alias("max_dwell_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189: lead-lag cross-correlation between two event-type series
+# ---------------------------------------------------------------------------
+
+@register(
+    "q189_lead_lag_xcorr",
+    """
+    WITH x AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    y AS (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(range(-3, 4)) AS lag),
+    joined AS (
+        SELECT l.lag, x.c AS xc, y.c AS yc
+        FROM lags l
+        JOIN x ON TRUE
+        JOIN y ON y.h = x.h + l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) * SUM(xc * yc) - SUM(xc) * SUM(yc) AS BIGINT)
+               AS cov_num
+    FROM joined GROUP BY lag
+    """,
+    doc="Lead-lag cross-correlation between the hourly 'view' and "
+    "'purchase' series: for each lag in -3..+3 hours, the exact "
+    "Pearson NUMERATOR n*Sxy - Sx*Sy over the hours where both "
+    "(shifted) series have observations — sign and argmax match the "
+    "correlation itself at any fixed lag, with no sqrt/float "
+    "denominator to break cross-engine exactness. The 'does "
+    "browsing lead buying, and by how many hours' question; the "
+    "lag maximizing cov_num is the causal-delay estimate. Shape: "
+    "the raw scan collapses to two BOUNDED hourly-count relations "
+    "(map-side combinable), the 7-lag shift-join and the aggregate "
+    "run entirely on |hours| rows — at 100 TB the only data-volume "
+    "pass is the first groupBy.",
+)
+def q189_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.temporal import event_micros
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .withColumn("__m", event_micros(ev, "ts"))
+        .withColumn("h", F.expr("__m div 3600000000"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # the 7-lag spine rides as an inline explode on the x side — no
+    # broadcast-nested-loop join in the plan; the shift-join is then
+    # a plain equi-join on the bounded hourly relation
+    x = (
+        hourly.filter(F.col("event_type") == "view")
+        .select(
+            "h",
+            F.col("c").alias("xc"),
+            F.explode(F.sequence(F.lit(-3), F.lit(3))).alias(
+                "lag_hours"
+            ),
+        )
+        .withColumn("lag_hours", F.col("lag_hours").cast("long"))
+    )
+    y = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hy"), F.col("c").alias("yc")
+    )
+    joined = x.join(y, F.col("hy") == F.col("h") + F.col("lag_hours"))
+    return joined.groupBy("lag_hours").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        (
+            F.count("*") * F.sum(F.col("xc") * F.col("yc"))
+            - F.sum("xc") * F.sum("yc")
+        ).cast("long").alias("cov_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190: sparse COO matrix multiply (doc-term counts x hashed term-topic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q190_coo_matmul",
+    """
+    WITH terms AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(text),
+                      '[ \\t\\n\\r\\f\\v]+')) AS term
+        FROM documents WHERE LENGTH(trim(text)) > 0
+    ),
+    counts AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM terms GROUP BY doc_id, term
+    ),
+    contrib AS (
+        SELECT doc_id, CAST(t.topic AS BIGINT) AS topic,
+               cnt * (CAST(('0x' || substr(md5('mm:' || term || ':'
+                       || CAST(t.topic AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 5 - 2) AS v
+        FROM counts, (SELECT UNNEST(range(0, 8)) AS topic) t
+    )
+    SELECT doc_id, topic, CAST(SUM(v) AS BIGINT) AS score
+    FROM contrib GROUP BY doc_id, topic
+    """,
+    doc="Sparse COO matrix multiply: the doc-term count matrix times "
+    "a dense 8-topic term weight matrix whose entries are a "
+    "deterministic engine-portable hash of (term, topic) (md5-u32 "
+    "mod 5 - 2, the q104 hashed-feature family) — the random-"
+    "projection-by-hashing topic scorer, and the general shape of "
+    "every distributed SpMM (embedding lookup-and-sum, feature "
+    "crossing, graph aggregation). Shape: NO join at all — the "
+    "weight entry is computed in-plan from (term, topic) literals, "
+    "so the multiply is explode(x8) -> map-side-combinable groupBy "
+    "on (doc, topic); the only shuffle carries (doc, topic) partial "
+    "sums. At 100 TB the term dictionary never materializes, which "
+    "is what makes hashed weights the scale path vs a broadcast "
+    "weight table.",
+)
+def q190_coo_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    counts = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mm:"),
+                        F.col("term"),
+                        F.lit(":"),
+                        F.col("topic").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        - 2
+    )
+    # topics ride as an inline explode (x8 fan-out), not a cross
+    # join — literally no join operator anywhere in the multiply
+    return (
+        counts.select(
+            "doc_id",
+            "cnt",
+            "term",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("topic"),
+        )
+        .withColumn("topic", F.col("topic").cast("long"))
+        .select("doc_id", "topic", (F.col("cnt") * weight).alias("v"))
+        .groupBy("doc_id", "topic")
+        .agg(F.sum("v").cast("long").alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191: referential-integrity audit (FK orphan counts across tables)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q191_fk_orphan_audit",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    doc="Referential-integrity audit across the warehouse: for each "
+    "declared FK edge (orders->customer, lineitem->orders/part/"
+    "supplier), total rows and orphan rows whose key has no parent — "
+    "the cross-TABLE completeness check q167's single-table column "
+    "profile cannot see, and the first report any 100 TB ingest "
+    "quality gate runs (a nonzero orphan count means a broken "
+    "extract or an out-of-order load). Shape: four left joins "
+    "collapsed to 1-row aggregates; dimension sides broadcast when "
+    "small, shuffle-keyed when not — either way the output is 4 "
+    "rows, and each fact table scans its two audit columns only.",
+)
+def q191_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def leg(
+        fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str
+    ) -> DataFrame:
+        return (
+            fact.select(fk)
+            .join(dim.select(pk), fact[fk] == dim[pk], "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col(pk).isNull().cast("long"))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        leg(o, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey",
+            "orders.o_custkey->customer")
+        .unionByName(
+            leg(li, "l_orderkey", o, "o_orderkey",
+                "lineitem.l_orderkey->orders"))
+        .unionByName(
+            leg(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
+                "lineitem.l_partkey->part"))
+        .unionByName(
+            leg(li, "l_suppkey", _t(spark, sf_dir, "supplier"),
+                "s_suppkey", "lineitem.l_suppkey->supplier"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192: week-over-week revenue growth
+# ---------------------------------------------------------------------------
+
+@register(
+    "q192_wow_growth",
+    """
+    WITH weekly AS (
+        SELECT STRFTIME(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                   AS week,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT week, n_orders, revenue_cents,
+           CAST(LAG(revenue_cents) OVER (ORDER BY week) AS BIGINT)
+               AS prev_cents,
+           CAST(1000000 * (revenue_cents
+                           - LAG(revenue_cents) OVER (ORDER BY week))
+                // NULLIF(LAG(revenue_cents) OVER (ORDER BY week), 0)
+                AS BIGINT) AS wow_ppm
+    FROM weekly
+    """,
+    doc="Week-over-week revenue growth: ISO-Monday weekly rollup of "
+    "order revenue in exact cents, previous week via LAG, growth as "
+    "truncating integer ppm — the BI reporting staple (every revenue "
+    "dashboard's first chart) done cross-engine exact. Shape: one "
+    "map-side-combinable groupBy to the |weeks| relation; the LAG "
+    "window orders those bounded rows only (the q186 pattern — "
+    "never event volume through a global window).",
+)
+def q192_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd")
+        .alias("week")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue_cents").over(w)
+    return weekly.select(
+        "week",
+        "n_orders",
+        "revenue_cents",
+        prev.cast("long").alias("prev_cents"),
+        F.expr(
+            "CAST(1000000 * (revenue_cents - lag(revenue_cents) "
+            "OVER (ORDER BY week)) div NULLIF(lag(revenue_cents) "
+            "OVER (ORDER BY week), 0) AS BIGINT)"
+        ).alias("wow_ppm"),
+    )

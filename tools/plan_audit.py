@@ -98,6 +98,7 @@ def main() -> int:
 
     import etl_guiacores_spark.queries_extra  # noqa: F401
     import etl_guiacores_spark.queries_eval  # noqa: F401 — registers eval/drift queries
+    import etl_guiacores_spark.queries_analytics  # noqa: F401 — registers round-8 analytics queries
     import etl_guiacores_spark.queries_scale  # noqa: F401
     import etl_guiacores_spark.queries_corpus  # noqa: F401 — registers corpus-curation queries
     from etl_guiacores_spark.queries import REGISTRY

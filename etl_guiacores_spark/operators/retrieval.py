@@ -321,6 +321,16 @@ def mmr_rerank(
     engine-wide truncating ``div`` on negative scores; the q125 oracle
     replays floor explicitly (``x - ((x % d + d) % d)``) rather than
     DuckDB's truncating ``//``.
+
+    SINGLE-query operator by design: the greedy selection step is
+    sequential driver-side Python bounded by ``n_candidates``. Do NOT
+    batch-rerank many queries by looping driver calls — that
+    serializes one Spark job per query. Batch re-ranking should
+    partition by query id and run :func:`mmr_select` per group inside
+    ``applyInPandas`` (each group's candidate list is the same
+    bounded ≤ ``n_candidates`` rows this operator collects), keeping
+    every query's greedy on an executor and the whole batch in one
+    job.
     """
     vq = F.transform(
         vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")

@@ -152,15 +152,24 @@ def daily_acquisition_stream(
 
         # exact n_new / cum_users from the full first-seen relation:
         # per-day new counts are bounded (|days|), and the running sum
-        # over them IS the expanding count distinct
+        # over them IS the expanding count distinct. The running sum
+        # must range over the UNION of news days and touched days — a
+        # touched day where every active user is returning has no news
+        # row, but its cum_users is still the running value from prior
+        # days (first caught by the redelivery test: day 3 with only
+        # returning users landed cum_users NULL).
         news = firsts.groupBy(F.col("first_day").alias("day")).agg(
             F.count("*").cast("long").alias("n_new")
         )
         w = Window.orderBy("day").rowsBetween(
             Window.unboundedPreceding, 0
         )
-        news_cum = news.withColumn(
-            "cum_users", F.sum("n_new").over(w).cast("long")
+        news_cum = (
+            news.join(touched, "day", "full_outer")
+            .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+            .withColumn(
+                "cum_users", F.sum("n_new").over(w).cast("long")
+            )
         )
         report = (
             day_events.join(touched, "day", "left_semi")

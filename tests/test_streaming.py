@@ -371,6 +371,65 @@ class TestAcquisitionStream:
         assert want["2024-01-03"]["n_returning"] == 2    # users 1, 2
         assert want["2024-01-03"]["cum_users"] == 5
 
+    def test_replayed_batch_is_exactly_once(self, spark, tmp_path):
+        """Real redelivery: delete the checkpoint's last commit marker
+        and restart — structured streaming re-runs the final batch.
+        It must recompute from its ORIGINAL input snapshot and
+        overwrite its own output: the merged report is unchanged."""
+        from datetime import datetime as dt
+
+        from etl_guiacores_spark.streaming import (
+            daily_acquisition_stream,
+            read_daily_acquisition,
+        )
+
+        def e(eid, day, hour, user):
+            return (eid, dt(2024, 1, day, hour), user, "click", 1.0)
+
+        batches = [
+            [e(1, 1, 8, user=1), e(2, 1, 9, user=2)],
+            [e(3, 2, 8, user=1), e(4, 2, 9, user=3)],
+            [e(5, 2, 12, user=4), e(6, 3, 8, user=1)],
+        ]
+        src = str(tmp_path / "rp_src")
+        out = str(tmp_path / "rp_out")
+        ckpt = str(tmp_path / "rp_ckpt")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = daily_acquisition_stream(stream, out, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        before = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in read_daily_acquisition(spark, out).collect()
+        )
+
+        # force redelivery of batch 2
+        (tmp_path / "rp_ckpt" / "commits" / "2").unlink()
+        crc = tmp_path / "rp_ckpt" / "commits" / ".2.crc"
+        if crc.exists():
+            crc.unlink()
+        stream2 = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q2 = daily_acquisition_stream(stream2, out, checkpoint_dir=ckpt)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        after = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in read_daily_acquisition(spark, out).collect()
+        )
+        assert after == before
+
     def test_rejects_closed_day_rows(self, spark, tmp_path):
         from datetime import datetime as dt
 

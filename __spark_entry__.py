@@ -92,20 +92,21 @@ _FIRST = [
     "q20_clean_text_documents",
     "q21_token_quality",
     "q22_lang_id",
-    # ---- positions 51-56: the 6 queries ADDED in round 8 (analytics
+    # ---- positions 51-57: the 7 queries ADDED in round 8 (analytics
     # wave, queries_analytics.py) — no driver row yet; they lead the
     # round-9 window ahead of the stale round-5 rows (new-row debt
-    # outranks stale-row debt). 6 new + 37 round-5 = 43 <= 50: the
-    # round-9 window closes the whole backlog with 7 rows of slack.
+    # outranks stale-row debt). 7 new + 37 round-5 = 44 <= 50: the
+    # round-9 window closes the whole backlog with 6 rows of slack.
     "q187_max_drawdown",
     "q188_state_dwell",
     "q189_lead_lag_xcorr",
     "q190_coo_matmul",
     "q191_fk_orphan_audit",
     "q192_wow_growth",
-    # ---- positions 57-93: the 37 remaining round-5 rows (3 rounds
+    "q193_lorenz_concentration",
+    # ---- positions 58-94: the 37 remaining round-5 rows (3 rounds
     # stale after this window, the steady-state worst case for a
-    # 193-query registry under a 50-row cap; see header comment).
+    # 194-query registry under a 50-row cap; see header comment).
     "q23_fingerprint",
     "q24_minhash_signatures",
     "q25_lsh_candidates",

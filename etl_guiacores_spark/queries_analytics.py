@@ -455,3 +455,100 @@ def q192_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "OVER (ORDER BY week), 0) AS BIGINT)"
         ).alias("wow_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193: Lorenz concentration curve (top-decile revenue share)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q193_lorenz_concentration",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                   AS rnk,
+               SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM rev
+    )
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(rnk AS BIGINT) AS top_n,
+           CAST(cum_cents AS BIGINT) AS cum_revenue_cents,
+           CAST(1000000 * CAST(cum_cents AS HUGEINT) // total AS BIGINT)
+               AS share_ppm
+    FROM ranked, (SELECT UNNEST(range(1, 11)) AS decile) d
+    WHERE rnk = (n * d.decile + 9) // 10
+    """,
+    doc="Lorenz concentration curve over customer revenue: customers "
+    "ranked by spend (DESC, custkey tiebreak), and at each decile "
+    "boundary rank ceil(n*d/10) the cumulative revenue share in "
+    "exact ppm — 'the top 10% of customers hold X% of revenue', the "
+    "concentration report that pairs with q148's Gini scalar (Gini "
+    "is the area summary; this is the curve itself, the actionable "
+    "form). Engine shape is the rank-statistics scale discipline: "
+    "the customer ranking uses the q80 dense-ids RANGE exchange and "
+    "the cumulative revenue the q89 distributed prefix sum — NO "
+    "single-reducer ROW_NUMBER/SUM-OVER window anywhere, because "
+    "|customers| is data-sized at 100 TB (the oracle's plain "
+    "windows are fine single-node; the Spark plan must not be). "
+    "The (n, total) pair rides as a 1-row broadcast scalar join "
+    "(the q46/q58 allowlisted shape); boundary membership is an "
+    "inline decile explode + filter on the bounded ranked relation.",
+)
+def q193_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.ordering import (
+        dense_ids,
+        global_prefix_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = dense_ids(
+        rev.withColumn(
+            "__k", F.struct((-F.col("cents")).alias("nc"), "o_custkey")
+        ),
+        "__k",
+        id_name="rnk",
+    )
+    cum = global_prefix_sum(
+        ranked, order_col="__k", value_col="cents", out_col="cum_cents"
+    )
+    tot = cum.agg(
+        F.max("rnk").cast("long").alias("__n"),
+        F.sum("cents").cast("long").alias("__total"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "cum_cents",
+            "__n",
+            "__total",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        )
+        .withColumn("decile", F.col("decile").cast("long"))
+        .filter(F.expr("rnk = (__n * decile + 9) div 10"))
+        .select(
+            "decile",
+            F.col("rnk").cast("long").alias("top_n"),
+            F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+            F.expr(
+                "CAST(1000000 * CAST(cum_cents AS DECIMAL(38,0)) "
+                "div __total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

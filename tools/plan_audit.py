@@ -54,6 +54,9 @@ SCALAR_CROSS = {
     "q119_bm25_topk",
     # same 1-row stats scalar join, batch form (retrieval.bm25_batch_topk)
     "q131_bm25_batch",
+    # 1-row (n, total) scalar joined onto the dense-ids-ranked customer
+    # relation for the decile-boundary filter (Lorenz curve)
+    "q193_lorenz_concentration",
     # q131's plan plus a 1-row per-query relevant-count aggregate
     "q132_retrieval_metrics",
     # 1-row N-total + 1-row leftover-seats aggregates joined onto the

@@ -49,6 +49,13 @@ QUERIES = [
     "q183_bootstrap_ci",
     "q184_ab_readout",
     "q185_gap_percentiles",
+    # round-8 analytics wave riding the same staged tables: q187-q189
+    # stress the per-user window paths at 2M events / 20x users,
+    # q190 the explode-x8 SpMM at 100k docs
+    "q187_max_drawdown",
+    "q188_state_dwell",
+    "q189_lead_lag_xcorr",
+    "q190_coo_matmul",
 ]
 
 

@@ -199,7 +199,11 @@ def cmd_corpus(spark, args) -> dict:
         sequences_per_shard=args.sequences_per_shard,
     )
     return run_corpus_pipeline(
-        docs, args.out, cfg, progress_callback=_progress_cb(args)
+        docs,
+        args.out,
+        cfg,
+        progress_callback=_progress_cb(args),
+        resume=args.resume,
     )
 
 
@@ -446,6 +450,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="packed sequence token budget (with "
                    "--write-shards)")
     k.add_argument("--sequences-per-shard", type=int, default=10_000)
+    k.add_argument("--resume", action="store_true",
+                   help="skip stages whose handoff is already landed "
+                   "in OUT (config-fingerprint guarded; a changed "
+                   "config refuses loudly)")
 
     r = sub.add_parser("resolve")
     r.add_argument("--input", required=True, help="records parquet path")

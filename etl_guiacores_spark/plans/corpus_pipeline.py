@@ -450,17 +450,59 @@ def streaming_corpus_ingest(
     )
 
 
+def _fenced(spark, path: str) -> bool:
+    """True when ``path`` is a committed parquet stage dir
+    (``_SUCCESS`` present), via the Hadoop FileSystem API so resume
+    works on any Spark path scheme (the streaming drift.py lesson).
+    The JSON sidecars (pipeline_config.json / metrics.json) stay on
+    the driver-visible filesystem by the existing write_stats_json
+    contract."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hp))
+
+
+def _config_fingerprint(config: CorpusConfig) -> dict:
+    from dataclasses import asdict
+
+    d = asdict(config)
+    d["mixture_strata"] = list(d["mixture_strata"])
+    d["allowed_langs"] = list(d["allowed_langs"])
+    return d
+
+
 def run_corpus_pipeline(
     docs: DataFrame,
     out_dir: str,
     config: CorpusConfig | None = None,
     progress_callback=None,
+    resume: bool = False,
 ) -> dict:
     """``progress_callback(stage, info)`` fires after each stage lands
     (raw/filtered/exact_dedup/near_dup/chunks/vocab/done) with the
     counts the run computes anyway — the same seam as
     ``run_batch_pipeline``, so the CLI's ``--progress`` lines and
-    ``--serve-port`` board cover corpus mode too."""
+    ``--serve-port`` board cover corpus mode too.
+
+    ``resume=True`` makes a rerun over the same ``out_dir`` skip every
+    stage whose handoff is already landed (``_SUCCESS``-fenced): the
+    stage's stored table is read back (one cheap count job) instead of
+    recomputed, so a run that died at near-dup restarts WITHOUT paying
+    the filter/decontam legs again — what "stage boundaries are
+    parquet tables" is for at 100 TB. Guarded by a config fingerprint
+    (``{out_dir}/pipeline_config.json``): resuming with ANY changed
+    CorpusConfig field refuses loudly — stale artifacts from a
+    different configuration must never silently feed downstream
+    stages. A non-resume run overwrites everything and rewrites the
+    fingerprint. Non-landed derivations (exact dedup, the survivor
+    rule) recompute from their landed upstream — the resume unit is
+    the landed artifact, exactly the restart granularity the stored
+    tables give any external orchestrator.
+    """
+    import json as _json
+    import os as _os
+
     from pyspark.sql import Observation
 
     from etl_guiacores_spark.sources.tables import spread_narrow_input
@@ -474,6 +516,27 @@ def run_corpus_pipeline(
     emit = progress_callback or (lambda stage, info: None)
     spark = docs.sparkSession
 
+    fp = _config_fingerprint(config)
+    fp_path = f"{out_dir}/pipeline_config.json"
+    if resume and _os.path.exists(fp_path):
+        with open(fp_path) as f:
+            stored = _json.load(f)
+        if stored != fp:
+            diff = sorted(
+                k for k in fp if stored.get(k) != fp[k]
+            ) + sorted(k for k in stored if k not in fp)
+            raise ValueError(
+                "run_corpus_pipeline(resume=True): the landed artifacts "
+                f"in {out_dir} were produced under a DIFFERENT config "
+                f"(fields differing: {diff}) — resuming would feed "
+                "stale stages downstream. Rerun without resume, or use "
+                "a fresh out_dir."
+            )
+    else:
+        _os.makedirs(out_dir, exist_ok=True)
+        with open(fp_path, "w") as f:
+            _json.dump(fp, f, indent=1, sort_keys=True)
+
     def _land(df: DataFrame, name: str) -> tuple[DataFrame, int]:
         """Write a stage handoff with its count OBSERVED on the same
         job, then re-read the parquet: every downstream stage consumes
@@ -482,13 +545,21 @@ def run_corpus_pipeline(
         instead of once per downstream action — the same
         execute-once-then-reread discipline run_batch_pipeline applies
         to bronze/silver/gold. Explicit schema on the re-read: an
-        empty stage writes no row groups and inference would crash."""
+        empty stage writes no row groups and inference would crash.
+        Under ``resume``, a landed (``_SUCCESS``-fenced) stage is read
+        back without recomputing ``df``'s lineage."""
+        path = f"{out_dir}/{name}"
+        if resume and _fenced(spark, path):
+            back = spark.read.schema(df.schema).parquet(path)
+            n = back.count()
+            emit(f"{name}_resumed", {"records": n})
+            return back, n
         obs = Observation(f"{name}_metrics")
         gio.write_handoff(
             df.observe(obs, F.count(F.lit(1)).alias("records")),
-            f"{out_dir}/{name}",
+            path,
         )
-        back = spark.read.schema(df.schema).parquet(f"{out_dir}/{name}")
+        back = spark.read.schema(df.schema).parquet(path)
         return back, obs.get["records"]
 
     # spread once at ingest: a few-row-group parquet input would
@@ -747,7 +818,19 @@ def run_corpus_pipeline(
     emit("vocab", {"records": n_vocab})
 
     shard_stats = None
-    if config.write_shards:
+    if config.write_shards and resume and _os.path.exists(
+        f"{out_dir}/shards/stats.json"
+    ):
+        with open(f"{out_dir}/shards/stats.json") as f:
+            shard_stats = _json.load(f)
+        emit(
+            "shards_resumed",
+            {
+                "records": shard_stats["n_sequences"],
+                "n_shards": shard_stats["n_shards"],
+            },
+        )
+    elif config.write_shards:
         from etl_guiacores_spark.plans.shard_writer import (
             write_training_shards,
         )

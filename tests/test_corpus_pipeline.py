@@ -443,6 +443,65 @@ def test_golden_corpus_run_composes_all_stages(spark, tmp_path):
     assert (shards.agg(F.max("n_tokens")).first()[0] or 0) <= 64
 
 
+def test_resume_skips_landed_stages_and_guards_config(spark, tmp_path):
+    """Crash-resume: rerunning over the same out_dir with resume=True
+    must read landed stages back instead of recomputing (artifact
+    mtimes untouched), reproduce identical metrics, and refuse loudly
+    when the config changed since the artifacts were produced."""
+    import os
+
+    import pytest
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text", "source"
+    )
+    cfg = CorpusConfig(
+        min_quality=0.0, near_dup_jaccard=0.6, chunk_tokens=16,
+        chunk_overlap=4, gopher_gate=True, gopher_min_tokens=10,
+        gopher_max_tokens=120, mixture_total=60, write_shards=True,
+        budget_tokens=64, sequences_per_shard=50,
+    )
+    out = str(tmp_path / "resume")
+    m1 = run_corpus_pipeline(docs, out, cfg)
+
+    def mtimes():
+        t = {}
+        for stage in ("filtered", "clean", "gopher_gated", "sampled",
+                      "chunks"):
+            d = os.path.join(out, stage)
+            t[stage] = max(
+                os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+            )
+        t["shards_stats"] = os.path.getmtime(
+            os.path.join(out, "shards", "stats.json"))
+        return t
+
+    before = mtimes()
+    stages = []
+    m2 = run_corpus_pipeline(
+        docs, out, cfg, resume=True,
+        progress_callback=lambda s, i: stages.append(s),
+    )
+    assert m2 == m1                      # identical metrics envelope
+    assert mtimes() == before            # nothing was rewritten
+    # every landed stage carries its _resumed marker (the canonical
+    # stage event still fires afterwards with the same count — the
+    # progress contract is unchanged for consumers)
+    for s in ("filtered_resumed", "dup_pairs_resumed", "clean_resumed",
+              "gopher_gated_resumed", "sampled_resumed",
+              "chunks_resumed", "vocab_resumed", "shards_resumed"):
+        assert s in stages, s
+
+    # changed config must refuse, not silently mix artifacts
+    cfg2 = CorpusConfig(**{**cfg.__dict__, "near_dup_jaccard": 0.9})
+    with pytest.raises(ValueError, match="DIFFERENT config"):
+        run_corpus_pipeline(docs, out, cfg2, resume=True)
+    # ...but a plain rerun (resume=False) overwrites and re-fingerprints
+    m3 = run_corpus_pipeline(docs, out, cfg2)
+    assert m3["raw_docs"] == m1["raw_docs"]
+
+
 def test_golden_run_quota_missing_stratum_column_fails_loud(spark, tmp_path):
     import pytest
 

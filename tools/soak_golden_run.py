@@ -129,6 +129,16 @@ def main() -> int:
     wall = round(time.time() - t0, 1)
     checks: dict[str, str] = {}
 
+    # --- crash-resume economics: a rerun over the landed artifacts
+    # must skip every stage (identical metrics) in a small fraction
+    # of the original wall — the restart cost a 100 TB operator pays
+    t0 = time.time()
+    metrics_r = run_corpus_pipeline(reps, pdir, cfg, resume=True)
+    resume_wall = round(time.time() - t0, 1)
+    assert metrics_r == metrics, "resume changed the metrics envelope"
+    assert resume_wall < wall / 2, (resume_wall, wall)
+    checks["resume"] = f"ok ({resume_wall}s vs {wall}s full)"
+
     # --- quota re-verified from the stored artifacts -----------------
     pop = {
         r["source"]: r["n"]
@@ -201,6 +211,7 @@ def main() -> int:
                 "soak": "golden_run",
                 "replicas": args.replicas,
                 "wall_s": wall,
+                "resume_wall_s": resume_wall,
                 "stage_s": stage_t,
                 "metrics": {
                     k: v for k, v in metrics.items() if k != "shards"

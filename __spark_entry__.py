@@ -92,11 +92,11 @@ _FIRST = [
     "q20_clean_text_documents",
     "q21_token_quality",
     "q22_lang_id",
-    # ---- positions 51-57: the 7 queries ADDED in round 8 (analytics
+    # ---- positions 51-58: the 8 queries ADDED in round 8 (analytics
     # wave, queries_analytics.py) — no driver row yet; they lead the
     # round-9 window ahead of the stale round-5 rows (new-row debt
-    # outranks stale-row debt). 7 new + 37 round-5 = 44 <= 50: the
-    # round-9 window closes the whole backlog with 6 rows of slack.
+    # outranks stale-row debt). 8 new + 37 round-5 = 45 <= 50: the
+    # round-9 window closes the whole backlog with 5 rows of slack.
     "q187_max_drawdown",
     "q188_state_dwell",
     "q189_lead_lag_xcorr",
@@ -104,9 +104,10 @@ _FIRST = [
     "q191_fk_orphan_audit",
     "q192_wow_growth",
     "q193_lorenz_concentration",
-    # ---- positions 58-94: the 37 remaining round-5 rows (3 rounds
+    "q194_quantile_sketch_audit",
+    # ---- positions 59-95: the 37 remaining round-5 rows (3 rounds
     # stale after this window, the steady-state worst case for a
-    # 194-query registry under a 50-row cap; see header comment).
+    # 195-query registry under a 50-row cap; see header comment).
     "q23_fingerprint",
     "q24_minhash_signatures",
     "q25_lsh_candidates",

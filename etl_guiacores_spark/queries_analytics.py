@@ -552,3 +552,116 @@ def q193_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q194: quantile-sketch accuracy audit (approx_percentile vs exact rank)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q194_quantile_sketch_audit",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, vm,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY vm) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN vm END)
+                AS BIGINT) AS p50_exact,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN vm END)
+                AS BIGINT) AS p95_exact,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM r GROUP BY event_type
+    """,
+    doc="Quantile-sketch accuracy audit — completes the sketch-audit "
+    "triad (HLL q105, Count-Min q168): per event type, exact p50/p95 "
+    "of the micro-unit value via the q144/q185 rank-selection idiom, "
+    "PLUS Spark's approx_percentile (Greenwald-Khanna, accuracy "
+    "10000) audited by RANK error — the approx result's rank "
+    "(count of values <= it) must sit within max(5n/accuracy, 2) "
+    "ranks of the target, the merged-summary guarantee with "
+    "degradation headroom. The oracle supplies the exact "
+    "percentiles and asserts the flags TRUE, so the driver "
+    "hash-checks the sketch's error contract on real data — the "
+    "validate-then-trust step before running the fixed-width "
+    "mergeable sketch fleet-wide at 100 TB, where the exact rank "
+    "window would put each type's values on one reducer. Rank-space "
+    "(not value-space) tolerance: heavy-tailed values make value "
+    "deltas meaningless while the GK guarantee is exactly a rank "
+    "bound.",
+)
+def q194_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vm")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "vm",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(
+                F.expr("rn = (n * 50 + 99) div 100"), F.col("vm")
+            )
+        ).cast("long").alias("p50_exact"),
+        F.max(
+            F.when(
+                F.expr("rn = (n * 95 + 99) div 100"), F.col("vm")
+            )
+        ).cast("long").alias("p95_exact"),
+    )
+    approx = v.groupBy("event_type").agg(
+        F.percentile_approx("vm", [0.5, 0.95], 10_000).alias("__ap")
+    ).select(
+        "event_type",
+        F.col("__ap")[0].alias("__a50"),
+        F.col("__ap")[1].alias("__a95"),
+    )
+    # rank of each approx value = count of values <= it, per type
+    ranks = (
+        v.join(approx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("vm") <= F.col("__a50")).cast("long")).alias(
+                "__r50"
+            ),
+            F.sum((F.col("vm") <= F.col("__a95")).cast("long")).alias(
+                "__r95"
+            ),
+        )
+    )
+    tol = F.greatest(F.expr("(5 * n + 9999) div 10000"), F.lit(2))
+    return (
+        exact.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p50_exact",
+            "p95_exact",
+            (
+                F.abs(F.col("__r50") - F.expr("(n * 50 + 99) div 100"))
+                <= tol
+            ).alias("p50_within_tol"),
+            (
+                F.abs(F.col("__r95") - F.expr("(n * 95 + 99) div 100"))
+                <= tol
+            ).alias("p95_within_tol"),
+        )
+    )

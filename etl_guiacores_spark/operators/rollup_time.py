@@ -754,3 +754,45 @@ def holt_smooth(
     out.append(F.col("__z.__s.l").alias("level_micro"))
     out.append(F.col("__z.__s.t").alias("trend_micro"))
     return exploded.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Path statistics: maximum drawdown
+# ---------------------------------------------------------------------------
+
+def max_drawdown(
+    df: "DataFrame",
+    keys: list[str],
+    order_cols: list[str],
+    flow_col: str,
+) -> "DataFrame":
+    """Per-key maximum drawdown of the cumulative ``flow_col`` curve
+    (q187's core): running sum over the ``order_cols`` total order
+    (include a unique tiebreak — the engine-wide determinism rule),
+    running peak over the running sum, drawdown = peak - current,
+    reported as the path maximum with the final balance and global
+    peak. The path statistic a plain groupBy cannot see: two
+    identical final balances can hide wildly different risk paths.
+
+    Shape: two stacked per-key ROWS windows on ONE partition-sort —
+    parallel across keys, no self-join, no O(n^2) peak scan. All
+    integer arithmetic in the caller's units.
+
+    Returns (keys..., n_flows, final, peak, max_drawdown).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    path = df.withColumn("__cum", F.sum(flow_col).over(w)).withColumn(
+        "__peak", F.max("__cum").over(w)
+    )
+    return path.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_flows"),
+        F.sum(flow_col).cast("long").alias("final"),
+        F.max("__peak").cast("long").alias("peak"),
+        F.max(F.col("__peak") - F.col("__cum")).cast("long").alias(
+            "max_drawdown"
+        ),
+    )

@@ -253,3 +253,35 @@ def kaplan_meier(
         F.col("__z.__arr.d_i").alias("n_events"),
         F.col("__z.__sv").cast("long").alias("surv_ppm"),
     ).filter(F.col("n_events") > 0)
+
+
+def state_dwell(
+    df: "DataFrame",
+    keys: list[str],
+    state_col: str,
+    time_col: str,
+    tiebreak_col: str,
+) -> "DataFrame":
+    """Per-state dwell-time accounting (q188's core): each event holds
+    its ``state_col`` until the key's next event — one LEAD over the
+    per-key (time, tiebreak) total order, in the ``event_micros``
+    injective integer domain; a key's last event holds indefinitely
+    and is excluded (right-censored). One parallel window + one
+    map-side-combinable groupBy to |states| rows.
+
+    Returns (state_col, n_holds, total_dwell_us, mean_dwell_us
+    [truncating], max_dwell_us).
+    """
+    m = event_micros(df, time_col)
+    w = Window.partitionBy(*keys).orderBy(time_col, tiebreak_col)
+    d = df.select(
+        state_col, (F.lead(m).over(w) - m).alias("__dwell")
+    ).filter(F.col("__dwell").isNotNull())
+    return d.groupBy(state_col).agg(
+        F.count("*").cast("long").alias("n_holds"),
+        F.sum("__dwell").cast("long").alias("total_dwell_us"),
+        F.expr("sum(__dwell) div count(*)").cast("long").alias(
+            "mean_dwell_us"
+        ),
+        F.max("__dwell").cast("long").alias("max_dwell_us"),
+    )

@@ -73,6 +73,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "O(n^2) peak scan; all integer micro-units.",
 )
 def q187_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.rollup_time import max_drawdown
+
     ev = _t(spark, sf_dir, "events")
     flow = F.when(
         F.col("event_type") == "purchase",
@@ -81,21 +83,14 @@ def q187_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     flows = ev.filter(
         F.col("event_type").isin("purchase", "error")
     ).select("user_id", "ts", "event_id", flow.alias("flow"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    path = flows.withColumn("cum", F.sum("flow").over(w)).withColumn(
-        "peak", F.max("cum").over(w)
-    )
-    return path.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n_flows"),
-        F.sum("flow").cast("long").alias("final_micro"),
-        F.max("peak").cast("long").alias("peak_micro"),
-        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
-            "max_drawdown_micro"
-        ),
+    return max_drawdown(
+        flows, ["user_id"], ["ts", "event_id"], "flow"
+    ).select(
+        "user_id",
+        "n_flows",
+        F.col("final").alias("final_micro"),
+        F.col("peak").alias("peak_micro"),
+        F.col("max_drawdown").alias("max_drawdown_micro"),
     )
 
 
@@ -135,22 +130,10 @@ def q187_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dwell arithmetic in the event_micros injective integer domain.",
 )
 def q188_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_guiacores_spark.operators.temporal import event_micros
+    from etl_guiacores_spark.operators.temporal import state_dwell
 
     ev = _t(spark, sf_dir, "events")
-    m = event_micros(ev, "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = ev.select(
-        "event_type", (F.lead(m).over(w) - m).alias("dwell")
-    ).filter(F.col("dwell").isNotNull())
-    return d.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_holds"),
-        F.sum("dwell").cast("long").alias("total_dwell_us"),
-        F.expr("sum(dwell) div count(*)").cast("long").alias(
-            "mean_dwell_us"
-        ),
-        F.max("dwell").cast("long").alias("max_dwell_us"),
-    )
+    return state_dwell(ev, ["user_id"], "event_type", "ts", "event_id")
 
 
 # ---------------------------------------------------------------------------

@@ -179,6 +179,99 @@ def test_fk_orphan_audit_detects_injected_orphan(spark, tmp_path):
             assert got[k] == base[k]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-10**9, 10**9)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_max_drawdown_property(spark, flows):
+    """Random signed flows over up to 4 keys: the operator must match
+    a sequential peak-trough walk exactly — including all-negative
+    paths, ties, and single-element series."""
+    from etl_guiacores_spark.operators.rollup_time import max_drawdown
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(flows)]
+    df = spark.createDataFrame(rows, "k long, seq long, flow long")
+    got = {
+        r["k"]: (r["n_flows"], r["final"], r["peak"], r["max_drawdown"])
+        for r in max_drawdown(df, ["k"], ["seq"], "flow").collect()
+    }
+    series = defaultdict(list)
+    for k, i, v in rows:
+        series[k].append(v)
+    for k, vs in series.items():
+        cum = 0
+        peak = None
+        dd = None
+        for v in vs:
+            cum += v
+            peak = cum if peak is None else max(peak, cum)
+            d = peak - cum
+            dd = d if dd is None else max(dd, d)
+        assert got[k] == (len(vs), cum, peak, dd)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 10**6),      # offset seconds
+            st.sampled_from("abc"),     # state
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_state_dwell_property(spark, evs):
+    """Random event streams: per-state dwell totals must match a
+    sequential walk, and the conservation law (sum of dwells == sum of
+    per-key first-to-last spans) must hold for any input."""
+    from datetime import datetime, timedelta
+
+    from etl_guiacores_spark.operators.temporal import state_dwell
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (k, i, t0 + timedelta(seconds=s), st_)
+        for i, (k, s, st_) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, eid long, ts timestamp_ntz, state string"
+    )
+    got = {
+        r["state"]: (r["n_holds"], r["total_dwell_us"], r["max_dwell_us"])
+        for r in state_dwell(df, ["k"], "state", "ts", "eid").collect()
+    }
+    series = defaultdict(list)
+    for k, i, ts, st_ in rows:
+        series[k].append((ts, i, st_))
+    want = defaultdict(lambda: [0, 0, None])
+    for k, s in series.items():
+        s.sort()
+        for (ts, _, st_), (nts, _, _) in zip(s, s[1:]):
+            us = int((nts - ts).total_seconds() * 1_000_000)
+            want[st_][0] += 1
+            want[st_][1] += us
+            want[st_][2] = us if want[st_][2] is None else max(
+                want[st_][2], us)
+    assert got == {s: tuple(v) for s, v in want.items()}
+    total = sum(v[1] for v in want.values())
+    spans = sum(
+        int((max(x[0] for x in s) - min(x[0] for x in s)).total_seconds()
+            * 1_000_000)
+        for s in series.values()
+    )
+    assert total == spans
+
+
 def test_wow_growth_conserves_revenue(spark):
     from pyspark.sql import functions as F
 

@@ -23,44 +23,183 @@ from etl_guiacores_spark.session import configure_session
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS artifact truncates at 50 rows, so emission
-# order decides which rows get a fresh confirmation each round. Round-8
-# rotation: (1) the 41 queries added after the round-7 window was
-# emitted (q146-q186) — locally oracle-verified in round 7, never yet
-# in a driver window — then (2) the 9 lowest-numbered of the 46 rows
-# whose latest driver pass is round 5. That is exactly 50 rows. The
-# remaining 37 round-5 rows lead the round-9 window (positions 51-87
-# below). NOTE on the staleness contract: with 187 registered queries
-# and a hard 50-row driver cap, the full rotation period is
-# ceil(187/50) = 4 rounds, so the steady-state worst case is 3 rounds
-# stale (the 37 leftover round-5 rows after this window) — the old
-# "<=2 rounds" phrasing was only achievable below 150 queries. Every
-# row is still locally oracle-verified every round regardless
-# (tools/check_oracle.py 187/187 at sf0.01).
+# order decides which rows get a fresh confirmation each round. This
+# list is no longer hand-maintained: it is DERIVED by
+# tools/gen_rotation.py from the CORRECTNESS_r*.json history —
+# queries with no driver row yet lead (new-row debt outranks stale-row
+# debt), then ascending last-green round, registry order breaking
+# ties. tests/test_rotation.py asserts this committed list matches the
+# derivation, and `python tools/gen_rotation.py --check` verifies it
+# from the shell. Round-9 window (first 50): q187-q194 (added round 8,
+# never driver-confirmed) + the 37 remaining round-5 rows = 45 rows
+# with 5 slack — this closes ALL driver-verification debt: after
+# round 9 every registered query has a driver row <= 3 rounds old,
+# the arithmetic steady state for a 195-query registry under a 50-row
+# cap (rotation period ceil(195/50) = 4 rounds). Every row is also
+# locally re-verified every round regardless (tools/check_oracle.py
+# 195/195 at sf0.01).
 _FIRST = [
-    # ---- round-8 window rows 1-41: added after the round-7 window
-    # was emitted; no driver CORRECTNESS row yet
+    "q187_max_drawdown",
+    "q188_state_dwell",
+    "q189_lead_lag_xcorr",
+    "q190_coo_matmul",
+    "q191_fk_orphan_audit",
+    "q192_wow_growth",
+    "q193_lorenz_concentration",
+    "q194_quantile_sketch_audit",
+    "q71_dup_ngram_fraction",
+    "q72_winnowing_fingerprints",
+    "q77_winnow_overlap_pairs",
+    "q73_hash_split_counts",
+    "q74_bigram_lm_score",
+    "q75_bpe_token_count",
+    "q76_source_length_deciles",
+    "q78_gopher_quality_rules",
+    "q79_centroid_outliers",
+    "q81_span_dedup_reconstruct",
+    "q82_temperature_mixture",
+    "q83_zorder_layout",
+    "q84_knn_label_vote",
+    "q23_fingerprint",
+    "q24_minhash_signatures",
+    "q25_lsh_candidates",
+    "q26_ngram_jaccard",
+    "q27_simhash",
+    "q28_cosine_topk",
+    "q29_embedding_neardup",
+    "q63_ivf_ann_fullprobe",
+    "q64_quantize_int8",
+    "q65_multimodal_decode",
+    "q66_sequence_packing",
+    "q66b_packing_invariants",
+    "q67_stratified_sample",
+    "q68_bigram_counts",
+    "q69_simhash_hamming_pairs",
+    "q120_leakage_safe_split",
+    "q121_incremental_dedup",
+    "q85_split_leakage",
+    "q86_minhash_estimate_error",
+    "q88_blocklist_filter",
+    "q116_qgram_fuzzy_join",
+    "q117_dsir_select",
+    "q118_qgram_entity_resolution",
+    "q56_extract_all_numbers",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q30_tumbling_window",
+    "q31_sliding_window",
+    "q90_cluster_representatives",
+    "q91_ngram_novelty",
+    "q92_semantic_dup_groups",
+    "q93_dup_graph_degree",
+    "q96_source_overlap_matrix",
+    "q101_pagerank_neardup",
+    "q122_snapshot_diff",
+    "q126_schema_drift",
+    "q137_triangle_counts",
+    "q139_ohlc_resample",
+    "q87_weighted_sample",
+    "q94_mixture_rebalance",
+    "q97_label_centroid_cosine",
+    "q98_zipf_slope",
+    "q99_funnel",
+    "q100_cohort_retention",
+    "q102_rank_windows",
+    "q103_topk_via_aggregate",
+    "q104_dsir_importance",
+    "q105_sketch_distinct_audit",
+    "q119_bm25_topk",
+    "q131_bm25_batch",
+    "q132_retrieval_metrics",
+    "q133_hard_negatives",
+    "q123_ewma_smooth",
+    "q127_ewma_global",
+    "q124_mad_outliers",
+    "q128_winsorize",
+    "q129_majority_label",
+    "q130_temporal_split",
+    "q125_mmr_rerank",
+    "q134_repeated_spans",
+    "q135_span_strip",
+    "q136_pmi_collocations",
+    "q138_exact_quota_sample",
+    "q34_merge_upsert",
+    "q35_type_coercion",
+    "q36_phone_list_ops",
+    "q37_exact_dedupe",
+    "q38_running_totals",
+    "q39_pivot_events",
+    "q40_total_matches",
+    "q41_stat_aggregates",
+    "q42_conditional_agg",
+    "q43_json_props",
+    "q47_asof_join",
+    "q03_regional_revenue",
+    "q04_resume_anti_join",
+    "q05_semi_join_segments",
+    "q06_filter_cross_product",
+    "q07_keep_first_dedupe",
+    "q08_dup_report",
+    "q09_top3_orders_per_customer",
+    "q10_latest_version",
+    "q11_set_ops",
+    "q12_rollup_acctbal",
+    "q13_cube_orders",
+    "q80_dense_ids",
+    "q32_sessionization",
+    "q33_event_dedupe_first",
+    "q44_document_chunking",
+    "q45_vocabulary",
+    "q46_tfidf",
+    "q49_hypertable_rollup",
+    "q50_corpus_dedup_survivors",
+    "q58_source_mixture",
+    "q59_decontamination",
+    "q60_pii_redaction",
+    "q61_repetition_score",
+    "q62_dedup_clusters",
+    "q70_salted_distinct_count",
+    "q140_funnel",
+    "q141_cohort_retention",
+    "q142_cusum_drift",
+    "q89_token_offsets",
+    "q95_shard_manifest",
+    "q106_linear_quality_score",
+    "q107_bloom_decontaminate",
+    "q108_scd2_history",
+    "q109_fuzzy_match_pairs",
+    "q110_entity_resolution",
+    "q111_scd2_asof_lookup",
+    "q112_gapfill_resample",
+    "q113_session_concurrency",
+    "q114_random_projection",
+    "q115_boilerplate_extract",
+    "q143_cohen_kappa",
+    "q144_quantile_report",
+    "q145_token_histogram",
+    "q48_range_join",
+    "q51_range_frame_window",
+    "q52_grouping_sets_sql",
+    "q53_lateral_top_order",
+    "q54_bag_set_ops",
+    "q55_null_safe_join",
+    "q57_decimal_exact",
+    "q14_phone_normalize",
+    "q15_email_validate",
+    "q16_url_pipeline",
+    "q17_address_split",
+    "q18_business_id_from_url",
+    "q19_urlgen",
+    "q20_clean_text_documents",
+    "q21_token_quality",
+    "q22_lang_id",
+    "q162_kcore_dedup",
+    "q181_cluster_cohesion",
+    "q182_threshold_sweep",
     "q146_spearman_trend",
     "q147_last_touch",
     "q148_gini_tokens",
     "q149_twap",
-    "q150_auc_roc",
-    "q151_ks_drift",
-    "q152_confusion_metrics",
-    "q153_transition_matrix",
-    "q154_pareto_frontier",
-    "q155_benford_digits",
-    "q156_rrf_fusion",
-    "q157_decile_lift",
-    "q158_vocab_jaccard",
-    "q159_weighted_median",
-    "q160_assoc_rules",
-    "q161_top_paths",
-    "q162_kcore_dedup",
-    "q163_golden_record",
-    "q164_kanonymity",
-    "q165_interval_union",
-    "q166_l_diversity",
-    "q167_column_profile",
     "q168_countmin_audit",
     "q169_quantile_normalize",
     "q170_holt_trend",
@@ -74,77 +213,27 @@ _FIRST = [
     "q178_kaplan_meier",
     "q179_codebook_balance",
     "q180_negative_sampling",
-    "q181_cluster_cohesion",
-    "q182_threshold_sweep",
     "q183_bootstrap_ci",
     "q184_ab_readout",
     "q185_gap_percentiles",
     "q186_daily_acquisition",
-    # ---- round-8 window rows 42-50: the 9 lowest-numbered rows whose
-    # latest driver pass is round 5 (the rest of the round-5 cohort is
-    # below, leading round 9)
-    "q14_phone_normalize",
-    "q15_email_validate",
-    "q16_url_pipeline",
-    "q17_address_split",
-    "q18_business_id_from_url",
-    "q19_urlgen",
-    "q20_clean_text_documents",
-    "q21_token_quality",
-    "q22_lang_id",
-    # ---- positions 51-58: the 8 queries ADDED in round 8 (analytics
-    # wave, queries_analytics.py) — no driver row yet; they lead the
-    # round-9 window ahead of the stale round-5 rows (new-row debt
-    # outranks stale-row debt). 8 new + 37 round-5 = 45 <= 50: the
-    # round-9 window closes the whole backlog with 5 rows of slack.
-    "q187_max_drawdown",
-    "q188_state_dwell",
-    "q189_lead_lag_xcorr",
-    "q190_coo_matmul",
-    "q191_fk_orphan_audit",
-    "q192_wow_growth",
-    "q193_lorenz_concentration",
-    "q194_quantile_sketch_audit",
-    # ---- positions 59-95: the 37 remaining round-5 rows (3 rounds
-    # stale after this window, the steady-state worst case for a
-    # 195-query registry under a 50-row cap; see header comment).
-    "q23_fingerprint",
-    "q24_minhash_signatures",
-    "q25_lsh_candidates",
-    "q26_ngram_jaccard",
-    "q27_simhash",
-    "q28_cosine_topk",
-    "q29_embedding_neardup",
-    "q56_extract_all_numbers",
-    "q63_ivf_ann_fullprobe",
-    "q64_quantize_int8",
-    "q65_multimodal_decode",
-    "q66_sequence_packing",
-    "q66b_packing_invariants",
-    "q67_stratified_sample",
-    "q68_bigram_counts",
-    "q69_simhash_hamming_pairs",
-    "q71_dup_ngram_fraction",
-    "q72_winnowing_fingerprints",
-    "q73_hash_split_counts",
-    "q74_bigram_lm_score",
-    "q75_bpe_token_count",
-    "q76_source_length_deciles",
-    "q77_winnow_overlap_pairs",
-    "q78_gopher_quality_rules",
-    "q79_centroid_outliers",
-    "q81_span_dedup_reconstruct",
-    "q82_temperature_mixture",
-    "q83_zorder_layout",
-    "q84_knn_label_vote",
-    "q85_split_leakage",
-    "q86_minhash_estimate_error",
-    "q88_blocklist_filter",
-    "q116_qgram_fuzzy_join",
-    "q117_dsir_select",
-    "q118_qgram_entity_resolution",
-    "q120_leakage_safe_split",
-    "q121_incremental_dedup",
+    "q150_auc_roc",
+    "q151_ks_drift",
+    "q152_confusion_metrics",
+    "q153_transition_matrix",
+    "q154_pareto_frontier",
+    "q155_benford_digits",
+    "q156_rrf_fusion",
+    "q157_decile_lift",
+    "q158_vocab_jaccard",
+    "q159_weighted_median",
+    "q160_assoc_rules",
+    "q161_top_paths",
+    "q163_golden_record",
+    "q164_kanonymity",
+    "q165_interval_union",
+    "q166_l_diversity",
+    "q167_column_profile",
 ]
 
 

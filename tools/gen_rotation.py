@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Derive the driver-window rotation list from CORRECTNESS history.
+
+The driver's CORRECTNESS artifact truncates at 50 rows, so the order
+in which ``__spark_entry__.queries()`` yields names decides which
+queries get a fresh driver confirmation each round. That order used
+to be a hand-maintained ~100-line ``_FIRST`` list whose correctness
+was load-bearing for the staleness contract (every query re-confirmed
+within ceil(N/50) rounds). This tool derives it mechanically:
+
+1. scan every ``CORRECTNESS_r*.json`` in the repo root and record,
+   per query, the latest round with a green driver row (hash_match,
+   or rows_match with no error for oracle-less queries);
+2. emit every REGISTRY name ordered by debt: queries with **no**
+   driver row yet lead (new-row debt outranks stale-row debt), then
+   ascending by last-green round; ties broken by registry insertion
+   order, which is stable (module import order + definition order).
+
+``tests/test_rotation.py`` asserts the committed ``_FIRST`` list in
+``__spark_entry__.py`` equals this derivation, so the list can never
+silently drift from the contract. Regenerate with::
+
+    python tools/gen_rotation.py            # print the ordered list
+    python tools/gen_rotation.py --check    # exit 1 if _FIRST stale
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_registry_names() -> list[str]:
+    sys.path.insert(0, REPO)
+    import etl_guiacores_spark.queries_analytics  # noqa: F401
+    import etl_guiacores_spark.queries_corpus  # noqa: F401
+    import etl_guiacores_spark.queries_eval  # noqa: F401
+    import etl_guiacores_spark.queries_extra  # noqa: F401
+    import etl_guiacores_spark.queries_scale  # noqa: F401
+    from etl_guiacores_spark.queries import REGISTRY
+
+    return list(REGISTRY)
+
+
+def last_green_rounds(repo: str = REPO) -> dict[str, int]:
+    """Latest round with a green driver row, per query name."""
+    hist: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            green = bool(row.get("hash_match")) or (
+                bool(row.get("rows_match")) and row.get("err") is None
+            )
+            if green:
+                hist[name] = max(hist.get(name, 0), rnd)
+    return hist
+
+
+def generate(repo: str = REPO) -> list[str]:
+    """Full registry ordering: never-driver-confirmed first, then
+    ascending last-green round; registry order breaks ties."""
+    names = _load_registry_names()
+    hist = last_green_rounds(repo)
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (hist.get(n, -1), order[n]))
+
+
+def committed_first() -> list[str]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    return list(entry._FIRST)
+
+
+def main() -> int:
+    rotation = generate()
+    if "--check" in sys.argv:
+        committed = committed_first()
+        if committed != rotation:
+            for i, (a, b) in enumerate(zip(committed, rotation)):
+                if a != b:
+                    print(f"first divergence at position {i}: committed={a} derived={b}")
+                    break
+            print(f"STALE: committed _FIRST ({len(committed)}) != derived ({len(rotation)})")
+            return 1
+        print(f"OK: _FIRST matches derivation ({len(rotation)} names)")
+        return 0
+    for name in rotation:
+        print(name)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -74,10 +74,13 @@ def rp_project(
     floor/cast work out_dim x — measured ~1.6x slower at 50k x 64
     vectors.
     """
-    if f"{prefix}micro" in df.columns or "__rp_micro" in df.columns:
+    reserved = {"__rp_micro", *(f"{prefix}{j}" for j in range(out_dim))}
+    clash = sorted(reserved.intersection(df.columns))
+    if clash:
         raise ValueError(
-            "rp_project: input collides with the operator's working "
-            "column __rp_micro — rename it first"
+            f"rp_project: input columns {clash} collide with the "
+            "operator's working/output columns — rename or drop them "
+            "first (withColumns would silently overwrite them)"
         )
     signs = jl_signs(out_dim, in_dim, seed)
     micro = F.transform(

@@ -453,14 +453,46 @@ def streaming_corpus_ingest(
 def _fenced(spark, path: str) -> bool:
     """True when ``path`` is a committed parquet stage dir
     (``_SUCCESS`` present), via the Hadoop FileSystem API so resume
-    works on any Spark path scheme (the streaming drift.py lesson).
-    The JSON sidecars (pipeline_config.json / metrics.json) stay on
-    the driver-visible filesystem by the existing write_stats_json
-    contract."""
+    works on any Spark path scheme (the streaming drift.py lesson)."""
     jvm = spark._jvm
     hp = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
     fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hp))
+
+
+def _read_text(spark, path: str) -> str | None:
+    """Read a small sidecar (pipeline_config.json / metrics.json)
+    through the Hadoop FileSystem API, like ``_fenced``. The round-8
+    advice caught the asymmetry: stage fencing was scheme-agnostic but
+    the fingerprint used ``os.path`` — on an HDFS/S3 ``out_dir`` the
+    fingerprint was never found, so ``resume=True`` silently reused
+    ``_SUCCESS``-fenced stages that may have been produced under a
+    DIFFERENT config. Returns None when the file does not exist."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        return str(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    """Overwrite-write a small sidecar via the Hadoop FileSystem API
+    (creates parent dirs on any scheme; replaces os.makedirs+open)."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _config_fingerprint(config: CorpusConfig) -> dict:
@@ -498,10 +530,16 @@ def run_corpus_pipeline(
     fingerprint. Non-landed derivations (exact dedup, the survivor
     rule) recompute from their landed upstream — the resume unit is
     the landed artifact, exactly the restart granularity the stored
-    tables give any external orchestrator.
+    tables give any external orchestrator. The fingerprint also
+    covers the INPUT's identity (schema + non-empty row count), so
+    ``resume=True`` with a different ``docs`` refuses too; and resume
+    over fenced stage artifacts that carry NO fingerprint (pre-guard
+    artifacts, or a deleted sidecar) refuses rather than trusting
+    them. All sidecar IO goes through the Hadoop FileSystem API so
+    resume works on any Spark path scheme, exactly like the
+    ``_SUCCESS`` fencing itself.
     """
     import json as _json
-    import os as _os
 
     from pyspark.sql import Observation
 
@@ -516,11 +554,24 @@ def run_corpus_pipeline(
     emit = progress_callback or (lambda stage, info: None)
     spark = docs.sparkSession
 
+    # spread once at ingest (a few-row-group parquet input would
+    # otherwise serialize every per-row stage), drop empty texts, and
+    # count — the count is paid every run anyway (the "raw" metric),
+    # and together with the schema it identifies the INPUT in the
+    # resume fingerprint: artifacts computed from a different input
+    # are exactly as stale as artifacts from a different config.
+    docs = spread_narrow_input(docs, "doc_id")
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    n_raw = docs.count()
+
     fp = _config_fingerprint(config)
+    fp["__input_schema"] = docs.schema.simpleString()
+    fp["__input_rows"] = n_raw
+
     fp_path = f"{out_dir}/pipeline_config.json"
-    if resume and _os.path.exists(fp_path):
-        with open(fp_path) as f:
-            stored = _json.load(f)
+    stored_text = _read_text(spark, fp_path) if resume else None
+    if stored_text is not None:
+        stored = _json.loads(stored_text)
         if stored != fp:
             diff = sorted(
                 k for k in fp if stored.get(k) != fp[k]
@@ -528,14 +579,22 @@ def run_corpus_pipeline(
             raise ValueError(
                 "run_corpus_pipeline(resume=True): the landed artifacts "
                 f"in {out_dir} were produced under a DIFFERENT config "
-                f"(fields differing: {diff}) — resuming would feed "
-                "stale stages downstream. Rerun without resume, or use "
-                "a fresh out_dir."
+                f"or input (fields differing: {diff}) — resuming would "
+                "feed stale stages downstream. Rerun without resume, "
+                "or use a fresh out_dir."
             )
+    elif resume and _fenced(spark, f"{out_dir}/filtered"):
+        raise ValueError(
+            "run_corpus_pipeline(resume=True): fenced stage artifacts "
+            f"exist in {out_dir} but no pipeline_config.json fingerprint "
+            "does — they predate the fingerprint guard or the sidecar "
+            "was deleted, so their provenance cannot be checked. Rerun "
+            "without resume, or use a fresh out_dir."
+        )
     else:
-        _os.makedirs(out_dir, exist_ok=True)
-        with open(fp_path, "w") as f:
-            _json.dump(fp, f, indent=1, sort_keys=True)
+        _write_text(
+            spark, fp_path, _json.dumps(fp, indent=1, sort_keys=True)
+        )
 
     def _land(df: DataFrame, name: str) -> tuple[DataFrame, int]:
         """Write a stage handoff with its count OBSERVED on the same
@@ -562,11 +621,6 @@ def run_corpus_pipeline(
         back = spark.read.schema(df.schema).parquet(path)
         return back, obs.get["records"]
 
-    # spread once at ingest: a few-row-group parquet input would
-    # otherwise serialize every per-row stage (shingle, hash, score)
-    docs = spread_narrow_input(docs, "doc_id")
-    docs = docs.filter(F.length(F.trim("text")) > 0)
-    n_raw = docs.count()
     emit("raw", {"records": n_raw})
 
     filtered, n_filtered = _land(filter_documents(docs, config), "filtered")
@@ -818,11 +872,13 @@ def run_corpus_pipeline(
     emit("vocab", {"records": n_vocab})
 
     shard_stats = None
-    if config.write_shards and resume and _os.path.exists(
-        f"{out_dir}/shards/stats.json"
-    ):
-        with open(f"{out_dir}/shards/stats.json") as f:
-            shard_stats = _json.load(f)
+    shard_stats_text = (
+        _read_text(spark, f"{out_dir}/shards/stats.json")
+        if (config.write_shards and resume)
+        else None
+    )
+    if shard_stats_text is not None:
+        shard_stats = _json.loads(shard_stats_text)
         emit(
             "shards_resumed",
             {
@@ -894,6 +950,10 @@ def run_corpus_pipeline(
         metrics["after_mixture_quota"] = n_sampled
     if shard_stats is not None:
         metrics["shards"] = shard_stats
-    gio.write_stats_json(metrics, f"{out_dir}/metrics.json")
+    _write_text(
+        spark,
+        f"{out_dir}/metrics.json",
+        _json.dumps(metrics, indent=2, ensure_ascii=False, default=str),
+    )
     emit("done", {"records": n_clean})
     return metrics

@@ -3,6 +3,10 @@ from etl_guiacores_spark.streaming.acquisition import (
     read_daily_acquisition,
 )
 from etl_guiacores_spark.streaming.discovery import discover_until_idle
+from etl_guiacores_spark.streaming.drawdown import (
+    max_drawdown_stream,
+    read_max_drawdown,
+)
 from etl_guiacores_spark.streaming.drift import cusum_drift_stream
 from etl_guiacores_spark.streaming.smooth import holt_smooth_stream
 from etl_guiacores_spark.streaming.windows import (
@@ -19,6 +23,8 @@ __all__ = [
     "discover_until_idle",
     "read_daily_acquisition",
     "holt_smooth_stream",
+    "max_drawdown_stream",
+    "read_max_drawdown",
     "ohlc_bars",
     "session_agg",
     "sliding_counts",

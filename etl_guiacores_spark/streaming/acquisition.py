@@ -50,13 +50,18 @@ from etl_guiacores_spark.streaming.drift import (
     _snapshot_ids,
 )
 
-#: union-schema state table: one fenced parquet per snapshot.
-#: kind='first' -> (user_id, first_day); kind='open' -> (day,
-#: n_events) single row; kind='openuser' -> (user_id) per open-day
-#: active user.
-_STATE_SCHEMA = (
-    "kind string, user_id long, first_day date, day date, n_events long"
-)
+def _state_schema(user_type: str) -> str:
+    """Union-schema state table: one fenced parquet per snapshot.
+    kind='first' -> (user_id, first_day); kind='open' -> (day,
+    n_events) single row; kind='openuser' -> (user_id) per open-day
+    active user. The user_id field's type is DERIVED from the stream's
+    own ``user_col`` (round-8 advice: a hard-coded ``long`` wrote
+    string-typed snapshots the next batch read back with an
+    incompatible schema — same discipline as drift.py/smooth.py)."""
+    return (
+        f"kind string, user_id {user_type}, first_day date, "
+        "day date, n_events long"
+    )
 
 
 def daily_acquisition_stream(
@@ -78,13 +83,15 @@ def daily_acquisition_stream(
             return
         spark = batch_df.sparkSession
         state_root = f"{out_dir}/state"
+        user_type = batch_df.schema[user_col].dataType.simpleString()
+        state_schema = _state_schema(user_type)
         prev = _resolve_prev_snapshot(
             spark, state_root, batch_id, "daily_acquisition_stream"
         )
         if prev is not None:
-            state = spark.read.schema(_STATE_SCHEMA).parquet(prev)
+            state = spark.read.schema(state_schema).parquet(prev)
         else:
-            state = spark.createDataFrame([], _STATE_SCHEMA)
+            state = spark.createDataFrame([], state_schema)
         firsts0 = state.filter(F.col("kind") == "first").select(
             "user_id", "first_day"
         )
@@ -209,7 +216,7 @@ def daily_acquisition_stream(
                     F.col("day") == F.lit(new_open_day)
                 ).select(
                     F.lit("open").alias("kind"),
-                    F.lit(None).cast("long").alias("user_id"),
+                    F.lit(None).cast(user_type).alias("user_id"),
                     F.lit(None).cast("date").alias("first_day"),
                     "day",
                     "n_events",

@@ -67,6 +67,30 @@ class TestRandomProjection:
             expect = (signs * micro).sum(axis=1)
             assert out[i] == [int(x) for x in expect], i
 
+    def test_collision_guard_hits_real_reserved_names(self, spark):
+        """Round-8 advice: the guard must reject the names the
+        operator actually writes (__rp_micro, rp_0..rp_{k-1}) and must
+        NOT reject a harmless 'rp_micro' input column."""
+        import pytest
+
+        from etl_guiacores_spark.operators.projection import rp_project
+
+        base = [(1, [0.5] * 4)]
+        for bad in ("__rp_micro", "rp_0", "rp_3"):
+            df = spark.createDataFrame(
+                [(1, [0.5] * 4, "x")], f"id long, v array<float>, `{bad}` string"
+            )
+            with pytest.raises(ValueError, match="collide"):
+                rp_project(df, "v", out_dim=4, in_dim=4)
+        # harmless names: rp_micro (not a working column) and rp_4
+        # (outside out_dim=4's output range) must pass
+        ok = spark.createDataFrame(
+            [(1, [0.5] * 4, "x", "y")],
+            "id long, v array<float>, rp_micro string, rp_4 string",
+        )
+        out = rp_project(ok, "v", out_dim=4, in_dim=4)
+        assert {"rp_0", "rp_1", "rp_2", "rp_3"}.issubset(out.columns)
+
     def test_signs_deterministic_and_balanced(self, spark):
         from etl_guiacores_spark.operators.projection import jl_signs
 

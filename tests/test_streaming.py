@@ -458,6 +458,45 @@ class TestAcquisitionStream:
         finally:
             q.stop()
 
+    def test_string_user_ids_round_trip_state(self, spark, tmp_path):
+        """The state schema derives user_id's type from the stream
+        (round-8 advice): with string ids, batch 0's snapshot must
+        read back cleanly in batch 1 instead of failing on a
+        hard-coded long schema."""
+        from datetime import datetime as dt
+
+        from etl_guiacores_spark.streaming import (
+            daily_acquisition_stream,
+            read_daily_acquisition,
+        )
+
+        schema = "event_id long, ts timestamp, user_id string"
+        batches = [
+            [(1, dt(2024, 1, 1, 8), "alice"), (2, dt(2024, 1, 1, 9), "bob")],
+            [(3, dt(2024, 1, 2, 8), "alice"), (4, dt(2024, 1, 2, 9), "carol")],
+        ]
+        src = str(tmp_path / "acqstr_src")
+        out = str(tmp_path / "acqstr_out")
+        spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = daily_acquisition_stream(
+            stream, out, checkpoint_dir=str(tmp_path / "acqstr_ckpt"))
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batches[1], schema).coalesce(
+                1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["day"]: r.asDict() for r in
+               read_daily_acquisition(spark, out).collect()}
+        assert got["2024-01-01"]["n_new"] == 2
+        assert got["2024-01-02"]["n_new"] == 1           # carol
+        assert got["2024-01-02"]["n_returning"] == 1     # alice
+        assert got["2024-01-02"]["cum_users"] == 3
+
 
 class TestSnapshotFencing:
     """The shared snapshot-resolution contract of the CUSUM/Holt
@@ -508,6 +547,154 @@ class TestSnapshotFencing:
         # nothing at-or-past it exists; with snapshots present it is
         # ambiguous-but-safe: id 0 can never have had a prior snapshot
         assert _resolve_prev_snapshot(spark, root, 0, "op") is None
+
+
+class TestDrawdownStream:
+    def _flow(self):
+        # purchase adds micro-value, error subtracts (the q187 shape)
+        return F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 1_000_000).cast("long"),
+        ).otherwise(-F.floor(F.col("value") * 1_000_000).cast("long"))
+
+    def _batch_report(self, spark, events):
+        from etl_guiacores_spark.operators.rollup_time import max_drawdown
+
+        df = spark.createDataFrame(events, EVENTS_SCHEMA)
+        flows = df.select(
+            "user_id", "ts", "event_id", self._flow().alias("flow")
+        )
+        return max_drawdown(flows, ["user_id"], ["ts", "event_id"], "flow")
+
+    def test_stream_equals_batch_twin(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import (
+            max_drawdown_stream,
+            read_max_drawdown,
+        )
+
+        # user 1: rise, crash, partial recover (drawdown spans
+        # batches); user 2 appears in batch 1; user 3 only in batch 2
+        def e(eid, minute, user, etype, value):
+            return ev(eid, minute, user=user, etype=etype, value=value)
+
+        batches = [
+            [e(1, 1, 1, "purchase", 5.0), e(2, 2, 1, "error", 1.0),
+             e(3, 3, 2, "purchase", 2.0)],
+            [e(4, 10, 1, "error", 6.0), e(5, 11, 2, "error", 3.0),
+             e(6, 12, 2, "purchase", 1.0)],
+            [e(7, 20, 1, "purchase", 2.0), e(8, 21, 3, "error", 4.0)],
+        ]
+        src = str(tmp_path / "dd_src")
+        out = str(tmp_path / "dd_out")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = max_drawdown_stream(
+            stream, out, key_cols=["user_id"], flow_col=self._flow(),
+            checkpoint_dir=str(tmp_path / "dd_ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r["user_id"]: r.asDict() for r in read_max_drawdown(
+            spark, out, ["user_id"]).collect()}
+        want = {r["user_id"]: r.asDict() for r in self._batch_report(
+            spark, [x for b in batches for x in b]).collect()}
+        assert got == want
+        # semantics sanity: user 1's path is +5, +4, -2, 0 (micro 1e6)
+        u1 = want[1]
+        assert u1["peak"] == 5_000_000
+        assert u1["final"] == 0
+        assert u1["max_drawdown"] == 7_000_000   # peak 5M -> trough -2M
+
+    def test_replayed_batch_is_exactly_once(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import (
+            max_drawdown_stream,
+            read_max_drawdown,
+        )
+
+        batches = [
+            [ev(1, 1, user=1, etype="purchase", value=3.0)],
+            [ev(2, 10, user=1, etype="error", value=2.0),
+             ev(3, 11, user=2, etype="purchase", value=1.0)],
+            [ev(4, 20, user=1, etype="purchase", value=4.0)],
+        ]
+        src = str(tmp_path / "ddr_src")
+        out = str(tmp_path / "ddr_out")
+        ckpt = str(tmp_path / "ddr_ckpt")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = max_drawdown_stream(
+            stream, out, key_cols=["user_id"], flow_col=self._flow(),
+            checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        before = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in read_max_drawdown(spark, out, ["user_id"]).collect()
+        )
+
+        # force redelivery of batch 2
+        (tmp_path / "ddr_ckpt" / "commits" / "2").unlink()
+        crc = tmp_path / "ddr_ckpt" / "commits" / ".2.crc"
+        if crc.exists():
+            crc.unlink()
+        stream2 = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q2 = max_drawdown_stream(
+            stream2, out, key_cols=["user_id"], flow_col=self._flow(),
+            checkpoint_dir=ckpt)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        after = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in read_max_drawdown(spark, out, ["user_id"]).collect()
+        )
+        assert after == before
+
+    def test_rejects_out_of_order_batch(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import max_drawdown_stream
+
+        src = str(tmp_path / "ddl_src")
+        out = str(tmp_path / "ddl_out")
+        spark.createDataFrame(
+            [ev(1, 10, user=1, etype="purchase", value=1.0)], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = max_drawdown_stream(
+            stream, out, key_cols=["user_id"], flow_col=self._flow(),
+            checkpoint_dir=str(tmp_path / "ddl_ckpt"))
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [ev(2, 5, user=1, etype="error", value=1.0)], EVENTS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            raised = False
+            try:
+                q.processAllAvailable()
+            except Exception:
+                raised = True
+            assert raised, "out-of-order row must fail loud"
+        finally:
+            q.stop()
 
 
 class TestHoltStream:

@@ -172,6 +172,7 @@ def pagerank_int(
     dst_col: str = "id_b",
     iterations: int = 5,
     damping_pct: int = 85,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Integer-exact PageRank: ``(id, rank_scaled)`` after a fixed
     number of power iterations over the UNDIRECTED graph (each input
@@ -202,11 +203,20 @@ def pagerank_int(
     # materialize BEFORE releasing sym: out_edges references sym twice
     # (degree subtree + join subtree); the count populates sym's cache
     # on the first subtree, reads it on the second, and lands out_edges
-    # in its own cache — only then is dropping sym's handle a no-cost op
-    out_edges = sym.join(deg, "src").persist()
+    # in its own cache — only then is dropping sym's handle a no-cost op.
+    # repartition("src") BEFORE the persist: the cached scan then
+    # reports HashPartitioning(src), so each iteration's ranks-onto-
+    # edges join shuffles only the |V|-sized ranks table instead of
+    # re-exchanging the |E|-sized edge table every round (localCheckpoint
+    # makes each round a separate job, so no exchange reuse applies —
+    # at data scale the per-round edge shuffle IS the loop's cost)
+    out_edges = sym.join(deg, "src").repartition("src").persist()
     out_edges.count()
     sym.unpersist()
 
+    # same trick on the node set: distinct() already ends in an
+    # exchange on id, and persisting it keeps that partitioning visible
+    # to the per-round left join against contributions
     n_nodes = nodes.select(F.col(id_col).alias("id")).distinct().persist()
     total = n_nodes.agg(F.count("*").alias("__n"))
     base_expr = (
@@ -218,16 +228,13 @@ def pagerank_int(
         "id", F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) div __n").alias("r"),
         F.col("__n"),
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             out_edges.join(ranks.select(F.col("id").alias("src"), "r"), "src")
             .select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("__in"))
         )
-        # eager truncation: each round materializes (reading the cached
-        # edge table), so the final plan reads round-N blocks instead of
-        # an N-deep lineage that would re-execute the edge join per round
         ranks = (
             n_nodes.crossJoin(F.broadcast(total))
             .join(contrib, "id", "left")
@@ -239,8 +246,18 @@ def pagerank_int(
                 ).alias("r"),
                 F.col("__n"),
             )
-            .localCheckpoint(eager=True)
         )
+        # lineage control: the plan grows LINEARLY per round (each
+        # round reads the cached edge table, never re-derives it), so a
+        # handful of rounds runs best as ONE job — AQE coalesces every
+        # tiny exchange and nothing materializes mid-loop. An eager
+        # localCheckpoint every round (the previous shape) cost a full
+        # compute-and-cache barrier per iteration: 5.9s for 5 rounds on
+        # a 42k-edge graph, vs one deep plan in ~1s. Truncate only
+        # every `checkpoint_interval` rounds so LONG runs (deep plans,
+        # optimizer time) stay bounded — the q114-style measured fix.
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("id", F.col("r").alias("rank_scaled"))
     out_edges.unpersist()
     n_nodes.unpersist()

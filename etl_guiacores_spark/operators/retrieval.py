@@ -378,6 +378,107 @@ def mmr_rerank(
     )
 
 
+def mmr_rerank_batch(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    n_candidates: int = 32,
+    lambda_ppm: int = 700_000,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch MMR for MANY queries in ONE job — the shape
+    :func:`mmr_rerank`'s docstring prescribes instead of looping
+    driver calls (each of which pays a full Spark job and runs its
+    greedy on the driver).
+
+    Stages, all in one plan: (1) quantize once; (2) the bounded query
+    table broadcasts against one corpus pass via a constant-key
+    broadcast hash join (the fan-out is inherently |docs| x |queries|
+    — the key only keeps the plan an equi-join; the probe side keeps
+    its partitioning, nothing extra shuffles); (3) relevance = exact
+    integer dot product; only NARROW (query_id, id, rel) rows ride the
+    single per-query top-k window shuffle; (4) the <= n_candidates
+    winners per query re-join their vectors (a |queries|*n_candidates
+    relation) and (5) ``applyInPandas`` grouped by query_id runs the
+    IDENTICAL :func:`mmr_select` greedy per group ON THE EXECUTORS —
+    every query's sequential selection happens in parallel, nothing
+    data-sized ever reaches the driver. Per-query results are
+    equivalence-tested against :func:`mmr_rerank`.
+
+    Returns (query_id, rank, id_col, rel, mmr_score).
+    """
+    qids = sorted({int(q) for q in query_ids})
+    if not qids:
+        raise ValueError("mmr_rerank_batch: query_ids is empty")
+    vq = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    base = embeddings.select(F.col(id_col), vq.alias("__vq"))
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, rank long, {id_col} {id_type}, "
+        "rel long, mmr_score long"
+    )
+    qtab = base.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), F.col("__vq").alias("__qv")
+    )
+    n_q = qtab.count()
+    if n_q != len(qids):
+        if embeddings.isEmpty():
+            return embeddings.sparkSession.createDataFrame([], out_schema)
+        raise ValueError(
+            f"mmr_rerank_batch: {len(qids) - n_q} of {len(qids)} "
+            f"query ids missing from {id_col}"
+        )
+    scored = (
+        base.withColumn("__one", F.lit(1))
+        .join(
+            F.broadcast(qtab.withColumn("__one", F.lit(1))), "__one"
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.zip_with("__vq", "__qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.col(id_col))
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .drop("__rn")
+    )
+    withvec = cands.join(base, id_col)
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["query_id"].iloc[0]
+        cand = [
+            (row[id_col], row["rel"], list(row["__vq"]))
+            for row in pdf.to_dict("records")
+        ]
+        sel = mmr_select(
+            cand, k=k, lambda_ppm=lambda_ppm, max_candidates=n_candidates
+        )
+        rel_of = {int(i): int(r) for i, r, _ in cand}
+        return pd.DataFrame(
+            [
+                (qid, rank + 1, cid, rel_of[cid], score)
+                for rank, (cid, score) in enumerate(sel)
+            ],
+            columns=["query_id", "rank", id_col, "rel", "mmr_score"],
+        )
+
+    return withvec.groupBy("query_id").applyInPandas(_greedy, out_schema)
+
+
 def hard_negatives(
     embeddings: DataFrame,
     anchor_filter,

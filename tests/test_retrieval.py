@@ -403,3 +403,56 @@ class TestRrfFuse:
         from etl_guiacores_spark.operators.retrieval import rrf_fuse
 
         assert rrf_fuse(df, top_k=3).count() == 3
+
+
+def test_mmr_rerank_batch_equals_per_query_rerank(spark):
+    """The one-job applyInPandas batch must reproduce mmr_rerank's
+    per-query output exactly, for every query in the batch."""
+    import math
+
+    from etl_guiacores_spark.operators.retrieval import (
+        mmr_rerank,
+        mmr_rerank_batch,
+    )
+
+    vecs = [
+        (i, [math.sin(0.7 * i + 0.3 * j) for j in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qids = [0, 3, 7, 11]
+    batch = mmr_rerank_batch(
+        df, qids, k=5, n_candidates=12, scale=1000
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+        )
+    assert sorted(got) == qids
+    for q in qids:
+        want = sorted(
+            (r["rank"], r["vec_id"], r["rel"], r["mmr_score"])
+            for r in mmr_rerank(
+                df, query_id=q, k=5, n_candidates=12, scale=1000
+            ).collect()
+        )
+        assert sorted(got[q]) == want, q
+
+
+def test_mmr_rerank_batch_guards(spark):
+    import math
+
+    import pytest
+
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank_batch
+
+    vecs = [
+        (i, [math.sin(0.5 * i + j) for j in range(4)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        mmr_rerank_batch(df, [])
+    with pytest.raises(ValueError, match="missing"):
+        mmr_rerank_batch(df, [0, 99], k=2, n_candidates=4).collect()
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert mmr_rerank_batch(empty, [0], k=2).count() == 0

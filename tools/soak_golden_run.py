@@ -24,7 +24,24 @@ then re-verifies the WRITTEN artifacts independently:
   0..n-1, shards tile the token stream, zero over-budget sequences
 
 Usage: python tools/soak_golden_run.py [--replicas 20] [--sf DIR]
+                                       [--skew] [--hot-n 800]
 Prints ONE JSON line with per-stage seconds and check results.
+
+``--skew`` (round-8 verdict item 6) stresses the same composed run
+with the non-uniform shapes a real 100 TB corpus has, which the
+uniform soak never exercised:
+
+- a Zipf-ish document-LENGTH distribution (hash-bucketed 8x/4x/2x/1x
+  text multipliers, so a few percent of documents carry most tokens —
+  the per-row stages' task-skew driver);
+- one HOT near-dup clique (``--hot-n`` clones of one base document,
+  all mutually near-duplicate) — every clone lands in the same LSH
+  band buckets, so the candidate-pair self-join sees one massively
+  skewed key: the AQE skew-join path the LSH verify stage relies on;
+- the standard invariants PLUS: the planted clique must collapse to
+  at most one survivor, and per-stage task-time skew
+  (max/median executorRunTime from the Spark status API) is recorded
+  so the skew actually observed is a number in SCALE.md, not a claim.
 """
 
 from __future__ import annotations
@@ -44,6 +61,8 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=20)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mixture-total", type=int, default=3000)
+    ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--hot-n", type=int, default=800)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -54,7 +73,12 @@ def main() -> int:
     )
     from etl_guiacores_spark.session import get_spark
 
-    spark = get_spark(app_name="soak-golden-run")
+    # the skew leg reads per-stage task-time distributions off the
+    # status REST API, so it needs the UI server
+    spark = get_spark(
+        app_name="soak-golden-run",
+        extra_conf={"spark.ui.enabled": "true"} if args.skew else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     base = spark.read.parquet(f"{args.sf}/documents.parquet").select(
@@ -81,6 +105,57 @@ def main() -> int:
         .alias("text"),
         "source",
     )
+
+    hot_base = None
+    if args.skew:
+        # Zipf-ish length multipliers: bucket 0 -> 8x, 1 -> 4x,
+        # 2-3 -> 2x, rest 1x (hash-assigned, deterministic)
+        bucket = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+        mult = (
+            F.when(bucket == 0, F.lit(8))
+            .when(bucket == 1, F.lit(4))
+            .when(bucket <= 3, F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        reps = reps.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), mult), lambda _: F.col("text")
+                ),
+                " ",
+            ),
+        )
+        # one hot near-dup clique: hot_n clones of a single base doc,
+        # each with a distinct tiny suffix (mutual Jaccard ~1, no two
+        # exactly equal, so they all REACH the LSH stage). The suffix
+        # must be LETTERS: the exact-dedup fingerprint normalization
+        # strips non-letter chars, so numeric suffixes would collapse
+        # the whole clique at the exact stage and never stress LSH
+        # pick the base from the TOP of the id range: the decontam
+        # benchmark quotes windows of the 40 LOWEST-id docs, and a
+        # clique cloned from one of those is dropped wholesale at the
+        # decontam stage — it must survive to the LSH stage instead
+        hot_base = (
+            base.withColumn("__nt", F.size(F.split("text", r"\s+")))
+            .filter(F.col("__nt").between(30, 150))
+            .orderBy(F.desc("doc_id"))
+            .select("doc_id", "text", "source")
+            .first()
+        )
+        assert hot_base is not None, "no 30-150-token base doc found"
+        clones = spark.range(args.hot_n).select(
+            (F.lit(2_000_000_000) + F.col("id")).alias("doc_id"),
+            F.concat(
+                F.lit(hot_base["text"]),
+                F.lit(" clone "),
+                F.expr("char(97 + id % 26)"),
+                F.expr("char(97 + (id div 26) % 26)"),
+                F.expr("char(97 + (id div 676) % 26)"),
+            ).alias("text"),
+            F.lit(hot_base["source"]).alias("source"),
+        )
+        reps = reps.unionByName(clones)
 
     out = tempfile.mkdtemp(prefix="soak_golden_")
     # benchmark: 8-token windows from 40 base documents -> both the
@@ -205,11 +280,67 @@ def main() -> int:
     assert run_tok == chunk_tokens
     checks["shards"] = f"ok ({int(agg['n'])} sequences)"
 
+    skew_top = None
+    if args.skew:
+        # --- planted hot clique must collapse on the stored survivors
+        n_hot_clean = (
+            spark.read.parquet(f"{pdir}/clean")
+            .filter(F.col("doc_id") >= 2_000_000_000)
+            .count()
+        )
+        assert n_hot_clean <= 1, f"hot clique left {n_hot_clean} survivors"
+        hot_pairs = (
+            spark.read.parquet(f"{pdir}/dup_pairs")
+            .filter(
+                (F.col("id_a") >= 2_000_000_000)
+                & (F.col("id_b") >= 2_000_000_000)
+            )
+            .count()
+        )
+        assert hot_pairs >= args.hot_n - 1, (
+            f"clique under-connected: {hot_pairs} internal verified pairs"
+        )
+        checks["hot_clique"] = (
+            f"ok (survivors={n_hot_clean}, internal_pairs={hot_pairs})"
+        )
+
+        # --- observed per-stage task skew off the status REST API ----
+        import urllib.request
+
+        url = (
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}/stages?status=complete"
+            f"&withSummaries=true&quantiles=0.0,0.5,1.0"
+        )
+        stages = json.load(urllib.request.urlopen(url))
+        ratios = []
+        for s in stages:
+            d = (s.get("taskMetricsDistributions") or {}).get(
+                "executorRunTime"
+            )
+            # sub-200ms-median stages are pure task-launch noise
+            if not d or d[1] <= 200:
+                continue
+            ratios.append(
+                {
+                    "ratio": round(d[2] / max(d[1], 1.0), 1),
+                    "stage": int(s["stageId"]),
+                    "n_tasks": int(s["numCompleteTasks"]),
+                    "median_ms": int(d[1]),
+                    "max_ms": int(d[2]),
+                }
+            )
+        ratios.sort(key=lambda r: -r["ratio"])
+        skew_top = ratios[:5]
+        checks["task_skew"] = "recorded"
+
     print(
         json.dumps(
             {
-                "soak": "golden_run",
+                "soak": "golden_run_skew" if args.skew else "golden_run",
                 "replicas": args.replicas,
+                "hot_n": args.hot_n if args.skew else None,
+                "task_skew_top": skew_top,
                 "wall_s": wall,
                 "resume_wall_s": resume_wall,
                 "stage_s": stage_t,

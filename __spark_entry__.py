@@ -30,14 +30,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # debt), then ascending last-green round, registry order breaking
 # ties. tests/test_rotation.py asserts this committed list matches the
 # derivation, and `python tools/gen_rotation.py --check` verifies it
-# from the shell. Round-9 window (first 50): q187-q194 (added round 8,
-# never driver-confirmed) + the 37 remaining round-5 rows = 45 rows
-# with 5 slack — this closes ALL driver-verification debt: after
-# round 9 every registered query has a driver row <= 3 rounds old,
-# the arithmetic steady state for a 195-query registry under a 50-row
-# cap (rotation period ceil(195/50) = 4 rounds). Every row is also
-# locally re-verified every round regardless (tools/check_oracle.py
-# 195/195 at sf0.01).
+# from the shell. Round-9 window (first 50): q187-q195 (q187-q194
+# added round 8, q195 added round 9 — none driver-confirmed yet) +
+# the 37 remaining round-5 rows = 46 rows with 4 slack — this closes
+# ALL driver-verification debt: after round 9 every registered query
+# has a driver row <= 3 rounds old, the arithmetic steady state for a
+# 196-query registry under a 50-row cap (rotation period
+# ceil(196/50) = 4 rounds). Every row is also locally re-verified
+# every round regardless (tools/check_oracle.py 196/196 at sf0.01).
 _FIRST = [
     "q187_max_drawdown",
     "q188_state_dwell",
@@ -47,6 +47,7 @@ _FIRST = [
     "q192_wow_growth",
     "q193_lorenz_concentration",
     "q194_quantile_sketch_audit",
+    "q195_mmr_batch",
     "q71_dup_ngram_fraction",
     "q72_winnowing_fingerprints",
     "q77_winnow_overlap_pairs",

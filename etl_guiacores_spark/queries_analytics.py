@@ -648,3 +648,93 @@ def q194_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p95_within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q195: batch MMR re-ranking — many queries, one job (round 9)
+# ---------------------------------------------------------------------------
+
+_MMR_SCORE_B = (
+    "(700000*rel - 300000*COALESCE(maxsim, 0)"
+    " - (((700000*rel - 300000*COALESCE(maxsim, 0)) % 1000000 + 1000000)"
+    " % 1000000)) // 1000000"
+)
+
+@register(
+    "q195_mmr_batch",
+    f"""
+    WITH RECURSIVE vq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, vq AS qv FROM vq
+          WHERE vec_id IN (0, 1, 2, 3)),
+    rel_t AS (
+        SELECT q.query_id, c.vec_id, c.vq,
+               CAST(list_sum(list_transform(range(1, LEN(c.vq) + 1),
+                    i -> c.vq[i] * q.qv[i])) AS BIGINT) AS rel
+        FROM vq c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    cands AS (
+        SELECT query_id, vec_id, vq, rel FROM rel_t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel DESC, vec_id) <= 32
+    ),
+    rem AS (
+        SELECT 0 AS it, query_id, vec_id, rel, vq,
+               CAST(NULL AS BIGINT) AS maxsim
+        FROM cands
+        UNION ALL
+        SELECT it + 1, query_id, vec_id, rel, vq,
+               CASE WHEN maxsim IS NULL THEN
+                   CAST(list_sum(list_transform(range(1, LEN(vq) + 1),
+                        i -> vq[i] * pvq[i])) AS BIGINT)
+               ELSE GREATEST(maxsim,
+                   CAST(list_sum(list_transform(range(1, LEN(vq) + 1),
+                        i -> vq[i] * pvq[i])) AS BIGINT))
+               END
+        FROM (
+            SELECT it, query_id, vec_id, rel, vq, maxsim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY {_MMR_SCORE_B} DESC, vec_id) AS rk,
+                   FIRST(vq) OVER (PARTITION BY query_id
+                       ORDER BY {_MMR_SCORE_B} DESC, vec_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS pvq
+            FROM rem
+        ) WHERE rk > 1 AND it < 9
+    )
+    SELECT query_id, CAST(it + 1 AS BIGINT) AS rank, vec_id, rel,
+           CAST({_MMR_SCORE_B} AS BIGINT) AS mmr_score
+    FROM (
+        SELECT it, query_id, vec_id, rel, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY it, query_id
+                                  ORDER BY {_MMR_SCORE_B} DESC, vec_id) AS rk
+        FROM rem
+    ) WHERE rk = 1 AND it < 10
+    """,
+    doc="Batch MMR re-ranking: four queries diversified in ONE job — "
+    "the applyInPandas shape q125's single-query operator prescribes "
+    "for eval harnesses (looping driver calls would serialize one "
+    "Spark job per query and run every greedy on the driver). The "
+    "bounded query table broadcasts against one corpus pass "
+    "(constant-key broadcast hash join: the fan-out is inherently "
+    "|docs| x |queries|, the key just keeps the plan an equi-join "
+    "with the probe side's partitioning intact); only narrow "
+    "(query_id, id, rel) rows ride the single per-query top-32 "
+    "window shuffle; the winners re-join their quantized vectors and "
+    "the IDENTICAL exact-integer mmr_select greedy runs per query "
+    "group on the executors. Oracle: q125's recursive-CTE greedy "
+    "replay extended with a query_id dimension (every window "
+    "partitioned by query) — bit-identical integers, Python floor "
+    "division spelled out explicitly "
+    "(operators/retrieval.mmr_rerank_batch).",
+)
+def q195_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank_batch(e, [0, 1, 2, 3], k=10, n_candidates=32)

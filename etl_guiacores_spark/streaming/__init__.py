@@ -8,6 +8,10 @@ from etl_guiacores_spark.streaming.drawdown import (
     read_max_drawdown,
 )
 from etl_guiacores_spark.streaming.drift import cusum_drift_stream
+from etl_guiacores_spark.streaming.dwell import (
+    read_state_dwell,
+    state_dwell_stream,
+)
 from etl_guiacores_spark.streaming.smooth import holt_smooth_stream
 from etl_guiacores_spark.streaming.windows import (
     ohlc_bars,
@@ -25,6 +29,8 @@ __all__ = [
     "holt_smooth_stream",
     "max_drawdown_stream",
     "read_max_drawdown",
+    "read_state_dwell",
+    "state_dwell_stream",
     "ohlc_bars",
     "session_agg",
     "sliding_counts",

@@ -697,6 +697,140 @@ class TestDrawdownStream:
             q.stop()
 
 
+class TestDwellStream:
+    def _batch_report(self, spark, events):
+        from etl_guiacores_spark.operators.temporal import state_dwell
+
+        df = spark.createDataFrame(events, EVENTS_SCHEMA)
+        return state_dwell(
+            df, ["user_id"], "event_type", "ts", "event_id"
+        )
+
+    def test_stream_equals_batch_twin(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import (
+            read_state_dwell,
+            state_dwell_stream,
+        )
+
+        # holds span batch boundaries: user 1's batch-0 'view' hold is
+        # closed by its batch-1 'click'; user 2 appears mid-stream;
+        # each key's final event stays open (right-censored)
+        batches = [
+            [ev(1, 1, user=1, etype="view"), ev(2, 5, user=1, etype="click"),
+             ev(3, 2, user=2, etype="view")],
+            [ev(4, 11, user=1, etype="view"), ev(5, 13, user=2, etype="buy"),
+             ev(6, 30, user=2, etype="view")],
+            [ev(7, 40, user=1, etype="click"), ev(8, 45, user=3, etype="view"),
+             ev(9, 50, user=3, etype="click")],
+        ]
+        src = str(tmp_path / "dw_src")
+        out = str(tmp_path / "dw_out")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = state_dwell_stream(
+            stream, out, key_cols=["user_id"], state_col="event_type",
+            checkpoint_dir=str(tmp_path / "dw_ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r["event_type"]: r.asDict() for r in read_state_dwell(
+            spark, out, "event_type").collect()}
+        want = {r["event_type"]: r.asDict() for r in self._batch_report(
+            spark, [x for b in batches for x in b]).collect()}
+        assert got == want
+        # sanity on semantics: user 1 view@1 -> click@5 is a 4-minute
+        # view hold; every state has at least one closed hold here
+        assert want["view"]["n_holds"] >= 3
+
+    def test_replayed_batch_is_exactly_once(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import (
+            read_state_dwell,
+            state_dwell_stream,
+        )
+
+        batches = [
+            [ev(1, 1, user=1, etype="view")],
+            [ev(2, 10, user=1, etype="click"), ev(3, 12, user=2, etype="view")],
+            [ev(4, 20, user=1, etype="view"), ev(5, 25, user=2, etype="click")],
+        ]
+        src = str(tmp_path / "dwr_src")
+        out = str(tmp_path / "dwr_out")
+        ckpt = str(tmp_path / "dwr_ckpt")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = state_dwell_stream(
+            stream, out, key_cols=["user_id"], state_col="event_type",
+            checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        before = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in read_state_dwell(spark, out, "event_type").collect()
+        )
+        (tmp_path / "dwr_ckpt" / "commits" / "2").unlink()
+        crc = tmp_path / "dwr_ckpt" / "commits" / ".2.crc"
+        if crc.exists():
+            crc.unlink()
+        stream2 = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q2 = state_dwell_stream(
+            stream2, out, key_cols=["user_id"], state_col="event_type",
+            checkpoint_dir=ckpt)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        after = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in read_state_dwell(spark, out, "event_type").collect()
+        )
+        assert after == before
+
+    def test_rejects_out_of_order_batch(self, spark, tmp_path):
+        from etl_guiacores_spark.streaming import state_dwell_stream
+
+        src = str(tmp_path / "dwl_src")
+        out = str(tmp_path / "dwl_out")
+        spark.createDataFrame(
+            [ev(1, 10, user=1, etype="view")], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = state_dwell_stream(
+            stream, out, key_cols=["user_id"], state_col="event_type",
+            checkpoint_dir=str(tmp_path / "dwl_ckpt"))
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [ev(2, 5, user=1, etype="click")], EVENTS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            raised = False
+            try:
+                q.processAllAvailable()
+            except Exception:
+                raised = True
+            assert raised, "out-of-order row must fail loud"
+        finally:
+            q.stop()
+
+
 class TestHoltStream:
     def test_holt_stream_equals_batch_twin(self, spark, tmp_path):
         from etl_guiacores_spark.operators.rollup_time import holt_smooth

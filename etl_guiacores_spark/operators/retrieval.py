@@ -394,10 +394,13 @@ def mmr_rerank_batch(
     greedy on the driver).
 
     Stages, all in one plan: (1) quantize once; (2) the bounded query
-    table broadcasts against one corpus pass via a constant-key
-    broadcast hash join (the fan-out is inherently |docs| x |queries|
-    — the key only keeps the plan an equi-join; the probe side keeps
-    its partitioning, nothing extra shuffles); (3) relevance = exact
+    table broadcasts against one corpus pass as an explicit
+    crossJoin-broadcast fan-out (the work is inherently
+    |docs| x |queries|; the nested loop runs over the handful of
+    broadcast query rows per probe row, the probe side keeps its
+    partitioning, nothing extra shuffles — allowlisted in
+    tools/plan_audit.py like the q28/q84 anchor sets); (3) relevance
+    = exact
     integer dot product; only NARROW (query_id, id, rel) rows ride the
     single per-query top-k window shuffle; (4) the <= n_candidates
     winners per query re-join their vectors (a |queries|*n_candidates
@@ -433,10 +436,7 @@ def mmr_rerank_batch(
             f"query ids missing from {id_col}"
         )
     scored = (
-        base.withColumn("__one", F.lit(1))
-        .join(
-            F.broadcast(qtab.withColumn("__one", F.lit(1))), "__one"
-        )
+        base.crossJoin(F.broadcast(qtab))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

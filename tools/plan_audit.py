@@ -57,6 +57,18 @@ SCALAR_CROSS = {
     # 1-row (n, total) scalar joined onto the dense-ids-ranked customer
     # relation for the decile-boundary filter (Lorenz curve)
     "q193_lorenz_concentration",
+    # 1-row (__n) node-count scalar crossJoined onto the node set once
+    # per power iteration (pagerank_int's base-rank term). Surfaced in
+    # round 9 when the per-round localCheckpoint barrier was removed:
+    # the final plan now SHOWS all 5 rounds (previously truncated),
+    # each with the same bounded scalar join.
+    "q101_pagerank_neardup",
+    # bounded |queries|-row broadcast fan-out: batch MMR relevance is
+    # inherently |docs| x |queries|; the BNLJ's broadcast side IS the
+    # bounded query table (the q28/q84 anchor-set shape). Catalyst
+    # folds the constant equi-key, which is fine — a nested loop over
+    # a handful of broadcast rows per probe row is the right plan.
+    "q195_mmr_batch",
     # q131's plan plus a 1-row per-query relevant-count aggregate
     "q132_retrieval_metrics",
     # 1-row N-total + 1-row leftover-seats aggregates joined onto the

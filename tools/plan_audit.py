@@ -14,6 +14,7 @@ Usage: python tools/plan_audit.py [--sf DIR]
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -41,6 +42,34 @@ INTENTIONAL_CROSS = {"q06_filter_cross_product", "q28_cosine_topk",
 # count() + literal (one Spark job instead of two). q28/q84's variant
 # is n x |broadcast query set| (knn_brute_force's documented design);
 # q82's build side is the 1-row mixture-totals aggregate.
+# Partition-less windows move EVERY row of their input through one
+# reducer — fatal on a data-sized relation, fine on a bounded one.
+# Round-9 triage of all 16 occurrences (each verified bounded by
+# construction); a NEW query that introduces one fails the audit until
+# it is triaged and listed here with its bounded relation named.
+UNPARTITIONED_WINDOW_OK = {
+    # one row PER RANGE PARTITION: the broadcast-offset window inside
+    # ordering.global_prefix_sum / dense_ids (#partitions rows)
+    "q80_dense_ids": "global_prefix_sum offsets (#partitions rows)",
+    "q89_token_offsets": "global_prefix_sum offsets (#partitions rows)",
+    "q113_session_concurrency": "sweep via global_prefix_sum offsets",
+    "q193_lorenz_concentration": "dense_ids + prefix-sum offsets",
+    "q194_quantile_sketch_audit": "dense_ids offsets (exact leg)",
+    # vocabulary-sized relations (distinct tokens)
+    "q45_vocabulary": "|distinct tokens| rows",
+    "q98_zipf_slope": "|distinct tokens| rows",
+    # small-by-construction relations
+    "q95_shard_manifest": "|shards| rows",
+    "q138_exact_quota_sample": "|strata| leftover-seat rows",
+    "q169_quantile_normalize": "|distinct ranks| rows",
+    "q172_mixture_waterfill": "|strata| rows x water-fill steps",
+    "q173_padding_waste": "|bins| rows",
+    "q178_kaplan_meier": "|distinct durations| risk table",
+    "q186_daily_acquisition": "|days| rows",
+    "q161_top_paths": "bounded top-k paths",
+    "q192_wow_growth": "|weeks| rows",
+}
+
 SCALAR_CROSS = {
     "q46_tfidf",
     "q74_bigram_lm_score",
@@ -138,6 +167,14 @@ def main() -> int:
                 issues.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             issues.append("row-at-a-time PythonUDF")
+        if name not in UNPARTITIONED_WINDOW_OK:
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+                first = m.group(1).split(",")[0].strip()
+                # a partitioned spec leads with partition columns; an
+                # unpartitioned one leads directly with a sort order
+                if " ASC" in first or " DESC" in first:
+                    issues.append("unpartitioned window (single reducer)")
+                    break
         # codegen stages print as "*(n) Operator" in executedPlan toString
         if "*(" not in plan:
             issues.append("no codegen span")

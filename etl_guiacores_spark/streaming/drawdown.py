@@ -62,6 +62,14 @@ def max_drawdown_stream(
     units (the engine-wide micro-unit rule — the caller casts, the
     operator never touches floats). Returns the StreamingQuery."""
     keys = list(key_cols)
+    reserved = {"cum", "peak", "maxdd", "n_flows", "ts_last", "__ts",
+                "__tb", "__flow", "batch_id"}
+    clash = sorted(reserved.intersection(keys))
+    if clash:
+        raise ValueError(
+            f"max_drawdown_stream: key columns {clash} collide with the "
+            "operator's state/output columns — rename them first"
+        )
     flow = F.col(flow_col) if isinstance(flow_col, str) else flow_col
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -53,6 +53,16 @@ def state_dwell_stream(
     """Start the streaming dwell tracker over ``events`` (a streaming
     DataFrame). Returns the StreamingQuery."""
     keys = list(key_cols)
+    reserved = {"kind", "__state", "__ts", "__tb", "n_holds",
+                "total_dwell_us", "mean_dwell_us", "max_dwell_us",
+                "batch_id", state_col}
+    clash = sorted(reserved.intersection(keys))
+    if clash:
+        raise ValueError(
+            f"state_dwell_stream: key columns {clash} collide with the "
+            "operator's state/output columns (or the state column "
+            "itself) — rename them first"
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -803,6 +803,28 @@ class TestDwellStream:
         )
         assert after == before
 
+    def test_reserved_key_names_fail_loud(self, spark, tmp_path):
+        import pytest
+
+        from etl_guiacores_spark.streaming import (
+            max_drawdown_stream,
+            state_dwell_stream,
+        )
+
+        src = str(tmp_path / "rk_src")
+        spark.createDataFrame(
+            [ev(1, 1)], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        with pytest.raises(ValueError, match="collide"):
+            max_drawdown_stream(
+                stream, str(tmp_path / "o1"), key_cols=["peak"],
+                flow_col="value")
+        with pytest.raises(ValueError, match="collide"):
+            state_dwell_stream(
+                stream, str(tmp_path / "o2"), key_cols=["event_type"],
+                state_col="event_type")
+
     def test_rejects_out_of_order_batch(self, spark, tmp_path):
         from etl_guiacores_spark.streaming import state_dwell_stream
 

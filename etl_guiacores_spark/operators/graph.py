@@ -191,8 +191,13 @@ def pagerank_int(
     onto the node set — all keyed on the node id, the same shuffle key
     throughout, so a co-partitioned layout runs the loop exchange-free.
     Dangling mass is dropped (the simple variant), identically on both
-    engines. Lineage is truncated per round like connected_components.
+    engines. Lineage grows linearly and is truncated every
+    ``checkpoint_interval`` rounds; the RESULT is materialized eagerly
+    before the edge/node caches are released, so the caches are read
+    while they exist and the returned DataFrame is a plain block scan.
     """
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
@@ -258,7 +263,14 @@ def pagerank_int(
         # optimizer time) stay bounded — the q114-style measured fix.
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select("id", F.col("r").alias("rank_scaled"))
+    # materialize the RESULT (a |V|-row table) while the edge/node
+    # caches are still live, THEN release them — unpersisting first
+    # would drop the caches before the lazy plan ever executed, wasting
+    # the eager edge materialization and recomputing sym at collect
+    # time (round-9 review catch)
+    out = ranks.select("id", F.col("r").alias("rank_scaled")).localCheckpoint(
+        eager=True
+    )
     out_edges.unpersist()
     n_nodes.unpersist()
     return out

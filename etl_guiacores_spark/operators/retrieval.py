@@ -427,12 +427,25 @@ def mmr_rerank_batch(
     qtab = base.filter(F.col(id_col).isin(qids)).select(
         F.col(id_col).alias("query_id"), F.col("__vq").alias("__qv")
     )
-    n_q = qtab.count()
-    if n_q != len(qids):
+    qstats = qtab.agg(
+        F.count("*").alias("__nr"),
+        F.count_distinct("query_id").alias("__nd"),
+    ).first()
+    n_rows, n_distinct = qstats["__nr"], qstats["__nd"]
+    if n_rows != n_distinct:
+        # duplicates would silently double a query's candidate rows in
+        # the fan-out — distinct from (and checked before) the missing
+        # case, which a row count alone conflates with it
+        raise ValueError(
+            f"mmr_rerank_batch: {id_col} has duplicate rows for "
+            f"{n_rows - n_distinct} query id(s) — dedupe the "
+            "embedding table first"
+        )
+    if n_distinct != len(qids):
         if embeddings.isEmpty():
             return embeddings.sparkSession.createDataFrame([], out_schema)
         raise ValueError(
-            f"mmr_rerank_batch: {len(qids) - n_q} of {len(qids)} "
+            f"mmr_rerank_batch: {len(qids) - n_distinct} of {len(qids)} "
             f"query ids missing from {id_col}"
         )
     scored = (

@@ -535,9 +535,13 @@ def run_corpus_pipeline(
     ``resume=True`` with a different ``docs`` refuses too; and resume
     over fenced stage artifacts that carry NO fingerprint (pre-guard
     artifacts, or a deleted sidecar) refuses rather than trusting
-    them. All sidecar IO goes through the Hadoop FileSystem API so
-    resume works on any Spark path scheme, exactly like the
-    ``_SUCCESS`` fencing itself.
+    them. The PIPELINE's sidecar IO (fingerprint, metrics.json) goes
+    through the Hadoop FileSystem API so resume works on any Spark
+    path scheme, exactly like the ``_SUCCESS`` fencing itself. The
+    optional shard writer is the one local-only component: its atomic
+    manifest publish is a posix ``os.rename`` swap by design
+    (shard_writer.py), so ``write_shards=True`` with a remote
+    ``out_dir`` scheme refuses loudly instead of half-working.
     """
     import json as _json
 
@@ -550,6 +554,17 @@ def run_corpus_pipeline(
         raise ValueError(
             "decontam_spans requires benchmark_path (the eval set "
             "whose quoted spans get excised)"
+        )
+    if config.write_shards and "://" in out_dir and not out_dir.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            "run_corpus_pipeline: write_shards=True requires a local "
+            f"(posix) out_dir — got {out_dir!r}. The shard writer's "
+            "atomic manifest publish is an os.rename swap "
+            "(plans/shard_writer.py) and its stats.json sidecars are "
+            "driver-local; write shards to local disk and ship them, "
+            "or run the pipeline without shards on this scheme."
         )
     emit = progress_callback or (lambda stage, info: None)
     spark = docs.sparkSession

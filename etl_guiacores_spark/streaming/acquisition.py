@@ -249,14 +249,8 @@ def daily_acquisition_stream(
 
 def read_daily_acquisition(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge the per-batch upsert outputs into the current report: for
-    each day, the row from the LATEST batch that emitted it (a bounded
-    |days|-row window, never event volume)."""
-    rows = spark.read.parquet(f"{out_dir}/out")
-    w = Window.partitionBy("day").orderBy(F.col("batch_id").desc())
-    return (
-        rows.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        # 'batch' is the partition-discovery column from batch=<id>
-        # dirs; batch_id is the explicit copy the merge ordered by
-        .drop("__rn", "batch_id", "batch")
-    )
+    each day, the row from the LATEST batch that emitted it (the shared
+    drift.read_latest_upsert merge, |days|-bounded)."""
+    from etl_guiacores_spark.streaming.drift import read_latest_upsert
+
+    return read_latest_upsert(spark, out_dir, ["day"])

@@ -6,7 +6,7 @@ analytics wave's running-sum/running-peak shape.
 The batch operator stacks two per-key ROWS windows (running sum, then
 running peak) on one partition-sort and aggregates the path maxima.
 The recurrence's whole memory is FOUR integers per key —
-(cum, peak, maxdd, n_flows) — plus the last-seen event time, so the
+(cum, peak, maxdd, n_flows) — plus the last-seen (time, tiebreak), so the
 stream version carries exactly that between micro-batches and replays
 each batch's rows through the SAME two stacked windows seeded by the
 carried values:
@@ -29,7 +29,7 @@ snapshots land in ``batch=<id>`` dirs with overwrite + ``_SUCCESS``
 fencing; batch N reads the latest fenced snapshot with id < N
 (Hadoop-FS listing + replay fence), so a foreachBatch redelivery
 recomputes from its original inputs and overwrites its own output:
-exactly-once upserts. State at 100 TB is one 5-field row per key,
+exactly-once upserts. State at 100 TB is one 6-field row per key,
 shuffled like any keyed join; snapshots parquet-pruned.
 """
 
@@ -62,13 +62,16 @@ def max_drawdown_stream(
     units (the engine-wide micro-unit rule — the caller casts, the
     operator never touches floats). Returns the StreamingQuery."""
     keys = list(key_cols)
-    reserved = {"cum", "peak", "maxdd", "n_flows", "ts_last", "__ts",
-                "__tb", "__flow", "batch_id"}
+    reserved = {"cum", "peak", "maxdd", "n_flows", "ts_last", "tb_last",
+                "final", "max_drawdown", "batch_id", "__ts", "__tb",
+                "__flow", "__cum", "__peak", "__cum0", "__peak0",
+                "__maxdd0", "__n0", "__first", "__held", "__ts_last",
+                "__tb_last"}
     clash = sorted(reserved.intersection(keys))
     if clash:
         raise ValueError(
             f"max_drawdown_stream: key columns {clash} collide with the "
-            "operator's state/output columns — rename them first"
+            "operator's state/working/output columns — rename them first"
         )
     flow = F.col(flow_col) if isinstance(flow_col, str) else flow_col
 
@@ -92,6 +95,9 @@ def max_drawdown_stream(
                 T.StructField("maxdd", T.LongType()),
                 T.StructField("n_flows", T.LongType()),
                 T.StructField("ts_last", batch_df.schema[time_col].dataType),
+                T.StructField(
+                    "tb_last", batch_df.schema[tiebreak_col].dataType
+                ),
             ]
         )
         if prev is not None:
@@ -108,14 +114,25 @@ def max_drawdown_stream(
 
         # in-order contract across batches — fail loud, as every twin
         # does: folding carried state over an older row would silently
-        # rewrite the path
-        firsts = rows.groupBy(*keys).agg(F.min("__ts").alias("__first_ts"))
+        # rewrite the path. The comparison is on the SAME (ts, tiebreak)
+        # total order the operator folds in, so a later batch may
+        # legally carry the same timestamp with a larger tiebreak
+        # (round-9 review catch — comparing ts alone rejected it)
+        firsts = rows.groupBy(*keys).agg(
+            F.min(F.struct("__ts", "__tb")).alias("__first")
+        )
         n_late = (
-            firsts.join(state, keys)
-            .filter(
-                F.col("ts_last").isNotNull()
-                & (F.col("__first_ts") <= F.col("ts_last"))
+            firsts.join(
+                state.select(
+                    *keys,
+                    F.struct(
+                        F.col("ts_last").alias("__ts"),
+                        F.col("tb_last").alias("__tb"),
+                    ).alias("__held"),
+                ),
+                keys,
             )
+            .filter(F.col("__first") <= F.col("__held"))
             .count()
         )
         if n_late:
@@ -164,6 +181,7 @@ def max_drawdown_stream(
                 F.max(F.col("__peak") - F.col("__cum")),
             ).cast("long").alias("max_drawdown"),
             F.max("__ts").alias("__ts_last"),
+            F.max_by("__tb", F.struct("__ts", "__tb")).alias("__tb_last"),
         )
         report.select(
             *keys,
@@ -181,6 +199,7 @@ def max_drawdown_stream(
             F.col("max_drawdown").alias("maxdd"),
             "n_flows",
             F.col("__ts_last").alias("ts_last"),
+            F.col("__tb_last").alias("tb_last"),
         )
         carried = state.join(new_state.select(*keys), keys, "left_anti")
         snap = carried.unionByName(new_state)
@@ -198,14 +217,9 @@ def max_drawdown_stream(
 def read_max_drawdown(
     spark: SparkSession, out_dir: str, key_cols: Sequence[str]
 ) -> DataFrame:
-    """Merge the per-batch upsert outputs into the current report: for
-    each key, the row from the LATEST batch that emitted it (a bounded
-    |keys|-row window, never event volume). Matches the batch
+    """Current cumulative report: latest batch's row per key (the
+    shared drift.read_latest_upsert merge). Matches the batch
     ``max_drawdown`` output columns."""
-    rows = spark.read.parquet(f"{out_dir}/out")
-    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
-    return (
-        rows.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "batch_id", "batch")
-    )
+    from etl_guiacores_spark.streaming.drift import read_latest_upsert
+
+    return read_latest_upsert(spark, out_dir, key_cols)

@@ -109,6 +109,26 @@ def _resolve_prev_snapshot(
     return f"{state_root}/batch={before[-1]}" if before else None
 
 
+def read_latest_upsert(
+    spark: SparkSession, out_dir: str, key_cols: Sequence[str]
+) -> DataFrame:
+    """Merge ``out_dir/out/batch=<id>`` upsert outputs into the current
+    report: for each key, the row from the LATEST batch that emitted it
+    — a window over the bounded key axis, never event volume. The ONE
+    definition of the read-side merge contract shared by the
+    acquisition/drawdown/dwell twins (round-9 review: three copies had
+    crept in)."""
+    rows = spark.read.parquet(f"{out_dir}/out")
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        # 'batch' is the partition-discovery column from batch=<id>
+        # dirs; batch_id is the explicit copy the merge ordered by
+        .drop("__rn", "batch_id", "batch")
+    )
+
+
 def cusum_drift_stream(
     events: DataFrame,
     out_dir: str,

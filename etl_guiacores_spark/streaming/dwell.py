@@ -53,9 +53,9 @@ def state_dwell_stream(
     """Start the streaming dwell tracker over ``events`` (a streaming
     DataFrame). Returns the StreamingQuery."""
     keys = list(key_cols)
-    reserved = {"kind", "__state", "__ts", "__tb", "n_holds",
-                "total_dwell_us", "mean_dwell_us", "max_dwell_us",
-                "batch_id", state_col}
+    reserved = {"kind", "__state", "__ts", "__tb", "__dwell", "__first",
+                "__held", "n_holds", "total_dwell_us", "mean_dwell_us",
+                "max_dwell_us", "batch_id", state_col}
     clash = sorted(reserved.intersection(keys))
     if clash:
         raise ValueError(
@@ -231,13 +231,9 @@ def state_dwell_stream(
 def read_state_dwell(
     spark: SparkSession, out_dir: str, state_col: str
 ) -> DataFrame:
-    """Merge the per-batch upsert outputs into the current report: for
-    each state, the row from the LATEST batch (a bounded |states|-row
-    window). Matches the batch ``state_dwell`` output columns."""
-    rows = spark.read.parquet(f"{out_dir}/out")
-    w = Window.partitionBy(state_col).orderBy(F.col("batch_id").desc())
-    return (
-        rows.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "batch_id", "batch")
-    )
+    """Current cumulative report: latest batch's row per state (the
+    shared drift.read_latest_upsert merge, |states|-bounded). Matches
+    the batch ``state_dwell`` output columns."""
+    from etl_guiacores_spark.streaming.drift import read_latest_upsert
+
+    return read_latest_upsert(spark, out_dir, [state_col])

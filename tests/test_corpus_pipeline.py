@@ -738,3 +738,12 @@ def test_decontam_spans_stage(spark, tmp_path):
             docs, str(tmp_path / "bad"),
             CorpusConfig(decontam_spans=True),
         )
+
+
+def test_write_shards_refuses_remote_out_dir(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, GOOD)], ["doc_id", "text"])
+    cfg = CorpusConfig(write_shards=True)
+    with pytest.raises(ValueError, match="posix"):
+        run_corpus_pipeline(docs, "s3a://bucket/corpus", cfg)

@@ -212,3 +212,14 @@ class TestKCore:
         import pytest
         with pytest.raises(RuntimeError, match="converge"):
             kcore(df, k=2, max_iterations=2)
+
+
+def test_pagerank_checkpoint_interval_validated(spark):
+    import pytest
+
+    from etl_guiacores_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        pagerank_int(nodes, edges, iterations=2, checkpoint_interval=0)

@@ -456,3 +456,17 @@ def test_mmr_rerank_batch_guards(spark):
         mmr_rerank_batch(df, [0, 99], k=2, n_candidates=4).collect()
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert mmr_rerank_batch(empty, [0], k=2).count() == 0
+
+
+def test_mmr_rerank_batch_rejects_duplicate_query_rows(spark):
+    import math
+
+    import pytest
+
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank_batch
+
+    vecs = [(i, [math.sin(0.5 * i + j) for j in range(4)]) for i in range(6)]
+    vecs.append((0, [0.1, 0.2, 0.3, 0.4]))      # duplicate vec_id 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="duplicate"):
+        mmr_rerank_batch(df, [0, 1], k=2, n_candidates=4)

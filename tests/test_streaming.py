@@ -669,6 +669,46 @@ class TestDrawdownStream:
         )
         assert after == before
 
+    def test_same_timestamp_later_tiebreak_is_legal(self, spark, tmp_path):
+        """The cross-batch late check compares the SAME (ts, tiebreak)
+        total order the operator folds in: a later batch carrying the
+        same timestamp with a larger tiebreak must be accepted (round-9
+        review regression)."""
+        from datetime import datetime as dt
+
+        from etl_guiacores_spark.streaming import (
+            max_drawdown_stream,
+            read_max_drawdown,
+        )
+
+        t = dt(2024, 1, 1, 0, 10)
+        batches = [
+            [(1, t, 1, "purchase", 2.0)],
+            [(2, t, 1, "error", 1.0)],     # same ts, larger event_id
+        ]
+        src = str(tmp_path / "ddt_src")
+        out = str(tmp_path / "ddt_out")
+        spark.createDataFrame(batches[0], EVENTS_SCHEMA).coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = max_drawdown_stream(
+            stream, out, key_cols=["user_id"], flow_col=self._flow(),
+            checkpoint_dir=str(tmp_path / "ddt_ckpt"))
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batches[1], EVENTS_SCHEMA).coalesce(
+                1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+        got = {r["user_id"]: r.asDict() for r in read_max_drawdown(
+            spark, out, ["user_id"]).collect()}
+        want = {r["user_id"]: r.asDict() for r in self._batch_report(
+            spark, [x for b in batches for x in b]).collect()}
+        assert got == want
+
     def test_rejects_out_of_order_batch(self, spark, tmp_path):
         from etl_guiacores_spark.streaming import max_drawdown_stream
 

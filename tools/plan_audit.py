@@ -171,8 +171,14 @@ def main() -> int:
             for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
                 first = m.group(1).split(",")[0].strip()
                 # a partitioned spec leads with partition columns; an
-                # unpartitioned one leads directly with a sort order
-                if " ASC" in first or " DESC" in first:
+                # unpartitioned one leads directly with a sort order —
+                # or, worse, directly with the frame (no ORDER BY at
+                # all: the whole-table single-reducer shape)
+                if (
+                    " ASC" in first
+                    or " DESC" in first
+                    or first.startswith("specifiedwindowframe")
+                ):
                     issues.append("unpartitioned window (single reducer)")
                     break
         # codegen stages print as "*(n) Operator" in executedPlan toString

@@ -192,37 +192,61 @@ def pagerank_int(
     throughout, so a co-partitioned layout runs the loop exchange-free.
     Dangling mass is dropped (the simple variant), identically on both
     engines. Lineage grows linearly and is truncated every
-    ``checkpoint_interval`` rounds; the RESULT is materialized eagerly
-    before the edge/node caches are released, so the caches are read
-    while they exist and the returned DataFrame is a plain block scan.
+    ``checkpoint_interval`` rounds; see the regime comment in the body
+    for how caching/materialization differs between single-job runs
+    (iterations <= checkpoint_interval: rely on ReusedExchange, persist
+    nothing) and multi-job runs (persist the edge table, materialize
+    the result before releasing the caches).
     """
     if checkpoint_interval < 1:
         raise ValueError("checkpoint_interval must be >= 1")
+    # Two execution regimes, chosen by whether mid-loop checkpoints
+    # will split the run into multiple jobs (measured on the 42k-edge
+    # q101 graph, interleaved same-session A/B):
+    #
+    # - SINGLE-JOB (iterations <= checkpoint_interval, the common
+    #   case): nothing persists and nothing materializes mid-loop. The
+    #   final action executes one deep plan in which every round's
+    #   edge-table subtree ends in the IDENTICAL repartition("src")
+    #   exchange, so AQE's ReusedExchange computes it once and replays
+    #   the shuffle blocks for the other rounds — same effect as a
+    #   cache, no cache-population job, no eager-materialization job.
+    #   Forcing materialization instead (eager localCheckpoint of the
+    #   result, or persist+count) measured 2-3x SLOWER end-to-end.
+    #
+    # - MULTI-JOB (iterations > checkpoint_interval): each checkpoint
+    #   is its own job and ReusedExchange cannot reach across jobs, so
+    #   the edge table and node set persist up front (one population
+    #   count), and the RESULT materializes eagerly before the caches
+    #   are released — unpersisting first would drop them before the
+    #   lazy plan ever executed (round-9 review catch).
+    multi_job = iterations > checkpoint_interval
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).distinct().persist()
+    ).distinct()
+    if multi_job:
+        sym = sym.persist()
 
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    # materialize BEFORE releasing sym: out_edges references sym twice
-    # (degree subtree + join subtree); the count populates sym's cache
-    # on the first subtree, reads it on the second, and lands out_edges
-    # in its own cache — only then is dropping sym's handle a no-cost op.
-    # repartition("src") BEFORE the persist: the cached scan then
-    # reports HashPartitioning(src), so each iteration's ranks-onto-
-    # edges join shuffles only the |V|-sized ranks table instead of
-    # re-exchanging the |E|-sized edge table every round (localCheckpoint
-    # makes each round a separate job, so no exchange reuse applies —
-    # at data scale the per-round edge shuffle IS the loop's cost)
-    out_edges = sym.join(deg, "src").repartition("src").persist()
-    out_edges.count()
-    sym.unpersist()
+    # repartition("src") either way: in the multi-job regime the cached
+    # scan then reports HashPartitioning(src) so each round's
+    # ranks-onto-edges join shuffles only the |V|-sized ranks table; in
+    # the single-job regime the identical exchange subtree is what
+    # ReusedExchange dedups across rounds
+    out_edges = sym.join(deg, "src").repartition("src")
+    if multi_job:
+        # materialize BEFORE releasing sym: out_edges references sym
+        # twice (degree + join subtrees); the count populates sym's
+        # cache on the first and reads it on the second
+        out_edges = out_edges.persist()
+        out_edges.count()
+        sym.unpersist()
 
-    # same trick on the node set: distinct() already ends in an
-    # exchange on id, and persisting it keeps that partitioning visible
-    # to the per-round left join against contributions
-    n_nodes = nodes.select(F.col(id_col).alias("id")).distinct().persist()
+    n_nodes = nodes.select(F.col(id_col).alias("id")).distinct()
+    if multi_job:
+        n_nodes = n_nodes.persist()
     total = n_nodes.agg(F.count("*").alias("__n"))
     base_expr = (
         f"(CAST({PAGERANK_SCALE} AS BIGINT) * {100 - damping_pct})"
@@ -253,26 +277,24 @@ def pagerank_int(
             )
         )
         # lineage control: the plan grows LINEARLY per round (each
-        # round reads the cached edge table, never re-derives it), so a
-        # handful of rounds runs best as ONE job — AQE coalesces every
-        # tiny exchange and nothing materializes mid-loop. An eager
-        # localCheckpoint every round (the previous shape) cost a full
-        # compute-and-cache barrier per iteration: 5.9s for 5 rounds on
-        # a 42k-edge graph, vs one deep plan in ~1s. Truncate only
-        # every `checkpoint_interval` rounds so LONG runs (deep plans,
-        # optimizer time) stay bounded — the q114-style measured fix.
+        # round references the edge table, served by the cache in the
+        # multi-job regime and by ReusedExchange in the single-job
+        # regime), so a handful of rounds runs best as ONE job — AQE
+        # coalesces every tiny exchange and nothing materializes
+        # mid-loop. An eager localCheckpoint every round (the previous
+        # shape) cost a full compute-and-cache barrier per iteration:
+        # 5.9s for 5 rounds on a 42k-edge graph, vs one deep plan in
+        # ~1s. Truncate only every `checkpoint_interval` rounds so LONG
+        # runs (deep plans, optimizer time) stay bounded.
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    # materialize the RESULT (a |V|-row table) while the edge/node
-    # caches are still live, THEN release them — unpersisting first
-    # would drop the caches before the lazy plan ever executed, wasting
-    # the eager edge materialization and recomputing sym at collect
-    # time (round-9 review catch)
-    out = ranks.select("id", F.col("r").alias("rank_scaled")).localCheckpoint(
-        eager=True
-    )
-    out_edges.unpersist()
-    n_nodes.unpersist()
+    out = ranks.select("id", F.col("r").alias("rank_scaled"))
+    if multi_job:
+        # materialize the RESULT (a |V|-row table) while the caches are
+        # still live, THEN release them
+        out = out.localCheckpoint(eager=True)
+        out_edges.unpersist()
+        n_nodes.unpersist()
     return out
 
 

@@ -27,103 +27,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # list is no longer hand-maintained: it is DERIVED by
 # tools/gen_rotation.py from the CORRECTNESS_r*.json history —
 # queries with no driver row yet lead (new-row debt outranks stale-row
-# debt), then ascending last-green round, registry order breaking
-# ties. tests/test_rotation.py asserts this committed list matches the
-# derivation, and `python tools/gen_rotation.py --check` verifies it
-# from the shell. Round-9 window (first 50): q187-q195 (q187-q194
-# added round 8, q195 added round 9 — none driver-confirmed yet) +
-# the 37 remaining round-5 rows = 46 rows with 4 slack — this closes
-# ALL driver-verification debt: after round 9 every registered query
-# has a driver row <= 3 rounds old, the arithmetic steady state for a
-# 196-query registry under a 50-row cap (rotation period
-# ceil(196/50) = 4 rounds). Every row is also locally re-verified
-# every round regardless (tools/check_oracle.py 196/196 at sf0.01).
+# debt), then ascending last-green round, numeric query id breaking
+# ties (NOT registry insertion order — that depends on which module
+# imported the query packages first and differed between the CLI and
+# pytest). tests/test_rotation.py asserts this committed list matches
+# the derivation, and `python tools/gen_rotation.py --check` verifies
+# it from the shell. Round-10 window (first 50): the round-6 cohort
+# whose driver rows are now the oldest (q34–q43, q47, q87–q105,
+# q119–q139 by ascending id) — steady-state rotation with zero
+# new-row debt (the registry is
+# frozen at 196; every query has a driver row <= 4 rounds old, the
+# arithmetic steady state under a 50-row cap, period ceil(196/50)=4).
+# The derivation reads only git-tracked CORRECTNESS artifacts, so the
+# driver dropping round-10's file after the final commit cannot turn
+# tests/test_rotation.py red mid-boundary. Every row is also locally
+# re-verified every round (tools/check_oracle.py 196/196 at sf0.01).
 _FIRST = [
-    "q187_max_drawdown",
-    "q188_state_dwell",
-    "q189_lead_lag_xcorr",
-    "q190_coo_matmul",
-    "q191_fk_orphan_audit",
-    "q192_wow_growth",
-    "q193_lorenz_concentration",
-    "q194_quantile_sketch_audit",
-    "q195_mmr_batch",
-    "q71_dup_ngram_fraction",
-    "q72_winnowing_fingerprints",
-    "q77_winnow_overlap_pairs",
-    "q73_hash_split_counts",
-    "q74_bigram_lm_score",
-    "q75_bpe_token_count",
-    "q76_source_length_deciles",
-    "q78_gopher_quality_rules",
-    "q79_centroid_outliers",
-    "q81_span_dedup_reconstruct",
-    "q82_temperature_mixture",
-    "q83_zorder_layout",
-    "q84_knn_label_vote",
-    "q23_fingerprint",
-    "q24_minhash_signatures",
-    "q25_lsh_candidates",
-    "q26_ngram_jaccard",
-    "q27_simhash",
-    "q28_cosine_topk",
-    "q29_embedding_neardup",
-    "q63_ivf_ann_fullprobe",
-    "q64_quantize_int8",
-    "q65_multimodal_decode",
-    "q66_sequence_packing",
-    "q66b_packing_invariants",
-    "q67_stratified_sample",
-    "q68_bigram_counts",
-    "q69_simhash_hamming_pairs",
-    "q120_leakage_safe_split",
-    "q121_incremental_dedup",
-    "q85_split_leakage",
-    "q86_minhash_estimate_error",
-    "q88_blocklist_filter",
-    "q116_qgram_fuzzy_join",
-    "q117_dsir_select",
-    "q118_qgram_entity_resolution",
-    "q56_extract_all_numbers",
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q30_tumbling_window",
-    "q31_sliding_window",
-    "q90_cluster_representatives",
-    "q91_ngram_novelty",
-    "q92_semantic_dup_groups",
-    "q93_dup_graph_degree",
-    "q96_source_overlap_matrix",
-    "q101_pagerank_neardup",
-    "q122_snapshot_diff",
-    "q126_schema_drift",
-    "q137_triangle_counts",
-    "q139_ohlc_resample",
-    "q87_weighted_sample",
-    "q94_mixture_rebalance",
-    "q97_label_centroid_cosine",
-    "q98_zipf_slope",
-    "q99_funnel",
-    "q100_cohort_retention",
-    "q102_rank_windows",
-    "q103_topk_via_aggregate",
-    "q104_dsir_importance",
-    "q105_sketch_distinct_audit",
-    "q119_bm25_topk",
-    "q131_bm25_batch",
-    "q132_retrieval_metrics",
-    "q133_hard_negatives",
-    "q123_ewma_smooth",
-    "q127_ewma_global",
-    "q124_mad_outliers",
-    "q128_winsorize",
-    "q129_majority_label",
-    "q130_temporal_split",
-    "q125_mmr_rerank",
-    "q134_repeated_spans",
-    "q135_span_strip",
-    "q136_pmi_collocations",
-    "q138_exact_quota_sample",
     "q34_merge_upsert",
     "q35_type_coercion",
     "q36_phone_list_ops",
@@ -135,6 +54,41 @@ _FIRST = [
     "q42_conditional_agg",
     "q43_json_props",
     "q47_asof_join",
+    "q87_weighted_sample",
+    "q90_cluster_representatives",
+    "q91_ngram_novelty",
+    "q92_semantic_dup_groups",
+    "q93_dup_graph_degree",
+    "q94_mixture_rebalance",
+    "q96_source_overlap_matrix",
+    "q97_label_centroid_cosine",
+    "q98_zipf_slope",
+    "q99_funnel",
+    "q100_cohort_retention",
+    "q101_pagerank_neardup",
+    "q102_rank_windows",
+    "q103_topk_via_aggregate",
+    "q104_dsir_importance",
+    "q105_sketch_distinct_audit",
+    "q119_bm25_topk",
+    "q122_snapshot_diff",
+    "q123_ewma_smooth",
+    "q124_mad_outliers",
+    "q125_mmr_rerank",
+    "q126_schema_drift",
+    "q127_ewma_global",
+    "q128_winsorize",
+    "q129_majority_label",
+    "q130_temporal_split",
+    "q131_bm25_batch",
+    "q132_retrieval_metrics",
+    "q133_hard_negatives",
+    "q134_repeated_spans",
+    "q135_span_strip",
+    "q136_pmi_collocations",
+    "q137_triangle_counts",
+    "q138_exact_quota_sample",
+    "q139_ohlc_resample",
     "q03_regional_revenue",
     "q04_resume_anti_join",
     "q05_semi_join_segments",
@@ -146,23 +100,27 @@ _FIRST = [
     "q11_set_ops",
     "q12_rollup_acctbal",
     "q13_cube_orders",
-    "q80_dense_ids",
     "q32_sessionization",
     "q33_event_dedupe_first",
     "q44_document_chunking",
     "q45_vocabulary",
     "q46_tfidf",
+    "q48_range_join",
     "q49_hypertable_rollup",
     "q50_corpus_dedup_survivors",
+    "q51_range_frame_window",
+    "q52_grouping_sets_sql",
+    "q53_lateral_top_order",
+    "q54_bag_set_ops",
+    "q55_null_safe_join",
+    "q57_decimal_exact",
     "q58_source_mixture",
     "q59_decontamination",
     "q60_pii_redaction",
     "q61_repetition_score",
     "q62_dedup_clusters",
     "q70_salted_distinct_count",
-    "q140_funnel",
-    "q141_cohort_retention",
-    "q142_cusum_drift",
+    "q80_dense_ids",
     "q89_token_offsets",
     "q95_shard_manifest",
     "q106_linear_quality_score",
@@ -175,16 +133,12 @@ _FIRST = [
     "q113_session_concurrency",
     "q114_random_projection",
     "q115_boilerplate_extract",
+    "q140_funnel",
+    "q141_cohort_retention",
+    "q142_cusum_drift",
     "q143_cohen_kappa",
     "q144_quantile_report",
     "q145_token_histogram",
-    "q48_range_join",
-    "q51_range_frame_window",
-    "q52_grouping_sets_sql",
-    "q53_lateral_top_order",
-    "q54_bag_set_ops",
-    "q55_null_safe_join",
-    "q57_decimal_exact",
     "q14_phone_normalize",
     "q15_email_validate",
     "q16_url_pipeline",
@@ -194,13 +148,28 @@ _FIRST = [
     "q20_clean_text_documents",
     "q21_token_quality",
     "q22_lang_id",
-    "q162_kcore_dedup",
-    "q181_cluster_cohesion",
-    "q182_threshold_sweep",
     "q146_spearman_trend",
     "q147_last_touch",
     "q148_gini_tokens",
     "q149_twap",
+    "q150_auc_roc",
+    "q151_ks_drift",
+    "q152_confusion_metrics",
+    "q153_transition_matrix",
+    "q154_pareto_frontier",
+    "q155_benford_digits",
+    "q156_rrf_fusion",
+    "q157_decile_lift",
+    "q158_vocab_jaccard",
+    "q159_weighted_median",
+    "q160_assoc_rules",
+    "q161_top_paths",
+    "q162_kcore_dedup",
+    "q163_golden_record",
+    "q164_kanonymity",
+    "q165_interval_union",
+    "q166_l_diversity",
+    "q167_column_profile",
     "q168_countmin_audit",
     "q169_quantile_normalize",
     "q170_holt_trend",
@@ -214,27 +183,62 @@ _FIRST = [
     "q178_kaplan_meier",
     "q179_codebook_balance",
     "q180_negative_sampling",
+    "q181_cluster_cohesion",
+    "q182_threshold_sweep",
     "q183_bootstrap_ci",
     "q184_ab_readout",
     "q185_gap_percentiles",
     "q186_daily_acquisition",
-    "q150_auc_roc",
-    "q151_ks_drift",
-    "q152_confusion_metrics",
-    "q153_transition_matrix",
-    "q154_pareto_frontier",
-    "q155_benford_digits",
-    "q156_rrf_fusion",
-    "q157_decile_lift",
-    "q158_vocab_jaccard",
-    "q159_weighted_median",
-    "q160_assoc_rules",
-    "q161_top_paths",
-    "q163_golden_record",
-    "q164_kanonymity",
-    "q165_interval_union",
-    "q166_l_diversity",
-    "q167_column_profile",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q23_fingerprint",
+    "q24_minhash_signatures",
+    "q25_lsh_candidates",
+    "q26_ngram_jaccard",
+    "q27_simhash",
+    "q28_cosine_topk",
+    "q29_embedding_neardup",
+    "q30_tumbling_window",
+    "q31_sliding_window",
+    "q56_extract_all_numbers",
+    "q63_ivf_ann_fullprobe",
+    "q64_quantize_int8",
+    "q65_multimodal_decode",
+    "q66_sequence_packing",
+    "q66b_packing_invariants",
+    "q67_stratified_sample",
+    "q68_bigram_counts",
+    "q69_simhash_hamming_pairs",
+    "q71_dup_ngram_fraction",
+    "q72_winnowing_fingerprints",
+    "q73_hash_split_counts",
+    "q74_bigram_lm_score",
+    "q75_bpe_token_count",
+    "q76_source_length_deciles",
+    "q77_winnow_overlap_pairs",
+    "q78_gopher_quality_rules",
+    "q79_centroid_outliers",
+    "q81_span_dedup_reconstruct",
+    "q82_temperature_mixture",
+    "q83_zorder_layout",
+    "q84_knn_label_vote",
+    "q85_split_leakage",
+    "q86_minhash_estimate_error",
+    "q88_blocklist_filter",
+    "q116_qgram_fuzzy_join",
+    "q117_dsir_select",
+    "q118_qgram_entity_resolution",
+    "q120_leakage_safe_split",
+    "q121_incremental_dedup",
+    "q187_max_drawdown",
+    "q188_state_dwell",
+    "q189_lead_lag_xcorr",
+    "q190_coo_matmul",
+    "q191_fk_orphan_audit",
+    "q192_wow_growth",
+    "q193_lorenz_concentration",
+    "q194_quantile_sketch_audit",
+    "q195_mmr_batch",
 ]
 
 

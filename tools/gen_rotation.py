@@ -8,9 +8,11 @@ to be a hand-maintained ~100-line ``_FIRST`` list whose correctness
 was load-bearing for the staleness contract (every query re-confirmed
 within ceil(N/50) rounds). This tool derives it mechanically:
 
-1. scan every ``CORRECTNESS_r*.json`` in the repo root and record,
-   per query, the latest round with a green driver row (hash_match,
-   or rows_match with no error for oracle-less queries);
+1. scan every *git-tracked* ``CORRECTNESS_r*.json`` in the repo root
+   and record, per query, the latest round with a green driver row
+   (hash_match, or rows_match with no error for oracle-less queries);
+   untracked working-tree drops are ignored so the driver landing the
+   round-N artifact after the final commit can't desync the check;
 2. emit every REGISTRY name ordered by debt: queries with **no**
    driver row yet lead (new-row debt outranks stale-row debt), then
    ascending by last-green round; ties broken by registry insertion
@@ -30,9 +32,35 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _correctness_paths(repo: str) -> list[str]:
+    """CORRECTNESS_r*.json paths that feed the derivation.
+
+    Only *git-tracked* artifacts count: the driver drops the round-N
+    artifact into the working tree AFTER the builder's final commit,
+    and an untracked file changing the derivation would turn
+    ``tests/test_rotation.py`` red at every round boundary before the
+    builder can regenerate ``_FIRST`` (round-9 advice item). Reading
+    ``git ls-files`` means the derivation only moves when the artifact
+    is committed — which happens in the same history the regenerated
+    ``_FIRST`` lands in. Falls back to a plain glob outside a git
+    checkout so the tool still works on an exported tree.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return sorted(os.path.join(repo, p) for p in out.split() if p)
+    except (OSError, subprocess.CalledProcessError):
+        return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
 
 
 def _load_registry_names() -> list[str]:
@@ -50,7 +78,7 @@ def _load_registry_names() -> list[str]:
 def last_green_rounds(repo: str = REPO) -> dict[str, int]:
     """Latest round with a green driver row, per query name."""
     hist: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in _correctness_paths(repo):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -66,13 +94,26 @@ def last_green_rounds(repo: str = REPO) -> dict[str, int]:
     return hist
 
 
+def _qnum(name: str) -> int:
+    """Numeric id from a registry name (``q101_pagerank`` → 101)."""
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 10**9
+
+
 def generate(repo: str = REPO) -> list[str]:
     """Full registry ordering: never-driver-confirmed first, then
-    ascending last-green round; registry order breaks ties."""
+    ascending last-green round; numeric query id breaks ties.
+
+    The tie-break must NOT be REGISTRY insertion order: that order is
+    whatever the first importer of the query modules happened to use
+    (``__spark_entry__`` vs this tool import them differently), so it
+    differs between a CLI run and a pytest run that imported the entry
+    module first — the round-10 root cause of a check/pytest split.
+    The numeric id is canonical regardless of import state.
+    """
     names = _load_registry_names()
     hist = last_green_rounds(repo)
-    order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (hist.get(n, -1), order[n]))
+    return sorted(names, key=lambda n: (hist.get(n, -1), _qnum(n), n))
 
 
 def committed_first() -> list[str]:

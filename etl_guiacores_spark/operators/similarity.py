@@ -94,6 +94,8 @@ def with_minhash(
     prefix: str = "sig_",
     portable: bool = True,
     shingle_col: str | None = None,
+    salt_chunk_tokens: int | None = None,
+    salt_id_col: str | None = None,
 ) -> DataFrame:
     """Add ``sig_0..sig_{k-1}`` minhash columns.
 
@@ -104,7 +106,39 @@ def with_minhash(
     tests the (already materialized) shingle size rather than the md5
     transform output, so each md5 pass is evaluated exactly once.
     (Measured 8-16x on the sf0.1 bench vs the naive expression tree.)
+
+    ``salt_chunk_tokens`` (with ``salt_id_col``, which must be a
+    unique key) routes the shingle/hash compute through
+    ``salted_minhash`` — per-task work bounded by the chunk size
+    instead of the document length — and joins the merged signatures
+    back on the id. Same bits, two extra shuffles; use it when the
+    length distribution is heavy-tailed (see salted_minhash).
     """
+    if salt_chunk_tokens is not None:
+        if salt_id_col is None:
+            raise ValueError(
+                "with_minhash: salt_chunk_tokens requires salt_id_col "
+                "(the unique key the merged signatures join back on)"
+            )
+        if shingle_col is not None and shingle_col in df.columns:
+            raise ValueError(
+                f"shingle_col {shingle_col!r} already exists in the input — "
+                "the rename would create a duplicate/ambiguous column"
+            )
+        salted = salted_minhash(
+            df,
+            salt_id_col,
+            text_col,
+            num_hashes,
+            n,
+            portable=portable,
+            chunk_tokens=salt_chunk_tokens,
+            with_shingles=shingle_col is not None,
+            prefix=prefix,
+        )
+        if shingle_col is not None:
+            salted = salted.withColumnRenamed("shingles", shingle_col)
+        return df.join(salted, salt_id_col, "left")
     hasher = _hasher if portable else _hasher_fast
     if "__shingles" in df.columns:
         raise ValueError(
@@ -129,6 +163,109 @@ def with_minhash(
     if shingle_col is None:
         return out.drop("__shingles")
     return out.withColumnRenamed("__shingles", shingle_col)
+
+
+def salted_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    n: int = 3,
+    portable: bool = True,
+    chunk_tokens: int = 512,
+    with_shingles: bool = False,
+    prefix: str = "sig_",
+) -> DataFrame:
+    """Skew-proof minhash: salt the shingle pass by (id, chunk).
+
+    ``with_minhash`` computes each document's shingles + k hash passes
+    in ONE task, so per-task time inherits the document-length
+    distribution directly — the round-9 skew soak measured a 22.7x
+    max/median task-time ratio on a Zipf length tail (SCALE.md). This
+    variant bounds per-task work by ``chunk_tokens``:
+
+    1. split the token stream into chunks of ``chunk_tokens`` tokens
+       overlapping by n-1 (so every word n-gram of the document lies
+       wholly inside some chunk, and chunks — being contiguous token
+       slices — introduce no n-gram the document doesn't have);
+    2. ``posexplode`` + hash-repartition on (id, chunk_pos): the fat
+       document's chunks now land on MANY tasks;
+    3. per-chunk shingles + minhash, exactly the with_minhash
+       expression tree;
+    4. min-merge per id: MinHash is trivially mergeable — min over
+       chunks of (min over chunk shingles) == min over the union of
+       chunk shingle sets == the whole-document signature. Shingles
+       (optional) reassemble as the sorted distinct union.
+
+    Returns one row per input row: (id, [shingles,] sig_0..k-1).
+    ``id_col`` must be unique in ``df`` (it is the merge key). Output
+    signatures are BIT-IDENTICAL to ``with_minhash``'s; the shingle
+    array is the same SET but sorted (consumers treat it as a set —
+    Jaccard via array_intersect/array_union is order-insensitive).
+
+    Cost: two shuffles (chunk redistribution + the merge) that the
+    unsalted path doesn't pay — worth it only when the length tail is
+    heavy; keep the unsalted path for uniform corpora. At 100 TB this
+    is the difference between the shingle stage finishing with the
+    p50 task and waiting on one 2 GB-document straggler.
+    """
+    if chunk_tokens < n:
+        raise ValueError(
+            f"salted_minhash: chunk_tokens={chunk_tokens} must be >= n={n} "
+            "(a chunk must fit at least one shingle)"
+        )
+    hasher = _hasher if portable else _hasher_fast
+    stride = chunk_tokens - (n - 1)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    # chunk starts 1, 1+stride, ... capped at the last n-gram start, so
+    # chunk i covers exactly the n-gram starts [s_i, s_{i+1}) — complete
+    # and non-redundant coverage of the document's shingle positions
+    def chunks_of(t: Column) -> Column:
+        last_start = F.greatest(F.size(t) - (n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), last_start, F.lit(stride)),
+            lambda s: F.concat_ws(" ", F.slice(t, s, chunk_tokens)),
+        )
+
+    chunked = (
+        df.select(
+            id_col,
+            F.posexplode_outer(
+                F.element_at(F.transform(F.array(toks), chunks_of), 1)
+            ).alias("__cpos", "__chunk"),
+        )
+        # THE salt: without this the exploded chunks stay co-located
+        # with their parent row and the fat document still runs on one
+        # task; hashing on (id, pos) spreads them across the cluster
+        .repartition(F.col(id_col), F.col("__cpos"))
+        .withColumn("__shingles", word_shingles(F.col("__chunk"), n))
+    )
+    has = F.size(F.col("__shingles")) > 0
+    per_chunk = chunked.withColumns(
+        {
+            f"{prefix}{i}": F.when(
+                has, F.array_min(F.transform(F.col("__shingles"), hasher(i)))
+            )
+            for i in range(num_hashes)
+        }
+    )
+    aggs = [F.min(f"{prefix}{i}").alias(f"{prefix}{i}") for i in range(num_hashes)]
+    if with_shingles:
+        # parity with word_shingles: null/empty/short text all yield
+        # the EMPTY array (concat_ws coerces a null slice to "", and
+        # word_shingles' <n-token guard returns []); the isNotNull
+        # guard is belt-and-braces for an all-null-chunk group
+        aggs.insert(
+            0,
+            F.when(
+                F.max(F.col("__chunk").isNotNull()),
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("__shingles")))
+                ),
+            ).alias("shingles"),
+        )
+    return per_chunk.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -221,6 +358,8 @@ def staged_minhash_shingles(
     text_col: str,
     num_hashes: int = 4,
     n: int = 3,
+    salt_chunk_tokens: int | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """One persisted ``(id, shingles, sig_0..k-1)`` table — the shape
     every LSH-then-verify query wants. Banding, the exact-Jaccard
@@ -236,11 +375,22 @@ def staged_minhash_shingles(
     action has completed (or ``spark.catalog.clearCache()`` between
     independent jobs, as bench.py does). Until then the cache entry
     lives for the session; Spark's LRU eviction bounds the damage but
-    long multi-query sessions should reclaim explicitly."""
+    long multi-query sessions should reclaim explicitly.
+
+    ``salt_chunk_tokens`` bounds per-task shingle work by the chunk
+    size (salted_minhash) — the staged output is then the merge
+    result directly, no join-back needed, since this table is exactly
+    (id, shingles, sigs)."""
+    if salt_chunk_tokens is not None:
+        return salted_minhash(
+            df.select(id_col, text_col), id_col, text_col, num_hashes, n,
+            portable=portable, chunk_tokens=salt_chunk_tokens,
+            with_shingles=True,
+        ).persist()
     return (
         with_minhash(
             df.select(id_col, text_col), text_col, num_hashes, n,
-            shingle_col="shingles",
+            portable=portable, shingle_col="shingles",
         )
         .drop(text_col)
         .persist()

@@ -40,6 +40,7 @@ from etl_guiacores_spark.operators.similarity import (
     jaccard_of_shingles,
     lsh_candidate_pairs,
     lsh_candidate_pairs_from_sigs,
+    staged_minhash_shingles,
     with_minhash,
     word_shingles,
 )
@@ -51,6 +52,15 @@ class CorpusConfig:
     min_quality: float = 0.5
     allowed_langs: tuple[str, ...] = ()  # empty = keep all
     near_dup_jaccard: float = 0.8
+    #: when set, the near-dup shingle/signature pass is SALTED by
+    #: (doc_id, chunk): per-task work bounded by this many tokens
+    #: instead of the document length (similarity.salted_minhash —
+    #: bit-identical signatures, shingle sets reassembled by union).
+    #: Costs two extra shuffles; enable for heavy-tailed length
+    #: distributions (the round-9 skew soak measured 22.7x
+    #: max/median shingle-stage task time on a Zipf tail). None =
+    #: unsalted per-row compute.
+    salt_chunk_tokens: int | None = None
     #: True = connected-components clustering (one survivor per
     #: component, exact); False = greedy drop-higher-id per pair
     #: (one pass, conservative)
@@ -164,13 +174,32 @@ def near_dup_removal(
     threshold: float,
     cluster_exact: bool = False,
     portable: bool = False,
+    salt_chunk_tokens: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, removed_pairs). LSH proposes, exact Jaccard
     verifies; survivors are either one-per-connected-component
     (``cluster_exact``, iterative label propagation) or the greedy
-    drop-higher-id-of-each-pair rule (one pass, conservative)."""
-    candidates = lsh_candidate_pairs(docs, "doc_id", "text", portable=portable)
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    drop-higher-id-of-each-pair rule (one pass, conservative).
+
+    ``salt_chunk_tokens`` routes shingling through the skew-proof
+    salted path (similarity.salted_minhash): ONE salted
+    (id, shingles, sigs) table — per-task work bounded by the chunk
+    size instead of the document length — feeds both the LSH banding
+    and the Jaccard verify, so the heavy per-row HOF compute is both
+    salted AND computed once. The persisted handle rides out on the
+    pair result as ``staged_sigs`` (the pipeline releases it after
+    landing the pairs, same lifecycle as ``staged_bands``)."""
+    staged_sigs = None
+    if salt_chunk_tokens is not None:
+        staged_sigs = staged_minhash_shingles(
+            docs, "doc_id", "text",
+            salt_chunk_tokens=salt_chunk_tokens, portable=portable,
+        )
+        candidates = lsh_candidate_pairs_from_sigs(staged_sigs, "doc_id")
+        sh = staged_sigs.select("doc_id", F.col("shingles").alias("sh"))
+    else:
+        candidates = lsh_candidate_pairs(docs, "doc_id", "text", portable=portable)
+        sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     verified = (
         candidates.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -195,10 +224,11 @@ def near_dup_removal(
         # broadcast hint; AQE picks broadcast only when it truly fits.
         doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
         survivors = docs.join(doomed, "doc_id", "left_anti")
-    # ride the band-cache handle out to the pipeline so it can be
+    # ride the cache handles out to the pipeline so they can be
     # released once the consuming actions finish (similarity.py
-    # persists it per invocation and CacheManager never GCs it)
+    # persists them per invocation and CacheManager never GCs them)
     verified.staged_bands = getattr(candidates, "staged_bands", None)
+    verified.staged_sigs = staged_sigs
     return survivors, verified
 
 
@@ -729,11 +759,15 @@ def run_corpus_pipeline(
         config.near_dup_jaccard,
         cluster_exact=config.cluster_exact,
         portable=config.portable_hashes,
+        salt_chunk_tokens=config.salt_chunk_tokens,
     )
     pairs, n_pairs = _land(dup_pairs, "dup_pairs")
     staged_bands = getattr(dup_pairs, "staged_bands", None)
     if staged_bands is not None:  # the pairs are materialized — release
         staged_bands.unpersist()
+    staged_sigs = getattr(dup_pairs, "staged_sigs", None)
+    if staged_sigs is not None:  # salted path: release the sig cache too
+        staged_sigs.unpersist()
     if config.cluster_exact:
         from etl_guiacores_spark.operators.graph import connected_components
 

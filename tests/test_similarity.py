@@ -7,6 +7,7 @@ import math
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.operators.similarity import (
+    salted_minhash,
     cosine,
     embedding_near_dup_pairs,
     knn_brute_force,
@@ -151,3 +152,95 @@ def test_knn_null_ids_not_dropped(spark):
     got = knn_brute_force(emb, queries, k=5).collect()
     neighbor_ids = {r["neighbor_id"] for r in got}
     assert None in neighbor_ids and 2 in neighbor_ids and 1 not in neighbor_ids
+
+
+class TestSaltedMinhash:
+    """salted_minhash: skew-proof chunked shingling must be
+    bit-identical to the per-row path (signatures) and set-identical
+    (shingles) — the round-9 skew-soak lever."""
+
+    ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog " * 50),
+        (2, "a b"),  # fewer than n tokens
+        (3, ""),
+        (4, None),
+        (5, "alpha beta gamma delta epsilon"),
+        (6, "  padded   with \t odd   whitespace tokens here  "),
+        (7, " ".join(str(i * 7919 % 104729) for i in range(2000))),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id int, text string")
+
+    def test_signatures_bit_identical(self, spark):
+        df = self._df(spark)
+        for portable in (True, False):
+            base = {
+                r["doc_id"]: r
+                for r in with_minhash(
+                    df, "text", num_hashes=4, portable=portable, shingle_col="sh"
+                ).collect()
+            }
+            # chunk_tokens=3 == n is the maximal-salting degenerate case
+            for chunk_tokens in (3, 8, 64):
+                salted = {
+                    r["doc_id"]: r
+                    for r in salted_minhash(
+                        df, "doc_id", "text", num_hashes=4, portable=portable,
+                        chunk_tokens=chunk_tokens, with_shingles=True,
+                    ).collect()
+                }
+                assert set(salted) == set(base)
+                for k, b in base.items():
+                    s = salted[k]
+                    for i in range(4):
+                        assert s[f"sig_{i}"] == b[f"sig_{i}"], (portable, chunk_tokens, k, i)
+                    assert (s["shingles"] is None) == (b["sh"] is None)
+                    if b["sh"] is not None:
+                        # salted shingles are the sorted distinct union
+                        assert list(s["shingles"]) == sorted(set(b["sh"]))
+
+    def test_chunk_smaller_than_shingle_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            salted_minhash(self._df(spark), "doc_id", "text", n=3, chunk_tokens=2)
+
+    def test_with_minhash_salted_keeps_all_columns(self, spark):
+        df = self._df(spark).withColumn("extra", F.lit("x"))
+        out = with_minhash(
+            df, "text", num_hashes=2, salt_chunk_tokens=8, salt_id_col="doc_id"
+        )
+        assert {"doc_id", "text", "extra", "sig_0", "sig_1"} == set(out.columns)
+        assert out.count() == len(self.ROWS)
+
+    def test_with_minhash_salt_requires_id(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="salt_id_col"):
+            with_minhash(self._df(spark), "text", salt_chunk_tokens=8)
+
+    def test_near_dup_removal_salted_identical(self, spark):
+        from etl_guiacores_spark.plans.corpus_pipeline import near_dup_removal
+
+        docs = spark.createDataFrame(
+            [
+                (1, (TEXT_A + " ") * 21, "s1"),
+                (2, (TEXT_A + " ") * 20 + TEXT_B, "s1"),
+                (3, TEXT_C * 30, "s2"),
+                (4, TEXT_C * 30, "s2"),
+                (5, "tiny", "s3"),
+            ],
+            "doc_id int, text string, source string",
+        )
+        surv_u, pairs_u = near_dup_removal(docs, 0.5)
+        surv_s, pairs_s = near_dup_removal(docs, 0.5, salt_chunk_tokens=16)
+        assert sorted(r["doc_id"] for r in surv_u.collect()) == sorted(
+            r["doc_id"] for r in surv_s.collect()
+        )
+        pu = sorted((r["id_a"], r["id_b"]) for r in pairs_u.collect())
+        ps = sorted((r["id_a"], r["id_b"]) for r in pairs_s.collect())
+        assert pu == ps and len(pu) >= 2
+        for handle in (pairs_s.staged_sigs, getattr(pairs_s, "staged_bands", None)):
+            if handle is not None:
+                handle.unpersist()

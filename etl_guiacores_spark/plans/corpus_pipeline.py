@@ -480,6 +480,28 @@ def streaming_corpus_ingest(
     )
 
 
+# every stage dir run_corpus_pipeline ever lands via _land (plus the
+# shard writer's out dir). The missing-fingerprint resume guard probes
+# ALL of them: any one surviving fence means the out_dir holds prior
+# artifacts whose provenance a missing pipeline_config.json can no
+# longer vouch for. Keep in sync with the _land call sites below.
+_LANDED_STAGES = (
+    "filtered",
+    "decontaminated",
+    "eval_span_accounting",
+    "eval_span_stripped",
+    "dup_pairs",
+    "clean",
+    "span_accounting",
+    "span_stripped",
+    "gopher_gated",
+    "sampled",
+    "chunks",
+    "vocab",
+    "shards",
+)
+
+
 def _fenced(spark, path: str) -> bool:
     """True when ``path`` is a committed parquet stage dir
     (``_SUCCESS`` present), via the Hadoop FileSystem API so resume
@@ -628,7 +650,14 @@ def run_corpus_pipeline(
                 "feed stale stages downstream. Rerun without resume, "
                 "or use a fresh out_dir."
             )
-    elif resume and _fenced(spark, f"{out_dir}/filtered"):
+    elif resume and any(
+        _fenced(spark, f"{out_dir}/{s}") for s in _LANDED_STAGES
+    ):
+        # probe EVERY landed stage name, not just the first: a torn
+        # out_dir whose "filtered" fence is missing but whose later
+        # fences (clean, dup_pairs, ...) survive would otherwise write
+        # a fresh fingerprint here and have _land silently reuse those
+        # unverified later-stage artifacts (round-9 advice item)
         raise ValueError(
             "run_corpus_pipeline(resume=True): fenced stage artifacts "
             f"exist in {out_dir} but no pipeline_config.json fingerprint "

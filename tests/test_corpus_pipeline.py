@@ -530,6 +530,14 @@ def test_resume_guards_input_identity_and_missing_fingerprint(
     with pytest.raises(ValueError, match="no pipeline_config.json"):
         run_corpus_pipeline(docs, out, cfg, resume=True)
 
+    # round-9 advice: the probe must cover EVERY landed stage, not just
+    # "filtered" — with filtered's fence also torn, the surviving later
+    # fences (clean, dup_pairs, chunks, ...) must still refuse; a fresh
+    # fingerprint here would let _land silently reuse them
+    os.remove(os.path.join(out, "filtered", "_SUCCESS"))
+    with pytest.raises(ValueError, match="no pipeline_config.json"):
+        run_corpus_pipeline(docs, out, cfg, resume=True)
+
 
 def test_resume_recomputes_torn_mid_stage(spark, tmp_path):
     """Kill-between-stages simulation (round-8 verdict item 7): a

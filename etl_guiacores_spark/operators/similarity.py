@@ -17,6 +17,23 @@ Design for 100 TB:
   handled by AQE skew-join.
 - **Hash family is engine-portable** (md5 of seeded shingle,
   lexicographic min), so DuckDB oracles reproduce signatures exactly.
+
+Recall contract (LSH banding): banding is probabilistic PER PAIR — a
+true near-duplicate pair whose signatures happen to agree in no band
+is missed (P[candidate] = 1-(1-s^r)^b for Jaccard s, b bands of r
+rows). The contract the pipeline relies on is PER COMPONENT via
+connectivity: duplicate CLUSTERS collapse as long as each member
+shares a band with ANY other member, which makes cluster recall far
+higher than pair recall. Measured in the round-9 skew soak: an
+800-clone hot clique lost exactly 1 of 319,600 pairwise edges to
+banding, yet connectivity collapsed all 800 docs to one survivor (0
+extra survivors). Tuning: here each hash IS a band (r=1, b=num_hashes)
+so pair recall = 1-(1-s)^b — the default num_hashes=4 catches a
+Jaccard-0.5 pair with p≈0.94 and leans on the exact-Jaccard verify
+join for precision; raise num_hashes for higher recall at the cost of
+more band-key shuffle rows, or group hashes into multi-row bands
+(smaller b, r>1) to sharpen the S-curve when precision matters before
+the verify step.
 """
 
 from __future__ import annotations

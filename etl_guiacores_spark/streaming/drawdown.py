@@ -31,6 +31,16 @@ fencing; batch N reads the latest fenced snapshot with id < N
 recomputes from its original inputs and overwrites its own output:
 exactly-once upserts. State at 100 TB is one 6-field row per key,
 shuffled like any keyed join; snapshots parquet-pruned.
+
+State-size bound: the snapshot holds EXACTLY one row per key ever
+seen — never per batch (asserted over 20 micro-batches with key churn
+in tests/test_streaming.py::TestTwinStateBounds), and only
+``keep_snapshots`` fenced snapshot dirs survive on disk. Key-churn
+retention: whole-history drawdown legitimately remembers every key
+forever; when a deployment retires keys (closed accounts), compact by
+filtering the latest fenced snapshot — it is a plain parquet table —
+before restarting the stream, or leave them: the carry cost is one
+narrow row per retired key, anti-joined (never rescanned) each batch.
 """
 
 from __future__ import annotations

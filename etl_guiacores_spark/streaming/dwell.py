@@ -24,6 +24,16 @@ verbatim: per-key event-time order across batches (fail loud),
 fence on pruned-state redelivery: exactly-once upserts. State at
 100 TB: one row per key plus |states| rows, shuffled like any keyed
 join.
+
+State-size bound: the snapshot is exactly |keys ever seen| open-hold
+rows + |distinct states| aggregate rows, regardless of batch count
+(asserted over 20 micro-batches with key churn in
+tests/test_streaming.py::TestTwinStateBounds); disk keeps only
+``keep_snapshots`` fenced dirs. Key-churn retention: retired keys can
+be compacted out by filtering their ``kind='open'`` rows from the
+latest fenced snapshot (a plain parquet table) between runs — their
+already-closed dwells stay in the per-state aggregates, only the
+open, never-to-close hold is dropped.
 """
 
 from __future__ import annotations

@@ -129,12 +129,18 @@ def ivf_search(
             F.round(cosine(F.col("__qv"), F.col(index.vec_col)), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    from etl_guiacores_spark.operators.ordering import topk_per_key
+
+    # two-stage top-k: at full probe (nprobe = nlist, the q63 oracle
+    # configuration) the candidate set per query is the whole corpus —
+    # never funnel it through one reducer per query
+    return topk_per_key(
+        candidates,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id")],
+        k,
+        salt_expr=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "sim", "rank")
 
 
 def kmeans_step_exact(

@@ -13,6 +13,11 @@ has one row per partition.
 This is the numbering pattern a 100 TB shard-writer needs (assign
 example ids before packing/sharding) where a driver ``zipWithIndex``
 collect or a one-partition sort would OOM or serialize the job.
+
+:func:`topk_per_key` is the same medicine for the OTHER hot window
+shape: per-key top-k where the keys are few and the groups are
+data-sized (batch retrieval: key = query_id, group = the scored
+corpus). Salted pre-cut, then rank the bounded survivors.
 """
 
 from __future__ import annotations
@@ -53,6 +58,69 @@ def dense_ids(
         out_col=id_name,
         num_partitions=num_partitions,
     ).drop("__one")
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_cols,
+    order_by,
+    k: int,
+    salt_expr,
+    salt_buckets: int = 16,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-key top-k that never funnels a whole key through one
+    reducer — the giant-group half of the q103 trade.
+
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...)`` moves EVERY
+    row of a key to a single reducer before the <=k filter. Fine when
+    keys are numerous and groups modest; fatal for the batch-retrieval
+    shape, where key = query_id (a handful of values) and the group is
+    the whole scored corpus — at 100 TB each query's reducer receives
+    billions of rows. This operator pre-cuts under the SAME total
+    order within (key, salt) groups — salt = xxhash64(salt_expr) mod
+    ``salt_buckets``, deterministic, so re-executions and task retries
+    regroup rows identically — then ranks the <= salt_buckets*k
+    survivors per key. Any row in the true global top-k is by
+    definition in the top-k of its own salt group, so the result is
+    EXACTLY the single-window result; the first (data-sized) shuffle
+    now spreads over |keys| x salt_buckets reducers and the second
+    moves only salt_buckets*k rows per key.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreak) —
+    the same determinism contract the plain window shape already had.
+    ``salt_expr`` should be a high-cardinality column (the candidate
+    id); size ``salt_buckets`` so |rows per key| / salt_buckets fits a
+    task comfortably. Emits ``rank_col`` = 1..k per key.
+    """
+    keys = list(key_cols)
+    order = list(order_by)
+    if k < 1:
+        raise ValueError(f"topk_per_key: k must be >= 1, got {k}")
+    if salt_buckets < 2:
+        raise ValueError(
+            f"topk_per_key: salt_buckets must be >= 2, got {salt_buckets}"
+            " (1 bucket IS the single-reducer shape — use a plain"
+            " window and say so)"
+        )
+    for tmp in ("__tk_salt", "__tk_r1"):
+        if tmp in df.columns:
+            raise ValueError(
+                f"topk_per_key: input already has a '{tmp}' column — "
+                "rename it first (operator temporary)"
+            )
+    salt = F.pmod(F.xxhash64(salt_expr), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*keys, "__tk_salt").orderBy(*order)
+    pre = (
+        df.withColumn("__tk_salt", salt)
+        .withColumn("__tk_r1", F.row_number().over(w1))
+        .filter(F.col("__tk_r1") <= k)
+        .drop("__tk_salt", "__tk_r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return pre.withColumn(
+        rank_col, F.row_number().over(w2)
+    ).filter(F.col(rank_col) <= k)
 
 
 def global_prefix_sum(

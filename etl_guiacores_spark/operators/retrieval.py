@@ -196,9 +196,12 @@ def bm25_batch_topk(
     broadcast semi-join (never a driver-side isin list), tf/df/stats
     are computed once and shared across queries, and only then does
     the bounded (doc, term) contribution table fan out per query
-    (broadcast join on term). The per-query cut is a query-partitioned
-    rank window over score rows — parallel across queries, total order
-    (score DESC, id).
+    (broadcast join on term). The per-query cut is the two-stage
+    salted top-k (ordering.topk_per_key) over score rows — parallel
+    across queries AND within a query, total order (score DESC, id);
+    a common query term can score a data-sized slice of the corpus,
+    so one reducer per query would bottleneck exactly like the plain
+    window shape.
 
     ``queries``: (query_id_col, terms_col ARRAY<STRING>) with distinct
     terms per query (duplicate terms would double-count contributions;
@@ -279,13 +282,15 @@ def bm25_batch_topk(
             F.count("*").cast("long").alias("n_hit_terms"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("score_ppm"), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    from etl_guiacores_spark.operators.ordering import topk_per_key
+
+    return topk_per_key(
+        scored,
+        [query_id_col],
+        [F.desc("score_ppm"), F.col(id_col)],
+        k,
+        salt_expr=F.col(id_col),
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def mmr_rerank(
@@ -371,7 +376,8 @@ def mmr_rerank_batch(
     tools/plan_audit.py like the q28/q84 anchor sets); (3) relevance
     = exact
     integer dot product; only NARROW (query_id, id, rel) rows ride the
-    single per-query top-k window shuffle; (4) the <= n_candidates
+    two-stage salted top-k cut (ordering.topk_per_key — |docs| rows
+    per query never meet a single reducer); (4) the <= n_candidates
     winners per query re-join their vectors (a |queries|*n_candidates
     relation) and (5) ``applyInPandas`` grouped by query_id runs the
     IDENTICAL :func:`mmr_select` greedy per group ON THE EXECUTORS —
@@ -438,12 +444,19 @@ def mmr_rerank_batch(
             ).alias("rel"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.col(id_col))
-    cands = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_candidates)
-        .drop("__rn")
-    )
+    from etl_guiacores_spark.operators.ordering import topk_per_key
+
+    # two-stage salted cut: the scored relation is |docs| rows PER
+    # query — a plain query-partitioned window would funnel the whole
+    # corpus through one reducer per query
+    cands = topk_per_key(
+        scored,
+        ["query_id"],
+        [F.desc("rel"), F.col(id_col)],
+        n_candidates,
+        salt_expr=F.col(id_col),
+        rank_col="__rn",
+    ).drop("__rn")
     withvec = cands.join(base, id_col)
 
     def _greedy(pdf):

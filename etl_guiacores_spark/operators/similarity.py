@@ -548,10 +548,12 @@ def knn_brute_force(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` (small) is broadcast against the full embedding table:
-    one pass over the corpus, no shuffle of the big side; the window
-    top-k shuffles only (query, candidate, sim) triples. This is the
-    correct baseline at any scale; the LSH variant below prunes the
-    candidate set when the corpus is huge.
+    one pass over the corpus, no shuffle of the big side; the top-k
+    shuffles only (query, candidate, sim) triples, two-stage
+    (ordering.topk_per_key) so no single query funnels the whole
+    scored corpus through one reducer. This is the correct baseline at
+    any scale; the LSH variant below prunes the candidate set when the
+    corpus is huge.
 
     Self-exclusion assumes queries are drawn from the embedding
     table's id space (a candidate whose id equals the query id is the
@@ -575,14 +577,15 @@ def knn_brute_force(
             sim.alias("sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "sim", "rank")
-    )
+    from etl_guiacores_spark.operators.ordering import topk_per_key
+
+    return topk_per_key(
+        scored,
+        [query_id_col],
+        [F.col("sim").desc(), F.col("neighbor_id")],
+        k,
+        salt_expr=F.col("neighbor_id"),
+    ).select(query_id_col, "neighbor_id", "sim", "rank")
 
 
 def sign_bucket(vec: Column, dims: int = 8) -> Column:

@@ -434,10 +434,9 @@ def q156_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__dist"), F.col("neighbor_id")
-    )
-    l2 = (
+    from etl_guiacores_spark.operators.ordering import topk_per_key
+
+    scored_l2 = (
         e.crossJoin(F.broadcast(qb))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -445,10 +444,16 @@ def q156_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.round(diff_sq, 6).alias("__dist"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "rank")
     )
+    # two-stage salted top-k, like knn_brute_force's cosine leg: the
+    # L2 leg scores the whole corpus per query too
+    l2 = topk_per_key(
+        scored_l2,
+        ["query_id"],
+        [F.col("__dist"), F.col("neighbor_id")],
+        10,
+        salt_expr=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "rank")
     return rrf_fuse(cos.unionByName(l2), top_k=5)
 
 

@@ -125,3 +125,90 @@ class TestGlobalPrefixSum:
         assert durable == local
         with pytest.raises(ValueError, match="pin mode"):
             global_prefix_sum(df, "k", "v", pin="tachyon")
+
+
+class TestTopkPerKey:
+    """topk_per_key must equal the single-window per-key top-k exactly
+    (any row in the global top-k is in its own salt group's top-k, so
+    the two-stage pre-cut loses nothing) while keeping every window in
+    the plan salted or bounded."""
+
+    def _data(self, spark):
+        # 4 keys x 500 rows with heavy score ties (score = id % 7) so
+        # the id tiebreak is load-bearing, plus one tiny key
+        rows = [(k, i, i % 7) for k in range(4) for i in range(500)]
+        rows += [(9, 1, 5)]
+        return spark.createDataFrame(rows, "key long, id long, score long")
+
+    def test_equals_single_window(self, spark):
+        from etl_guiacores_spark.operators.ordering import topk_per_key
+
+        df = self._data(spark)
+        got = sorted(
+            (r["key"], r["rank"], r["id"], r["score"])
+            for r in topk_per_key(
+                df, ["key"],
+                [F.col("score").desc(), F.col("id")],
+                5, salt_expr=F.col("id"), salt_buckets=8,
+            ).collect()
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(F.col("score").desc(), "id")
+        want = sorted(
+            (r["key"], r["rank"], r["id"], r["score"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5).collect()
+        )
+        assert got == want
+        # the tiny key (fewer rows than k) survives intact
+        assert (9, 1, 1, 5) in got
+
+    def test_salt_count_does_not_change_result(self, spark):
+        from etl_guiacores_spark.operators.ordering import topk_per_key
+
+        df = self._data(spark)
+        outs = [
+            sorted(
+                tuple(r) for r in topk_per_key(
+                    df, ["key"],
+                    [F.col("score").desc(), F.col("id")],
+                    3, salt_expr=F.col("id"), salt_buckets=b,
+                ).collect()
+            )
+            for b in (2, 16, 64)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_every_window_in_plan_is_salted_or_final(self, spark):
+        from etl_guiacores_spark.operators.ordering import topk_per_key
+
+        df = self._data(spark)
+        out = topk_per_key(
+            df, ["key"], [F.col("score").desc(), F.col("id")],
+            5, salt_expr=F.col("id"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__tk_salt" in plan  # the pre-cut stage really salts
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.plan_audit import unpartitioned_window_in
+        assert not unpartitioned_window_in(plan)
+
+    def test_guards(self, spark):
+        import pytest
+
+        from etl_guiacores_spark.operators.ordering import topk_per_key
+
+        df = self._data(spark)
+        order = [F.col("score").desc(), F.col("id")]
+        with pytest.raises(ValueError, match="k must be"):
+            topk_per_key(df, ["key"], order, 0, salt_expr=F.col("id"))
+        with pytest.raises(ValueError, match="salt_buckets"):
+            topk_per_key(
+                df, ["key"], order, 3, salt_expr=F.col("id"),
+                salt_buckets=1,
+            )
+        clash = df.withColumn("__tk_salt", F.lit(1))
+        with pytest.raises(ValueError, match="__tk_salt"):
+            topk_per_key(clash, ["key"], order, 3, salt_expr=F.col("id"))

@@ -163,6 +163,151 @@ def lang_id(col: Column) -> Column:
     return F.when(cjk > 0, F.lit("zh")).otherwise(best)
 
 
+def salted_text_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 4096,
+    chunk_chars: int | None = None,
+):
+    """Skew-proof (quality, pred_lang): chunk-and-merge the filter-leg
+    counters so per-task work is bounded by the chunk size, not the
+    document length — the residual the round-10 skew soak named after
+    salting the shingle pass (SCALE.md: the filter-leg scan kept a
+    ~19x max/median task ratio in both runs; a 2 GB tail document
+    would make quality/lang-id the new straggler).
+
+    Every counter behind :func:`quality_score` and :func:`lang_id` is
+    sum-mergeable: token count, stopword hits, and per-language marker
+    hits over non-overlapping TOKEN-array slices; char length,
+    punctuation count, and CJK count over non-overlapping SUBSTRING
+    slices. Each exploded chunk relation is hash-repartitioned on
+    (id, chunk_pos) — the salt, same as similarity.salted_minhash —
+    counters merge per id, and the final quality/lang arithmetic runs
+    on the merged sums with the IDENTICAL formulas, so the output is
+    BIT-IDENTICAL to the per-row operators (integer operands into the
+    same double divisions; parity-tested incl. empty/NULL/CJK/
+    boundary-multiple docs).
+
+    Returns (id_col, quality, pred_lang), one row per input row.
+    ``id_col`` must be unique (it is the merge key — the same
+    contract as salted_minhash). Cost: two narrow-counter shuffles
+    plus the join back onto the document row the caller pays — worth
+    it only for heavy length tails; keep the per-row operators for
+    uniform corpora.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(
+            f"salted_text_scores: chunk_tokens must be >= 1, got {chunk_tokens}"
+        )
+    cc = chunk_chars if chunk_chars is not None else chunk_tokens * 16
+    if cc < 1:
+        raise ValueError(
+            f"salted_text_scores: chunk_chars must be >= 1, got {cc}"
+        )
+
+    # --- token-side counters over non-overlapping token slices -------
+    toks = tokens(F.col(text_col))
+
+    def tok_chunks(t: Column) -> Column:
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(chunk_tokens)
+            ),
+            lambda s: F.slice(t, s, chunk_tokens),
+        )
+
+    tchunk = (
+        docs.select(
+            id_col,
+            F.posexplode_outer(
+                # bind the tokenization once (the kgrams lesson: HOFs
+                # have no CSE — referencing `toks` per chunk would
+                # re-split the whole document per chunk)
+                F.element_at(F.transform(F.array(toks), tok_chunks), 1)
+            ).alias("__cpos", "__ctoks"),
+        )
+        .repartition(F.col(id_col), F.col("__cpos"))
+    )
+    low = F.transform(F.col("__ctoks"), lambda t: F.lower(t))
+    tok_counts = tchunk.groupBy(id_col).agg(
+        F.sum(F.size("__ctoks")).cast("long").alias("__n_tok"),
+        F.sum(F.size(F.filter(low, lambda t: t.isin(*STOPWORDS))))
+        .cast("long")
+        .alias("__stop_hits"),
+        *[
+            F.sum(F.size(F.filter(low, lambda t: t.isin(*markers))))
+            .cast("long")
+            .alias(f"__hits_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+
+    # --- char-side counters over non-overlapping substring slices ----
+    s = F.coalesce(F.col(text_col), F.lit(""))
+
+    def char_chunks(txt: Column) -> Column:
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(txt), F.lit(1)), F.lit(cc)
+            ),
+            lambda i: F.substr(txt, i, F.lit(cc)),
+        )
+
+    cchunk = (
+        docs.select(
+            id_col,
+            F.posexplode_outer(
+                F.element_at(F.transform(F.array(s), char_chunks), 1)
+            ).alias("__cpos", "__ctext"),
+        )
+        .repartition(F.col(id_col), F.col("__cpos"))
+    )
+    char_counts = cchunk.groupBy(id_col).agg(
+        F.sum(F.length("__ctext")).cast("long").alias("__n_chars"),
+        F.sum(punct_count(F.col("__ctext"))).cast("long").alias("__punct"),
+        F.sum(
+            F.coalesce(
+                F.regexp_count("__ctext", F.lit(r"[\x{4e00}-\x{9fff}]")),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("__cjk"),
+    )
+
+    # --- derive with the per-row formulas on the merged sums ---------
+    merged = tok_counts.join(char_counts, id_col)
+    n_tok = F.col("__n_tok")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(
+        F.col("__n_chars") > 0, F.col("__punct") / F.col("__n_chars")
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.coalesce(
+        F.when(n_tok > 0, F.col("__stop_hits") / n_tok), F.lit(0.0)
+    )
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    best_lang = F.lit("und")
+    best_count = F.lit(0).cast("long")
+    for lang in ("en", "es", "de", "fr"):  # fixed priority, like lang_id
+        c = F.col(f"__hits_{lang}")
+        better = c > best_count
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(better, c).otherwise(best_count)
+    return merged.select(
+        id_col,
+        ((len_ok + punct_ok + sw_ok) / 3.0).alias("quality"),
+        F.when(F.col("__cjk") > 0, F.lit("zh"))
+        .otherwise(best_lang)
+        .alias("pred_lang"),
+    )
+
+
 def normalize_for_fingerprint(col: Column) -> Column:
     """Canonical text form for dedup fingerprints: lowercase, strip
     punctuation, collapse whitespace."""

@@ -52,12 +52,16 @@ class CorpusConfig:
     min_quality: float = 0.5
     allowed_langs: tuple[str, ...] = ()  # empty = keep all
     near_dup_jaccard: float = 0.8
-    #: when set, the near-dup shingle/signature pass is SALTED by
-    #: (doc_id, chunk): per-task work bounded by this many tokens
-    #: instead of the document length (similarity.salted_minhash —
-    #: bit-identical signatures, shingle sets reassembled by union).
-    #: Costs two extra shuffles; enable for heavy-tailed length
-    #: distributions (the round-9 skew soak measured 22.7x
+    #: when set, BOTH heavy per-row text stages are SALTED by
+    #: (doc_id, chunk) with per-task work bounded by this many tokens
+    #: instead of the document length: the near-dup shingle/signature
+    #: pass (similarity.salted_minhash — bit-identical signatures,
+    #: shingle sets reassembled by union) and the filter-leg
+    #: quality/lang scoring (textstats.salted_text_scores —
+    #: bit-identical scores from chunk-merged counters; the residual
+    #: the round-10 skew soak named after salting shingles). Costs
+    #: extra shuffles per salted stage; enable for heavy-tailed
+    #: length distributions (the round-9 skew soak measured 22.7x
     #: max/median shingle-stage task time on a Zipf tail). None =
     #: unsalted per-row compute.
     salt_chunk_tokens: int | None = None
@@ -140,12 +144,29 @@ class CorpusConfig:
 
 
 def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
-    scored = docs.withColumns(
-        {
-            "quality": quality_score(F.col("text")),
-            "pred_lang": lang_id(F.col("text")),
-        }
-    )
+    if config.salt_chunk_tokens is not None:
+        # skew-proof leg: chunk-merged counters, bit-identical scores
+        # (textstats.salted_text_scores); the join back onto the doc
+        # row is the documented salting price — narrow score rows and
+        # one text shuffle versus an unbounded per-row straggler
+        from etl_guiacores_spark.operators.textstats import (
+            salted_text_scores,
+        )
+
+        scored = docs.join(
+            salted_text_scores(
+                docs, "doc_id", "text",
+                chunk_tokens=config.salt_chunk_tokens,
+            ),
+            "doc_id",
+        )
+    else:
+        scored = docs.withColumns(
+            {
+                "quality": quality_score(F.col("text")),
+                "pred_lang": lang_id(F.col("text")),
+            }
+        )
     out = scored.filter(F.col("quality") >= config.min_quality)
     if config.allowed_langs:
         out = out.filter(F.col("pred_lang").isin(*config.allowed_langs))

@@ -758,3 +758,83 @@ def q195_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return mmr_rerank_batch(e, [0, 1, 2, 3], k=10, n_candidates=32)
+
+
+# ---------------------------------------------------------------------------
+# q196: salted (chunk-merged) quality + lang scoring — same answer as the
+# per-row operators, skew-proof plan
+# ---------------------------------------------------------------------------
+
+_SW196 = "'the','a','an','and','of','to','in','is','it','for'"
+_TOKS196 = (
+    "CASE WHEN LENGTH(trim(text)) > 0 "
+    "THEN string_split_regex(trim(text), '[ \\t\\n\\r\\f\\v]+') "
+    "ELSE [] END"
+)
+_PUNCT196 = "'[.,;:!?''\"()\\[\\]{}-]'"
+
+
+def _q196_oracle() -> str:
+    from etl_guiacores_spark.operators.textstats import LANG_MARKERS
+
+    count_exprs = {
+        lang: (
+            "LEN(list_filter(toks, t -> lower(t) IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "'und'"
+    best_n = "0"
+    for lang in ("en", "es", "de", "fr"):
+        c = count_exprs[lang]
+        best = f"CASE WHEN {c} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"GREATEST({c}, {best_n})"
+    return f"""
+    SELECT doc_id,
+           ROUND((CASE WHEN LEN(toks) BETWEEN 10 AND 10000
+                       THEN 1.0 ELSE 0.0 END
+                + CASE WHEN (CASE WHEN LENGTH(text) > 0
+                                  THEN CAST(n_punct AS DOUBLE)/LENGTH(text)
+                                  ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN COALESCE(CASE WHEN LEN(toks) > 0
+                            THEN CAST(LEN(list_filter(toks,
+                                 t -> lower(t) IN ({_SW196}))) AS DOUBLE)
+                                 / LEN(toks) END, 0.0)
+                       BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+                / 3.0, 6) AS quality,
+           CASE WHEN COALESCE(LEN(regexp_extract_all(text,
+                     '[\\x{{4e00}}-\\x{{9fff}}]')), 0) > 0
+                THEN 'zh' ELSE {best} END AS pred_lang
+    FROM (
+        SELECT doc_id, text, {_TOKS196} AS toks,
+               COALESCE(LEN(regexp_extract_all(text, {_PUNCT196})), 0)
+                   AS n_punct
+        FROM documents
+    )
+    """
+
+
+@register(
+    "q196_salted_quality_lang",
+    _q196_oracle(),
+    doc="The q103 pairing applied to the filter leg: chunk-merged "
+    "quality + lang-id (textstats.salted_text_scores) whose ORACLE is "
+    "the plain per-row formula — proving the salted plan computes the "
+    "identical answer with per-task work bounded by the chunk size "
+    "instead of the document length. Token/char counters merge as "
+    "sums over non-overlapping slices, each exploded chunk relation "
+    "hash-repartitioned on (doc_id, chunk_pos) — the skew-proof shape "
+    "the round-10 skew soak measured for the 19x filter-leg residual. "
+    "Covers ALL docs including empty/NULL text (quality computed, "
+    "pred_lang 'und'), unlike q22's confusion matrix which drops "
+    "empties (operators/textstats.salted_text_scores).",
+)
+def q196_salted_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import salted_text_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = salted_text_scores(d, "doc_id", "text", chunk_tokens=64)
+    return out.select(
+        "doc_id", F.round("quality", 6).alias("quality"), "pred_lang"
+    )

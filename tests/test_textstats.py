@@ -221,3 +221,88 @@ class TestVocabOverlap:
         assert got[("a", "b")] == (3, 2, 1, 1_000_000 // 4)
         assert ("a", "c") not in got  # disjoint pairs have no row
         assert ("b", "c") not in got
+
+
+class TestSaltedTextScores:
+    """textstats.salted_text_scores must be BIT-identical to the
+    per-row quality_score/lang_id — the chunk-merged counters feed the
+    same formulas — for every edge the per-row operators handle."""
+
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog and it is a "
+            "fine day for all of us to be here"),
+        (2, ""),
+        (3, None),
+        (4, "   "),
+        (5, "el la de que los una " * 40),          # es, tokens > chunk
+        (6, "!!!,,,;;;"),                            # punct-only
+        (7, "一鿿 hello the world"),         # CJK wins
+        (8, "der die und das ist ein " + "x " * 5000),  # long tail doc
+        (9, "le la et les des une " * 3),            # fr
+        (10, "a b"),                                 # too short
+        (11, "word " * 7),                           # exact chunk multiple
+    ]
+
+    def _frames(self, spark):
+        from etl_guiacores_spark.operators.textstats import (
+            lang_id,
+            quality_score,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        want = {
+            r["doc_id"]: (r["quality"], r["pred_lang"])
+            for r in df.select(
+                "doc_id",
+                quality_score(F.col("text")).alias("quality"),
+                lang_id(F.col("text")).alias("pred_lang"),
+            ).collect()
+        }
+        return df, want
+
+    def test_bit_identical_across_chunk_sizes(self, spark):
+        from etl_guiacores_spark.operators.textstats import (
+            salted_text_scores,
+        )
+
+        df, want = self._frames(spark)
+        for ct, cc in ((1, 1), (3, 5), (7, 4096), (4096, 16)):
+            got = {
+                r["doc_id"]: (r["quality"], r["pred_lang"])
+                for r in salted_text_scores(
+                    df, chunk_tokens=ct, chunk_chars=cc
+                ).collect()
+            }
+            assert got == want, (ct, cc)
+
+    def test_guards(self, spark):
+        import pytest
+
+        from etl_guiacores_spark.operators.textstats import (
+            salted_text_scores,
+        )
+
+        df, _ = self._frames(spark)
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            salted_text_scores(df, chunk_tokens=0)
+        with pytest.raises(ValueError, match="chunk_chars"):
+            salted_text_scores(df, chunk_tokens=4, chunk_chars=0)
+
+    def test_filter_documents_salted_equals_unsalted(self, spark):
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            filter_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t, "s") for i, t in self.DOCS],
+            "doc_id long, text string, source string",
+        )
+        plain = filter_documents(df, CorpusConfig(min_quality=0.5))
+        salted = filter_documents(
+            df, CorpusConfig(min_quality=0.5, salt_chunk_tokens=4)
+        )
+        assert plain.columns == salted.columns
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )

@@ -69,23 +69,28 @@ def topk_per_key(
     salt_buckets: int = 16,
     rank_col: str = "rank",
 ) -> DataFrame:
-    """Per-key top-k that never funnels a whole key through one
-    reducer — the giant-group half of the q103 trade.
+    """Per-key top-k whose final per-key stage is BOUNDED BY A
+    CONSTANT (salt_buckets*k rows), not by cluster size — the
+    giant-group half of the q103 trade.
 
-    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...)`` moves EVERY
-    row of a key to a single reducer before the <=k filter. Fine when
-    keys are numerous and groups modest; fatal for the batch-retrieval
-    shape, where key = query_id (a handful of values) and the group is
-    the whole scored corpus — at 100 TB each query's reducer receives
-    billions of rows. This operator pre-cuts under the SAME total
-    order within (key, salt) groups — salt = xxhash64(salt_expr) mod
-    ``salt_buckets``, deterministic, so re-executions and task retries
-    regroup rows identically — then ranks the <= salt_buckets*k
-    survivors per key. Any row in the true global top-k is by
-    definition in the top-k of its own salt group, so the result is
-    EXACTLY the single-window result; the first (data-sized) shuffle
-    now spreads over |keys| x salt_buckets reducers and the second
-    moves only salt_buckets*k rows per key.
+    Precise accounting (measured, tools/soak_topk.py): for
+    ``ROW_NUMBER() OVER (PARTITION BY key ...) <= k`` Spark >= 3.5
+    already inserts a Partial ``WindowGroupLimit`` that pre-cuts each
+    MAP partition to k rows per key before the exchange — the naive
+    everything-through-one-reducer funnel does not exist for the
+    rank-filter shape. What remains is the FINAL per-key stage: it
+    receives #map_partitions * k rows per key, so with few keys
+    (batch retrieval: key = query_id) that single task's input grows
+    LINEARLY with the cluster/input size — 100k input partitions * 32
+    = 3.2M rows through one task per query at 100 TB. This operator
+    pre-cuts under the SAME total order within (key, salt) groups —
+    salt = xxhash64(salt_expr) mod ``salt_buckets``, deterministic, so
+    re-executions and task retries regroup rows identically — then
+    ranks the <= salt_buckets*k survivors per key: the final stage is
+    O(salt_buckets*k) regardless of input size, and the heavy sort
+    work spreads over |keys| x salt_buckets reducers. Any row in the
+    true global top-k is by definition in the top-k of its own salt
+    group, so the result is EXACTLY the single-window result.
 
     ``order_by`` must be a TOTAL order (include a unique tiebreak) —
     the same determinism contract the plain window shape already had.

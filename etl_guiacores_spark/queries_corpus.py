@@ -1473,9 +1473,13 @@ def q102_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "head, posexplode ranks back out. Same spec as q09 (identical "
     "oracle, hash-matched), different physical strategy: a hash "
     "aggregate gets map-side PARTIAL aggregation and no per-group "
-    "sort-within-shuffle, where the window plan must sort every "
-    "group's full row set after the exchange. The trade is per-group "
-    "memory (the collected list), so this shape wins when groups are "
+    "sort-within-shuffle. (Precision, added round 10: Spark >= 3.5's "
+    "WindowGroupLimit gives the rank-filter window shape its own "
+    "map-side pre-cut, so the window's residual cost is the final "
+    "per-key stage at #partitions*k rows — see "
+    "ordering.topk_per_key for the few-giant-keys variant that "
+    "bounds it by a constant.) The trade is per-group memory (the "
+    "collected list), so this shape wins when groups are "
     "small-to-moderate and k tiny — the common case — while the "
     "window shape wins on giant groups; an engine needs BOTH.",
 )

@@ -54,6 +54,53 @@ def chunk_spans(col: Column, chunk_tokens: int, overlap: int = 0) -> Column:
     return F.element_at(F.transform(F.array(toks), build), 1)
 
 
+def require_unique_ids(df: DataFrame, id_col: str, op_name: str) -> None:
+    """Eagerly enforce the chunk-merge key contract: ``id_col`` unique
+    and non-null. One column-pruned aggregate scan — the loud-contract
+    price the salted operators pay up front (round-10 review finding:
+    in-plan raise_error guards are unreliable here because the merge
+    join's IsNotNull pushdown filters a NULL-keyed row out BELOW the
+    guard projection, so a NULL id silently vanished instead of
+    erroring; a duplicate id silently merged two documents)."""
+    row = df.agg(
+        F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("n"),
+        (F.count(id_col) - F.count_distinct(id_col)).alias("d"),
+    ).first()
+    nulls, dups = row["n"] or 0, row["d"] or 0
+    if nulls or dups:
+        raise ValueError(
+            f"{op_name}: {id_col} must be unique and non-null (it is "
+            f"the chunk-merge key) — found {nulls} NULL id row(s) and "
+            f"{dups} duplicate id row(s); score such rows with the "
+            "per-row operators"
+        )
+
+
+def salted_explode(
+    df: DataFrame, id_col: str, chunks: Column, out_col: str
+) -> DataFrame:
+    """(id_col, __cpos, out_col) rows: posexplode a per-row chunk
+    array, then hash-repartition on (id, chunk position) — THE salt
+    that the skew-proof operators (similarity.salted_minhash,
+    textstats.salted_text_scores) share. Without the repartition the
+    exploded chunks stay co-located with their parent row and a fat
+    document still runs on one task.
+
+    This is the one copy of the explode-and-salt scaffold (round-10
+    review finding: three hand-rolled copies carried the same
+    load-bearing repartition). ``chunks`` must arrive PRE-BUILT as an
+    array Column; expensive derivations (tokenization) must be bound
+    once by the caller via the array/transform/element_at trick —
+    interpreted HOFs have no common-subexpression elimination, so an
+    unbound expression would recompute per chunk (the kgrams lesson).
+    ``__cpos`` is also the callers' row-multiplicity probe: position 0
+    occurs exactly once per input row."""
+    return df.select(
+        id_col,
+        F.posexplode_outer(chunks).alias("__cpos", out_col),
+    ).repartition(F.col(id_col), F.col("__cpos"))
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

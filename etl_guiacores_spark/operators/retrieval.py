@@ -293,6 +293,12 @@ def bm25_batch_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+class MissingQueryIdsError(ValueError):
+    """Raised by :func:`mmr_rerank_batch` when requested query ids are
+    absent from the embedding table — a TYPED contract so the
+    single-query wrapper can remap it without matching message text."""
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     query_id: int,
@@ -342,13 +348,13 @@ def mmr_rerank(
             id_col=id_col,
             vec_col=vec_col,
         )
-    except ValueError as e:
-        if "missing from" in str(e):
-            # keep the single-query error contract (and its test pin)
-            raise ValueError(
-                f"mmr_rerank: no row with {id_col} == {query_id}"
-            ) from e
-        raise
+    except MissingQueryIdsError as e:
+        # keep the single-query error contract (and its test pin);
+        # a typed exception, not message matching — the round-10
+        # review flagged the substring coupling
+        raise ValueError(
+            f"mmr_rerank: no row with {id_col} == {query_id}"
+        ) from e
     return out.select("rank", id_col, "rel", "mmr_score")
 
 
@@ -427,7 +433,7 @@ def mmr_rerank_batch(
     if n_distinct != len(qids):
         if embeddings.isEmpty():
             return embeddings.sparkSession.createDataFrame([], out_schema)
-        raise ValueError(
+        raise MissingQueryIdsError(
             f"mmr_rerank_batch: {len(qids) - n_distinct} of {len(qids)} "
             f"query ids missing from {id_col}"
         )

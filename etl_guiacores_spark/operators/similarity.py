@@ -231,6 +231,16 @@ def salted_minhash(
             f"salted_minhash: chunk_tokens={chunk_tokens} must be >= n={n} "
             "(a chunk must fit at least one shingle)"
         )
+    # loud merge-key contract, checked EAGERLY (one column-pruned
+    # scan): a NULL id would come back from with_minhash's left join
+    # with NULL signatures — indistinguishable from an empty document
+    # — and a duplicate id would silently min-merge two documents'
+    # signatures (round-10 review findings; an in-plan raise_error
+    # guard is unreliable here because join null-filter pushdown can
+    # drop the NULL-keyed row below the guard projection)
+    from etl_guiacores_spark.operators.chunking import require_unique_ids
+
+    require_unique_ids(df, id_col, "salted_minhash")
     hasher = _hasher if portable else _hasher_fast
     stride = chunk_tokens - (n - 1)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -245,19 +255,14 @@ def salted_minhash(
             lambda s: F.concat_ws(" ", F.slice(t, s, chunk_tokens)),
         )
 
-    chunked = (
-        df.select(
-            id_col,
-            F.posexplode_outer(
-                F.element_at(F.transform(F.array(toks), chunks_of), 1)
-            ).alias("__cpos", "__chunk"),
-        )
-        # THE salt: without this the exploded chunks stay co-located
-        # with their parent row and the fat document still runs on one
-        # task; hashing on (id, pos) spreads them across the cluster
-        .repartition(F.col(id_col), F.col("__cpos"))
-        .withColumn("__shingles", word_shingles(F.col("__chunk"), n))
-    )
+    from etl_guiacores_spark.operators.chunking import salted_explode
+
+    chunked = salted_explode(
+        df,
+        id_col,
+        F.element_at(F.transform(F.array(toks), chunks_of), 1),
+        "__chunk",
+    ).withColumn("__shingles", word_shingles(F.col("__chunk"), n))
     has = F.size(F.col("__shingles")) > 0
     per_chunk = chunked.withColumns(
         {

@@ -58,20 +58,54 @@ def mean_token_length(col: Column) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks))
 
 
+def _quality_from_counters(
+    n_tok: Column, stop_hits: Column, punct: Column, n_chars: Column
+) -> Column:
+    """The quality formula over its four counters — the ONE place the
+    thresholds live, shared by the per-row :func:`quality_score` and
+    the chunk-merged :func:`salted_text_scores` (the round-10 review
+    flagged the duplicated arithmetic: a threshold tuned in one copy
+    would silently diverge the other until the parity test tripped)."""
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.coalesce(F.when(n_tok > 0, stop_hits / n_tok), F.lit(0.0))
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (len_ok + punct_ok + sw_ok) / 3.0
+
+
+def _pick_best_lang(counts: dict) -> Column:
+    """Fixed-priority argmax over per-language marker-hit counts —
+    shared by :func:`lang_id` and :func:`salted_text_scores` so the
+    tie-break order lives once."""
+    best_lang = F.lit("und")
+    best_count = F.lit(0)
+    for lang in ("en", "es", "de", "fr"):  # fixed priority = deterministic
+        c = counts[lang]
+        better = c > best_count
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_count = F.when(better, c).otherwise(best_count)
+    return best_lang
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + punctuation
     sanity + stopword presence. Deterministic arithmetic only, so an
     SQL oracle can reproduce it bit-for-bit.
     """
-    n_tok = token_count(col)
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_ratio = F.when(
-        F.length(col) > 0, punct_count(col) / F.length(col)
-    ).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
-    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
-    return (len_ok + punct_ok + sw_ok) / 3.0
+    toks = tokens(col)
+    return _quality_from_counters(
+        n_tok=F.size(toks),
+        stop_hits=F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+        ),
+        punct=punct_count(col),
+        n_chars=F.length(col),
+    )
 
 
 def gopher_quality(
@@ -148,14 +182,7 @@ def lang_id(col: Column) -> Column:
             lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
             for lang, markers in LANG_MARKERS.items()
         }
-        best_lang = F.lit("und")
-        best_count = F.lit(0)
-        for lang in ("en", "es", "de", "fr"):  # fixed priority = deterministic ties
-            c = counts[lang]
-            better = c > best_count
-            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-            best_count = F.when(better, c).otherwise(best_count)
-        return best_lang
+        return _pick_best_lang(counts)
 
     lowered = F.transform(tokens(col), lambda t: F.lower(t))
     best = F.element_at(F.transform(F.array(lowered), pick), 1)
@@ -205,6 +232,9 @@ def salted_text_scores(
         raise ValueError(
             f"salted_text_scores: chunk_chars must be >= 1, got {cc}"
         )
+    from etl_guiacores_spark.operators.chunking import require_unique_ids
+
+    require_unique_ids(docs, id_col, "salted_text_scores")
 
     # --- token-side counters over non-overlapping token slices -------
     toks = tokens(F.col(text_col))
@@ -217,17 +247,16 @@ def salted_text_scores(
             lambda s: F.slice(t, s, chunk_tokens),
         )
 
-    tchunk = (
-        docs.select(
-            id_col,
-            F.posexplode_outer(
-                # bind the tokenization once (the kgrams lesson: HOFs
-                # have no CSE — referencing `toks` per chunk would
-                # re-split the whole document per chunk)
-                F.element_at(F.transform(F.array(toks), tok_chunks), 1)
-            ).alias("__cpos", "__ctoks"),
-        )
-        .repartition(F.col(id_col), F.col("__cpos"))
+    from etl_guiacores_spark.operators.chunking import salted_explode
+
+    tchunk = salted_explode(
+        docs,
+        id_col,
+        # bind the tokenization once (the kgrams lesson: HOFs have no
+        # CSE — referencing `toks` per chunk would re-split the whole
+        # document per chunk)
+        F.element_at(F.transform(F.array(toks), tok_chunks), 1),
+        "__ctoks",
     )
     low = F.transform(F.col("__ctoks"), lambda t: F.lower(t))
     tok_counts = tchunk.groupBy(id_col).agg(
@@ -254,14 +283,11 @@ def salted_text_scores(
             lambda i: F.substr(txt, i, F.lit(cc)),
         )
 
-    cchunk = (
-        docs.select(
-            id_col,
-            F.posexplode_outer(
-                F.element_at(F.transform(F.array(s), char_chunks), 1)
-            ).alias("__cpos", "__ctext"),
-        )
-        .repartition(F.col(id_col), F.col("__cpos"))
+    cchunk = salted_explode(
+        docs,
+        id_col,
+        F.element_at(F.transform(F.array(s), char_chunks), 1),
+        "__ctext",
     )
     char_counts = cchunk.groupBy(id_col).agg(
         F.sum(F.length("__ctext")).cast("long").alias("__n_chars"),
@@ -278,30 +304,18 @@ def salted_text_scores(
 
     # --- derive with the per-row formulas on the merged sums ---------
     merged = tok_counts.join(char_counts, id_col)
-    n_tok = F.col("__n_tok")
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(1.0)).otherwise(
-        F.lit(0.0)
+    quality_raw = _quality_from_counters(
+        n_tok=F.col("__n_tok"),
+        stop_hits=F.col("__stop_hits"),
+        punct=F.col("__punct"),
+        n_chars=F.col("__n_chars"),
     )
-    punct_ratio = F.when(
-        F.col("__n_chars") > 0, F.col("__punct") / F.col("__n_chars")
-    ).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    sw = F.coalesce(
-        F.when(n_tok > 0, F.col("__stop_hits") / n_tok), F.lit(0.0)
+    best_lang = _pick_best_lang(
+        {lang: F.col(f"__hits_{lang}") for lang in LANG_MARKERS}
     )
-    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(
-        F.lit(0.0)
-    )
-    best_lang = F.lit("und")
-    best_count = F.lit(0).cast("long")
-    for lang in ("en", "es", "de", "fr"):  # fixed priority, like lang_id
-        c = F.col(f"__hits_{lang}")
-        better = c > best_count
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_count = F.when(better, c).otherwise(best_count)
     return merged.select(
         id_col,
-        ((len_ok + punct_ok + sw_ok) / 3.0).alias("quality"),
+        quality_raw.alias("quality"),
         F.when(F.col("__cjk") > 0, F.lit("zh"))
         .otherwise(best_lang)
         .alias("pred_lang"),

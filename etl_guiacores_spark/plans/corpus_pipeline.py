@@ -501,11 +501,14 @@ def streaming_corpus_ingest(
     )
 
 
-# every stage dir run_corpus_pipeline ever lands via _land (plus the
-# shard writer's out dir). The missing-fingerprint resume guard probes
-# ALL of them: any one surviving fence means the out_dir holds prior
-# artifacts whose provenance a missing pipeline_config.json can no
-# longer vouch for. Keep in sync with the _land call sites below.
+# every stage dir run_corpus_pipeline ever lands via _land. The
+# missing-fingerprint resume guard probes ALL of them: any one
+# surviving fence means the out_dir holds prior artifacts whose
+# provenance a missing pipeline_config.json can no longer vouch for.
+# Keep in sync with the _land call sites below. The shard writer's
+# output is probed separately via its stats.json sidecar — the shard
+# resume path reads stats.json, not a _SUCCESS fence at shards/, so a
+# fence probe there would be dead code (round-10 review finding).
 _LANDED_STAGES = (
     "filtered",
     "decontaminated",
@@ -519,7 +522,6 @@ _LANDED_STAGES = (
     "sampled",
     "chunks",
     "vocab",
-    "shards",
 )
 
 
@@ -671,14 +673,17 @@ def run_corpus_pipeline(
                 "feed stale stages downstream. Rerun without resume, "
                 "or use a fresh out_dir."
             )
-    elif resume and any(
-        _fenced(spark, f"{out_dir}/{s}") for s in _LANDED_STAGES
+    elif resume and (
+        any(_fenced(spark, f"{out_dir}/{s}") for s in _LANDED_STAGES)
+        or _read_text(spark, f"{out_dir}/shards/stats.json") is not None
     ):
         # probe EVERY landed stage name, not just the first: a torn
         # out_dir whose "filtered" fence is missing but whose later
         # fences (clean, dup_pairs, ...) survive would otherwise write
         # a fresh fingerprint here and have _land silently reuse those
-        # unverified later-stage artifacts (round-9 advice item)
+        # unverified later-stage artifacts (round-9 advice item). The
+        # shard output is probed via stats.json — what the shard
+        # resume path below actually reuses
         raise ValueError(
             "run_corpus_pipeline(resume=True): fenced stage artifacts "
             f"exist in {out_dir} but no pipeline_config.json fingerprint "

@@ -538,6 +538,17 @@ def test_resume_guards_input_identity_and_missing_fingerprint(
     with pytest.raises(ValueError, match="no pipeline_config.json"):
         run_corpus_pipeline(docs, out, cfg, resume=True)
 
+    # round-10 review finding: a surviving SHARD artifact alone (every
+    # stage fence gone, only shards/stats.json left — what the shard
+    # resume path actually reuses) must also refuse; the old probe
+    # checked shards/_SUCCESS, a file the shard writer never creates
+    out2 = str(tmp_path / "resume_shards_only")
+    os.makedirs(os.path.join(out2, "shards"))
+    with open(os.path.join(out2, "shards", "stats.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="no pipeline_config.json"):
+        run_corpus_pipeline(docs, out2, cfg, resume=True)
+
 
 def test_resume_recomputes_torn_mid_stage(spark, tmp_path):
     """Kill-between-stages simulation (round-8 verdict item 7): a

@@ -244,3 +244,26 @@ class TestSaltedMinhash:
         for handle in (pairs_s.staged_sigs, getattr(pairs_s, "staged_bands", None)):
             if handle is not None:
                 handle.unpersist()
+
+
+def test_salted_minhash_null_or_duplicate_id_fails_loud(spark):
+    """The unique-id merge contract is enforced EAGERLY (round-10
+    review): a NULL id previously came back from with_minhash's join
+    with NULL signatures — indistinguishable from an empty document —
+    and a duplicate id silently min-merged two documents' signatures."""
+    import pytest
+
+    from etl_guiacores_spark.operators.similarity import salted_minhash
+
+    null_id = spark.createDataFrame(
+        [(1, "a b c d e f"), (None, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="1 NULL id row"):
+        salted_minhash(null_id, "doc_id", "text", chunk_tokens=4)
+    dup_id = spark.createDataFrame(
+        [(1, "a b c d e f"), (1, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="1 duplicate id row"):
+        salted_minhash(dup_id, "doc_id", "text", chunk_tokens=4)

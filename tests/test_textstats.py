@@ -306,3 +306,28 @@ class TestSaltedTextScores:
         assert sorted(map(tuple, plain.collect())) == sorted(
             map(tuple, salted.collect())
         )
+
+    def test_null_or_duplicate_doc_id_fails_loud(self, spark):
+        """The merge-key contract is enforced EAGERLY (round-10
+        review): an inner join back on doc_id would otherwise silently
+        drop NULL-id rows and mis-score duplicate-id rows — and an
+        in-plan guard is unreliable because join null-filter pushdown
+        can remove the NULL-keyed row below the guard projection."""
+        import pytest
+
+        from etl_guiacores_spark.operators.textstats import (
+            salted_text_scores,
+        )
+
+        null_id = spark.createDataFrame(
+            [(1, "the fine day"), (None, "el la de que")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="1 NULL id row"):
+            salted_text_scores(null_id, chunk_tokens=4)
+        dup_id = spark.createDataFrame(
+            [(1, "the fine day"), (1, "el la de que")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="1 duplicate id row"):
+            salted_text_scores(dup_id, chunk_tokens=4)

@@ -148,8 +148,14 @@ def main() -> int:
     )
     assert len(results["plain"]) == args.queries * args.k
 
-    plain_hot = phases["plain"]["hottest_stage"]["max_ms"]
-    salted_hot = phases["salted"]["hottest_stage"]["max_ms"]
+    def _hot_ms(phase: str):
+        # REST summaries can be absent for very fast stages — report
+        # the identity/wall results rather than dying on the metric
+        hot = phases[phase]["hottest_stage"]
+        return hot["max_ms"] if hot else None
+
+    plain_hot = _hot_ms("plain")
+    salted_hot = _hot_ms("salted")
     print(
         json.dumps(
             {

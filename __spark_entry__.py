@@ -32,19 +32,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # imported the query packages first and differed between the CLI and
 # pytest). tests/test_rotation.py asserts this committed list matches
 # the derivation, and `python tools/gen_rotation.py --check` verifies
-# it from the shell. Round-10 window (first 50): the new
-# q196_salted_quality_lang (no driver row yet — new-row debt leads),
-# then the round-6 cohort whose driver rows are now the oldest
-# (q34–q43, q47, q87–q105, q119–... by ascending id) — steady-state
-# rotation (registry 197 = 196 + this round's single slack row; every
-# prior query has a driver row <= 4 rounds old, the arithmetic steady
-# state under a 50-row cap, period ceil(197/50)=4).
+# it from the shell. Round-10 window (first 50): the two new slack
+# rows q196_salted_quality_lang and q197_salted_gopher (no driver row
+# yet — new-row debt leads), then the round-6 cohort whose driver
+# rows are now the oldest (q34–q43, q47, q87–q105, q119–... by
+# ascending id) — steady-state rotation (registry 198 = 196 + this
+# round's two slack rows; every prior query has a driver row <= 4
+# rounds old, the arithmetic steady state under a 50-row cap, period
+# ceil(198/50)=4).
 # The derivation reads only git-tracked CORRECTNESS artifacts, so the
 # driver dropping round-10's file after the final commit cannot turn
 # tests/test_rotation.py red mid-boundary. Every row is also locally
-# re-verified every round (tools/check_oracle.py 196/196 at sf0.01).
+# re-verified every round (tools/check_oracle.py 198/198 at sf0.01).
 _FIRST = [
     "q196_salted_quality_lang",
+    "q197_salted_gopher",
     "q34_merge_upsert",
     "q35_type_coercion",
     "q36_phone_list_ops",

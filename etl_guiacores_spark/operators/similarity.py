@@ -192,6 +192,7 @@ def salted_minhash(
     chunk_tokens: int = 512,
     with_shingles: bool = False,
     prefix: str = "sig_",
+    validate_ids: bool = True,
 ) -> DataFrame:
     """Skew-proof minhash: salt the shingle pass by (id, chunk).
 
@@ -238,9 +239,12 @@ def salted_minhash(
     # signatures (round-10 review findings; an in-plan raise_error
     # guard is unreliable here because join null-filter pushdown can
     # drop the NULL-keyed row below the guard projection)
-    from etl_guiacores_spark.operators.chunking import require_unique_ids
+    if validate_ids:
+        from etl_guiacores_spark.operators.chunking import (
+            require_unique_ids,
+        )
 
-    require_unique_ids(df, id_col, "salted_minhash")
+        require_unique_ids(df, id_col, "salted_minhash")
     hasher = _hasher if portable else _hasher_fast
     stride = chunk_tokens - (n - 1)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -382,6 +386,7 @@ def staged_minhash_shingles(
     n: int = 3,
     salt_chunk_tokens: int | None = None,
     portable: bool = True,
+    validate_ids: bool = True,
 ) -> DataFrame:
     """One persisted ``(id, shingles, sig_0..k-1)`` table — the shape
     every LSH-then-verify query wants. Banding, the exact-Jaccard
@@ -407,7 +412,7 @@ def staged_minhash_shingles(
         return salted_minhash(
             df.select(id_col, text_col), id_col, text_col, num_hashes, n,
             portable=portable, chunk_tokens=salt_chunk_tokens,
-            with_shingles=True,
+            with_shingles=True, validate_ids=validate_ids,
         ).persist()
     return (
         with_minhash(

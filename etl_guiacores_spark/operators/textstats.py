@@ -136,25 +136,46 @@ def gopher_quality(
     toks = tokens(F.col(text_col))
     staged = docs.withColumn("__toks", toks)
     t = F.col("__toks")
-    n = F.size(t)
-    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
-    stops = F.size(
-        F.array_distinct(
-            F.filter(F.transform(t, lambda x: F.lower(x)), lambda x: x.isin(*STOPWORDS))
-        )
+    counters = staged.select(
+        F.col(id_col),
+        F.size(t).alias("__n"),
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias(
+            "__total_len"
+        ),
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).alias("__alpha"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.transform(t, lambda x: F.lower(x)),
+                    lambda x: x.isin(*STOPWORDS),
+                )
+            )
+        ).alias("__stops"),
     )
-    m = staged.select(
+    return _gopher_report(counters, id_col, min_tokens, max_tokens)
+
+
+def _gopher_report(
+    counters, id_col: str, min_tokens: int, max_tokens: int
+):
+    """Metrics + pass flag from the four gopher counters — the one
+    copy of the bands, shared by per-row :func:`gopher_quality` and
+    chunk-merged :func:`salted_gopher_quality`. ``counters``:
+    (id_col, __n, __total_len, __alpha, __stops)."""
+    n = F.col("__n")
+    m = counters.select(
         F.col(id_col),
         n.alias("n_tokens"),
         # guard n=0: an empty/whitespace-only document must FAIL the
         # gate (NULL ratios, passes=0), not abort the job — under ANSI
         # (Spark 4 default) an unguarded /0 throws DIVIDE_BY_ZERO
-        F.round(F.when(n > 0, total_len.cast("double") / n), 6).alias(
-            "mean_token_len"
+        F.round(
+            F.when(n > 0, F.col("__total_len").cast("double") / n), 6
+        ).alias("mean_token_len"),
+        F.round(F.when(n > 0, F.col("__alpha").cast("double") / n), 6).alias(
+            "alpha_frac"
         ),
-        F.round(F.when(n > 0, alpha.cast("double") / n), 6).alias("alpha_frac"),
-        stops.alias("n_stop_distinct"),
+        F.col("__stops").alias("n_stop_distinct"),
     )
     passes = (
         F.col("n_tokens").between(min_tokens, max_tokens)
@@ -165,6 +186,83 @@ def gopher_quality(
     # n=0 makes the band check false, so false & NULL = false — but
     # cast NULL-safety explicitly anyway: the gate's contract is 0/1
     return m.withColumn("passes", F.coalesce(passes.cast("int"), F.lit(0)))
+
+
+def salted_gopher_quality(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    chunk_tokens: int = 4096,
+    validate_ids: bool = True,
+):
+    """Skew-proof gopher gate: the same chunk-and-merge treatment
+    :func:`salted_text_scores` gives the filter leg, completing the
+    chunk-merge family (shingles, quality/lang, gopher) — every
+    counter is sum-mergeable over non-overlapping token slices, and
+    the DISTINCT-stopword count merges as a BITMASK (STOPWORDS is a
+    fixed 10-word vocabulary: per-chunk presence bits OR together,
+    then bit_count — exact, constant-size state, no collect_set).
+
+    Output is identical to :func:`gopher_quality` row-for-row
+    (parity-tested incl. empty/NULL/boundary docs; same rounded
+    metrics, same pass flag). ``id_col`` must be unique non-null
+    (require_unique_ids, the chunk-merge key contract)."""
+    if chunk_tokens < 1:
+        raise ValueError(
+            f"salted_gopher_quality: chunk_tokens must be >= 1, got "
+            f"{chunk_tokens}"
+        )
+    from etl_guiacores_spark.operators.chunking import (
+        require_unique_ids,
+        salted_explode,
+    )
+
+    if validate_ids:
+        require_unique_ids(docs, id_col, "salted_gopher_quality")
+    toks = tokens(F.col(text_col))
+
+    def tok_chunks(t: Column) -> Column:
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(chunk_tokens)
+            ),
+            lambda s: F.slice(t, s, chunk_tokens),
+        )
+
+    chunked = salted_explode(
+        docs,
+        id_col,
+        F.element_at(F.transform(F.array(toks), tok_chunks), 1),
+        "__ctoks",
+    )
+    c = F.col("__ctoks")
+    low = F.transform(c, lambda t: F.lower(t))
+    def _has(word: str):
+        # bind via closure, not a default arg — pyspark reads the
+        # lambda's arity to build the HOF, so an extra param breaks it
+        return lambda t: t == F.lit(word)
+
+    stop_mask = None
+    for i, s in enumerate(STOPWORDS):
+        bit = F.when(F.exists(low, _has(s)), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        stop_mask = bit if stop_mask is None else stop_mask + bit
+    counters = chunked.groupBy(id_col).agg(
+        F.sum(F.size(c)).cast("int").alias("__n"),
+        F.sum(
+            F.aggregate(c, F.lit(0), lambda acc, x: acc + F.length(x))
+        )
+        .cast("int")
+        .alias("__total_len"),
+        F.sum(F.size(F.filter(c, lambda x: x.rlike("[A-Za-z]"))))
+        .cast("int")
+        .alias("__alpha"),
+        F.bit_count(F.bit_or(stop_mask)).cast("int").alias("__stops"),
+    )
+    return _gopher_report(counters, id_col, min_tokens, max_tokens)
 
 
 def lang_id(col: Column) -> Column:
@@ -196,6 +294,7 @@ def salted_text_scores(
     text_col: str = "text",
     chunk_tokens: int = 4096,
     chunk_chars: int | None = None,
+    validate_ids: bool = True,
 ):
     """Skew-proof (quality, pred_lang): chunk-and-merge the filter-leg
     counters so per-task work is bounded by the chunk size, not the
@@ -232,9 +331,12 @@ def salted_text_scores(
         raise ValueError(
             f"salted_text_scores: chunk_chars must be >= 1, got {cc}"
         )
-    from etl_guiacores_spark.operators.chunking import require_unique_ids
+    if validate_ids:
+        from etl_guiacores_spark.operators.chunking import (
+            require_unique_ids,
+        )
 
-    require_unique_ids(docs, id_col, "salted_text_scores")
+        require_unique_ids(docs, id_col, "salted_text_scores")
 
     # --- token-side counters over non-overlapping token slices -------
     toks = tokens(F.col(text_col))

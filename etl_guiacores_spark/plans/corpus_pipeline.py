@@ -52,18 +52,18 @@ class CorpusConfig:
     min_quality: float = 0.5
     allowed_langs: tuple[str, ...] = ()  # empty = keep all
     near_dup_jaccard: float = 0.8
-    #: when set, BOTH heavy per-row text stages are SALTED by
+    #: when set, every heavy per-row text stage is SALTED by
     #: (doc_id, chunk) with per-task work bounded by this many tokens
     #: instead of the document length: the near-dup shingle/signature
     #: pass (similarity.salted_minhash — bit-identical signatures,
-    #: shingle sets reassembled by union) and the filter-leg
-    #: quality/lang scoring (textstats.salted_text_scores —
-    #: bit-identical scores from chunk-merged counters; the residual
-    #: the round-10 skew soak named after salting shingles). Costs
-    #: extra shuffles per salted stage; enable for heavy-tailed
-    #: length distributions (the round-9 skew soak measured 22.7x
-    #: max/median shingle-stage task time on a Zipf tail). None =
-    #: unsalted per-row compute.
+    #: shingle sets reassembled by union), the filter-leg quality/lang
+    #: scoring (textstats.salted_text_scores), and the gopher gate
+    #: (textstats.salted_gopher_quality) — all bit-identical to their
+    #: per-row twins from chunk-merged counters. Costs extra shuffles
+    #: per salted stage plus one column-pruned id-validation scan
+    #: each; enable for heavy-tailed length distributions (the
+    #: round-9 skew soak measured 22.7x max/median shingle-stage task
+    #: time on a Zipf tail). None = unsalted per-row compute.
     salt_chunk_tokens: int | None = None
     #: True = connected-components clustering (one survivor per
     #: component, exact); False = greedy drop-higher-id per pair
@@ -143,7 +143,9 @@ class CorpusConfig:
     shard_bins: int = 32
 
 
-def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
+def filter_documents(
+    docs: DataFrame, config: CorpusConfig, validate_ids: bool = True
+) -> DataFrame:
     if config.salt_chunk_tokens is not None:
         # skew-proof leg: chunk-merged counters, bit-identical scores
         # (textstats.salted_text_scores); the join back onto the doc
@@ -157,6 +159,7 @@ def filter_documents(docs: DataFrame, config: CorpusConfig) -> DataFrame:
             salted_text_scores(
                 docs, "doc_id", "text",
                 chunk_tokens=config.salt_chunk_tokens,
+                validate_ids=validate_ids,
             ),
             "doc_id",
         )
@@ -196,6 +199,7 @@ def near_dup_removal(
     cluster_exact: bool = False,
     portable: bool = False,
     salt_chunk_tokens: int | None = None,
+    validate_ids: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, removed_pairs). LSH proposes, exact Jaccard
     verifies; survivors are either one-per-connected-component
@@ -215,6 +219,7 @@ def near_dup_removal(
         staged_sigs = staged_minhash_shingles(
             docs, "doc_id", "text",
             salt_chunk_tokens=salt_chunk_tokens, portable=portable,
+            validate_ids=validate_ids,
         )
         candidates = lsh_candidate_pairs_from_sigs(staged_sigs, "doc_id")
         sh = staged_sigs.select("doc_id", F.col("shingles").alias("sh"))
@@ -652,7 +657,30 @@ def run_corpus_pipeline(
     # are exactly as stale as artifacts from a different config.
     docs = spread_narrow_input(docs, "doc_id")
     docs = docs.filter(F.length(F.trim("text")) > 0)
-    n_raw = docs.count()
+    if config.salt_chunk_tokens is not None:
+        # the salted stages' chunk-merge key contract, validated ONCE
+        # here riding the n_raw job the run pays anyway — the salted
+        # operators are then called with validate_ids=False so a
+        # RESUME (which reads stages back without computing them)
+        # doesn't pay three wasted validation scans (the first soak
+        # after the eager checks failed its resume<wall/2 assertion)
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("doc_id").isNull(), 1).otherwise(0)
+            ).alias("nulls"),
+            (F.count("doc_id") - F.count_distinct("doc_id")).alias("dups"),
+        ).first()
+        n_raw = row["n"]
+        if (row["nulls"] or 0) or (row["dups"] or 0):
+            raise ValueError(
+                "run_corpus_pipeline: salt_chunk_tokens requires unique "
+                f"non-null doc_id (the chunk-merge key) — found "
+                f"{row['nulls'] or 0} NULL and {row['dups'] or 0} "
+                "duplicate id row(s) in the input"
+            )
+    else:
+        n_raw = docs.count()
 
     fp = _config_fingerprint(config)
     fp["__input_schema"] = docs.schema.simpleString()
@@ -723,7 +751,9 @@ def run_corpus_pipeline(
 
     emit("raw", {"records": n_raw})
 
-    filtered, n_filtered = _land(filter_documents(docs, config), "filtered")
+    filtered, n_filtered = _land(
+        filter_documents(docs, config, validate_ids=False), "filtered"
+    )
     emit("filtered", {"records": n_filtered})
 
     exact = exact_dedup(filtered)
@@ -815,6 +845,7 @@ def run_corpus_pipeline(
         cluster_exact=config.cluster_exact,
         portable=config.portable_hashes,
         salt_chunk_tokens=config.salt_chunk_tokens,
+        validate_ids=False,  # checked once at ingest
     )
     pairs, n_pairs = _land(dup_pairs, "dup_pairs")
     staged_bands = getattr(dup_pairs, "staged_bands", None)
@@ -909,17 +940,28 @@ def run_corpus_pipeline(
     n_before_gopher = n_clean if span_totals is None else span_totals["span_docs"]
     n_gopher = None
     if config.gopher_gate:
-        from etl_guiacores_spark.operators.textstats import gopher_quality
+        from etl_guiacores_spark.operators.textstats import (
+            gopher_quality,
+            salted_gopher_quality,
+        )
 
-        passing = (
-            gopher_quality(
+        if config.salt_chunk_tokens is not None:
+            # skew-proof gate, same salt knob as the shingle/filter
+            # legs — identical metrics and pass flags, chunk-merged
+            gq = salted_gopher_quality(
+                survivors,
+                min_tokens=config.gopher_min_tokens,
+                max_tokens=config.gopher_max_tokens,
+                chunk_tokens=config.salt_chunk_tokens,
+                validate_ids=False,  # checked once at ingest
+            )
+        else:
+            gq = gopher_quality(
                 survivors,
                 min_tokens=config.gopher_min_tokens,
                 max_tokens=config.gopher_max_tokens,
             )
-            .filter(F.col("passes") == 1)
-            .select("doc_id")
-        )
+        passing = gq.filter(F.col("passes") == 1).select("doc_id")
         survivors, n_gopher = _land(
             survivors.join(passing, "doc_id", "left_semi"), "gopher_gated"
         )

@@ -838,3 +838,54 @@ def q196_salted_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("quality", 6).alias("quality"), "pred_lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# q197: salted (chunk-merged) gopher gate — same answer as q78's per-row
+# operator, skew-proof plan; completes the chunk-merge family
+# ---------------------------------------------------------------------------
+
+_STOPLIST197 = "['the','a','an','and','of','to','in','is','it','for']"
+_TOKS197 = "string_split_regex(trim(text), '[ \\t\\n\\r\\f\\v]+')"
+
+
+@register(
+    "q197_salted_gopher",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+                     / len(toks), 6) AS mean_token_len,
+               ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                          AS DOUBLE) / len(toks), 6) AS alpha_frac,
+               len(list_distinct(list_filter(list_transform(toks, t -> lower(t)),
+                   t -> list_contains({_STOPLIST197}, t)))) AS n_stop_distinct
+        FROM (SELECT doc_id, {_TOKS197} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+    )
+    SELECT doc_id, n_tokens, mean_token_len, alpha_frac, n_stop_distinct,
+           CAST(n_tokens BETWEEN 20 AND 80
+                AND mean_token_len BETWEEN 3.0 AND 10.0
+                AND alpha_frac >= 0.8
+                AND n_stop_distinct >= 2 AS INT) AS passes
+    FROM m
+    """,
+    doc="The q103 same-answer/different-plan pairing applied to the "
+    "gopher gate (q78's oracle verbatim): chunk-merged gopher rules "
+    "(textstats.salted_gopher_quality) with per-task work bounded by "
+    "the chunk size. Token count, token-length total, and alpha count "
+    "merge as sums over non-overlapping token slices; the DISTINCT "
+    "stopword count merges as a BITMASK (10-word fixed vocabulary -> "
+    "per-chunk presence bits, bit_or, bit_count — exact with "
+    "constant-size state, no collect_set). Completes the chunk-merge "
+    "family: shingles (salted_minhash), quality/lang "
+    "(salted_text_scores, q196), gopher (this) — the whole heavy "
+    "per-row text surface of run_corpus_pipeline is now skew-proof "
+    "under one salt_chunk_tokens knob.",
+)
+def q197_salted_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.operators.textstats import salted_gopher_quality
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return salted_gopher_quality(d, chunk_tokens=64)

@@ -331,3 +331,84 @@ class TestSaltedTextScores:
         )
         with pytest.raises(ValueError, match="1 duplicate id row"):
             salted_text_scores(dup_id, chunk_tokens=4)
+
+
+class TestSaltedGopher:
+    DOCS = [
+        (1, "the and of to is it for in a an " * 5),
+        (2, ""), (3, None), (4, "   "),
+        (5, "x " * 100),
+        (6, "the quick brown fox jumps over the lazy dog and it is a "
+            "fine day " * 2),
+        (7, "!!! ??? ,,, the fox"),
+        (8, "supercalifragilistic " * 30),
+    ]
+
+    def test_bit_identical_across_chunk_sizes(self, spark):
+        """salted_gopher_quality == gopher_quality row-for-row: the
+        sums merge exactly and the distinct-stopword BITMASK (presence
+        bits, bit_or, bit_count) equals the per-row array_distinct
+        count by construction."""
+        from etl_guiacores_spark.operators.textstats import (
+            gopher_quality,
+            salted_gopher_quality,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        want = sorted(tuple(r) for r in gopher_quality(df).collect())
+        for ct in (1, 3, 7, 4096):
+            got = sorted(
+                tuple(r)
+                for r in salted_gopher_quality(df, chunk_tokens=ct).collect()
+            )
+            assert got == want, ct
+
+    def test_id_contract_and_chunk_guard(self, spark):
+        import pytest
+
+        from etl_guiacores_spark.operators.textstats import (
+            salted_gopher_quality,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            salted_gopher_quality(df, chunk_tokens=0)
+        dup = spark.createDataFrame(
+            [(1, "a b"), (1, "c d")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="1 duplicate id row"):
+            salted_gopher_quality(dup, chunk_tokens=4)
+
+    def test_pipeline_gate_salted_equals_unsalted(self, spark, tmp_path):
+        """run_corpus_pipeline's gopher stage must land the identical
+        survivor set under the salt flag."""
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            run_corpus_pipeline,
+        )
+        from etl_guiacores_spark.sources.tables import load_table
+
+        docs = load_table(
+            spark, "documents", "/root/testdata/sf0.001"
+        ).select("doc_id", "text", "source")
+        base = dict(min_quality=0.0, near_dup_jaccard=0.6,
+                    chunk_tokens=16, chunk_overlap=4, gopher_gate=True)
+        m_plain = run_corpus_pipeline(
+            docs, str(tmp_path / "plain"), CorpusConfig(**base)
+        )
+        m_salted = run_corpus_pipeline(
+            docs, str(tmp_path / "salted"),
+            CorpusConfig(**base, salt_chunk_tokens=8),
+        )
+        assert m_plain == m_salted
+        plain_ids = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / "plain/gopher_gated")).collect()
+        )
+        salted_ids = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                str(tmp_path / "salted/gopher_gated")).collect()
+        )
+        assert plain_ids == salted_ids

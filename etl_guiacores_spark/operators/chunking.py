@@ -54,6 +54,20 @@ def chunk_spans(col: Column, chunk_tokens: int, overlap: int = 0) -> Column:
     return F.element_at(F.transform(F.array(toks), build), 1)
 
 
+def id_contract_counters(id_col: str) -> list:
+    """The two aggregate columns behind :func:`require_unique_ids`
+    (``nulls``, ``dups``) — exposed so run_corpus_pipeline can ride
+    them on the n_raw count job it already pays instead of
+    re-implementing the contract inline (round-10 review finding:
+    two copies of the counters could silently diverge)."""
+    return [
+        F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias(
+            "nulls"
+        ),
+        (F.count(id_col) - F.count_distinct(id_col)).alias("dups"),
+    ]
+
+
 def require_unique_ids(df: DataFrame, id_col: str, op_name: str) -> None:
     """Eagerly enforce the chunk-merge key contract: ``id_col`` unique
     and non-null. One column-pruned aggregate scan — the loud-contract
@@ -62,11 +76,8 @@ def require_unique_ids(df: DataFrame, id_col: str, op_name: str) -> None:
     join's IsNotNull pushdown filters a NULL-keyed row out BELOW the
     guard projection, so a NULL id silently vanished instead of
     erroring; a duplicate id silently merged two documents)."""
-    row = df.agg(
-        F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("n"),
-        (F.count(id_col) - F.count_distinct(id_col)).alias("d"),
-    ).first()
-    nulls, dups = row["n"] or 0, row["d"] or 0
+    row = df.agg(*id_contract_counters(id_col)).first()
+    nulls, dups = row["nulls"] or 0, row["dups"] or 0
     if nulls or dups:
         raise ValueError(
             f"{op_name}: {id_col} must be unique and non-null (it is "

@@ -113,6 +113,7 @@ def with_minhash(
     shingle_col: str | None = None,
     salt_chunk_tokens: int | None = None,
     salt_id_col: str | None = None,
+    validate_ids: bool = True,
 ) -> DataFrame:
     """Add ``sig_0..sig_{k-1}`` minhash columns.
 
@@ -152,6 +153,7 @@ def with_minhash(
             chunk_tokens=salt_chunk_tokens,
             with_shingles=shingle_col is not None,
             prefix=prefix,
+            validate_ids=validate_ids,
         )
         if shingle_col is not None:
             salted = salted.withColumnRenamed("shingles", shingle_col)

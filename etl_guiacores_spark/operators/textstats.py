@@ -81,11 +81,15 @@ def _quality_from_counters(
 def _pick_best_lang(counts: dict) -> Column:
     """Fixed-priority argmax over per-language marker-hit counts —
     shared by :func:`lang_id` and :func:`salted_text_scores` so the
-    tie-break order lives once."""
+    tie-break order lives once. Priority = ``counts`` insertion order
+    (both callers build it from LANG_MARKERS, whose insertion order —
+    en, es, de, fr — IS the documented tie-break); iterating the dict
+    rather than a hardcoded tuple means a language added to
+    LANG_MARKERS participates automatically instead of being counted,
+    shuffled, and silently ignored (round-10 review finding)."""
     best_lang = F.lit("und")
     best_count = F.lit(0)
-    for lang in ("en", "es", "de", "fr"):  # fixed priority = deterministic
-        c = counts[lang]
+    for lang, c in counts.items():
         better = c > best_count
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_count = F.when(better, c).otherwise(best_count)
@@ -237,8 +241,16 @@ def salted_gopher_quality(
         F.element_at(F.transform(F.array(toks), tok_chunks), 1),
         "__ctoks",
     )
+    # materialize the lowercase pass ONCE per chunk: the 10 per-word
+    # exists() probes below would otherwise each re-run the transform
+    # (interpreted HOFs get no CSE — the kgrams lesson; round-10
+    # review finding)
+    chunked = chunked.withColumn(
+        "__low", F.transform(F.col("__ctoks"), lambda t: F.lower(t))
+    )
     c = F.col("__ctoks")
-    low = F.transform(c, lambda t: F.lower(t))
+    low = F.col("__low")
+
     def _has(word: str):
         # bind via closure, not a default arg — pyspark reads the
         # lambda's arity to build the HOF, so an extra param breaks it
@@ -360,7 +372,13 @@ def salted_text_scores(
         F.element_at(F.transform(F.array(toks), tok_chunks), 1),
         "__ctoks",
     )
-    low = F.transform(F.col("__ctoks"), lambda t: F.lower(t))
+    # materialize the lowercase pass ONCE per chunk: the stopword +
+    # 4 language-marker counters below reference it 5 times, and
+    # interpreted HOFs get no CSE (the kgrams lesson)
+    tchunk = tchunk.withColumn(
+        "__low", F.transform(F.col("__ctoks"), lambda t: F.lower(t))
+    )
+    low = F.col("__low")
     tok_counts = tchunk.groupBy(id_col).agg(
         F.sum(F.size("__ctoks")).cast("long").alias("__n_tok"),
         F.sum(F.size(F.filter(low, lambda t: t.isin(*STOPWORDS))))

@@ -664,12 +664,13 @@ def run_corpus_pipeline(
         # RESUME (which reads stages back without computing them)
         # doesn't pay three wasted validation scans (the first soak
         # after the eager checks failed its resume<wall/2 assertion)
+        from etl_guiacores_spark.operators.chunking import (
+            id_contract_counters,
+        )
+
         row = docs.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("doc_id").isNull(), 1).otherwise(0)
-            ).alias("nulls"),
-            (F.count("doc_id") - F.count_distinct("doc_id")).alias("dups"),
+            *id_contract_counters("doc_id"),
         ).first()
         n_raw = row["n"]
         if (row["nulls"] or 0) or (row["dups"] or 0):

@@ -378,6 +378,11 @@ class TestSaltedGopher:
         )
         with pytest.raises(ValueError, match="1 duplicate id row"):
             salted_gopher_quality(dup, chunk_tokens=4)
+        null_id = spark.createDataFrame(
+            [(1, "a b"), (None, "c d")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="1 NULL id row"):
+            salted_gopher_quality(null_id, chunk_tokens=4)
 
     def test_pipeline_gate_salted_equals_unsalted(self, spark, tmp_path):
         """run_corpus_pipeline's gopher stage must land the identical

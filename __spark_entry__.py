@@ -45,56 +45,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tests/test_rotation.py red mid-boundary. Every row is also locally
 # re-verified every round (tools/check_oracle.py 198/198 at sf0.01).
 _FIRST = [
-    "q196_salted_quality_lang",
-    "q197_salted_gopher",
-    "q34_merge_upsert",
-    "q35_type_coercion",
-    "q36_phone_list_ops",
-    "q37_exact_dedupe",
-    "q38_running_totals",
-    "q39_pivot_events",
-    "q40_total_matches",
-    "q41_stat_aggregates",
-    "q42_conditional_agg",
-    "q43_json_props",
-    "q47_asof_join",
-    "q87_weighted_sample",
-    "q90_cluster_representatives",
-    "q91_ngram_novelty",
-    "q92_semantic_dup_groups",
-    "q93_dup_graph_degree",
-    "q94_mixture_rebalance",
-    "q96_source_overlap_matrix",
-    "q97_label_centroid_cosine",
-    "q98_zipf_slope",
-    "q99_funnel",
-    "q100_cohort_retention",
-    "q101_pagerank_neardup",
-    "q102_rank_windows",
-    "q103_topk_via_aggregate",
-    "q104_dsir_importance",
-    "q105_sketch_distinct_audit",
-    "q119_bm25_topk",
-    "q122_snapshot_diff",
-    "q123_ewma_smooth",
-    "q124_mad_outliers",
-    "q125_mmr_rerank",
-    "q126_schema_drift",
-    "q127_ewma_global",
-    "q128_winsorize",
-    "q129_majority_label",
-    "q130_temporal_split",
-    "q131_bm25_batch",
-    "q132_retrieval_metrics",
-    "q133_hard_negatives",
-    "q134_repeated_spans",
-    "q135_span_strip",
-    "q136_pmi_collocations",
-    "q137_triangle_counts",
-    "q138_exact_quota_sample",
-    "q139_ohlc_resample",
-    "q03_regional_revenue",
-    "q04_resume_anti_join",
     "q05_semi_join_segments",
     "q06_filter_cross_product",
     "q07_keep_first_dedupe",
@@ -243,6 +193,56 @@ _FIRST = [
     "q193_lorenz_concentration",
     "q194_quantile_sketch_audit",
     "q195_mmr_batch",
+    "q03_regional_revenue",
+    "q04_resume_anti_join",
+    "q34_merge_upsert",
+    "q35_type_coercion",
+    "q36_phone_list_ops",
+    "q37_exact_dedupe",
+    "q38_running_totals",
+    "q39_pivot_events",
+    "q40_total_matches",
+    "q41_stat_aggregates",
+    "q42_conditional_agg",
+    "q43_json_props",
+    "q47_asof_join",
+    "q87_weighted_sample",
+    "q90_cluster_representatives",
+    "q91_ngram_novelty",
+    "q92_semantic_dup_groups",
+    "q93_dup_graph_degree",
+    "q94_mixture_rebalance",
+    "q96_source_overlap_matrix",
+    "q97_label_centroid_cosine",
+    "q98_zipf_slope",
+    "q99_funnel",
+    "q100_cohort_retention",
+    "q101_pagerank_neardup",
+    "q102_rank_windows",
+    "q103_topk_via_aggregate",
+    "q104_dsir_importance",
+    "q105_sketch_distinct_audit",
+    "q119_bm25_topk",
+    "q122_snapshot_diff",
+    "q123_ewma_smooth",
+    "q124_mad_outliers",
+    "q125_mmr_rerank",
+    "q126_schema_drift",
+    "q127_ewma_global",
+    "q128_winsorize",
+    "q129_majority_label",
+    "q130_temporal_split",
+    "q131_bm25_batch",
+    "q132_retrieval_metrics",
+    "q133_hard_negatives",
+    "q134_repeated_spans",
+    "q135_span_strip",
+    "q136_pmi_collocations",
+    "q137_triangle_counts",
+    "q138_exact_quota_sample",
+    "q139_ohlc_resample",
+    "q196_salted_quality_lang",
+    "q197_salted_gopher",
 ]
 
 

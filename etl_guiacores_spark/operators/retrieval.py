@@ -299,6 +299,14 @@ class MissingQueryIdsError(ValueError):
     single-query wrapper can remap it without matching message text."""
 
 
+class DuplicateQueryRowsError(ValueError):
+    """Raised by :func:`mmr_rerank_batch` when the embedding table has
+    more than one row for a requested query id — duplicates would
+    silently double that query's candidate rows in the fan-out. Typed
+    for the same reason as :class:`MissingQueryIdsError`: the
+    single-query wrapper remaps it without message matching."""
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     query_id: int,
@@ -336,6 +344,11 @@ def mmr_rerank(
     batch shape exists. Batch re-ranking of many queries should call
     :func:`mmr_rerank_batch` directly (one job for the whole batch),
     never loop this wrapper.
+
+    Contract (stricter than the pre-round-10 driver-side greedy,
+    which silently took ``.head()``): a duplicate embedding row for
+    ``query_id`` raises ``ValueError`` — duplicates would double the
+    query's candidate rows, so they are a data bug, not a tiebreak.
     """
     try:
         out = mmr_rerank_batch(
@@ -354,6 +367,14 @@ def mmr_rerank(
         # review flagged the substring coupling
         raise ValueError(
             f"mmr_rerank: no row with {id_col} == {query_id}"
+        ) from e
+    except DuplicateQueryRowsError as e:
+        # remap the batch entry point's name so the error a caller
+        # sees names the function they called (round-10 advice item)
+        raise ValueError(
+            f"mmr_rerank: {id_col} has duplicate rows for "
+            f"{id_col} == {query_id} — dedupe the embedding table "
+            "first"
         ) from e
     return out.select("rank", id_col, "rel", "mmr_score")
 
@@ -425,7 +446,7 @@ def mmr_rerank_batch(
         # duplicates would silently double a query's candidate rows in
         # the fan-out — distinct from (and checked before) the missing
         # case, which a row count alone conflates with it
-        raise ValueError(
+        raise DuplicateQueryRowsError(
             f"mmr_rerank_batch: {id_col} has duplicate rows for "
             f"{n_rows - n_distinct} query id(s) — dedupe the "
             "embedding table first"

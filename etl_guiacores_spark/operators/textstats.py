@@ -140,13 +140,19 @@ def gopher_quality(
     toks = tokens(F.col(text_col))
     staged = docs.withColumn("__toks", toks)
     t = F.col("__toks")
+    # long counters end-to-end: a >2^31-char document — exactly the
+    # giant-doc tail the salted twin is advertised for — must gate,
+    # not throw CAST_OVERFLOW under ANSI (round-10 advice item); both
+    # twins widen together so parity holds
     counters = staged.select(
         F.col(id_col),
-        F.size(t).alias("__n"),
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias(
-            "__total_len"
-        ),
-        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).alias("__alpha"),
+        F.size(t).cast("long").alias("__n"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("__total_len"),
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("__alpha"),
         F.size(
             F.array_distinct(
                 F.filter(
@@ -256,22 +262,35 @@ def salted_gopher_quality(
         # lambda's arity to build the HOF, so an extra param breaks it
         return lambda t: t == F.lit(word)
 
+    # the presence bitmask packs one bit per stopword into a single
+    # long; bit 63 is the sign bit and bit 64+ would alias, silently
+    # corrupting n_stop_distinct — fail loud if the vocabulary grows
+    if len(STOPWORDS) > 63:
+        raise ValueError(
+            "salted_gopher_quality: the distinct-stopword bitmask "
+            f"holds at most 63 words, got {len(STOPWORDS)} — switch "
+            "to multiple mask columns before extending STOPWORDS"
+        )
     stop_mask = None
     for i, s in enumerate(STOPWORDS):
         bit = F.when(F.exists(low, _has(s)), F.lit(1 << i)).otherwise(
             F.lit(0)
         )
         stop_mask = bit if stop_mask is None else stop_mask + bit
+    # merged counters stay long (F.sum's natural type): casting back
+    # to int would CAST_OVERFLOW under ANSI on a >2^31-char document —
+    # the giant-doc tail this variant exists for (round-10 advice
+    # item); the per-row twin widens identically so parity holds
     counters = chunked.groupBy(id_col).agg(
-        F.sum(F.size(c)).cast("int").alias("__n"),
+        F.sum(F.size(c)).alias("__n"),
         F.sum(
-            F.aggregate(c, F.lit(0), lambda acc, x: acc + F.length(x))
-        )
-        .cast("int")
-        .alias("__total_len"),
-        F.sum(F.size(F.filter(c, lambda x: x.rlike("[A-Za-z]"))))
-        .cast("int")
-        .alias("__alpha"),
+            F.aggregate(
+                c, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+        ).alias("__total_len"),
+        F.sum(F.size(F.filter(c, lambda x: x.rlike("[A-Za-z]")))).alias(
+            "__alpha"
+        ),
         F.bit_count(F.bit_or(stop_mask)).cast("int").alias("__stops"),
     )
     return _gopher_report(counters, id_col, min_tokens, max_tokens)

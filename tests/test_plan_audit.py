@@ -78,6 +78,18 @@ def test_partitioned_window_with_expression_key_passes():
     assert not unpartitioned_window_in(plan)
 
 
+def test_partition_expression_containing_asc_substring_passes():
+    # a partitioned spec whose partition expression merely CONTAINS
+    # " ASC" (e.g. a sort_array sub-expression) must not be mistaken
+    # for a sort order — the tail-anchored match (round-10 advice)
+    plan = (
+        "windowspecdefinition(sort_array(v#1, a#2 ASC NULLS FIRST), "
+        "k#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$()))"
+    )
+    assert not unpartitioned_window_in(plan)
+
+
 def test_multiple_specs_any_bad_flags():
     good = (
         "windowspecdefinition(p#1, v#2 ASC NULLS FIRST, "

@@ -510,3 +510,21 @@ def test_mmr_rerank_batch_rejects_duplicate_query_rows(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="duplicate"):
         mmr_rerank_batch(df, [0, 1], k=2, n_candidates=4)
+
+
+def test_mmr_rerank_remaps_duplicate_query_rows_error(spark):
+    """The single-query wrapper's error must name mmr_rerank, not the
+    batch entry point it delegates to (round-10 advice item); the
+    typed DuplicateQueryRowsError carries the remap without message
+    matching."""
+    import math
+
+    import pytest
+
+    from etl_guiacores_spark.operators.retrieval import mmr_rerank
+
+    vecs = [(i, [math.sin(0.5 * i + j) for j in range(4)]) for i in range(6)]
+    vecs.append((0, [0.1, 0.2, 0.3, 0.4]))      # duplicate vec_id 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match=r"mmr_rerank: .*duplicate"):
+        mmr_rerank(df, query_id=0, k=2, n_candidates=4)

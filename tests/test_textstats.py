@@ -384,6 +384,38 @@ class TestSaltedGopher:
         with pytest.raises(ValueError, match="1 NULL id row"):
             salted_gopher_quality(null_id, chunk_tokens=4)
 
+    def test_counters_stay_long_in_both_twins(self, spark):
+        """n_tokens is bigint in BOTH twins: the merged counters must
+        not be cast back to int, or a >2^31-char document — the
+        giant-doc tail salting exists for — throws CAST_OVERFLOW under
+        ANSI instead of gating (round-10 advice item). Parity requires
+        the per-row twin to widen identically."""
+        from etl_guiacores_spark.operators.textstats import (
+            gopher_quality,
+            salted_gopher_quality,
+        )
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        for out in (gopher_quality(df), salted_gopher_quality(df)):
+            dt = dict(out.dtypes)
+            assert dt["n_tokens"] == "bigint", dt
+
+    def test_stopword_bitmask_guard_fails_loud(self, spark, monkeypatch):
+        """The distinct-stopword bitmask packs one presence bit per
+        word into a single long — a vocabulary past 63 words would
+        alias bits and silently corrupt n_stop_distinct, so the
+        operator must refuse it (round-10 advice item)."""
+        import pytest
+
+        from etl_guiacores_spark.operators import textstats
+
+        monkeypatch.setattr(
+            textstats, "STOPWORDS", tuple(f"w{i}" for i in range(64))
+        )
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="at most 63"):
+            textstats.salted_gopher_quality(df)
+
     def test_pipeline_gate_salted_equals_unsalted(self, spark, tmp_path):
         """run_corpus_pipeline's gopher stage must land the identical
         survivor set under the salt flag."""

@@ -184,16 +184,22 @@ def first_top_level_arg(args: str) -> str:
 
 def unpartitioned_window_in(plan: str) -> bool:
     """True when any window spec in the plan has no PARTITION BY: its
-    first top-level argument is already a sort order (`` ASC``/`` DESC``,
-    including expression-valued sort keys) or, with no ORDER BY either,
-    directly the frame — the whole-relation single-reducer shape."""
+    first top-level argument is already a sort order (ends with
+    `` ASC/DESC NULLS FIRST/LAST`` — Spark always prints the NULLS
+    suffix, so matching the full tail can't false-positive on a
+    partition expression that merely CONTAINS `` ASC`` somewhere,
+    e.g. a CASE/sort_array sub-expression; round-10 advice item) or,
+    with no ORDER BY either, directly the frame — the whole-relation
+    single-reducer shape."""
+    tails = (
+        " ASC NULLS FIRST",
+        " ASC NULLS LAST",
+        " DESC NULLS FIRST",
+        " DESC NULLS LAST",
+    )
     for args in iter_window_specs(plan):
         first = first_top_level_arg(args)
-        if (
-            " ASC" in first
-            or " DESC" in first
-            or first.startswith("specifiedwindowframe")
-        ):
+        if first.endswith(tails) or first.startswith("specifiedwindowframe"):
             return True
     return False
 

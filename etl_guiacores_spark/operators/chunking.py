@@ -87,6 +87,157 @@ def require_unique_ids(df: DataFrame, id_col: str, op_name: str) -> None:
         )
 
 
+def prechunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 4096,
+) -> DataFrame:
+    """The ingest-time pre-chunked BRONZE layout: one row per
+    (document, chunk) — ``(id_col, chunk_pos, chunk_text)`` — written
+    once so every downstream salted pass reads balanced chunk rows
+    instead of re-tokenizing whole documents.
+
+    Why: the chunk-and-merge operators (similarity.salted_minhash,
+    textstats.salted_text_scores / salted_gopher_quality) bound
+    per-task COMPUTE by the chunk size, but their input scan still
+    hands one task the whole fat document to tokenize before the salt
+    can spread its chunks — the ~20x raw-scan max/median floor the
+    round-10 skew soak named as a storage-layer boundary. Writing
+    this layout at ingest moves that one-time cost to the bronze
+    write; every later stage scans chunk-sized parquet rows.
+
+    The chunk construction is WHITESPACE-PRESERVING and exact:
+
+    - ``chunk_text`` values are substrings of the original text that
+      CONCATENATE (in ``chunk_pos`` order) back to it byte-for-byte,
+      so char-side counters (length, punctuation, CJK) sum exactly;
+    - splits happen only BETWEEN whitespace-delimited tokens: each
+      chunk holds up to ``chunk_tokens`` leading-whitespace+token
+      pieces (``\\s*\\S+`` — inter-token whitespace rides at the
+      START of the following chunk) and the document's trailing
+      whitespace run stays attached to the LAST chunk. This placement
+      makes :func:`prechunked_tokens` reproduce the document's
+      ``tokens()`` array EXACTLY as per-chunk slices — including the
+      phantom empty tokens the space-only ``trim`` leaves at document
+      edges that begin/end with ``\\t``/``\\n`` (split-semantics
+      parity; consumers would otherwise drift from the per-row
+      operators on such documents);
+    - every document yields >= 1 row (``chunk_pos`` 0..k-1,
+      contiguous); NULL text yields one row with NULL ``chunk_text``
+      so the merge layer recovers every input row.
+
+    The giant-single-token document (no whitespace at all) remains
+    one chunk — the same floor the in-task salted operators have;
+    byte-range splitting below token granularity would change what a
+    token is.
+
+    Output is hash-repartitioned on (id, chunk_pos) so a parquet
+    write of it spreads a fat document's chunks across files — that
+    balanced layout IS the point of the bronze table.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(
+            f"prechunk_documents: chunk_tokens must be >= 1, got "
+            f"{chunk_tokens}"
+        )
+    text = F.col(text_col)
+    # each piece = one maximal whitespace run plus the following \S+
+    # token (leading-attached), so concat(pieces) + trailing run ==
+    # text exactly, and every chunk ENDS on a token character (except
+    # the last, which carries the document's trailing whitespace) —
+    # the placement prechunked_tokens' phantom-parity relies on
+    pieces = F.regexp_extract_all(text, F.lit(r"\s*\S+"), 0)
+    tail = F.regexp_extract(text, r"\s*$", 0)
+
+    def build(p: Column) -> Column:
+        n = F.size(p)
+        n_chunks = F.when(n <= 0, F.lit(1)).otherwise(
+            F.ceil(n / F.lit(chunk_tokens)).cast("int")
+        )
+        mk = lambda i: F.concat(
+            F.array_join(F.slice(p, i * chunk_tokens + 1, chunk_tokens), ""),
+            F.when(i == n_chunks - 1, tail).otherwise(F.lit("")),
+        )
+        return F.transform(F.sequence(F.lit(0), n_chunks - 1), mk)
+
+    arr = F.element_at(F.transform(F.array(pieces), build), 1)
+    # NULL text -> one NULL chunk (pos 0), preserving the row
+    arr = F.when(
+        text.isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(arr)
+    return docs.select(
+        id_col, F.posexplode(arr).alias("chunk_pos", "chunk_text")
+    ).repartition(F.col(id_col), F.col("chunk_pos"))
+
+
+def prechunked_tokens(chunk_col: Column, pos_col: Column) -> Column:
+    """The EXACT per-chunk slice of the document's ``tokens()`` array
+    for a bronze chunk written by :func:`prechunk_documents` —
+    concatenating these arrays in ``chunk_pos`` order reproduces
+    ``textstats.tokens(document)`` element-for-element, INCLUDING the
+    phantom empty tokens space-only ``trim`` leaves when the document
+    begins/ends with non-space whitespace (``\\t``/``\\n``).
+
+    How the placement makes this work: chunk 0 starts with the
+    document's own leading bytes (leading phantom reproduces
+    chunk-locally), non-first chunks start with the inter-token
+    whitespace run (stripped here — the document has no phantom at an
+    interior boundary), non-final chunks end on a token character (no
+    spurious trailing phantom), and the final chunk carries the
+    document's trailing run (trailing phantom reproduces
+    chunk-locally). Every prechunked consumer — scores, gopher,
+    minhash shingling — derives its token view from THIS helper so
+    the quirk parity lives in one place."""
+    from etl_guiacores_spark.operators.textstats import tokens
+
+    return F.when(pos_col == 0, tokens(chunk_col)).otherwise(
+        tokens(F.regexp_replace(chunk_col, r"^\s+", ""))
+    )
+
+
+def require_chunk_contract(
+    chunks: DataFrame,
+    id_col: str,
+    pos_col: str,
+    op_name: str,
+) -> None:
+    """Eagerly enforce the pre-chunked input contract the merge layer
+    rides on: non-null ids, and per id the positions are exactly
+    0..k-1 (unique, contiguous, starting at 0). A gap or duplicate
+    would silently drop or double a document's chunk in the merged
+    counters — the same loud-contract stance as
+    :func:`require_unique_ids` (and for the same reason: in-plan
+    guards are unreliable under join pushdown). One aggregate job;
+    the violation probe is LIMIT 1, never data-sized."""
+    g = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct(pos_col).alias("d"),
+        F.min(pos_col).alias("lo"),
+        F.max(pos_col).alias("hi"),
+    )
+    bad = (
+        g.filter(
+            F.col(id_col).isNull()
+            | (F.col("c") != F.col("d"))
+            | (F.col("lo") != 0)
+            | (F.col("hi") != F.col("c") - 1)
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"{op_name}: pre-chunked input violates the chunk "
+            f"contract for {id_col}={r[id_col]!r} (rows={r['c']}, "
+            f"distinct {pos_col}={r['d']}, min={r['lo']}, "
+            f"max={r['hi']}) — positions must be unique and "
+            "contiguous from 0 with non-null ids; rebuild the bronze "
+            "table with prechunk_documents"
+        )
+
+
 def salted_explode(
     df: DataFrame, id_col: str, chunks: Column, out_col: str
 ) -> DataFrame:

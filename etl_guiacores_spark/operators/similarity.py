@@ -53,15 +53,15 @@ from pyspark.sql import functions as F
 # points that read arbitrary parquet (run_corpus_pipeline, the CLI)
 # spread once at ingest.
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the text; fewer than n tokens -> empty.
-
-    The token array is bound to a lambda variable (via a 1-element
-    ``transform``) so the split runs ONCE per row — naively inlining
-    it re-tokenizes inside every ``element_at``, which is O(tokens^2)
-    in interpreted higher-order-function evaluation.
-    """
-    toks = F.split(F.trim(col), r"\s+")
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a TOKEN-ARRAY column; fewer than n
+    elements -> empty. The array is bound to a lambda variable (via a
+    1-element ``transform``) so an expensive token derivation runs
+    ONCE per row — naively inlining it re-evaluates inside every
+    ``element_at``, which is O(tokens^2) in interpreted
+    higher-order-function evaluation. Shared by :func:`word_shingles`
+    (whole-document text) and :func:`prechunked_minhash` (bronze
+    chunk token slices)."""
 
     def build(t: Column) -> Column:
         k = F.size(t)
@@ -72,6 +72,11 @@ def word_shingles(col: Column, n: int = 3) -> Column:
         ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the text; fewer than n tokens -> empty."""
+    return shingles_of_tokens(F.split(F.trim(col), r"\s+"), n)
 
 
 def _hasher(seed: int):
@@ -253,12 +258,18 @@ def salted_minhash(
 
     # chunk starts 1, 1+stride, ... capped at the last n-gram start, so
     # chunk i covers exactly the n-gram starts [s_i, s_{i+1}) — complete
-    # and non-redundant coverage of the document's shingle positions
+    # and non-redundant coverage of the document's shingle positions.
+    # Chunks are TOKEN-ARRAY slices end-to-end (never re-joined into
+    # strings): the old concat_ws + re-split round trip silently
+    # dropped the phantom empty tokens whole-document tokenization
+    # leaves at \t/\n document edges, so signatures diverged from
+    # with_minhash's on such documents (latent parity bug, caught by
+    # the round-11 pre-chunked parity fixtures)
     def chunks_of(t: Column) -> Column:
         last_start = F.greatest(F.size(t) - (n - 1), F.lit(1))
         return F.transform(
             F.sequence(F.lit(1), last_start, F.lit(stride)),
-            lambda s: F.concat_ws(" ", F.slice(t, s, chunk_tokens)),
+            lambda s: F.slice(t, s, chunk_tokens),
         )
 
     from etl_guiacores_spark.operators.chunking import salted_explode
@@ -267,10 +278,37 @@ def salted_minhash(
         df,
         id_col,
         F.element_at(F.transform(F.array(toks), chunks_of), 1),
-        "__chunk",
-    ).withColumn("__shingles", word_shingles(F.col("__chunk"), n))
+        "__ctoks",
+    ).withColumn("__shingles", shingles_of_tokens(F.col("__ctoks"), n))
+    return _chunk_minhash_merge(
+        chunked, id_col, num_hashes, hasher, with_shingles, prefix,
+        # with_minhash parity: null/empty/short text all yield the
+        # EMPTY shingle array (shingles_of_tokens' <n guard), never
+        # NULL — so the merged array is gated on nothing
+        guard=F.lit(True),
+    )
+
+
+def _chunk_minhash_merge(
+    shingled: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    hasher,
+    with_shingles: bool,
+    prefix: str,
+    guard: Column,
+) -> DataFrame:
+    """Per-chunk hash passes, then the min-merge per id — the one
+    copy of the chunk-minhash tail, shared by the in-task salted path
+    (:func:`salted_minhash`) and the bronze pre-chunked path
+    (:func:`prechunked_minhash`). ``shingled``: one row per
+    (id, chunk) carrying ``__shingles`` where every document n-gram
+    lies wholly inside some chunk's shingle set and chunks introduce
+    no n-gram the document doesn't have — the caller's chunk
+    construction owes that invariant. ``guard`` gates the merged
+    shingle array (NULL when false for the whole group)."""
     has = F.size(F.col("__shingles")) > 0
-    per_chunk = chunked.withColumns(
+    per_chunk = shingled.withColumns(
         {
             f"{prefix}{i}": F.when(
                 has, F.array_min(F.transform(F.col("__shingles"), hasher(i)))
@@ -280,20 +318,105 @@ def salted_minhash(
     )
     aggs = [F.min(f"{prefix}{i}").alias(f"{prefix}{i}") for i in range(num_hashes)]
     if with_shingles:
-        # parity with word_shingles: null/empty/short text all yield
-        # the EMPTY array (concat_ws coerces a null slice to "", and
-        # word_shingles' <n-token guard returns []); the isNotNull
-        # guard is belt-and-braces for an all-null-chunk group
         aggs.insert(
             0,
             F.when(
-                F.max(F.col("__chunk").isNotNull()),
+                F.max(guard),
                 F.array_sort(
                     F.array_distinct(F.flatten(F.collect_list("__shingles")))
                 ),
             ).alias("shingles"),
         )
     return per_chunk.groupBy(id_col).agg(*aggs)
+
+
+def prechunked_minhash(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+    num_hashes: int = 4,
+    n: int = 3,
+    portable: bool = True,
+    with_shingles: bool = False,
+    prefix: str = "sig_",
+    validate: bool = True,
+) -> DataFrame:
+    """MinHash from a PRE-CHUNKED bronze table
+    (chunking.prechunk_documents) — signatures BIT-IDENTICAL to
+    :func:`with_minhash` / :func:`salted_minhash`, but the scan reads
+    balanced chunk rows instead of whole documents: no task ever
+    tokenizes a fat document (the raw-scan skew floor the in-task
+    salted variant pays once per pass; see
+    textstats.prechunked_text_scores for the rationale and
+    /root/reference/src/main.py:46-57 for the reference's analogous
+    ingest-time chunk handoff).
+
+    Bronze chunks are NON-overlapping, so n-grams spanning a chunk
+    boundary live in no single chunk. Each chunk is therefore
+    augmented with the first ``n - 1`` tokens of the NEXT chunk (one
+    narrow self-join on (id, pos+1) — tiny head strings, unique join
+    keys, no skew): the augmented chunks are contiguous token runs
+    that cover every document n-gram and introduce none, exactly the
+    overlap invariant salted_minhash builds in-task. Boundary-region
+    n-grams appear in two augmented chunks — harmless, the merge is
+    min/distinct-union.
+
+    Requires every non-final chunk to hold at least ``n - 1`` tokens
+    (prechunk_documents guarantees chunk_tokens tokens per non-final
+    chunk; pass ``chunk_tokens >= n`` at bronze-write time, the same
+    bound salted_minhash enforces). ``validate`` runs the chunk
+    contract check; the pipeline passes False because it wrote the
+    bronze table itself this run.
+
+    Everything runs on chunking.prechunked_tokens' EXACT token-array
+    slices (never a re-tokenized string round-trip), so even the
+    phantom empty tokens that whole-document tokenization leaves at
+    ``\\t``/``\\n`` document edges participate in boundary n-grams
+    exactly as they do in the per-row operators.
+    """
+    from etl_guiacores_spark.operators.chunking import (
+        prechunked_tokens,
+        require_chunk_contract,
+    )
+
+    if validate:
+        require_chunk_contract(chunks, id_col, pos_col,
+                               "prechunked_minhash")
+    hasher = _hasher if portable else _hasher_fast
+    toked = chunks.select(
+        F.col(id_col),
+        F.col(pos_col),
+        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
+            "__toks"
+        ),
+    )
+    heads = toked.select(
+        F.col(id_col),
+        (F.col(pos_col) - 1).alias(pos_col),
+        F.slice(F.col("__toks"), 1, n - 1).alias("__next_head"),
+    ).filter(F.col(pos_col) >= 0)
+    shingled = (
+        toked.join(heads, [id_col, pos_col], "left")
+        .withColumn(
+            "__aug",
+            F.concat(
+                F.col("__toks"),
+                F.coalesce(
+                    F.col("__next_head"),
+                    F.array().cast("array<string>"),
+                ),
+            ),
+        )
+        .withColumn("__shingles", shingles_of_tokens(F.col("__aug"), n))
+    )
+    return _chunk_minhash_merge(
+        shingled, id_col, num_hashes, hasher, with_shingles, prefix,
+        # __toks is never NULL (prechunked_tokens' empty-guard), so
+        # the merge's shingle guard is unconditionally true — matching
+        # with_minhash's empty-array (not NULL) result for NULL text
+        guard=F.lit(True),
+    )
 
 
 def lsh_candidate_pairs(

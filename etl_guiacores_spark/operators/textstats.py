@@ -198,6 +198,95 @@ def _gopher_report(
     return m.withColumn("passes", F.coalesce(passes.cast("int"), F.lit(0)))
 
 
+def _stopword_bitmask(low: Column) -> Column:
+    """Per-chunk distinct-stopword PRESENCE bitmask over a lowercased
+    token-array column: one bit per STOPWORDS entry, merged across
+    chunks with ``bit_or`` then counted with ``bit_count`` — exact
+    distinct count from constant-size state, no collect_set. The one
+    copy shared by :func:`salted_gopher_quality` and
+    :func:`prechunked_gopher_quality`."""
+    # the mask packs one bit per stopword into a single long; bit 63
+    # is the sign bit and bit 64+ would alias, silently corrupting
+    # n_stop_distinct — fail loud if the vocabulary grows
+    if len(STOPWORDS) > 63:
+        raise ValueError(
+            "stopword bitmask: holds at most 63 words, got "
+            f"{len(STOPWORDS)} — switch to multiple mask columns "
+            "before extending STOPWORDS"
+        )
+
+    def _has(word: str):
+        # bind via closure, not a default arg — pyspark reads the
+        # lambda's arity to build the HOF, so an extra param breaks it
+        return lambda t: t == F.lit(word)
+
+    stop_mask = None
+    for i, s in enumerate(STOPWORDS):
+        bit = F.when(F.exists(low, _has(s)), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        stop_mask = bit if stop_mask is None else stop_mask + bit
+    return stop_mask
+
+
+def prechunked_gopher_quality(
+    chunks,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    validate: bool = True,
+):
+    """Gopher gate from a PRE-CHUNKED bronze table
+    (chunking.prechunk_documents) — same counters and bands as
+    :func:`gopher_quality` / :func:`salted_gopher_quality`, but the
+    scan reads balanced chunk rows instead of whole documents, so no
+    task ever tokenizes a fat document (the raw-scan skew floor the
+    in-task salted variant can't fix; see
+    :func:`prechunked_text_scores` for the full rationale).
+
+    Bronze chunks split only between tokens, so the token-side sums
+    (count, total length, alpha count) merge exactly, and the
+    distinct-stopword count merges as the shared presence BITMASK.
+    Output row-for-row identical to both twins (parity-tested).
+    ``validate`` runs the chunk contract check; the pipeline passes
+    False because it wrote the bronze table itself this run."""
+    from etl_guiacores_spark.operators.chunking import (
+        prechunked_tokens,
+        require_chunk_contract,
+    )
+
+    if validate:
+        require_chunk_contract(chunks, id_col, pos_col,
+                               "prechunked_gopher_quality")
+    staged = chunks.select(
+        id_col,
+        # the exact per-chunk tokens() slice (incl. the doc-edge
+        # phantom-empty-token quirk) — see chunking.prechunked_tokens
+        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
+            "__ctoks"
+        ),
+    ).withColumn(
+        "__low", F.transform(F.col("__ctoks"), lambda t: F.lower(t))
+    )
+    c = F.col("__ctoks")
+    stop_mask = _stopword_bitmask(F.col("__low"))
+    counters = staged.groupBy(id_col).agg(
+        F.sum(F.size(c)).alias("__n"),
+        F.sum(
+            F.aggregate(
+                c, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+        ).alias("__total_len"),
+        F.sum(F.size(F.filter(c, lambda x: x.rlike("[A-Za-z]")))).alias(
+            "__alpha"
+        ),
+        F.bit_count(F.bit_or(stop_mask)).cast("int").alias("__stops"),
+    )
+    return _gopher_report(counters, id_col, min_tokens, max_tokens)
+
+
 def salted_gopher_quality(
     docs,
     id_col: str = "doc_id",
@@ -257,26 +346,7 @@ def salted_gopher_quality(
     c = F.col("__ctoks")
     low = F.col("__low")
 
-    def _has(word: str):
-        # bind via closure, not a default arg — pyspark reads the
-        # lambda's arity to build the HOF, so an extra param breaks it
-        return lambda t: t == F.lit(word)
-
-    # the presence bitmask packs one bit per stopword into a single
-    # long; bit 63 is the sign bit and bit 64+ would alias, silently
-    # corrupting n_stop_distinct — fail loud if the vocabulary grows
-    if len(STOPWORDS) > 63:
-        raise ValueError(
-            "salted_gopher_quality: the distinct-stopword bitmask "
-            f"holds at most 63 words, got {len(STOPWORDS)} — switch "
-            "to multiple mask columns before extending STOPWORDS"
-        )
-    stop_mask = None
-    for i, s in enumerate(STOPWORDS):
-        bit = F.when(F.exists(low, _has(s)), F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-        stop_mask = bit if stop_mask is None else stop_mask + bit
+    stop_mask = _stopword_bitmask(low)
     # merged counters stay long (F.sum's natural type): casting back
     # to int would CAST_OVERFLOW under ANSI on a >2^31-char document —
     # the giant-doc tail this variant exists for (round-10 advice
@@ -442,7 +512,15 @@ def salted_text_scores(
     )
 
     # --- derive with the per-row formulas on the merged sums ---------
-    merged = tok_counts.join(char_counts, id_col)
+    return _scores_from_counters(tok_counts.join(char_counts, id_col), id_col)
+
+
+def _scores_from_counters(merged, id_col: str):
+    """(quality, pred_lang) from the merged filter-leg counters — the
+    one copy of the final arithmetic, shared by the in-task salted
+    path (:func:`salted_text_scores`) and the bronze pre-chunked path
+    (:func:`prechunked_text_scores`). ``merged``: (id_col, __n_tok,
+    __stop_hits, __hits_<lang>.., __n_chars, __punct, __cjk)."""
     quality_raw = _quality_from_counters(
         n_tok=F.col("__n_tok"),
         stop_hits=F.col("__stop_hits"),
@@ -459,6 +537,89 @@ def salted_text_scores(
         .otherwise(best_lang)
         .alias("pred_lang"),
     )
+
+
+def prechunked_text_scores(
+    chunks,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+    validate: bool = True,
+):
+    """(quality, pred_lang) per document from a PRE-CHUNKED bronze
+    table (chunking.prechunk_documents: whitespace-preserving chunk
+    substrings that concatenate back to the document) — the
+    storage-layer answer to the raw-scan skew floor the in-task
+    salted path can't fix: :func:`salted_text_scores` bounds per-task
+    COMPUTE by the chunk size, but its input scan still hands one
+    task the whole fat document to tokenize before the salt spreads
+    the chunks. Reading the bronze layout, every task scans
+    chunk-sized rows from parquet; no task ever holds a document.
+
+    Output is BIT-IDENTICAL to :func:`salted_text_scores` and the
+    per-row operators: the bronze chunks preserve whitespace (char
+    counters — length, punct, CJK — sum exactly over the substring
+    partition) and split only between tokens (token counters —
+    stopword/marker hits — sum exactly over the token partition);
+    the merged sums feed the identical final arithmetic
+    (:func:`_scores_from_counters`). One exploded scan + ONE
+    aggregation — cheaper than the in-task salted path, which builds
+    separate token-side and char-side chunk relations because
+    in-task substring slices can't align with token slices.
+
+    ``validate`` runs :func:`chunking.require_chunk_contract` (ids
+    non-null, positions 0..k-1); the pipeline passes False because it
+    wrote the bronze table itself this run.
+
+    Reference analog: the ingest-time chunk handoff at
+    /root/reference/src/main.py:46-57 (the reference splits the id
+    range into chunks once, then every worker consumes bounded
+    chunks; this is the same move applied to document bytes).
+    """
+    from etl_guiacores_spark.operators.chunking import (
+        prechunked_tokens,
+        require_chunk_contract,
+    )
+
+    if validate:
+        require_chunk_contract(chunks, id_col, pos_col,
+                               "prechunked_text_scores")
+    staged = chunks.select(
+        id_col,
+        F.coalesce(F.col(chunk_col), F.lit("")).alias("__ctext"),
+        # the exact per-chunk tokens() slice (incl. the doc-edge
+        # phantom-empty-token quirk) — see chunking.prechunked_tokens
+        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
+            "__ctoks"
+        ),
+    )
+    staged = staged.withColumn(
+        "__low", F.transform(F.col("__ctoks"), lambda t: F.lower(t))
+    )
+    low = F.col("__low")
+    counters = staged.groupBy(id_col).agg(
+        F.sum(F.size("__ctoks")).cast("long").alias("__n_tok"),
+        F.sum(F.size(F.filter(low, lambda t: t.isin(*STOPWORDS))))
+        .cast("long")
+        .alias("__stop_hits"),
+        *[
+            F.sum(F.size(F.filter(low, lambda t: t.isin(*markers))))
+            .cast("long")
+            .alias(f"__hits_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+        F.sum(F.length("__ctext")).cast("long").alias("__n_chars"),
+        F.sum(punct_count(F.col("__ctext"))).cast("long").alias("__punct"),
+        F.sum(
+            F.coalesce(
+                F.regexp_count("__ctext", F.lit(r"[\x{4e00}-\x{9fff}]")),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("__cjk"),
+    )
+    return _scores_from_counters(counters, id_col)
 
 
 def normalize_for_fingerprint(col: Column) -> Column:

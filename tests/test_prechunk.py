@@ -1,0 +1,288 @@
+"""The pre-chunked BRONZE layout (round-11): chunking.prechunk_documents
+plus the three consumers that read it — textstats.prechunked_text_scores,
+textstats.prechunked_gopher_quality, similarity.prechunked_minhash.
+
+The layout's contract is exactness: chunks concatenate back to the
+document byte-for-byte, and chunking.prechunked_tokens reproduces the
+document's tokens() array as per-chunk slices INCLUDING the phantom
+empty tokens space-only trim leaves at \t/\n document edges — so every
+consumer is bit-identical to its per-row / in-task-salted twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_guiacores_spark.operators.chunking import (
+    prechunk_documents,
+    prechunked_tokens,
+    require_chunk_contract,
+)
+
+#: fixtures deliberately heavy on the tokenization edge cases: empty,
+#: NULL, whitespace-only, multi-space runs, tab/newline DOC EDGES (the
+#: phantom-empty-token quirk), CJK, no-whitespace giant token, unicode
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and it is a fine day " * 3),
+    (2, ""),
+    (3, None),
+    (4, "   "),
+    (5, "el la de que los una palabra mas aqui"),
+    (6, "x! y? z. the, a; of: in"),
+    (7, "中文 文本 的 测试 one two three"),
+    (8, "tok " * 100),
+    (9, "  leading   ws\t and \n newlines the of a  "),
+    (10, "supercalifragilistic " * 9),
+    (11, "trailing newline the of a doc\n"),
+    (12, "\nleading newline the of a doc"),
+    (13, "\n"),
+    (14, "a\tb\nc the of \n "),
+    (15, "word\n" * 30),
+    (16, "nowhitespacetokenxxxxxxxxxxxxxxx"),
+]
+
+CHUNK_SIZES = (3, 5, 17, 4096)
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestPrechunkLayout:
+    def test_chunks_concatenate_back_to_the_document(self, spark):
+        df = _docs(spark)
+        for ct in (1, 2, 3, 7, 4096):
+            rows = prechunk_documents(df, chunk_tokens=ct).collect()
+            byid: dict = {}
+            for r in rows:
+                byid.setdefault(r["doc_id"], []).append(
+                    (r["chunk_pos"], r["chunk_text"])
+                )
+            for did, text in DOCS:
+                got = sorted(byid[did])
+                assert [p for p, _ in got] == list(range(len(got))), (
+                    ct, did,
+                )
+                if text is None:
+                    assert got == [(0, None)], (ct, did)
+                else:
+                    assert "".join(c for _, c in got) == text, (ct, did)
+
+    def test_token_slices_reproduce_tokens_exactly(self, spark):
+        """Concatenating prechunked_tokens in pos order must equal
+        textstats.tokens(document) element-for-element — including
+        the phantom '' tokens at \t/\n document edges (docs 9,
+        11-15). This is THE invariant every consumer's counter
+        exactness rides on."""
+        from etl_guiacores_spark.operators.textstats import tokens
+
+        df = _docs(spark)
+        want = {
+            r["doc_id"]: r["tk"]
+            for r in df.select(
+                "doc_id", tokens(F.col("text")).alias("tk")
+            ).collect()
+        }
+        for ct in (1, 3, 7, 4096):
+            rows = (
+                prechunk_documents(df, chunk_tokens=ct)
+                .withColumn(
+                    "tk",
+                    prechunked_tokens(
+                        F.col("chunk_text"), F.col("chunk_pos")
+                    ),
+                )
+                .collect()
+            )
+            byid: dict = {}
+            for r in rows:
+                byid.setdefault(r["doc_id"], []).append(
+                    (r["chunk_pos"], r["tk"])
+                )
+            for did, _ in DOCS:
+                got = [t for _, tk in sorted(byid[did]) for t in tk]
+                assert got == want[did], (ct, did, got, want[did])
+
+    def test_chunk_tokens_guard(self, spark):
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            prechunk_documents(_docs(spark), chunk_tokens=0)
+
+    def test_contract_check_flags_violations(self, spark):
+        ok = prechunk_documents(_docs(spark), chunk_tokens=3)
+        require_chunk_contract(ok, "doc_id", "chunk_pos", "t")  # clean
+        cases = [
+            ([(1, 0, "a"), (1, 2, "b")], "gap"),
+            ([(1, 1, "a")], "not starting at 0"),
+            ([(1, 0, "a"), (1, 0, "b")], "duplicate pos"),
+            ([(None, 0, "a")], "null id"),
+        ]
+        for rows, label in cases:
+            bad = spark.createDataFrame(
+                rows, "doc_id long, chunk_pos int, chunk_text string"
+            )
+            with pytest.raises(ValueError, match="chunk contract"):
+                require_chunk_contract(bad, "doc_id", "chunk_pos", "t")
+            assert label  # documents the case
+
+
+class TestPrechunkedConsumers:
+    def test_text_scores_bit_identical(self, spark):
+        from etl_guiacores_spark.operators.textstats import (
+            lang_id,
+            prechunked_text_scores,
+            quality_score,
+        )
+
+        df = _docs(spark)
+        want = sorted(
+            tuple(r)
+            for r in df.select(
+                "doc_id",
+                quality_score(F.col("text")).alias("quality"),
+                lang_id(F.col("text")).alias("pred_lang"),
+            ).collect()
+        )
+        for ct in CHUNK_SIZES:
+            ch = prechunk_documents(df, chunk_tokens=ct)
+            got = sorted(
+                tuple(r) for r in prechunked_text_scores(ch).collect()
+            )
+            assert got == want, ct
+
+    def test_gopher_bit_identical(self, spark):
+        from etl_guiacores_spark.operators.textstats import (
+            gopher_quality,
+            prechunked_gopher_quality,
+        )
+
+        df = _docs(spark)
+        want = sorted(tuple(r) for r in gopher_quality(df).collect())
+        for ct in CHUNK_SIZES:
+            ch = prechunk_documents(df, chunk_tokens=ct)
+            got = sorted(
+                tuple(r)
+                for r in prechunked_gopher_quality(ch).collect()
+            )
+            assert got == want, ct
+
+    def test_minhash_bit_identical_with_shingles(self, spark):
+        from etl_guiacores_spark.operators.similarity import (
+            prechunked_minhash,
+            with_minhash,
+        )
+
+        df = _docs(spark)
+        cols = ["doc_id", "sh", "sig_0", "sig_1", "sig_2", "sig_3"]
+        want = sorted(
+            tuple(r)
+            for r in with_minhash(
+                df.select("doc_id", "text"), "text",
+                shingle_col="shingles",
+            )
+            .select(
+                "doc_id",
+                F.array_sort("shingles").alias("sh"),
+                "sig_0", "sig_1", "sig_2", "sig_3",
+            )
+            .collect()
+        )
+        for ct in CHUNK_SIZES:
+            ch = prechunk_documents(df, chunk_tokens=ct)
+            got = sorted(
+                tuple(r)
+                for r in prechunked_minhash(ch, with_shingles=True)
+                .select(
+                    "doc_id",
+                    F.array_sort("shingles").alias("sh"),
+                    "sig_0", "sig_1", "sig_2", "sig_3",
+                )
+                .collect()
+            )
+            assert got == want, (ct, cols)
+
+    def test_minhash_fast_hash_family(self, spark):
+        from etl_guiacores_spark.operators.similarity import (
+            prechunked_minhash,
+            with_minhash,
+        )
+
+        df = _docs(spark)
+        want = sorted(
+            tuple(r)
+            for r in with_minhash(
+                df.select("doc_id", "text"), "text", portable=False
+            )
+            .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3")
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in prechunked_minhash(
+                prechunk_documents(df, chunk_tokens=4), portable=False
+            ).collect()
+        )
+        assert got == want
+
+    def test_salted_minhash_phantom_edge_parity(self, spark):
+        """Regression for the round-11 latent bug: salted_minhash's
+        old concat_ws + re-split chunk round trip dropped the phantom
+        empty tokens at \t/\n document edges (docs 11-15), so its
+        signatures and shingle sets diverged from with_minhash's on
+        such documents. The token-array-slice rework must be
+        bit-identical on exactly those fixtures."""
+        from etl_guiacores_spark.operators.similarity import (
+            salted_minhash,
+            with_minhash,
+        )
+
+        df = _docs(spark)
+        want = sorted(
+            tuple(r)
+            for r in with_minhash(
+                df.select("doc_id", "text"), "text",
+                shingle_col="shingles",
+            )
+            .select(
+                "doc_id",
+                F.array_sort("shingles").alias("sh"),
+                "sig_0", "sig_1", "sig_2", "sig_3",
+            )
+            .collect()
+        )
+        for sct in (3, 5, 64):
+            got = sorted(
+                tuple(r)
+                for r in salted_minhash(
+                    df, "doc_id", "text", with_shingles=True,
+                    chunk_tokens=sct,
+                )
+                .select(
+                    "doc_id",
+                    F.array_sort("shingles").alias("sh"),
+                    "sig_0", "sig_1", "sig_2", "sig_3",
+                )
+                .collect()
+            )
+            assert got == want, sct
+
+    def test_contract_enforced_by_default(self, spark):
+        from etl_guiacores_spark.operators.similarity import (
+            prechunked_minhash,
+        )
+        from etl_guiacores_spark.operators.textstats import (
+            prechunked_gopher_quality,
+            prechunked_text_scores,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, 0, "a b"), (1, 2, "c d")],
+            "doc_id long, chunk_pos int, chunk_text string",
+        )
+        for op in (
+            prechunked_text_scores,
+            prechunked_gopher_quality,
+            prechunked_minhash,
+        ):
+            with pytest.raises(ValueError, match="chunk contract"):
+                op(bad).collect()

@@ -40,6 +40,7 @@ from etl_guiacores_spark.operators.similarity import (
     jaccard_of_shingles,
     lsh_candidate_pairs,
     lsh_candidate_pairs_from_sigs,
+    prechunked_minhash,
     staged_minhash_shingles,
     with_minhash,
     word_shingles,
@@ -65,6 +66,23 @@ class CorpusConfig:
     #: round-9 skew soak measured 22.7x max/median shingle-stage task
     #: time on a Zipf tail). None = unsalted per-row compute.
     salt_chunk_tokens: int | None = None
+    #: requires ``salt_chunk_tokens``: write the PRE-CHUNKED bronze
+    #: layout (chunking.prechunk_documents — (doc_id, chunk_pos,
+    #: chunk_text) rows, landed + fenced as ``bronze_chunks``) once
+    #: at ingest, and feed the prechunked consumers
+    #: (prechunked_text_scores / prechunked_minhash /
+    #: prechunked_gopher_quality) from it instead of re-chunking
+    #: whole documents in-task per stage. This closes the raw-scan
+    #: skew floor the in-task salted path keeps (one task must still
+    #: tokenize a fat document before the salt spreads its chunks —
+    #: the ~20x max/median residual in the round-10 soak): after the
+    #: one-time bronze write, every salted stage scans balanced
+    #: chunk-sized parquet rows. Outputs are bit-identical. Stages
+    #: whose input text was REWRITTEN upstream (the gopher gate under
+    #: strip_spans/decontam_spans, near-dup under decontam_spans)
+    #: fall back to the in-task salted path — bronze reflects ingest
+    #: text only.
+    prechunk: bool = False
     #: True = connected-components clustering (one survivor per
     #: component, exact); False = greedy drop-higher-id per pair
     #: (one pass, conservative)
@@ -144,9 +162,24 @@ class CorpusConfig:
 
 
 def filter_documents(
-    docs: DataFrame, config: CorpusConfig, validate_ids: bool = True
+    docs: DataFrame,
+    config: CorpusConfig,
+    validate_ids: bool = True,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
-    if config.salt_chunk_tokens is not None:
+    if chunks is not None:
+        # bronze path: the scores come from balanced pre-chunked rows
+        # (no task ever tokenizes a whole document); bit-identical to
+        # both other legs
+        from etl_guiacores_spark.operators.textstats import (
+            prechunked_text_scores,
+        )
+
+        scored = docs.join(
+            prechunked_text_scores(chunks, validate=validate_ids),
+            "doc_id",
+        )
+    elif config.salt_chunk_tokens is not None:
         # skew-proof leg: chunk-merged counters, bit-identical scores
         # (textstats.salted_text_scores); the join back onto the doc
         # row is the documented salting price — narrow score rows and
@@ -200,6 +233,7 @@ def near_dup_removal(
     portable: bool = False,
     salt_chunk_tokens: int | None = None,
     validate_ids: bool = True,
+    chunks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (survivors, removed_pairs). LSH proposes, exact Jaccard
     verifies; survivors are either one-per-connected-component
@@ -213,9 +247,25 @@ def near_dup_removal(
     and the Jaccard verify, so the heavy per-row HOF compute is both
     salted AND computed once. The persisted handle rides out on the
     pair result as ``staged_sigs`` (the pipeline releases it after
-    landing the pairs, same lifecycle as ``staged_bands``)."""
+    landing the pairs, same lifecycle as ``staged_bands``).
+
+    ``chunks`` (a pre-chunked bronze table covering at least the ids
+    in ``docs``, with text identical to what the chunks were written
+    from) routes the shingle pass through
+    ``similarity.prechunked_minhash`` instead: the scan reads
+    balanced chunk rows, no task tokenizes a whole document. The
+    chunk table is key-semi-joined down to ``docs``' ids first so
+    upstream stages' drops are respected."""
     staged_sigs = None
-    if salt_chunk_tokens is not None:
+    if chunks is not None:
+        sub = chunks.join(docs.select("doc_id"), "doc_id", "left_semi")
+        staged_sigs = prechunked_minhash(
+            sub, "doc_id", portable=portable, with_shingles=True,
+            validate=validate_ids,
+        ).persist()
+        candidates = lsh_candidate_pairs_from_sigs(staged_sigs, "doc_id")
+        sh = staged_sigs.select("doc_id", F.col("shingles").alias("sh"))
+    elif salt_chunk_tokens is not None:
         staged_sigs = staged_minhash_shingles(
             docs, "doc_id", "text",
             salt_chunk_tokens=salt_chunk_tokens, portable=portable,
@@ -515,6 +565,7 @@ def streaming_corpus_ingest(
 # resume path reads stats.json, not a _SUCCESS fence at shards/, so a
 # fence probe there would be dead code (round-10 review finding).
 _LANDED_STAGES = (
+    "bronze_chunks",
     "filtered",
     "decontaminated",
     "eval_span_accounting",
@@ -635,6 +686,15 @@ def run_corpus_pipeline(
             "decontam_spans requires benchmark_path (the eval set "
             "whose quoted spans get excised)"
         )
+    if config.prechunk and (
+        config.salt_chunk_tokens is None or config.salt_chunk_tokens < 3
+    ):
+        raise ValueError(
+            "prechunk=True requires salt_chunk_tokens >= 3 (the "
+            "bronze chunk size; the near-dup shingle n=3 needs every "
+            f"non-final chunk to hold >= n-1 tokens) — got "
+            f"{config.salt_chunk_tokens!r}"
+        )
     if config.write_shards and "://" in out_dir and not out_dir.startswith(
         "file://"
     ):
@@ -752,8 +812,27 @@ def run_corpus_pipeline(
 
     emit("raw", {"records": n_raw})
 
+    bronze = None
+    if config.prechunk:
+        # the one-time chunk build: THIS write pays the fat-document
+        # tokenization once; every salted stage below scans the
+        # landed table's balanced chunk rows instead (and a resumed
+        # run re-reads it without re-chunking at all)
+        from etl_guiacores_spark.operators.chunking import (
+            prechunk_documents,
+        )
+
+        bronze, n_bronze = _land(
+            prechunk_documents(
+                docs, chunk_tokens=config.salt_chunk_tokens
+            ),
+            "bronze_chunks",
+        )
+        emit("bronze_chunks", {"records": n_bronze})
+
     filtered, n_filtered = _land(
-        filter_documents(docs, config, validate_ids=False), "filtered"
+        filter_documents(docs, config, validate_ids=False, chunks=bronze),
+        "filtered",
     )
     emit("filtered", {"records": n_filtered})
 
@@ -847,6 +926,9 @@ def run_corpus_pipeline(
         portable=config.portable_hashes,
         salt_chunk_tokens=config.salt_chunk_tokens,
         validate_ids=False,  # checked once at ingest
+        # bronze reflects INGEST text: usable unless decontam_spans
+        # rewrote documents upstream of this stage
+        chunks=None if config.decontam_spans else bronze,
     )
     pairs, n_pairs = _land(dup_pairs, "dup_pairs")
     staged_bands = getattr(dup_pairs, "staged_bands", None)
@@ -946,7 +1028,25 @@ def run_corpus_pipeline(
             salted_gopher_quality,
         )
 
-        if config.salt_chunk_tokens is not None:
+        if bronze is not None and not (
+            config.strip_spans or config.decontam_spans
+        ):
+            # bronze path: survivor text is untouched since ingest,
+            # so the gate reads balanced chunk rows keyed down to the
+            # survivor ids — identical metrics and pass flags
+            from etl_guiacores_spark.operators.textstats import (
+                prechunked_gopher_quality,
+            )
+
+            gq = prechunked_gopher_quality(
+                bronze.join(
+                    survivors.select("doc_id"), "doc_id", "left_semi"
+                ),
+                min_tokens=config.gopher_min_tokens,
+                max_tokens=config.gopher_max_tokens,
+                validate=False,  # the pipeline wrote the bronze table
+            )
+        elif config.salt_chunk_tokens is not None:
             # skew-proof gate, same salt knob as the shingle/filter
             # legs — identical metrics and pass flags, chunk-merged
             gq = salted_gopher_quality(

@@ -266,6 +266,94 @@ class TestPrechunkedConsumers:
             )
             assert got == want, sct
 
+    def test_pipeline_prechunk_equals_salted_and_plain(
+        self, spark, tmp_path
+    ):
+        """run_corpus_pipeline(prechunk=True) must land the identical
+        metrics envelope and survivor sets as both the in-task salted
+        run and the per-row run, with the bronze_chunks artifact
+        fenced on disk."""
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            run_corpus_pipeline,
+        )
+        from etl_guiacores_spark.sources.tables import load_table
+
+        docs = load_table(
+            spark, "documents", "/root/testdata/sf0.001"
+        ).select("doc_id", "text", "source")
+        base = dict(
+            min_quality=0.0, near_dup_jaccard=0.6, chunk_tokens=16,
+            chunk_overlap=4, gopher_gate=True,
+        )
+        m_plain = run_corpus_pipeline(
+            docs, str(tmp_path / "plain"), CorpusConfig(**base)
+        )
+        m_salted = run_corpus_pipeline(
+            docs, str(tmp_path / "salted"),
+            CorpusConfig(**base, salt_chunk_tokens=8),
+        )
+        m_bronze = run_corpus_pipeline(
+            docs, str(tmp_path / "bronze"),
+            CorpusConfig(**base, salt_chunk_tokens=8, prechunk=True),
+        )
+        assert m_bronze == m_salted == m_plain
+        for stage in ("gopher_gated", "clean", "filtered"):
+            ids = {
+                v: sorted(
+                    r["doc_id"]
+                    for r in spark.read.parquet(
+                        str(tmp_path / v / stage)
+                    ).collect()
+                )
+                for v in ("plain", "salted", "bronze")
+            }
+            assert ids["bronze"] == ids["salted"] == ids["plain"], stage
+        # the bronze artifact itself landed, fenced, and reconstructs
+        bronze = spark.read.parquet(str(tmp_path / "bronze/bronze_chunks"))
+        assert bronze.columns == ["doc_id", "chunk_pos", "chunk_text"]
+        assert (tmp_path / "bronze/bronze_chunks/_SUCCESS").exists()
+
+    def test_pipeline_prechunk_resume_skips_rechunk(self, spark, tmp_path):
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            run_corpus_pipeline,
+        )
+        from etl_guiacores_spark.sources.tables import load_table
+
+        docs = load_table(
+            spark, "documents", "/root/testdata/sf0.001"
+        ).select("doc_id", "text", "source")
+        cfg = CorpusConfig(
+            min_quality=0.0, near_dup_jaccard=0.6, chunk_tokens=16,
+            chunk_overlap=4, salt_chunk_tokens=8, prechunk=True,
+        )
+        out = str(tmp_path / "run")
+        m1 = run_corpus_pipeline(docs, out, cfg)
+        stages = []
+        m2 = run_corpus_pipeline(
+            docs, out, cfg, resume=True,
+            progress_callback=lambda s, i: stages.append(s),
+        )
+        assert m1 == m2
+        assert "bronze_chunks_resumed" in stages
+
+    def test_pipeline_prechunk_requires_salt_knob(self, spark, tmp_path):
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            run_corpus_pipeline,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "s")], "doc_id long, text string, source string"
+        )
+        for bad in (None, 2):
+            with pytest.raises(ValueError, match="prechunk"):
+                run_corpus_pipeline(
+                    docs, str(tmp_path / "x"),
+                    CorpusConfig(prechunk=True, salt_chunk_tokens=bad),
+                )
+
     def test_contract_enforced_by_default(self, spark):
         from etl_guiacores_spark.operators.similarity import (
             prechunked_minhash,

@@ -69,6 +69,21 @@ def main() -> int:
     # without this flag and compare task_skew_top + the metrics
     # envelope (outputs must be identical — signatures are bit-equal)
     ap.add_argument("--salt-chunk", type=int, default=None)
+    # round-11 lever: ALSO write the pre-chunked bronze layout at
+    # ingest and feed the salted stages from it — the one-time bronze
+    # write pays the fat-document tokenization once; the consuming
+    # scans read balanced chunk rows. Compare task_skew_top per stage
+    # NAME: with --prechunk the remaining high-ratio stages should be
+    # the bronze write itself (one-time) while the filter/shingle/
+    # gopher scans drop to the shuffle-balance floor.
+    ap.add_argument("--prechunk", action="store_true")
+    # the span stages REWRITE text, which (correctly) forces the
+    # near-dup and gopher stages back onto the in-task salted path —
+    # bronze reflects ingest text. Disable them to measure the FULL
+    # bronze path (filter + shingles + gopher all reading chunk rows);
+    # the metrics envelope then differs from the span-stage soaks and
+    # is only comparable within a same-flag A/B.
+    ap.add_argument("--no-span-stages", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -182,9 +197,9 @@ def main() -> int:
         chunk_overlap=8,
         vocab_top_k=1000,
         benchmark_path=bench_p,
-        decontam_spans=True,
+        decontam_spans=not args.no_span_stages,
         decontam_span_n=8,
-        strip_spans=True,
+        strip_spans=not args.no_span_stages,
         span_n=10,
         gopher_gate=True,
         gopher_min_tokens=10,
@@ -195,6 +210,7 @@ def main() -> int:
         budget_tokens=512,
         sequences_per_shard=1000,
         salt_chunk_tokens=args.salt_chunk,
+        prechunk=args.prechunk,
     )
     stage_t: dict[str, float] = {}
     last = time.time()
@@ -335,6 +351,10 @@ def main() -> int:
                     "n_tasks": int(s["numCompleteTasks"]),
                     "median_ms": int(d[1]),
                     "max_ms": int(d[2]),
+                    # attribution: which pipeline phase owns the skew
+                    # (the --prechunk A/B reads this to tell the
+                    # one-time bronze write from consuming scans)
+                    "name": (s.get("name") or "")[:48],
                 }
             )
         ratios.sort(key=lambda r: -r["ratio"])
@@ -346,6 +366,8 @@ def main() -> int:
             {
                 "soak": "golden_run_skew" if args.skew else "golden_run",
                 "salt_chunk": args.salt_chunk,
+                "prechunk": args.prechunk,
+                "span_stages": not args.no_span_stages,
                 "replicas": args.replicas,
                 "hot_n": args.hot_n if args.skew else None,
                 "task_skew_top": skew_top,

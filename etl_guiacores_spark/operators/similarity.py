@@ -229,10 +229,13 @@ def salted_minhash(
     Jaccard via array_intersect/array_union is order-insensitive).
 
     Cost: two shuffles (chunk redistribution + the merge) that the
-    unsalted path doesn't pay — worth it only when the length tail is
-    heavy; keep the unsalted path for uniform corpora. At 100 TB this
-    is the difference between the shingle stage finishing with the
-    p50 task and waiting on one 2 GB-document straggler.
+    unsalted path doesn't pay. Round-11 measurement: the trade wins
+    at soak scale even for UNIFORM document lengths (bounded
+    per-evaluation arrays also bound the superlinear interpreted-HOF
+    costs — SCALE.md crossover table), and at 100 TB it is the
+    difference between the shingle stage finishing with the p50 task
+    and waiting on one 2 GB-document straggler. Keep the unsalted
+    path when ``id_col`` cannot meet the unique-non-null contract.
     """
     if chunk_tokens < n:
         raise ValueError(
@@ -341,6 +344,7 @@ def prechunked_minhash(
     with_shingles: bool = False,
     prefix: str = "sig_",
     validate: bool = True,
+    keep_ids: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash from a PRE-CHUNKED bronze table
     (chunking.prechunk_documents) — signatures BIT-IDENTICAL to
@@ -374,6 +378,16 @@ def prechunked_minhash(
     phantom empty tokens that whole-document tokenization leaves at
     ``\\t``/``\\n`` document edges participate in boundary n-grams
     exactly as they do in the per-row operators.
+
+    ``keep_ids`` (a 1-column-usable id relation) restricts output to
+    those documents. Pass it HERE rather than pre-filtering
+    ``chunks``: the operator references the chunk relation on both
+    join sides, so a caller-side semi-join would execute twice (no
+    CSE across self-join sides — the same lesson as
+    staged_minhash_shingles). The filter lands on the tokenized side
+    only; the heads side reads the raw chunk table with a cheap
+    prefix split, and heads of dropped documents fall out of the
+    left join.
     """
     from etl_guiacores_spark.operators.chunking import (
         prechunked_tokens,
@@ -384,17 +398,42 @@ def prechunked_minhash(
         require_chunk_contract(chunks, id_col, pos_col,
                                "prechunked_minhash")
     hasher = _hasher if portable else _hasher_fast
-    toked = chunks.select(
+    kept = chunks
+    if keep_ids is not None:
+        kept = chunks.join(
+            keep_ids.select(id_col), id_col, "left_semi"
+        )
+    toked = kept.select(
         F.col(id_col),
         F.col(pos_col),
         prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
             "__toks"
         ),
     )
-    heads = toked.select(
+    # heads are built straight off the chunk STRING with a
+    # limit-split (O(prefix), stops after n-1 tokens) instead of
+    # prechunked_tokens — the join sides share no CSE, so deriving
+    # both from the tokenized relation would tokenize every chunk
+    # twice (measured +34% on the near-dup soak stage). The
+    # expression reproduces the exact-slice prefix: heads only come
+    # from pos>=1 chunks (never the doc-leading chunk), the leading
+    # \s+ strip plus space-trim mirrors prechunked_tokens, and a
+    # final chunk's trailing \t/\n phantom survives the limit-split
+    # exactly as it does full tokenization.
+    heads = chunks.select(
         F.col(id_col),
         (F.col(pos_col) - 1).alias(pos_col),
-        F.slice(F.col("__toks"), 1, n - 1).alias("__next_head"),
+        F.slice(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.col(chunk_col), r"^\s+", "")
+                ),
+                r"\s+",
+                n,
+            ),
+            1,
+            n - 1,
+        ).alias("__next_head"),
     ).filter(F.col(pos_col) >= 0)
     shingled = (
         toked.join(heads, [id_col, pos_col], "left")

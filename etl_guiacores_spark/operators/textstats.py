@@ -419,9 +419,10 @@ def salted_text_scores(
     Returns (id_col, quality, pred_lang), one row per input row.
     ``id_col`` must be unique (it is the merge key — the same
     contract as salted_minhash). Cost: two narrow-counter shuffles
-    plus the join back onto the document row the caller pays — worth
-    it only for heavy length tails; keep the per-row operators for
-    uniform corpora.
+    plus the join back onto the document row the caller pays —
+    measured worthwhile at soak scale even for uniform lengths
+    (SCALE.md round-11 crossover table); keep the per-row operators
+    when the id contract can't be met.
     """
     if chunk_tokens < 1:
         raise ValueError(

@@ -62,9 +62,14 @@ class CorpusConfig:
     #: (textstats.salted_gopher_quality) — all bit-identical to their
     #: per-row twins from chunk-merged counters. Costs extra shuffles
     #: per salted stage plus one column-pruned id-validation scan
-    #: each; enable for heavy-tailed length distributions (the
-    #: round-9 skew soak measured 22.7x max/median shingle-stage task
-    #: time on a Zipf tail). None = unsalted per-row compute.
+    #: each. Operating guidance (round-11, measured): enable whenever
+    #: ``doc_id`` is unique and non-null — salting won the sf0.1 soak
+    #: at BOTH Zipf-tail (125.5 -> 79.9 s, round 10) and UNIFORM
+    #: lengths (52.6 -> 40.6 s; bounding the per-evaluation array
+    #: size also bounds the superlinear interpreted-HOF costs, not
+    #: just the tail — SCALE.md round-11 crossover table). It stays
+    #: opt-in only because it hard-requires the id contract that the
+    #: per-row path tolerates violating. None = per-row compute.
     salt_chunk_tokens: int | None = None
     #: requires ``salt_chunk_tokens``: write the PRE-CHUNKED bronze
     #: layout (chunking.prechunk_documents — (doc_id, chunk_pos,
@@ -258,10 +263,12 @@ def near_dup_removal(
     upstream stages' drops are respected."""
     staged_sigs = None
     if chunks is not None:
-        sub = chunks.join(docs.select("doc_id"), "doc_id", "left_semi")
+        # keep_ids INSIDE the operator, not a pre-join here: the
+        # operator self-joins its chunk input, so a caller-side
+        # semi-join would execute twice
         staged_sigs = prechunked_minhash(
-            sub, "doc_id", portable=portable, with_shingles=True,
-            validate=validate_ids,
+            chunks, "doc_id", portable=portable, with_shingles=True,
+            validate=validate_ids, keep_ids=docs,
         ).persist()
         candidates = lsh_candidate_pairs_from_sigs(staged_sigs, "doc_id")
         sh = staged_sigs.select("doc_id", F.col("shingles").alias("sh"))

@@ -7,7 +7,10 @@ from etl_guiacores_spark.streaming.drawdown import (
     max_drawdown_stream,
     read_max_drawdown,
 )
-from etl_guiacores_spark.streaming.drift import cusum_drift_stream
+from etl_guiacores_spark.streaming.drift import (
+    compact_snapshots,
+    cusum_drift_stream,
+)
 from etl_guiacores_spark.streaming.dwell import (
     read_state_dwell,
     state_dwell_stream,
@@ -22,6 +25,7 @@ from etl_guiacores_spark.streaming.windows import (
 )
 
 __all__ = [
+    "compact_snapshots",
     "cusum_drift_stream",
     "daily_acquisition_stream",
     "discover_until_idle",

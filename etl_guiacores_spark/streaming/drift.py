@@ -86,6 +86,74 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _rename_dir(spark: SparkSession, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(sp, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise RuntimeError(f"rename {src} -> {dst} failed")
+
+
+def compact_snapshots(
+    spark: SparkSession,
+    state_root: str,
+    retired_keys: DataFrame,
+    key_cols: Sequence[str],
+    removable: Column | None = None,
+) -> int:
+    """Drop RETIRED keys' state rows from the latest fenced snapshot —
+    the offline key-churn compaction step for every foreachBatch twin
+    on this snapshot protocol (drawdown, dwell, CUSUM, EWMA, ...).
+
+    The twins correctly carry one state row per key FOREVER
+    (whole-history semantics; O(|keys|) proven by
+    TestTwinStateBounds), so a corpus with unbounded key churn needs
+    an out-of-band retirement decision. Run this BETWEEN runs (no
+    active query on ``out_dir``): the latest ``batch=<id>`` snapshot
+    is rewritten in place (write-temp + FileSystem rename, so the
+    result is again a fenced parquet dir) with the retired keys'
+    rows removed; a resumed stream folds the next batch from the
+    compacted state exactly as it would have minus those keys —
+    resume-equivalence is pinned in tests/test_streaming.py.
+
+    ``removable`` restricts which of a retired key's rows may drop
+    (the dwell twin passes ``kind == 'open'``: a retired key's open
+    hold is dropped but the shared per-state aggregate rows survive);
+    None means every row of a retired key drops. Retire a key only
+    when upstream will not send it again — if it does reappear, the
+    twin folds it as brand new (and a replay DEEPER than the
+    compacted snapshot resurrects it, consistent with the same
+    assumption). Returns the number of rows removed. The join is a
+    keyed anti-join — retired_keys may be data-sized; nothing here
+    is collected to the driver."""
+    ids = _snapshot_ids(spark, state_root)
+    if not ids:
+        raise ValueError(
+            f"compact_snapshots: no fenced snapshot under {state_root}"
+        )
+    path = f"{state_root}/batch={ids[-1]}"
+    snap = spark.read.parquet(path)
+    cols = list(key_cols)
+    marked = snap.join(
+        retired_keys.select(*cols).distinct().withColumn(
+            "__retired", F.lit(True)
+        ),
+        cols,
+        "left",
+    )
+    drop = F.col("__retired").isNotNull()
+    if removable is not None:
+        drop = drop & removable
+    kept = marked.filter(~drop).drop("__retired").select(*snap.columns)
+    n_before = snap.count()
+    tmp = f"{state_root}/.compact-tmp-{ids[-1]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    _delete_dir(spark, path)
+    _rename_dir(spark, tmp, path)
+    n_after = spark.read.parquet(path).count()
+    return n_before - n_after
+
+
 def _resolve_prev_snapshot(
     spark: SparkSession, state_root: str, batch_id: int, op: str
 ) -> str | None:

@@ -965,6 +965,147 @@ class TestTwinStateBounds:
         assert snap.count() == len(users) == 12
         assert snap.select("user_id").distinct().count() == 12
 
+    def test_compact_snapshots_resume_equivalence(self, spark, tmp_path):
+        """Round-10 advice item: the offline key-compaction path,
+        automated. Two identical drawdown streams process the same
+        phase-1 batches; one then has keys {5, 6} compacted out of
+        its latest snapshot (drift.compact_snapshots); both resume
+        over identical phase-2 batches that never mention those keys.
+        The compacted run must produce IDENTICAL phase-2 outputs and
+        a final state equal to the control's minus the retired keys."""
+        from etl_guiacores_spark.streaming import (
+            compact_snapshots,
+            max_drawdown_stream,
+        )
+        from etl_guiacores_spark.streaming.drift import _snapshot_ids
+
+        def batch_rows(b, users):
+            return [
+                ev(b * 10 + i, b * 10 + i, user=u,
+                   value=float((b + i) % 5 + 1))
+                for i, u in enumerate(users)
+            ]
+
+        def run(tag, compact_after_phase1):
+            src = str(tmp_path / f"{tag}_src")
+            out = str(tmp_path / f"{tag}_out")
+            ckpt = str(tmp_path / f"{tag}_ckpt")
+
+            def start():
+                stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+                    "maxFilesPerTrigger", 1).parquet(src)
+                return max_drawdown_stream(
+                    stream, out, key_cols=["user_id"],
+                    flow_col=F.floor(F.col("value") * 1_000_000).cast(
+                        "long"),
+                    checkpoint_dir=ckpt,
+                )
+
+            # phase 1: keys 1..6
+            spark.createDataFrame(
+                batch_rows(0, [1, 2, 3]), EVENTS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            q = start()
+            try:
+                q.processAllAvailable()
+                for b in range(1, 8):
+                    users = [1, 2, 3] if b % 2 else [4, 5, 6]
+                    spark.createDataFrame(
+                        batch_rows(b, users), EVENTS_SCHEMA
+                    ).coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            if compact_after_phase1:
+                retired = spark.createDataFrame(
+                    [(5,), (6,)], "user_id int"
+                )
+                removed = compact_snapshots(
+                    spark, f"{out}/state", retired, ["user_id"]
+                )
+                assert removed == 2
+            # phase 2: keys 1..4 only — the retired keys never return
+            q = start()
+            try:
+                for b in range(8, 12):
+                    spark.createDataFrame(
+                        batch_rows(b, [1, 2, (b % 4) + 1]),
+                        EVENTS_SCHEMA,
+                    ).coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+            finally:
+                q.stop()
+            ids = _snapshot_ids(spark, f"{out}/state")
+            state = sorted(
+                tuple(r)
+                for r in spark.read.parquet(
+                    f"{out}/state/batch={ids[-1]}"
+                ).collect()
+            )
+            phase2 = sorted(
+                tuple(r)
+                for b in range(8, 12)
+                for r in spark.read.parquet(
+                    f"{out}/out/batch={b}"
+                ).collect()
+            )
+            return state, phase2
+
+        state_a, out_a = run("cmp_ctl", compact_after_phase1=False)
+        state_b, out_b = run("cmp_cpt", compact_after_phase1=True)
+        assert out_b == out_a  # surviving keys fold identically
+        retired_rows = [t for t in state_a if t[0] in (5, 6)]
+        assert len(retired_rows) == 2
+        assert state_b == [t for t in state_a if t[0] not in (5, 6)]
+
+    def test_compact_snapshots_dwell_removable_filter(
+        self, spark, tmp_path
+    ):
+        """The dwell twin's documented compaction: only a retired
+        key's kind='open' hold drops; the shared per-state aggregate
+        rows survive (their closed dwells are history, not key
+        state)."""
+        from etl_guiacores_spark.streaming import (
+            compact_snapshots,
+            state_dwell_stream,
+        )
+        from etl_guiacores_spark.streaming.drift import _snapshot_ids
+
+        def start(stream, out):
+            return state_dwell_stream(
+                stream, out, key_cols=["user_id"],
+                state_col="event_type",
+                checkpoint_dir=str(tmp_path / "cmpd_ckpt"),
+            )
+
+        out, users = self._run_batches(
+            spark, tmp_path, "cmpd", start, n_batches=8
+        )
+        root = f"{out}/state"
+        retired = spark.createDataFrame([(1,), (2,)], "user_id int")
+        removed = compact_snapshots(
+            spark, root, retired, ["user_id"],
+            removable=F.col("kind") == "open",
+        )
+        assert removed == 2
+        snap = spark.read.parquet(
+            f"{root}/batch={_snapshot_ids(spark, root)[-1]}"
+        )
+        got = {
+            r["kind"]: r["n"]
+            for r in snap.groupBy("kind").agg(
+                F.count("*").alias("n")).collect()
+        }
+        # open holds shrink by the two retired keys; agg rows intact
+        assert got["agg"] == 3
+        assert (
+            snap.filter(
+                (F.col("kind") == "open")
+                & F.col("user_id").isin(1, 2)
+            ).count()
+            == 0
+        )
+
     def test_dwell_state_is_keys_plus_states(self, spark, tmp_path):
         from etl_guiacores_spark.streaming import state_dwell_stream
         from etl_guiacores_spark.streaming.drift import _snapshot_ids

@@ -36,15 +36,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rows q196_salted_quality_lang and q197_salted_gopher (no driver row
 # yet — new-row debt leads), then the round-6 cohort whose driver
 # rows are now the oldest (q34–q43, q47, q87–q105, q119–... by
-# ascending id) — steady-state rotation (registry 198 = 196 + this
+# ascending id) — steady-state rotation (registry 200 = 198 + this
 # round's two slack rows; every prior query has a driver row <= 4
 # rounds old, the arithmetic steady state under a 50-row cap, period
-# ceil(198/50)=4).
+# ceil(200/50)=4).
 # The derivation reads only git-tracked CORRECTNESS artifacts, so the
 # driver dropping round-10's file after the final commit cannot turn
 # tests/test_rotation.py red mid-boundary. Every row is also locally
-# re-verified every round (tools/check_oracle.py 198/198 at sf0.01).
+# re-verified every round (tools/check_oracle.py 200/200 at sf0.01).
 _FIRST = [
+    "q198_orc_pushdown_roundtrip",
+    "q199_streaming_acquisition_twin",
     "q05_semi_join_segments",
     "q06_filter_cross_product",
     "q07_keep_first_dedupe",

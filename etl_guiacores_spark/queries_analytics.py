@@ -889,3 +889,161 @@ def q197_salted_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return salted_gopher_quality(d, chunk_tokens=64)
+
+
+# ---------------------------------------------------------------------------
+# q198: ORC round-trip with scan pushdown (io.py format breadth)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q198_orc_pushdown_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+    doc="ORC as a first-class interchange format (io.write_orc/"
+    "read_orc, previously pytest-only): the full orders table is "
+    "round-tripped through an ORC directory, then the aggregate runs "
+    "on the ORC SCAN with its filter and 3-column projection pushed "
+    "into the reader (ORC carries min/max stripe statistics exactly "
+    "like parquet, so .explain shows PushedFilters + a pruned "
+    "ReadSchema — at 100 TB the scan reads three columns of the "
+    "stripes that can match, not the table). The oracle aggregates "
+    "the same rows straight from parquet: format round-tripping must "
+    "be value-exact, including the DOUBLE o_totalprice whose cents "
+    "are floored AFTER the round trip. Revenue in integer cents "
+    "(engine-wide micro-unit rule).",
+)
+def q198_orc_pushdown_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from etl_guiacores_spark import io as gio
+
+    orders = _t(spark, sf_dir, "orders")
+    # the temp dir must outlive this function: the driver collects
+    # the returned (lazy) DataFrame later, and the ORC scan reads
+    # the files at that point
+    path = tempfile.mkdtemp(prefix="q198_orc_") + "/orders_orc"
+    gio.write_orc(orders, path)
+    back = gio.read_orc(spark, path)
+    return (
+        back.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 1000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199: streaming acquisition twin, driver-checked against the batch oracle
+# ---------------------------------------------------------------------------
+
+@register(
+    "q199_streaming_acquisition_twin",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    news AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY first_day
+    )
+    SELECT STRFTIME(d.day, '%Y-%m-%d') AS day,
+           d.n_events, d.n_active,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(d.n_active - COALESCE(n.n_new, 0) AS BIGINT)
+               AS n_returning,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+    doc="The streaming surface's first ORACLE-checked row: the events "
+    "table is replayed through daily_acquisition_stream (the q186 "
+    "foreachBatch twin) as two event-time-ordered micro-batches — "
+    "a real Structured Streaming file source, checkpointed, with the "
+    "open-day carry exercised at the split point — and the merged "
+    "upsert output (read_daily_acquisition) must hash-match the "
+    "plain batch SQL. Until now every streaming twin's batch "
+    "equivalence lived in pytest only (the r10 verdict named this "
+    "the candidate worth a registry row); this runs the twin under "
+    "the driver's compare. The stream folds O(|keys|+|days|) state "
+    "per batch and the merge reads the bounded day axis — the same "
+    "plan at 100 TB with a real Kafka source.",
+)
+def q199_streaming_acquisition_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from etl_guiacores_spark.streaming import (
+        daily_acquisition_stream,
+        read_daily_acquisition,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # two contiguous event-time ranges split at the midpoint
+    # TIMESTAMP (min/max agg -> two scalars, fully deterministic; a
+    # global ntile window would be the single-reducer shape the plan
+    # audit exists to catch): batches arrive in event-day order, as
+    # the stream's closed-day contract requires, and the midpoint
+    # lands inside a day, so the split day's open carry is
+    # exercised. Two batches, not more: each foreachBatch fold is a
+    # fixed few seconds of state-join jobs regardless of data
+    # volume, and carry/redelivery depth is pytest's job
+    # (test_streaming) — this row buys the driver-checked
+    # EQUIVALENCE, not the soak
+    b = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    root = tempfile.mkdtemp(prefix="q199_stream_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = daily_acquisition_stream(stream, out, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_daily_acquisition(spark, out).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_returning").cast("long").alias("n_returning"),
+        F.col("cum_users").cast("long").alias("cum_users"),
+    )

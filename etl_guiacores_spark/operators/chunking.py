@@ -238,6 +238,32 @@ def require_chunk_contract(
         )
 
 
+def require_chunk_coverage(
+    docs: DataFrame, chunks: DataFrame, id_col: str, op_name: str
+) -> None:
+    """Eagerly enforce that a pre-chunked bronze table covers every
+    id in ``docs``: an uncovered document would otherwise vanish
+    SILENTLY — the filter leg's inner join onto the scores drops it,
+    and the near-dup leg (no signature rows) treats it as an
+    automatic survivor, so two consumers of the same bronze disagree
+    without a trace. One column-pruned anti-join with a LIMIT 1
+    probe; the pipeline skips it (it wrote the bronze from the same
+    docs this run), standalone callers get it by default."""
+    missing = (
+        docs.select(id_col)
+        .join(chunks.select(id_col), id_col, "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if missing:
+        raise ValueError(
+            f"{op_name}: document {id_col}={missing[0][id_col]!r} has "
+            "no rows in the pre-chunked table — bronze is stale or "
+            "partial; rebuild it with prechunk_documents over the "
+            "current corpus"
+        )
+
+
 def salted_explode(
     df: DataFrame, id_col: str, chunks: Column, out_col: str
 ) -> DataFrame:

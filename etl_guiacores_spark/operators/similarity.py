@@ -397,6 +397,42 @@ def prechunked_minhash(
     if validate:
         require_chunk_contract(chunks, id_col, pos_col,
                                "prechunked_minhash")
+    if validate and n >= 2:
+        # the documented boundary requirement, ENFORCED (loud-contract
+        # stance): every NON-FINAL chunk must hold >= n-1 tokens, or a
+        # cross-boundary n-gram could span three chunks and silently
+        # vanish from the signatures. The probe is a limit-split
+        # prefix count (O(n) per chunk, not a full tokenize) and a
+        # LIMIT 1 violation collect.
+        prefix_n = F.size(
+            F.slice(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.col(chunk_col), r"^\s+", "")
+                    ),
+                    r"\s+",
+                    n,
+                ),
+                1,
+                n - 1,
+            )
+        )
+        mx = chunks.groupBy(id_col).agg(F.max(pos_col).alias("__mx"))
+        bad = (
+            chunks.join(mx, id_col)
+            .filter((F.col(pos_col) < F.col("__mx")) & (prefix_n < n - 1))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                f"prechunked_minhash: non-final chunk ({id_col}="
+                f"{r[id_col]!r}, {pos_col}={r[pos_col]}) holds fewer "
+                f"than n-1={n - 1} tokens, so boundary {n}-grams "
+                "would silently vanish — rewrite the bronze table "
+                f"with chunk_tokens >= {n}"
+            )
     hasher = _hasher if portable else _hasher_fast
     kept = chunks
     if keep_ids is not None:

@@ -175,11 +175,22 @@ def filter_documents(
     if chunks is not None:
         # bronze path: the scores come from balanced pre-chunked rows
         # (no task ever tokenizes a whole document); bit-identical to
-        # both other legs
+        # both other legs. The inner join onto the scores would
+        # silently DROP any document missing from a stale/partial
+        # bronze table, so standalone callers get the coverage probe
+        # (the pipeline wrote the bronze from these docs this run)
         from etl_guiacores_spark.operators.textstats import (
             prechunked_text_scores,
         )
 
+        if validate_ids:
+            from etl_guiacores_spark.operators.chunking import (
+                require_chunk_coverage,
+            )
+
+            require_chunk_coverage(
+                docs, chunks, "doc_id", "filter_documents"
+            )
         scored = docs.join(
             prechunked_text_scores(chunks, validate=validate_ids),
             "doc_id",
@@ -263,6 +274,17 @@ def near_dup_removal(
     upstream stages' drops are respected."""
     staged_sigs = None
     if chunks is not None:
+        # an uncovered doc would have NO signature rows and become an
+        # automatic near-dup survivor — silently; probe unless the
+        # caller vouches (the pipeline wrote the bronze this run)
+        if validate_ids:
+            from etl_guiacores_spark.operators.chunking import (
+                require_chunk_coverage,
+            )
+
+            require_chunk_coverage(
+                docs, chunks, "doc_id", "near_dup_removal"
+            )
         # keep_ids INSIDE the operator, not a pre-join here: the
         # operator self-joins its chunk input, so a caller-side
         # semi-join would execute twice

@@ -27,6 +27,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+#: live scratch dirs for the side-effecting queries (q198/q199): each
+#: invocation frees the PREVIOUS invocation's tree first (a lazy
+#: result must stay readable until the caller collects it, so the
+#: current dir can't be freed synchronously), and atexit sweeps the
+#: last one — bounded to one live tree per query per process instead
+#: of one per bench/determinism/driver run accumulating in /tmp
+_SCRATCH: dict[str, str] = {}
+
+
+def _sweep_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH.clear()
+
+
+def _scratch_dir(tag: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    old = _SCRATCH.pop(tag, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"egs_{tag}_")
+    if not _SCRATCH:  # first live entry this process
+        atexit.register(_sweep_scratch)
+    _SCRATCH[tag] = d
+    return d
+
+
 # ---------------------------------------------------------------------------
 # q187: per-user maximum drawdown of the revenue-minus-cost curve
 # ---------------------------------------------------------------------------
@@ -922,15 +954,14 @@ def q197_salted_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q198_orc_pushdown_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
     from etl_guiacores_spark import io as gio
 
     orders = _t(spark, sf_dir, "orders")
-    # the temp dir must outlive this function: the driver collects
-    # the returned (lazy) DataFrame later, and the ORC scan reads
-    # the files at that point
-    path = tempfile.mkdtemp(prefix="q198_orc_") + "/orders_orc"
+    # scratch-dir lifecycle (_scratch_dir): the dir must outlive this
+    # function — the driver collects the returned lazy DataFrame
+    # later — so the PREVIOUS invocation's tree is freed instead,
+    # and atexit sweeps the last one
+    path = _scratch_dir("q198_orc") + "/orders_orc"
     gio.write_orc(orders, path)
     back = gio.read_orc(spark, path)
     return (
@@ -995,8 +1026,6 @@ def q198_orc_pushdown_roundtrip(
 def q199_streaming_acquisition_twin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
-
     from etl_guiacores_spark.streaming import (
         daily_acquisition_stream,
         read_daily_acquisition,
@@ -1019,8 +1048,13 @@ def q199_streaming_acquisition_twin(
     b = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).first()
+    if b["lo"] is None:
+        raise ValueError(
+            "q199_streaming_acquisition_twin: the events table at "
+            f"{sf_dir} is empty — nothing to replay"
+        )
     mid = b["lo"] + (b["hi"] - b["lo"]) / 2
-    root = tempfile.mkdtemp(prefix="q199_stream_")
+    root = _scratch_dir("q199_stream")
     src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
     ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.mode(
         "append"

@@ -54,7 +54,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _snapshot_ids(spark: SparkSession, root: str) -> list[int]:
+def _snapshot_ids(
+    spark: SparkSession, root: str, allow_compacting: bool = False
+) -> list[int]:
     """Sorted ids of FENCED (``_SUCCESS``-marked) ``batch=<id>``
     snapshot dirs under ``root``, via the Hadoop FileSystem API — NOT
     local pathlib/glob: ``out_dir`` is a Spark path, so on HDFS/S3 (the
@@ -68,6 +70,18 @@ def _snapshot_ids(spark: SparkSession, root: str) -> list[int]:
     ids = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
+        if name.startswith("_COMPACTING_") and not allow_compacting:
+            # an interrupted compact_snapshots swap: the snapshot it
+            # was rewriting may be missing, and folding the next
+            # batch from the one BEFORE it would silently drop a
+            # batch's contributions — refuse until recovered (re-run
+            # compact_snapshots; it completes or rolls back the swap)
+            raise RuntimeError(
+                f"interrupted snapshot compaction under {root} "
+                f"(marker {name}) — re-run compact_snapshots on this "
+                "state root to complete or roll back the swap before "
+                "resuming the stream"
+            )
         if not (st.isDirectory() and name.startswith("batch=")):
             continue
         suffix = name.split("=", 1)[1]
@@ -118,15 +132,64 @@ def compact_snapshots(
 
     ``removable`` restricts which of a retired key's rows may drop
     (the dwell twin passes ``kind == 'open'``: a retired key's open
-    hold is dropped but the shared per-state aggregate rows survive);
-    None means every row of a retired key drops. Retire a key only
-    when upstream will not send it again — if it does reappear, the
-    twin folds it as brand new (and a replay DEEPER than the
-    compacted snapshot resurrects it, consistent with the same
-    assumption). Returns the number of rows removed. The join is a
-    keyed anti-join — retired_keys may be data-sized; nothing here
-    is collected to the driver."""
-    ids = _snapshot_ids(spark, state_root)
+    hold is dropped but the shared per-state aggregate rows survive;
+    a NULL predicate value counts as "may not drop" — the filter
+    only removes rows it affirms). None means every row of a retired
+    key drops. Retire a key only when upstream will not send it
+    again — if it does reappear, the twin folds it as brand new (and
+    a replay DEEPER than the compacted snapshot resurrects it,
+    consistent with the same assumption). Returns the number of rows
+    removed. The join is a keyed anti-join — retired_keys may be
+    data-sized; nothing here is collected to the driver.
+
+    Crash safety: the in-place swap is fenced by a
+    ``_COMPACTING_<id>`` marker. While the marker exists,
+    ``_snapshot_ids`` (and therefore every stream resume on this
+    root) REFUSES to list snapshots — a crash between the delete and
+    the rename would otherwise leave batch <id> missing, the fence
+    in _resolve_prev_snapshot would not fire (an older snapshot
+    still exists), and the next batch would silently fold from
+    one-batch-stale state. Re-running compact_snapshots completes
+    the interrupted swap (the rewritten table is in the fenced temp
+    dir) or rolls it back, then removes the marker."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def _marker_path(bid: int) -> str:
+        return f"{state_root}/_COMPACTING_{bid}"
+
+    def _fenced_dir(p: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{p}/_SUCCESS"))
+
+    # --- recovery: finish or roll back an interrupted swap ----------
+    root_p = jvm.org.apache.hadoop.fs.Path(state_root)
+    if fs.exists(root_p):
+        for st in fs.listStatus(root_p):
+            name = st.getPath().getName()
+            if not name.startswith("_COMPACTING_"):
+                continue
+            bid = int(name.split("_COMPACTING_", 1)[1])
+            pdir = f"{state_root}/batch={bid}"
+            tdir = f"{state_root}/.compact-tmp-{bid}"
+            if _fenced_dir(pdir):
+                # the destructive step never ran — roll back
+                _delete_dir(spark, tdir)
+            elif _fenced_dir(tdir):
+                # crashed between delete and rename — complete
+                _delete_dir(spark, pdir)  # clear any torn remnant
+                _rename_dir(spark, tdir, pdir)
+            else:
+                raise RuntimeError(
+                    f"compact_snapshots: interrupted swap for batch "
+                    f"{bid} under {state_root} left neither a fenced "
+                    "snapshot nor a fenced temp — unrecoverable; "
+                    "restore from an earlier snapshot"
+                )
+            _delete_dir(spark, _marker_path(bid))
+
+    ids = _snapshot_ids(spark, state_root, allow_compacting=True)
     if not ids:
         raise ValueError(
             f"compact_snapshots: no fenced snapshot under {state_root}"
@@ -143,13 +206,19 @@ def compact_snapshots(
     )
     drop = F.col("__retired").isNotNull()
     if removable is not None:
-        drop = drop & removable
+        # NULL predicate = not affirmed = keep (TRUE & NULL is NULL,
+        # and filter(~NULL) would silently DELETE the row otherwise)
+        drop = drop & F.coalesce(removable, F.lit(False))
     kept = marked.filter(~drop).drop("__retired").select(*snap.columns)
     n_before = snap.count()
     tmp = f"{state_root}/.compact-tmp-{ids[-1]}"
     kept.write.mode("overwrite").parquet(tmp)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(_marker_path(ids[-1])), True
+    ).close()
     _delete_dir(spark, path)
     _rename_dir(spark, tmp, path)
+    _delete_dir(spark, _marker_path(ids[-1]))
     n_after = spark.read.parquet(path).count()
     return n_before - n_after
 

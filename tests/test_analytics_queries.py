@@ -301,3 +301,40 @@ def test_wow_growth_conserves_revenue(spark):
             1_000_000 * (cur["revenue_cents"] - cur["prev_cents"]),
             cur["prev_cents"],
         )
+
+
+def test_q198_q199_scratch_dirs_are_bounded(spark, tmp_path):
+    """The side-effecting queries must not accumulate one /tmp tree
+    per invocation (bench runs each query 1 cold + warm repeats, the
+    determinism sweep runs everything twice): each call frees the
+    previous call's scratch dir, so at most ONE tree per query is
+    live in a process."""
+    import os
+
+    from etl_guiacores_spark import queries_analytics as qa
+    from etl_guiacores_spark.queries import REGISTRY
+
+    fn = REGISTRY["q198_orc_pushdown_roundtrip"].fn
+    fn(spark, SF).collect()
+    first = qa._SCRATCH["q198_orc"]
+    assert os.path.isdir(first)
+    fn(spark, SF).collect()
+    second = qa._SCRATCH["q198_orc"]
+    assert second != first
+    assert not os.path.exists(first)  # previous tree freed
+    assert os.path.isdir(second)
+
+
+def test_q199_empty_events_raises_loud(spark, tmp_path):
+    from etl_guiacores_spark.queries import REGISTRY
+    from etl_guiacores_spark.sources.tables import load_table
+
+    schema = load_table(spark, "events", SF).schema
+    empty_sf = str(tmp_path / "sf_empty")
+    spark.createDataFrame([], schema).write.parquet(
+        f"{empty_sf}/events.parquet"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="events table .* is empty"):
+        REGISTRY["q199_streaming_acquisition_twin"].fn(spark, empty_sf)

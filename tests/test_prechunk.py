@@ -354,6 +354,61 @@ class TestPrechunkedConsumers:
                     CorpusConfig(prechunk=True, salt_chunk_tokens=bad),
                 )
 
+    def test_minhash_rejects_undersized_nonfinal_chunks(self, spark):
+        """The boundary requirement is ENFORCED under validate: a
+        bronze table whose non-final chunks hold < n-1 tokens would
+        silently lose cross-boundary n-grams (they can span three
+        chunks), so the operator must refuse it rather than return
+        wrong signatures."""
+        from etl_guiacores_spark.operators.similarity import (
+            prechunked_minhash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        tiny = prechunk_documents(df, chunk_tokens=1)
+        with pytest.raises(ValueError, match="non-final chunk"):
+            prechunked_minhash(tiny, n=3).collect()
+        # chunk_tokens >= n is fine
+        ok = prechunk_documents(df, chunk_tokens=3)
+        assert prechunked_minhash(ok, n=3).count() == 1
+
+    def test_coverage_probe_catches_partial_bronze(self, spark):
+        """A stale/partial bronze table would silently DROP uncovered
+        docs at the filter leg (inner join) and silently KEEP them at
+        the near-dup leg (no signatures -> automatic survivor) — the
+        coverage probe makes both loud."""
+        from etl_guiacores_spark.operators.chunking import (
+            require_chunk_coverage,
+        )
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            filter_documents,
+            near_dup_removal,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+        )
+        partial = prechunk_documents(
+            docs.filter(F.col("doc_id") == 1), chunk_tokens=4
+        )
+        with pytest.raises(ValueError, match="no rows in the pre-chunked"):
+            require_chunk_coverage(docs, partial, "doc_id", "t")
+        with pytest.raises(ValueError, match="no rows in the pre-chunked"):
+            filter_documents(
+                docs, CorpusConfig(salt_chunk_tokens=4, prechunk=True),
+                validate_ids=True, chunks=partial,
+            )
+        with pytest.raises(ValueError, match="no rows in the pre-chunked"):
+            near_dup_removal(
+                docs, 0.6, validate_ids=True, chunks=partial
+            )
+        # full coverage passes
+        full = prechunk_documents(docs, chunk_tokens=4)
+        require_chunk_coverage(docs, full, "doc_id", "t")
+
     def test_contract_enforced_by_default(self, spark):
         from etl_guiacores_spark.operators.similarity import (
             prechunked_minhash,

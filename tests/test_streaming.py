@@ -1058,6 +1058,86 @@ class TestTwinStateBounds:
         assert len(retired_rows) == 2
         assert state_b == [t for t in state_a if t[0] not in (5, 6)]
 
+    def test_compact_marker_fences_snapshot_listing(self, spark, tmp_path):
+        """A crash mid-swap leaves a _COMPACTING_<id> marker; every
+        stream resume on that root must refuse to list snapshots
+        (folding from the batch BEFORE the missing one would silently
+        drop a batch's contributions), and compact_snapshots itself
+        must recover — completing the swap when the temp is fenced,
+        rolling back when the original survived."""
+        import pytest
+
+        from etl_guiacores_spark.streaming.drift import (
+            _snapshot_ids,
+            compact_snapshots,
+        )
+
+        root = str(tmp_path / "state")
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "user_id int, v long"
+        ).write.parquet(f"{root}/batch=0")
+        # simulate a crash AFTER the temp write, BEFORE the delete:
+        # original fenced, temp fenced, marker present
+        spark.createDataFrame(
+            [(1, 10)], "user_id int, v long"
+        ).write.parquet(f"{root}/.compact-tmp-0")
+        (tmp_path / "state" / "_COMPACTING_0").touch()
+        with pytest.raises(RuntimeError, match="interrupted"):
+            _snapshot_ids(spark, root)
+        # recovery rolls back (original survived) and the requested
+        # compaction then applies to the intact snapshot
+        removed = compact_snapshots(
+            spark, root, spark.createDataFrame([(3,)], "user_id int"),
+            ["user_id"],
+        )
+        assert removed == 1
+        assert not (tmp_path / "state" / "_COMPACTING_0").exists()
+        snap = spark.read.parquet(f"{root}/batch=0")
+        assert sorted(r["user_id"] for r in snap.collect()) == [1, 2]
+
+        # simulate a crash AFTER the delete, BEFORE the rename:
+        # original gone, temp fenced, marker present
+        import shutil
+
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id int, v long"
+        ).write.mode("overwrite").parquet(f"{root}/.compact-tmp-0")
+        shutil.rmtree(tmp_path / "state" / "batch=0")
+        (tmp_path / "state" / "_COMPACTING_0").touch()
+        with pytest.raises(RuntimeError, match="interrupted"):
+            _snapshot_ids(spark, root)
+        removed = compact_snapshots(
+            spark, root, spark.createDataFrame([], "user_id int"),
+            ["user_id"],
+        )
+        assert removed == 0
+        snap = spark.read.parquet(f"{root}/batch=0")
+        assert sorted(r["user_id"] for r in snap.collect()) == [1, 2]
+        assert _snapshot_ids(spark, root) == [0]
+
+    def test_compact_null_removable_keeps_row(self, spark, tmp_path):
+        """A NULL removable-predicate value means 'not affirmed' —
+        the row must be KEPT (TRUE & NULL fed to filter(~drop) would
+        silently delete it)."""
+        from etl_guiacores_spark.streaming.drift import (
+            compact_snapshots,
+        )
+
+        root = str(tmp_path / "nstate")
+        spark.createDataFrame(
+            [(1, None), (1, 7), (2, 3)], "user_id int, x int"
+        ).write.parquet(f"{root}/batch=0")
+        removed = compact_snapshots(
+            spark, root, spark.createDataFrame([(1,)], "user_id int"),
+            ["user_id"], removable=F.col("x") > 5,
+        )
+        assert removed == 1  # only (1, 7); the NULL-x row survives
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{root}/batch=0").collect()
+        )
+        assert got == [(1, None), (2, 3)]
+
     def test_compact_snapshots_dwell_removable_filter(
         self, spark, tmp_path
     ):

@@ -44,17 +44,22 @@ def _sweep_scratch() -> None:
     _SCRATCH.clear()
 
 
+_SWEEP_REGISTERED = False
+
+
 def _scratch_dir(tag: str) -> str:
     import atexit
     import shutil
     import tempfile
 
+    global _SWEEP_REGISTERED
+    if not _SWEEP_REGISTERED:  # once per process, not once per call
+        atexit.register(_sweep_scratch)
+        _SWEEP_REGISTERED = True
     old = _SCRATCH.pop(tag, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
     d = tempfile.mkdtemp(prefix=f"egs_{tag}_")
-    if not _SCRATCH:  # first live entry this process
-        atexit.register(_sweep_scratch)
     _SCRATCH[tag] = d
     return d
 

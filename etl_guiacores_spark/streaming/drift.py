@@ -100,14 +100,6 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
-def _rename_dir(spark: SparkSession, src: str, dst: str) -> None:
-    jvm = spark._jvm
-    sp = jvm.org.apache.hadoop.fs.Path(src)
-    fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.rename(sp, jvm.org.apache.hadoop.fs.Path(dst)):
-        raise RuntimeError(f"rename {src} -> {dst} failed")
-
-
 def compact_snapshots(
     spark: SparkSession,
     state_root: str,
@@ -124,11 +116,10 @@ def compact_snapshots(
     TestTwinStateBounds), so a corpus with unbounded key churn needs
     an out-of-band retirement decision. Run this BETWEEN runs (no
     active query on ``out_dir``): the latest ``batch=<id>`` snapshot
-    is rewritten in place (write-temp + FileSystem rename, so the
-    result is again a fenced parquet dir) with the retired keys'
-    rows removed; a resumed stream folds the next batch from the
-    compacted state exactly as it would have minus those keys —
-    resume-equivalence is pinned in tests/test_streaming.py.
+    is rewritten in place with the retired keys' rows removed; a
+    resumed stream folds the next batch from the compacted state
+    exactly as it would have minus those keys — resume-equivalence
+    is pinned in tests/test_streaming.py.
 
     ``removable`` restricts which of a retired key's rows may drop
     (the dwell twin passes ``kind == 'open'``: a retired key's open
@@ -143,15 +134,21 @@ def compact_snapshots(
     data-sized; nothing here is collected to the driver.
 
     Crash safety: the in-place swap is fenced by a
-    ``_COMPACTING_<id>`` marker. While the marker exists,
-    ``_snapshot_ids`` (and therefore every stream resume on this
-    root) REFUSES to list snapshots — a crash between the delete and
-    the rename would otherwise leave batch <id> missing, the fence
-    in _resolve_prev_snapshot would not fire (an older snapshot
-    still exists), and the next batch would silently fold from
-    one-batch-stale state. Re-running compact_snapshots completes
-    the interrupted swap (the rewritten table is in the fenced temp
-    dir) or rolls it back, then removes the marker."""
+    ``_COMPACTING_<id>`` marker whose CONTENT is the expected
+    compacted row count. While the marker exists, ``_snapshot_ids``
+    (and therefore every stream resume on this root) REFUSES to list
+    snapshots — a crash mid-swap would otherwise let the next batch
+    silently fold from one-batch-stale state (the replay fence in
+    _resolve_prev_snapshot doesn't fire while an older snapshot
+    exists). Both installs are Spark WRITE JOBS, never a
+    FileSystem.rename: on object stores rename is copy-then-delete
+    and an interrupted copy/delete can leave a dir that carries
+    ``_SUCCESS`` while missing data files, so during recovery a
+    fenced dir is only trusted if its ROW COUNT matches the marker —
+    whichever of (batch dir, temp dir) verifies wins, the swap is
+    completed or rolled back from it, and the marker is removed.
+    Re-running compact_snapshots performs that recovery
+    automatically before compacting."""
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(state_root).getFileSystem(
         spark._jsc.hadoopConfiguration()
@@ -163,6 +160,21 @@ def compact_snapshots(
     def _fenced_dir(p: str) -> bool:
         return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{p}/_SUCCESS"))
 
+    def _verified(p: str, want: int | None) -> bool:
+        """Fenced AND (when the marker carries a count) the row count
+        matches. A bare ``_SUCCESS`` is NOT proof of completeness
+        during recovery: object-store rename/delete are per-object
+        operations, so an interrupted one can leave a dir carrying
+        the fence while missing data files."""
+        if not _fenced_dir(p):
+            return False
+        if want is None:  # legacy count-less marker
+            return True
+        try:
+            return spark.read.parquet(p).count() == want
+        except Exception:
+            return False  # torn files -> not trustworthy
+
     # --- recovery: finish or roll back an interrupted swap ----------
     root_p = jvm.org.apache.hadoop.fs.Path(state_root)
     if fs.exists(root_p):
@@ -173,19 +185,33 @@ def compact_snapshots(
             bid = int(name.split("_COMPACTING_", 1)[1])
             pdir = f"{state_root}/batch={bid}"
             tdir = f"{state_root}/.compact-tmp-{bid}"
-            if _fenced_dir(pdir):
-                # the destructive step never ran — roll back
+            want: int | None = None
+            try:
+                stream = fs.open(st.getPath())
+                raw = bytes(
+                    stream.readAllBytes()
+                ).decode("utf-8").strip()
+                stream.close()
+                want = int(raw) if raw else None
+            except Exception:
+                want = None
+            if _verified(pdir, want):
+                # either the install job completed, or (count-equal
+                # rollback window) the original already equals the
+                # compacted content — trust it, clear the temp
                 _delete_dir(spark, tdir)
-            elif _fenced_dir(tdir):
-                # crashed between delete and rename — complete
-                _delete_dir(spark, pdir)  # clear any torn remnant
-                _rename_dir(spark, tdir, pdir)
+            elif _verified(tdir, want):
+                # temp is the only complete copy: redo the install
+                # as a WRITE JOB (committer lands _SUCCESS last)
+                _delete_dir(spark, pdir)
+                spark.read.parquet(tdir).write.parquet(pdir)
+                _delete_dir(spark, tdir)
             else:
                 raise RuntimeError(
                     f"compact_snapshots: interrupted swap for batch "
-                    f"{bid} under {state_root} left neither a fenced "
-                    "snapshot nor a fenced temp — unrecoverable; "
-                    "restore from an earlier snapshot"
+                    f"{bid} under {state_root} left neither a "
+                    "verifiable snapshot nor a verifiable temp — "
+                    "unrecoverable; restore from an earlier snapshot"
                 )
             _delete_dir(spark, _marker_path(bid))
 
@@ -209,18 +235,36 @@ def compact_snapshots(
         # NULL predicate = not affirmed = keep (TRUE & NULL is NULL,
         # and filter(~NULL) would silently DELETE the row otherwise)
         drop = drop & F.coalesce(removable, F.lit(False))
-    kept = marked.filter(~drop).drop("__retired").select(*snap.columns)
-    n_before = snap.count()
+    # both counts observed on the ONE temp-write job — no separate
+    # pre-scan of the snapshot and no post-install re-read (the
+    # second review pass flagged the 3x read volume on a state table
+    # that can be key-churn-sized)
+    from pyspark.sql import Observation
+
+    obs_all = Observation("compact_all")
+    obs_kept = Observation("compact_kept")
+    kept = (
+        marked.observe(obs_all, F.count(F.lit(1)).alias("n"))
+        .filter(~drop)
+        .drop("__retired")
+        .select(*snap.columns)
+        .observe(obs_kept, F.count(F.lit(1)).alias("n"))
+    )
     tmp = f"{state_root}/.compact-tmp-{ids[-1]}"
     kept.write.mode("overwrite").parquet(tmp)
-    fs.create(
+    n_all, n_kept = obs_all.get["n"], obs_kept.get["n"]
+    out = fs.create(
         jvm.org.apache.hadoop.fs.Path(_marker_path(ids[-1])), True
-    ).close()
+    )
+    out.write(str(n_kept).encode("utf-8"))
+    out.close()
     _delete_dir(spark, path)
-    _rename_dir(spark, tmp, path)
+    # install as a write job, not a rename: a fenced job output is
+    # complete everywhere, including object stores
+    spark.read.parquet(tmp).write.parquet(path)
+    _delete_dir(spark, tmp)
     _delete_dir(spark, _marker_path(ids[-1]))
-    n_after = spark.read.parquet(path).count()
-    return n_before - n_after
+    return n_all - n_kept
 
 
 def _resolve_prev_snapshot(

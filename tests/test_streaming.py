@@ -1115,6 +1115,24 @@ class TestTwinStateBounds:
         assert sorted(r["user_id"] for r in snap.collect()) == [1, 2]
         assert _snapshot_ids(spark, root) == [0]
 
+        # object-store torn install: batch dir carries _SUCCESS but
+        # the WRONG row count vs the marker's recorded count — a bare
+        # fence must not be trusted; the count-verified temp wins
+        spark.createDataFrame(
+            [(9, 90)], "user_id int, v long"
+        ).write.mode("overwrite").parquet(f"{root}/batch=0")  # torn (1 row)
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id int, v long"
+        ).write.mode("overwrite").parquet(f"{root}/.compact-tmp-0")
+        (tmp_path / "state" / "_COMPACTING_0").write_text("2")
+        removed = compact_snapshots(
+            spark, root, spark.createDataFrame([], "user_id int"),
+            ["user_id"],
+        )
+        assert removed == 0
+        snap = spark.read.parquet(f"{root}/batch=0")
+        assert sorted(r["user_id"] for r in snap.collect()) == [1, 2]
+
     def test_compact_null_removable_keeps_row(self, spark, tmp_path):
         """A NULL removable-predicate value means 'not affirmed' —
         the row must be KEPT (TRUE & NULL fed to filter(~drop) would

@@ -1054,9 +1054,14 @@ def q199_streaming_acquisition_twin(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).first()
     if b["lo"] is None:
-        raise ValueError(
-            "q199_streaming_acquisition_twin: the events table at "
-            f"{sf_dir} is empty — nothing to replay"
+        # suite-wide empty-input contract (R4): an empty events table
+        # yields an empty report, never a crash (the None arithmetic
+        # below would otherwise TypeError) — and there is nothing to
+        # replay through the stream anyway
+        return spark.createDataFrame(
+            [],
+            "day string, n_events long, n_active long, n_new long, "
+            "n_returning long, cum_users long",
         )
     mid = b["lo"] + (b["hi"] - b["lo"]) / 2
     root = _scratch_dir("q199_stream")

@@ -325,7 +325,10 @@ def test_q198_q199_scratch_dirs_are_bounded(spark, tmp_path):
     assert os.path.isdir(second)
 
 
-def test_q199_empty_events_raises_loud(spark, tmp_path):
+def test_q199_empty_events_returns_empty_report(spark, tmp_path):
+    """Suite-wide empty-input contract (R4): an empty events table
+    yields an empty report with the full output schema — never the
+    TypeError the unguarded None midpoint arithmetic would raise."""
     from etl_guiacores_spark.queries import REGISTRY
     from etl_guiacores_spark.sources.tables import load_table
 
@@ -334,7 +337,9 @@ def test_q199_empty_events_raises_loud(spark, tmp_path):
     spark.createDataFrame([], schema).write.parquet(
         f"{empty_sf}/events.parquet"
     )
-    import pytest
-
-    with pytest.raises(ValueError, match="events table .* is empty"):
-        REGISTRY["q199_streaming_acquisition_twin"].fn(spark, empty_sf)
+    out = REGISTRY["q199_streaming_acquisition_twin"].fn(spark, empty_sf)
+    assert out.columns == [
+        "day", "n_events", "n_active", "n_new", "n_returning",
+        "cum_users",
+    ]
+    assert out.count() == 0

@@ -301,6 +301,25 @@ def test_search_mode(spark):
     assert all(h["n_hit_terms"] >= 1 for h in res["hits"])
 
 
+def test_corpus_mode_salted_prechunk(spark, tmp_path):
+    """--salt-chunk-tokens + --prechunk reach the pipeline: the bronze
+    artifact lands fenced and the metrics envelope equals the plain
+    run's (outputs are bit-identical by the operator parity tests;
+    this pins the CLI wiring)."""
+    base = ["corpus",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--jaccard", "0.6"]
+    plain = main(["--out", str(tmp_path / "p")] + base, spark=spark)
+    salted = main(
+        ["--out", str(tmp_path / "s")] + base
+        + ["--salt-chunk-tokens", "8", "--prechunk"],
+        spark=spark,
+    )
+    assert plain == salted
+    assert (tmp_path / "s" / "bronze_chunks" / "_SUCCESS").exists()
+    assert not (tmp_path / "p" / "bronze_chunks").exists()
+
+
 def test_corpus_mode_strip_spans(spark, tmp_path):
     res = main(
         ["--out", str(tmp_path / "cs"), "corpus",

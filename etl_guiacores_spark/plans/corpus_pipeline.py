@@ -342,6 +342,9 @@ def stage_corpus_artifacts(
     table_prefix: str,
     num_buckets: int = 16,
     portable: bool = False,
+    salt_chunk_tokens: int | None = None,
+    chunks: DataFrame | None = None,
+    validate_ids: bool = True,
 ) -> dict[str, str]:
     """Pay the shingle/signature computation and the doc_id shuffle
     ONCE: per-doc shingle arrays and minhash signatures land as
@@ -349,21 +352,45 @@ def stage_corpus_artifacts(
     verify join) reads them bucket-aligned — no re-shingling, and no
     exchange on the heavy array-carrying side of the join. This is the
     100 TB shape: signatures are ingest-time artifacts, not per-query
-    recomputation."""
+    recomputation.
+
+    ``salt_chunk_tokens`` routes the one staging pass through the
+    skew-proof salted shingle build; ``chunks`` (a pre-chunked bronze
+    table) routes it through balanced chunk rows instead — the
+    staging pass IS the pass where a fat document's one-task shingle
+    build hurts, since everything downstream reads these tables.
+    Outputs are bit-identical either way (shingle sets sorted on the
+    salted/bronze paths — consumers treat them as sets)."""
     shingles_t, sigs_t = f"{table_prefix}_shingles", f"{table_prefix}_sigs"
-    # ONE shingling pass feeds both tables: with_minhash(shingle_col=)
-    # exposes the shingle array it computes anyway, and the transient
-    # persist carries it across the two bucketed writes — shingling the
+    # ONE shingling pass feeds both tables: every leg exposes the
+    # shingle array it computes anyway, and the transient persist
+    # carries it across the two bucketed writes — shingling the
     # corpus a second time for the signature table would double the
     # most expensive per-row expression at ingest
-    staged = with_minhash(
-        docs.select("doc_id", "text"), "text", portable=portable, shingle_col="sh"
-    ).drop("text").persist()
+    if chunks is not None:
+        handle = prechunked_minhash(
+            chunks, "doc_id", portable=portable, with_shingles=True,
+            validate=validate_ids, keep_ids=docs,
+        ).persist()
+    elif salt_chunk_tokens is not None:
+        handle = staged_minhash_shingles(  # persists internally
+            docs, "doc_id", "text",
+            salt_chunk_tokens=salt_chunk_tokens, portable=portable,
+            validate_ids=validate_ids,
+        )
+    else:
+        handle = with_minhash(
+            docs.select("doc_id", "text"), "text", portable=portable,
+            shingle_col="shingles",
+        ).drop("text").persist()
+    # unpersist must target the HANDLE whose plan carries the cache
+    # entry — a renamed child df's unpersist would silently no-op
+    staged = handle.withColumnRenamed("shingles", "sh")
     try:
         write_bucketed(staged.select("doc_id", "sh"), shingles_t, "doc_id", num_buckets)
         write_bucketed(staged.drop("sh"), sigs_t, "doc_id", num_buckets)
     finally:
-        staged.unpersist()
+        handle.unpersist()
     return {"shingles": shingles_t, "sigs": sigs_t}
 
 
@@ -402,6 +429,9 @@ def incremental_near_dup(
     tables: dict[str, str],
     threshold: float,
     portable: bool = False,
+    salt_chunk_tokens: int | None = None,
+    chunks: DataFrame | None = None,
+    validate_ids: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW ingest batch against an already-staged corpus — the
     daily-ingest shape at 100 TB: only the new batch is shingled and
@@ -422,9 +452,30 @@ def incremental_near_dup(
     from etl_guiacores_spark.operators.similarity import band_rows
 
     spark = new_docs.sparkSession
-    new_sigs = with_minhash(
-        new_docs.select("doc_id", "text"), "text", portable=portable
-    ).drop("text")
+    # salted / pre-chunked legs stage ONE (id, shingles, sigs) table
+    # that serves both the banding below and the shingle verify —
+    # which also removes the unsalted path's historical duplication
+    # of the batch's shingle pass (with_minhash here + word_shingles
+    # later); the handle rides out on the pair result as staged_sigs,
+    # same lifecycle contract as near_dup_removal's
+    staged_new = None
+    if chunks is not None:
+        staged_new = prechunked_minhash(
+            chunks, "doc_id", portable=portable, with_shingles=True,
+            validate=validate_ids, keep_ids=new_docs,
+        ).persist()
+    elif salt_chunk_tokens is not None:
+        staged_new = staged_minhash_shingles(
+            new_docs, "doc_id", "text",
+            salt_chunk_tokens=salt_chunk_tokens, portable=portable,
+            validate_ids=validate_ids,
+        )
+    if staged_new is not None:
+        new_sigs = staged_new.drop("shingles")
+    else:
+        new_sigs = with_minhash(
+            new_docs.select("doc_id", "text"), "text", portable=portable
+        ).drop("text")
     # replay-safety: a re-delivered batch may already be IN the staged
     # tables; its own staged copies must not doom it
     staged_sigs = spark.table(tables["sigs"])
@@ -466,7 +517,14 @@ def incremental_near_dup(
         .select("id_a", "id_b")
         .distinct()
     )
-    new_sh = new_docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    if staged_new is not None:
+        new_sh = staged_new.select(
+            "doc_id", F.col("shingles").alias("sh")
+        )
+    else:
+        new_sh = new_docs.select(
+            "doc_id", word_shingles(F.col("text")).alias("sh")
+        )
     # replay-safety on the SHINGLE side too: a re-delivered batch's
     # rows may already sit in the staged table, and keeping both
     # copies would fan every verified pair out twice through the id_a
@@ -487,6 +545,9 @@ def incremental_near_dup(
     )
     doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = new_docs.join(doomed, "doc_id", "left_anti")
+    # caller releases once the consuming action has run — the same
+    # handle-riding contract as near_dup_removal's staged_sigs
+    verified.staged_sigs = staged_new
     return survivors, verified
 
 

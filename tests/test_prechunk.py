@@ -409,6 +409,53 @@ class TestPrechunkedConsumers:
         full = prechunk_documents(docs, chunk_tokens=4)
         require_chunk_coverage(docs, full, "doc_id", "t")
 
+    def test_staged_and_incremental_legs_equivalent(self, spark):
+        """stage_corpus_artifacts + incremental_near_dup accept the
+        salted and pre-chunked legs: identical staged-table content
+        semantics (survivors + incremental survivors match the
+        per-row leg exactly), so the daily-ingest shape can ride the
+        skew-proof paths end-to-end."""
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            incremental_near_dup,
+            near_dup_removal_staged,
+            stage_corpus_artifacts,
+        )
+        from etl_guiacores_spark.sources.tables import load_table
+
+        docs = (
+            load_table(spark, "documents", "/root/testdata/sf0.001")
+            .filter(F.length(F.trim("text")) > 0)
+            .select("doc_id", "text")
+        )
+        old = docs.filter("doc_id < 250")
+        new = docs.filter("doc_id >= 250")
+        results = {}
+        for leg, kw in (
+            ("plain", {}),
+            ("salted", {"salt_chunk_tokens": 8}),
+            ("bronze", {"chunks": prechunk_documents(docs, chunk_tokens=8)}),
+        ):
+            tables = stage_corpus_artifacts(
+                old, f"pchk_{leg}", num_buckets=4, **kw
+            )
+            try:
+                surv, _ = near_dup_removal_staged(old, tables, 0.6)
+                inc, inc_pairs = incremental_near_dup(
+                    new, tables, 0.6, **kw
+                )
+                results[leg] = (
+                    sorted(r["doc_id"] for r in surv.collect()),
+                    sorted(r["doc_id"] for r in inc.collect()),
+                )
+                handle = getattr(inc_pairs, "staged_sigs", None)
+                if handle is not None:
+                    handle.unpersist()
+            finally:
+                for t in tables.values():
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+        assert results["salted"] == results["plain"]
+        assert results["bronze"] == results["plain"]
+
     def test_contract_enforced_by_default(self, spark):
         from etl_guiacores_spark.operators.similarity import (
             prechunked_minhash,

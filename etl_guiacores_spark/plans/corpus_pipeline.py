@@ -337,6 +337,46 @@ def near_dup_removal(
     return survivors, verified
 
 
+def _staged_sigs_for(
+    docs: DataFrame,
+    portable: bool,
+    salt_chunk_tokens: int | None,
+    chunks: DataFrame | None,
+    validate_ids: bool,
+    op_name: str,
+) -> DataFrame:
+    """One PERSISTED ``(doc_id, shingles, sig_0..k-1)`` frame for
+    ``docs`` via whichever leg the caller selected — the ONE copy of
+    the plain/salted/pre-chunked dispatch shared by the staged-shape
+    functions (stage_corpus_artifacts, incremental_near_dup,
+    append_corpus_artifacts); the first draft copy-pasted it three
+    ways and promptly drifted (the coverage probe existed in only one
+    copy — round-11 review finding). The caller owns the returned
+    handle's unpersist, per the staged_minhash_shingles lifecycle."""
+    if chunks is not None:
+        if validate_ids:
+            from etl_guiacores_spark.operators.chunking import (
+                require_chunk_coverage,
+            )
+
+            # an uncovered doc would silently get NO signature rows:
+            # dropped from staged tables / auto-admitted by the
+            # incremental dedup — the same failure mode
+            # near_dup_removal probes for
+            require_chunk_coverage(docs, chunks, "doc_id", op_name)
+        return prechunked_minhash(
+            chunks, "doc_id", portable=portable, with_shingles=True,
+            validate=validate_ids, keep_ids=docs,
+        ).persist()
+    # staged_minhash_shingles persists internally and handles BOTH the
+    # salted (salt_chunk_tokens) and plain (None) legs
+    return staged_minhash_shingles(
+        docs, "doc_id", "text",
+        salt_chunk_tokens=salt_chunk_tokens, portable=portable,
+        validate_ids=validate_ids,
+    )
+
+
 def stage_corpus_artifacts(
     docs: DataFrame,
     table_prefix: str,
@@ -367,22 +407,10 @@ def stage_corpus_artifacts(
     # carries it across the two bucketed writes — shingling the
     # corpus a second time for the signature table would double the
     # most expensive per-row expression at ingest
-    if chunks is not None:
-        handle = prechunked_minhash(
-            chunks, "doc_id", portable=portable, with_shingles=True,
-            validate=validate_ids, keep_ids=docs,
-        ).persist()
-    elif salt_chunk_tokens is not None:
-        handle = staged_minhash_shingles(  # persists internally
-            docs, "doc_id", "text",
-            salt_chunk_tokens=salt_chunk_tokens, portable=portable,
-            validate_ids=validate_ids,
-        )
-    else:
-        handle = with_minhash(
-            docs.select("doc_id", "text"), "text", portable=portable,
-            shingle_col="shingles",
-        ).drop("text").persist()
+    handle = _staged_sigs_for(
+        docs, portable, salt_chunk_tokens, chunks, validate_ids,
+        "stage_corpus_artifacts",
+    )
     # unpersist must target the HANDLE whose plan carries the cache
     # entry — a renamed child df's unpersist would silently no-op
     staged = handle.withColumnRenamed("shingles", "sh")
@@ -459,18 +487,11 @@ def incremental_near_dup(
     # later); the handle rides out on the pair result as staged_sigs,
     # same lifecycle contract as near_dup_removal's
     staged_new = None
-    if chunks is not None:
-        staged_new = prechunked_minhash(
-            chunks, "doc_id", portable=portable, with_shingles=True,
-            validate=validate_ids, keep_ids=new_docs,
-        ).persist()
-    elif salt_chunk_tokens is not None:
-        staged_new = staged_minhash_shingles(
-            new_docs, "doc_id", "text",
-            salt_chunk_tokens=salt_chunk_tokens, portable=portable,
-            validate_ids=validate_ids,
+    if chunks is not None or salt_chunk_tokens is not None:
+        staged_new = _staged_sigs_for(
+            new_docs, portable, salt_chunk_tokens, chunks,
+            validate_ids, "incremental_near_dup",
         )
-    if staged_new is not None:
         new_sigs = staged_new.drop("shingles")
     else:
         new_sigs = with_minhash(
@@ -487,6 +508,11 @@ def incremental_near_dup(
     staged_types = {f.name: f.dataType for f in staged_sigs.schema.fields}
     new_types = {f.name: f.dataType for f in new_sigs.schema.fields}
     if staged_types != new_types:
+        if staged_new is not None:
+            # release the just-persisted batch table: on a raise the
+            # handle never reaches the caller via verified.staged_sigs
+            # and the cache entry would leak for the session lifetime
+            staged_new.unpersist()
         raise ValueError(
             "incremental_near_dup: staged signature schema "
             f"{staged_types} != batch signature schema {new_types} — "
@@ -552,16 +578,41 @@ def incremental_near_dup(
 
 
 def append_corpus_artifacts(
-    new_docs: DataFrame, tables: dict[str, str], portable: bool = False
+    new_docs: DataFrame,
+    tables: dict[str, str],
+    portable: bool = False,
+    salt_chunk_tokens: int | None = None,
+    chunks: DataFrame | None = None,
+    validate_ids: bool = True,
 ) -> None:
     """Fold an accepted batch into the staged artifacts: appended
     bucket files join the existing spec (same bucket count/key), so
-    the next incremental run still reads bucket-aligned.
+    the next incremental run still reads bucket-aligned. Same
+    plain/salted/pre-chunked legs as the staging/increment functions
+    (the round-11 review caught this one function still re-paying the
+    per-row shingle skew after the increment had just computed the
+    batch skew-proof).
 
     CAUTION: any still-lazy plan built over these tables (e.g. the
     survivors frame from ``incremental_near_dup``) re-reads them on its
     next action and would now see the batch's own signatures —
     materialize (collect/write) the survivors BEFORE appending."""
+    if chunks is not None or salt_chunk_tokens is not None:
+        handle = _staged_sigs_for(
+            new_docs, portable, salt_chunk_tokens, chunks,
+            validate_ids, "append_corpus_artifacts",
+        )
+        staged = handle.withColumnRenamed("shingles", "sh")
+        try:
+            staged.select("doc_id", "sh").write.mode("append").format(
+                "parquet"
+            ).insertInto(tables["shingles"])
+            staged.drop("sh").write.mode("append").format(
+                "parquet"
+            ).insertInto(tables["sigs"])
+        finally:
+            handle.unpersist()
+        return
     sh = new_docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
     sh.write.mode("append").format("parquet").insertInto(tables["shingles"])
     sigs = with_minhash(

@@ -435,21 +435,47 @@ class TestPrechunkedConsumers:
             ("salted", {"salt_chunk_tokens": 8}),
             ("bronze", {"chunks": prechunk_documents(docs, chunk_tokens=8)}),
         ):
+            from etl_guiacores_spark.plans.corpus_pipeline import (
+                append_corpus_artifacts,
+            )
+
             tables = stage_corpus_artifacts(
                 old, f"pchk_{leg}", num_buckets=4, **kw
             )
             try:
-                surv, _ = near_dup_removal_staged(old, tables, 0.6)
+                surv, staged_pairs = near_dup_removal_staged(
+                    old, tables, 0.6
+                )
                 inc, inc_pairs = incremental_near_dup(
                     new, tables, 0.6, **kw
                 )
+                inc_rows = sorted(r["doc_id"] for r in inc.collect())
                 results[leg] = (
                     sorted(r["doc_id"] for r in surv.collect()),
-                    sorted(r["doc_id"] for r in inc.collect()),
+                    inc_rows,
                 )
-                handle = getattr(inc_pairs, "staged_sigs", None)
-                if handle is not None:
-                    handle.unpersist()
+                # fold the accepted batch back in on the same leg and
+                # pin the table growth (the append path shares the
+                # staged dispatch, so a skew-proof increment stays
+                # skew-proof end-to-end)
+                accepted = new.join(
+                    spark.createDataFrame(
+                        [(i,) for i in inc_rows], "doc_id long"
+                    ),
+                    "doc_id",
+                    "left_semi",
+                )
+                append_corpus_artifacts(accepted, tables, **kw)
+                n = spark.table(tables["shingles"]).count()
+                assert n == old.count() + len(inc_rows)
+                # release every persisted handle the calls rode out
+                # (repo convention: leaked cache entries are never
+                # GC-reclaimed and pressure the shared session)
+                for res in (staged_pairs, inc_pairs):
+                    for attr in ("staged_sigs", "staged_bands"):
+                        h = getattr(res, attr, None)
+                        if h is not None:
+                            h.unpersist()
             finally:
                 for t in tables.values():
                     spark.sql(f"DROP TABLE IF EXISTS {t}")

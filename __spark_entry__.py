@@ -45,56 +45,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tests/test_rotation.py red mid-boundary. Every row is also locally
 # re-verified every round (tools/check_oracle.py 200/200 at sf0.01).
 _FIRST = [
-    "q198_orc_pushdown_roundtrip",
-    "q199_streaming_acquisition_twin",
-    "q05_semi_join_segments",
-    "q06_filter_cross_product",
-    "q07_keep_first_dedupe",
-    "q08_dup_report",
-    "q09_top3_orders_per_customer",
-    "q10_latest_version",
-    "q11_set_ops",
-    "q12_rollup_acctbal",
-    "q13_cube_orders",
-    "q32_sessionization",
-    "q33_event_dedupe_first",
-    "q44_document_chunking",
-    "q45_vocabulary",
-    "q46_tfidf",
-    "q48_range_join",
-    "q49_hypertable_rollup",
-    "q50_corpus_dedup_survivors",
-    "q51_range_frame_window",
-    "q52_grouping_sets_sql",
-    "q53_lateral_top_order",
-    "q54_bag_set_ops",
-    "q55_null_safe_join",
-    "q57_decimal_exact",
-    "q58_source_mixture",
-    "q59_decontamination",
-    "q60_pii_redaction",
-    "q61_repetition_score",
-    "q62_dedup_clusters",
-    "q70_salted_distinct_count",
-    "q80_dense_ids",
-    "q89_token_offsets",
-    "q95_shard_manifest",
-    "q106_linear_quality_score",
-    "q107_bloom_decontaminate",
-    "q108_scd2_history",
-    "q109_fuzzy_match_pairs",
-    "q110_entity_resolution",
-    "q111_scd2_asof_lookup",
-    "q112_gapfill_resample",
-    "q113_session_concurrency",
-    "q114_random_projection",
-    "q115_boilerplate_extract",
-    "q140_funnel",
-    "q141_cohort_retention",
-    "q142_cusum_drift",
-    "q143_cohen_kappa",
-    "q144_quantile_report",
-    "q145_token_histogram",
     "q14_phone_normalize",
     "q15_email_validate",
     "q16_url_pipeline",
@@ -245,6 +195,56 @@ _FIRST = [
     "q139_ohlc_resample",
     "q196_salted_quality_lang",
     "q197_salted_gopher",
+    "q05_semi_join_segments",
+    "q06_filter_cross_product",
+    "q07_keep_first_dedupe",
+    "q08_dup_report",
+    "q09_top3_orders_per_customer",
+    "q10_latest_version",
+    "q11_set_ops",
+    "q12_rollup_acctbal",
+    "q13_cube_orders",
+    "q32_sessionization",
+    "q33_event_dedupe_first",
+    "q44_document_chunking",
+    "q45_vocabulary",
+    "q46_tfidf",
+    "q48_range_join",
+    "q49_hypertable_rollup",
+    "q50_corpus_dedup_survivors",
+    "q51_range_frame_window",
+    "q52_grouping_sets_sql",
+    "q53_lateral_top_order",
+    "q54_bag_set_ops",
+    "q55_null_safe_join",
+    "q57_decimal_exact",
+    "q58_source_mixture",
+    "q59_decontamination",
+    "q60_pii_redaction",
+    "q61_repetition_score",
+    "q62_dedup_clusters",
+    "q70_salted_distinct_count",
+    "q80_dense_ids",
+    "q89_token_offsets",
+    "q95_shard_manifest",
+    "q106_linear_quality_score",
+    "q107_bloom_decontaminate",
+    "q108_scd2_history",
+    "q109_fuzzy_match_pairs",
+    "q110_entity_resolution",
+    "q111_scd2_asof_lookup",
+    "q112_gapfill_resample",
+    "q113_session_concurrency",
+    "q114_random_projection",
+    "q115_boilerplate_extract",
+    "q140_funnel",
+    "q141_cohort_retention",
+    "q142_cusum_drift",
+    "q143_cohen_kappa",
+    "q144_quantile_report",
+    "q145_token_histogram",
+    "q198_orc_pushdown_roundtrip",
+    "q199_streaming_acquisition_twin",
 ]
 
 

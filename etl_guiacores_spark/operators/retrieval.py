@@ -372,7 +372,7 @@ def mmr_rerank(
         # remap the batch entry point's name so the error a caller
         # sees names the function they called (round-10 advice item)
         raise ValueError(
-            f"mmr_rerank: {id_col} has duplicate rows for "
+            f"mmr_rerank: duplicate embedding rows for "
             f"{id_col} == {query_id} — dedupe the embedding table "
             "first"
         ) from e

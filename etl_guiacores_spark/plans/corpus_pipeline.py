@@ -82,11 +82,17 @@ class CorpusConfig:
     #: tokenize a fat document before the salt spreads its chunks —
     #: the ~20x max/median residual in the round-10 soak): after the
     #: one-time bronze write, every salted stage scans balanced
-    #: chunk-sized parquet rows. Outputs are bit-identical. Stages
-    #: whose input text was REWRITTEN upstream (the gopher gate under
-    #: strip_spans/decontam_spans, near-dup under decontam_spans)
-    #: fall back to the in-task salted path — bronze reflects ingest
-    #: text only.
+    #: chunk-sized parquet rows. Outputs are bit-identical. When
+    #: ``decontam_spans`` rewrites survivor text upstream of near-dup,
+    #: the pipeline re-chunks the rewritten survivors ONCE (landed +
+    #: fenced as ``bronze_rechunked``) so the near-dup leg still reads
+    #: balanced chunk rows — no stage falls back to tokenizing whole
+    #: documents in-task. The one remaining fallback: the gopher gate
+    #: under ``strip_spans`` (its input is rewritten a second time
+    #: after near-dup; a third landed chunk table would cost a full
+    #: corpus write to serve that single cheap pass, and the span
+    #: stage immediately upstream already walks whole documents by
+    #: its nature) uses the in-task salted path.
     prechunk: bool = False
     #: True = connected-components clustering (one survivor per
     #: component, exact); False = greedy drop-higher-id per pair
@@ -497,83 +503,87 @@ def incremental_near_dup(
         new_sigs = with_minhash(
             new_docs.select("doc_id", "text"), "text", portable=portable
         ).drop("text")
-    # replay-safety: a re-delivered batch may already be IN the staged
-    # tables; its own staged copies must not doom it
-    staged_sigs = spark.table(tables["sigs"])
-    # hash-family guard: the staged signatures and this batch's must
-    # come from the SAME family (portable md5-hex = strings, native
-    # xxhash64 = longs). A mismatch would make the band equi-join match
-    # NOTHING and silently admit every duplicate — the schema is the
-    # family fingerprint, so assert it instead of failing open.
-    staged_types = {f.name: f.dataType for f in staged_sigs.schema.fields}
-    new_types = {f.name: f.dataType for f in new_sigs.schema.fields}
-    if staged_types != new_types:
+    try:
+        # replay-safety: a re-delivered batch may already be IN the staged
+        # tables; its own staged copies must not doom it
+        staged_sigs = spark.table(tables["sigs"])
+        # hash-family guard: the staged signatures and this batch's must
+        # come from the SAME family (portable md5-hex = strings, native
+        # xxhash64 = longs). A mismatch would make the band equi-join match
+        # NOTHING and silently admit every duplicate — the schema is the
+        # family fingerprint, so assert it instead of failing open.
+        staged_types = {f.name: f.dataType for f in staged_sigs.schema.fields}
+        new_types = {f.name: f.dataType for f in new_sigs.schema.fields}
+        if staged_types != new_types:
+            raise ValueError(
+                "incremental_near_dup: staged signature schema "
+                f"{staged_types} != batch signature schema {new_types} — "
+                "the staged corpus was built with a different hash family "
+                "(portable=) than this call; re-stage or match the flag"
+            )
+        old_sigs = staged_sigs.join(
+            new_docs.select("doc_id"), on="doc_id", how="left_anti"
+        )
+
+        def bands_of(sigs: DataFrame, origin: str) -> DataFrame:
+            return band_rows(sigs, "doc_id").select(
+                F.col("__id").alias("doc_id"), F.lit(origin).alias("origin"),
+                F.col("__band").alias("band"),
+            )
+
+        new_bands = bands_of(new_sigs, "new")
+        other = bands_of(old_sigs, "old").unionByName(new_bands)
+        candidates = (
+            new_bands.select(F.col("doc_id").alias("id_b"), "band")
+            .join(
+                other.select(
+                    F.col("doc_id").alias("id_a"), F.col("origin").alias("origin_a"), "band"
+                ),
+                on="band",
+            )
+            .filter((F.col("origin_a") == "old") | (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b")
+            .distinct()
+        )
         if staged_new is not None:
-            # release the just-persisted batch table: on a raise the
-            # handle never reaches the caller via verified.staged_sigs
-            # and the cache entry would leak for the session lifetime
+            new_sh = staged_new.select(
+                "doc_id", F.col("shingles").alias("sh")
+            )
+        else:
+            new_sh = new_docs.select(
+                "doc_id", word_shingles(F.col("text")).alias("sh")
+            )
+        # replay-safety on the SHINGLE side too: a re-delivered batch's
+        # rows may already sit in the staged table, and keeping both
+        # copies would fan every verified pair out twice through the id_a
+        # join (the sigs table above gets the same left_anti)
+        all_sh = (
+            spark.table(tables["shingles"])
+            .join(new_docs.select("doc_id"), on="doc_id", how="left_anti")
+            .unionByName(new_sh)
+        )
+        verified = (
+            candidates.join(
+                all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            )
+            .join(new_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .withColumn("jaccard", jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = new_docs.join(doomed, "doc_id", "left_anti")
+        # caller releases once the consuming action has run — the same
+        # handle-riding contract as near_dup_removal's staged_sigs
+        verified.staged_sigs = staged_new
+    except BaseException:
+        # ANY raise before the handle reaches the caller (missing or
+        # renamed staged table, schema mismatch, analysis error) must
+        # release the just-persisted batch signatures, or the cache
+        # entry leaks for the session lifetime (round-11 advice item)
+        if staged_new is not None:
             staged_new.unpersist()
-        raise ValueError(
-            "incremental_near_dup: staged signature schema "
-            f"{staged_types} != batch signature schema {new_types} — "
-            "the staged corpus was built with a different hash family "
-            "(portable=) than this call; re-stage or match the flag"
-        )
-    old_sigs = staged_sigs.join(
-        new_docs.select("doc_id"), on="doc_id", how="left_anti"
-    )
-
-    def bands_of(sigs: DataFrame, origin: str) -> DataFrame:
-        return band_rows(sigs, "doc_id").select(
-            F.col("__id").alias("doc_id"), F.lit(origin).alias("origin"),
-            F.col("__band").alias("band"),
-        )
-
-    new_bands = bands_of(new_sigs, "new")
-    other = bands_of(old_sigs, "old").unionByName(new_bands)
-    candidates = (
-        new_bands.select(F.col("doc_id").alias("id_b"), "band")
-        .join(
-            other.select(
-                F.col("doc_id").alias("id_a"), F.col("origin").alias("origin_a"), "band"
-            ),
-            on="band",
-        )
-        .filter((F.col("origin_a") == "old") | (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    if staged_new is not None:
-        new_sh = staged_new.select(
-            "doc_id", F.col("shingles").alias("sh")
-        )
-    else:
-        new_sh = new_docs.select(
-            "doc_id", word_shingles(F.col("text")).alias("sh")
-        )
-    # replay-safety on the SHINGLE side too: a re-delivered batch's
-    # rows may already sit in the staged table, and keeping both
-    # copies would fan every verified pair out twice through the id_a
-    # join (the sigs table above gets the same left_anti)
-    all_sh = (
-        spark.table(tables["shingles"])
-        .join(new_docs.select("doc_id"), on="doc_id", how="left_anti")
-        .unionByName(new_sh)
-    )
-    verified = (
-        candidates.join(
-            all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-        )
-        .join(new_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard_of_shingles(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    doomed = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = new_docs.join(doomed, "doc_id", "left_anti")
-    # caller releases once the consuming action has run — the same
-    # handle-riding contract as near_dup_removal's staged_sigs
-    verified.staged_sigs = staged_new
+        raise
     return survivors, verified
 
 
@@ -711,6 +721,7 @@ _LANDED_STAGES = (
     "decontaminated",
     "eval_span_accounting",
     "eval_span_stripped",
+    "bronze_rechunked",
     "dup_pairs",
     "clean",
     "span_accounting",
@@ -1056,6 +1067,28 @@ def run_corpus_pipeline(
                 },
             )
 
+            if bronze is not None:
+                # the span excision rewrote survivor TEXT (every
+                # non-empty doc: retained_text is token-rejoined), so
+                # the ingest bronze no longer concatenates to the
+                # current documents — re-chunk the landed rewritten
+                # survivors ONCE, fenced like the ingest bronze, so
+                # the near-dup leg below still reads balanced chunk
+                # rows instead of falling back to in-task chunking
+                # (the last path where one task had to tokenize a
+                # whole fat document — round-11 verdict, item #2)
+                from etl_guiacores_spark.operators.chunking import (
+                    prechunk_documents as _prechunk,
+                )
+
+                bronze, n_rechunk = _land(
+                    _prechunk(
+                        exact, chunk_tokens=config.salt_chunk_tokens
+                    ),
+                    "bronze_rechunked",
+                )
+                emit("bronze_rechunked", {"records": n_rechunk})
+
     # land the VERIFIED PAIRS, not the lazy survivor plan: both the
     # survivor derivation and the pair count then read the stored pair
     # list, so the LSH+Jaccard leg — the most expensive in the
@@ -1067,9 +1100,10 @@ def run_corpus_pipeline(
         portable=config.portable_hashes,
         salt_chunk_tokens=config.salt_chunk_tokens,
         validate_ids=False,  # checked once at ingest
-        # bronze reflects INGEST text: usable unless decontam_spans
-        # rewrote documents upstream of this stage
-        chunks=None if config.decontam_spans else bronze,
+        # bronze is always current here: it reflects ingest text, and
+        # when decontam_spans rewrote documents the bronze_rechunked
+        # refresh above re-derived it from the landed rewritten text
+        chunks=bronze,
     )
     pairs, n_pairs = _land(dup_pairs, "dup_pairs")
     staged_bands = getattr(dup_pairs, "staged_bands", None)
@@ -1169,12 +1203,14 @@ def run_corpus_pipeline(
             salted_gopher_quality,
         )
 
-        if bronze is not None and not (
-            config.strip_spans or config.decontam_spans
-        ):
-            # bronze path: survivor text is untouched since ingest,
-            # so the gate reads balanced chunk rows keyed down to the
-            # survivor ids — identical metrics and pass flags
+        if bronze is not None and not config.strip_spans:
+            # bronze path: survivor text matches the chunk table
+            # (untouched since ingest, or re-chunked after the span
+            # excision), so the gate reads balanced chunk rows keyed
+            # down to the survivor ids — identical metrics and flags.
+            # strip_spans rewrites text AGAIN after near-dup, so that
+            # one config keeps the in-task salted fallback (see the
+            # CorpusConfig.prechunk note)
             from etl_guiacores_spark.operators.textstats import (
                 prechunked_gopher_quality,
             )

@@ -1074,7 +1074,13 @@ def q199_streaming_acquisition_twin(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = daily_acquisition_stream(stream, out, checkpoint_dir=ckpt)
+    # the fold's state joins range over bounded axes (days + one
+    # batch's users); micro-batch-scoped shuffle partitions trim the
+    # per-job task-launch overhead that dominated this row's fixed
+    # cost (round-11 verdict, item #4) — semantics untouched
+    q = daily_acquisition_stream(
+        stream, out, checkpoint_dir=ckpt, fold_shuffle_partitions=8
+    )
     try:
         q.processAllAvailable()
         ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode(

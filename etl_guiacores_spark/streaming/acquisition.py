@@ -71,16 +71,41 @@ def daily_acquisition_stream(
     user_col: str = "user_id",
     checkpoint_dir: str | None = None,
     keep_snapshots: int = 3,
+    fold_shuffle_partitions: int | None = None,
 ):
     """Start the streaming acquisition report over ``events`` (a
     streaming DataFrame). Per-batch report rows land in
     ``out_dir/out/batch=<id>`` (plus a ``batch_id`` column for the
     read-side upsert merge); state snapshots in
-    ``out_dir/state/batch=<id>``. Returns the StreamingQuery."""
+    ``out_dir/state/batch=<id>``. Returns the StreamingQuery.
+
+    ``fold_shuffle_partitions``: when set, the fold's state-join jobs
+    run under this ``spark.sql.shuffle.partitions`` value (saved and
+    restored around each micro-batch). The fold shuffles bounded
+    axes — days, and one batch's users — many small jobs deep, so
+    its fixed cost is task-launch overhead times the session default;
+    a micro-batch-sized value trims that without touching semantics.
+    The setting is session-scoped while a batch folds: don't share
+    the session with an unrelated concurrent query when using it."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        if fold_shuffle_partitions is not None:
+            saved = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(fold_shuffle_partitions),
+            )
+            try:
+                _fold_batch(batch_df, batch_id)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", saved)
+        else:
+            _fold_batch(batch_df, batch_id)
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state_root = f"{out_dir}/state"
         user_type = batch_df.schema[user_col].dataType.simpleString()
@@ -150,7 +175,10 @@ def daily_acquisition_stream(
         # restrict to days this batch touches (the carried open day is
         # re-emitted only if extended; otherwise its row already
         # landed in a previous batch and is final)
-        touched = rows.select("day").distinct()
+        # the touched-day axis is bounded (a micro-batch spans few
+        # days) — broadcast it so the semi-joins never shuffle their
+        # big probe sides, at any scale
+        touched = F.broadcast(rows.select("day").distinct())
         day_active = (
             day_users.join(touched, "day", "left_semi")
             .groupBy("day")

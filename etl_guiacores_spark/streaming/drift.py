@@ -178,8 +178,25 @@ def compact_snapshots(
     # --- recovery: finish or roll back an interrupted swap ----------
     root_p = jvm.org.apache.hadoop.fs.Path(state_root)
     if fs.exists(root_p):
-        for st in fs.listStatus(root_p):
-            name = st.getPath().getName()
+        listing = [st.getPath() for st in fs.listStatus(root_p)]
+        marker_bids = {
+            int(p.getName().split("_COMPACTING_", 1)[1])
+            for p in listing
+            if p.getName().startswith("_COMPACTING_")
+        }
+        # a .compact-tmp-<id> with NO marker is pre-marker garbage: the
+        # temp-write job failed or was interrupted before the marker was
+        # created, so the original snapshot is untouched and the marker
+        # recovery loop below will never see the dir — sweep it here or
+        # it lives forever (round-11 advice item)
+        for p in listing:
+            name = p.getName()
+            if name.startswith(".compact-tmp-"):
+                bid = int(name.split(".compact-tmp-", 1)[1])
+                if bid not in marker_bids:
+                    _delete_dir(spark, f"{state_root}/{name}")
+        for p in listing:
+            name = p.getName()
             if not name.startswith("_COMPACTING_"):
                 continue
             bid = int(name.split("_COMPACTING_", 1)[1])
@@ -187,14 +204,35 @@ def compact_snapshots(
             tdir = f"{state_root}/.compact-tmp-{bid}"
             want: int | None = None
             try:
-                stream = fs.open(st.getPath())
+                stream = fs.open(p)
                 raw = bytes(
                     stream.readAllBytes()
                 ).decode("utf-8").strip()
                 stream.close()
-                want = int(raw) if raw else None
-            except Exception:
-                want = None
+            except Exception as e:
+                # 'marker exists but unreadable' is NOT the same as
+                # 'marker legitimately empty' (pre-write crash window):
+                # after the original snapshot was partially deleted, a
+                # transient IO error here must not downgrade _verified
+                # to trusting a bare _SUCCESS on a torn batch dir —
+                # fail loud and let the caller retry the recovery
+                raise RuntimeError(
+                    f"compact_snapshots: could not read marker "
+                    f"{_marker_path(bid)} — refusing count-less "
+                    "recovery; retry once the marker is readable"
+                ) from e
+            if raw:
+                try:
+                    want = int(raw)
+                except ValueError as e:
+                    raise RuntimeError(
+                        f"compact_snapshots: corrupt marker "
+                        f"{_marker_path(bid)} (contents {raw!r}) — "
+                        "refusing count-less recovery"
+                    ) from e
+            # else: marker created but count never written (crash in
+            # the pre-destructive-op window) — the original snapshot
+            # is still intact, so a count-less check is safe
             if _verified(pdir, want):
                 # either the install job completed, or (count-equal
                 # rollback window) the original already equals the

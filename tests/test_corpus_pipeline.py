@@ -250,6 +250,57 @@ def test_incremental_rejects_mismatched_hash_family(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_incremental_near_dup_releases_staged_on_raise(spark):
+    """Round-11 advice item: EVERY raise path out of
+    incremental_near_dup must release the just-persisted batch
+    signature handle — not only the schema-mismatch raise. A missing
+    or renamed staged table (spark.table raises) used to leak the
+    cache entry for the session lifetime."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_guiacores_spark.plans.corpus_pipeline import (
+        incremental_near_dup,
+        stage_corpus_artifacts,
+    )
+    from etl_guiacores_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    # raise path 1: staged tables don't exist (spark.table raises
+    # BEFORE the schema check) — salted leg persists batch sigs first
+    with pytest.raises(Exception):
+        incremental_near_dup(
+            docs.filter("doc_id >= 100"),
+            {"sigs": "no_such_sigs_tbl", "shingles": "no_such_sh_tbl"},
+            0.6, salt_chunk_tokens=8,
+        )
+    assert cm.isEmpty(), "staged batch signatures leaked on missing-table raise"
+
+    # raise path 2: schema mismatch (the originally-guarded raise)
+    tables = stage_corpus_artifacts(
+        docs.filter("doc_id < 100"), "corpus_leak_test",
+        num_buckets=4, portable=True,
+    )
+    try:
+        with pytest.raises(ValueError, match="hash family"):
+            incremental_near_dup(
+                docs.filter("doc_id >= 100"), tables, 0.6,
+                portable=False, salt_chunk_tokens=8,
+            )
+        assert cm.isEmpty(), "staged batch signatures leaked on schema-mismatch raise"
+    finally:
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_model_quality_gate_in_filter_stage(spark, tmp_path):
     """With model_weights_path set, the filter stage additionally drops
     docs whose linear-model margin misses the threshold."""

@@ -314,6 +314,108 @@ class TestPrechunkedConsumers:
         assert bronze.columns == ["doc_id", "chunk_pos", "chunk_text"]
         assert (tmp_path / "bronze/bronze_chunks/_SUCCESS").exists()
 
+    def test_pipeline_full_config_rechunks_after_span_excision(
+        self, spark, tmp_path
+    ):
+        """Round-12 (verdict item #2): with decontam_spans rewriting
+        survivor text upstream of near-dup, the prechunk run must
+        land a bronze_rechunked refresh and route near-dup through it
+        — no fallback to in-task chunking — while staying
+        envelope-identical to the in-task salted and per-row runs.
+        The fixture includes a doc QUOTING the benchmark mid-page
+        (partial excision), a doc that IS the benchmark verbatim
+        (fully excised to empty text — the post-rewrite empty-doc
+        edge), and a clean doc."""
+        from etl_guiacores_spark.plans.corpus_pipeline import (
+            CorpusConfig,
+            run_corpus_pipeline,
+        )
+        from etl_guiacores_spark.sources.tables import load_table
+
+        bench_text = (
+            "which of the following best describes the capital "
+            "allocation strategy question under review today"
+        )
+        extra = spark.createDataFrame(
+            [
+                (100001, "intro words here " + bench_text
+                 + " closing words after the quotation run on", "web"),
+                (100002, bench_text, "web"),
+                (100003, "a perfectly ordinary document with nothing "
+                 "quoted from anywhere at all honestly", "web"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        docs = (
+            load_table(spark, "documents", "/root/testdata/sf0.001")
+            .select("doc_id", "text", "source")
+            .limit(60)
+            .unionByName(extra)
+        )
+        bench_p = str(tmp_path / "bench")
+        spark.createDataFrame(
+            [("preamble " + bench_text + " postamble",)], ["text"]
+        ).write.parquet(bench_p)
+        base = dict(
+            min_quality=0.0, near_dup_jaccard=0.6, chunk_tokens=16,
+            chunk_overlap=4, gopher_gate=True, strip_spans=True,
+            span_min_docs=2, benchmark_path=bench_p,
+            decontam_min_overlaps=10_000,  # only the SPAN stage acts
+            decontam_spans=True, decontam_span_n=8,
+        )
+        m_plain = run_corpus_pipeline(
+            docs, str(tmp_path / "plain"), CorpusConfig(**base)
+        )
+        m_salted = run_corpus_pipeline(
+            docs, str(tmp_path / "salted"),
+            CorpusConfig(**base, salt_chunk_tokens=8),
+        )
+        stages = []
+        m_bronze = run_corpus_pipeline(
+            docs, str(tmp_path / "bronze"),
+            CorpusConfig(**base, salt_chunk_tokens=8, prechunk=True),
+            progress_callback=lambda s, i: stages.append(s),
+        )
+        assert m_bronze == m_salted == m_plain
+        assert "bronze_rechunked" in stages
+        for stage in ("clean", "gopher_gated", "eval_span_stripped"):
+            ids = {
+                v: sorted(
+                    r["doc_id"]
+                    for r in spark.read.parquet(
+                        str(tmp_path / v / stage)
+                    ).collect()
+                )
+                for v in ("plain", "salted", "bronze")
+            }
+            assert ids["bronze"] == ids["salted"] == ids["plain"], stage
+        # the refresh landed, fenced, and concatenates back to the
+        # REWRITTEN survivor text (not the ingest text)
+        root = tmp_path / "bronze"
+        assert (root / "bronze_rechunked/_SUCCESS").exists()
+        rebuilt = {
+            r["doc_id"]: r["t"]
+            for r in spark.read.parquet(str(root / "bronze_rechunked"))
+            .groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    "", F.array_sort(
+                        F.collect_list(F.struct("chunk_pos", "chunk_text"))
+                    ).getField("chunk_text")
+                ).alias("t")
+            )
+            .collect()
+        }
+        stripped = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(
+                str(root / "eval_span_stripped")
+            ).collect()
+        }
+        assert rebuilt == {k: (v or "") for k, v in stripped.items()}
+        assert bench_text not in rebuilt[100001]
+        assert rebuilt[100002] == ""  # fully excised doc, still covered
+
     def test_pipeline_prechunk_resume_skips_rechunk(self, spark, tmp_path):
         from etl_guiacores_spark.plans.corpus_pipeline import (
             CorpusConfig,

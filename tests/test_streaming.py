@@ -349,8 +349,13 @@ class TestAcquisitionStream:
             1).write.mode("append").parquet(src)
         stream = spark.readStream.schema(EVENTS_SCHEMA).option(
             "maxFilesPerTrigger", 1).parquet(src)
+        # fold under a scoped shuffle-partitions value (the q199
+        # fixed-cost trim): results must be identical and the session
+        # default must be restored after every micro-batch
+        default_sp = spark.conf.get("spark.sql.shuffle.partitions")
         q = daily_acquisition_stream(
-            stream, out, checkpoint_dir=str(tmp_path / "acq_ckpt"))
+            stream, out, checkpoint_dir=str(tmp_path / "acq_ckpt"),
+            fold_shuffle_partitions=3)
         try:
             q.processAllAvailable()
             for b in batches[1:]:
@@ -359,6 +364,9 @@ class TestAcquisitionStream:
                 q.processAllAvailable()
         finally:
             q.stop()
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == default_sp
+        )
 
         got = {r["day"]: r.asDict() for r in
                read_daily_acquisition(spark, out).collect()}
@@ -1132,6 +1140,74 @@ class TestTwinStateBounds:
         assert removed == 0
         snap = spark.read.parquet(f"{root}/batch=0")
         assert sorted(r["user_id"] for r in snap.collect()) == [1, 2]
+
+    def test_compact_orphan_tmp_swept(self, spark, tmp_path):
+        """Round-11 advice item: a temp-write failure BEFORE the
+        _COMPACTING_ marker exists leaves a marker-less
+        .compact-tmp-<id> that the marker-driven recovery loop never
+        sees — the next compact_snapshots on the root must sweep it
+        (the original snapshot is untouched, so deletion is safe)."""
+        from etl_guiacores_spark.streaming.drift import (
+            compact_snapshots,
+        )
+
+        root = str(tmp_path / "ostate")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id int, v long"
+        ).write.parquet(f"{root}/batch=0")
+        # pre-marker garbage: tmp dir, NO _COMPACTING_0 marker
+        spark.createDataFrame(
+            [(9, 90)], "user_id int, v long"
+        ).write.parquet(f"{root}/.compact-tmp-0")
+        removed = compact_snapshots(
+            spark, root, spark.createDataFrame([(2,)], "user_id int"),
+            ["user_id"],
+        )
+        assert removed == 1
+        assert not (tmp_path / "ostate" / ".compact-tmp-0").exists()
+        got = sorted(
+            r["user_id"]
+            for r in spark.read.parquet(f"{root}/batch=0").collect()
+        )
+        assert got == [1]
+
+    def test_compact_corrupt_marker_fails_loud(self, spark, tmp_path):
+        """Round-11 advice item: 'marker exists but unreadable' must
+        NOT downgrade recovery to a count-less bare-_SUCCESS check
+        (which could accept a torn batch dir on an object store) —
+        corrupt marker contents fail loud instead of want=None."""
+        import pytest
+
+        from etl_guiacores_spark.streaming.drift import (
+            compact_snapshots,
+        )
+
+        root = str(tmp_path / "cstate")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id int, v long"
+        ).write.parquet(f"{root}/batch=0")
+        spark.createDataFrame(
+            [(1, 10)], "user_id int, v long"
+        ).write.parquet(f"{root}/.compact-tmp-0")
+        (tmp_path / "cstate" / "_COMPACTING_0").write_text("not-a-count")
+        with pytest.raises(RuntimeError, match="corrupt marker"):
+            compact_snapshots(
+                spark, root,
+                spark.createDataFrame([], "user_id int"), ["user_id"],
+            )
+        # snapshot untouched; a repaired (empty = pre-write crash
+        # window) marker lets recovery proceed count-less as before
+        (tmp_path / "cstate" / "_COMPACTING_0").write_text("")
+        removed = compact_snapshots(
+            spark, root,
+            spark.createDataFrame([], "user_id int"), ["user_id"],
+        )
+        assert removed == 0
+        got = sorted(
+            r["user_id"]
+            for r in spark.read.parquet(f"{root}/batch=0").collect()
+        )
+        assert got == [1, 2]
 
     def test_compact_null_removable_keeps_row(self, spark, tmp_path):
         """A NULL removable-predicate value means 'not affirmed' —

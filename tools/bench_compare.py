@@ -9,6 +9,15 @@ still compare.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 0.3]
        python tools/bench_compare.py --dump ARTIFACT.json OUT.json
+       python tools/bench_compare.py --solo ARTIFACT.json
+
+``--solo`` adjudicates a bench artifact's headline queries against the
+committed quiet-host solo medians (SOLO_BASELINE.json, produced by
+tools/solo_bench.py): a tracked query is flagged ONLY when its suite
+time exceeds solo-median x 1.5 — anything under that band is ambient
+session noise by the round-7..11 precedent and needs no verdict
+cycle. Regenerate the baseline (and its host-load metadata) whenever
+a tracked query's code actually changes.
 
 ``--dump`` writes the parsed per-query map to OUT as a standalone
 ``BENCH_r{N}_full.json`` — run it once per round against the driver's
@@ -77,7 +86,58 @@ def dump_full(artifact: str, out_path: str) -> int:
     return 0
 
 
+def solo_adjudicate(
+    artifact: str,
+    solo_path: str = "SOLO_BASELINE.json",
+    factor: float = 1.5,
+) -> int:
+    """Mechanical ambient-vs-real adjudication: compare a bench
+    artifact's times for the tracked headline queries against the
+    committed quiet-host solo medians. Returns 1 (and prints FLAG
+    lines) only for queries beyond solo-median x ``factor`` — those
+    need either a code-diff explanation or a fresh solo re-measure;
+    everything else is within the established same-tree session
+    spread and closes without a verdict cycle."""
+    solo = json.load(open(solo_path))
+    medians = {
+        name: row["median"] for name, row in solo["queries"].items()
+    }
+    b = load_queries(artifact)
+    missing = sorted(set(medians) - set(b))
+    flagged = 0
+    for name in sorted(medians):
+        if name not in b:
+            continue
+        med = medians[name]
+        ratio = b[name] / med if med else float("inf")
+        mark = "FLAG" if ratio > factor else "ok  "
+        flagged += mark == "FLAG"
+        print(
+            f"{mark} {name}: suite {b[name]:.2f}s vs solo median "
+            f"{med:.2f}s (x{ratio:.2f}, band x{factor})"
+        )
+    if missing:
+        print(f"not in artifact ({len(missing)}): {', '.join(missing)}")
+    host = solo.get("host", {})
+    print(
+        f"baseline: {solo_path} (sf={solo.get('sf')}, load at measure="
+        f"{host.get('load1')}, {len(medians)} tracked)"
+    )
+    print(
+        f"{flagged} flagged" if flagged else
+        "all tracked queries within the ambient band"
+    )
+    return 1 if flagged else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--solo":
+        if len(sys.argv) not in (3, 4):
+            raise SystemExit(
+                "usage: bench_compare.py --solo ARTIFACT.json "
+                "[SOLO_BASELINE.json]"
+            )
+        return solo_adjudicate(sys.argv[2], *sys.argv[3:])
     if len(sys.argv) > 1 and sys.argv[1] == "--dump":
         if len(sys.argv) != 4:
             raise SystemExit(

@@ -133,15 +133,24 @@ def daily_acquisition_stream(
         )
         open_row = open0.first()
         open_day = open_row["day"] if open_row else None
-        if open_day is not None:
+        # ONE up-front agg gives both the new open day (needed for the
+        # snapshot below) and the day-order guard: the happy path pays
+        # one job instead of a guard count plus a trailing max() — the
+        # per-batch fixed cost is job count, not data volume (the
+        # early-row COUNT for the error message runs only on the
+        # violation path)
+        span = rows.agg(
+            F.min("day").alias("lo"), F.max("day").alias("hi")
+        ).first()
+        new_open_day = span["hi"]
+        if open_day is not None and span["lo"] < open_day:
             n_early = rows.filter(F.col("day") < F.lit(open_day)).count()
-            if n_early:
-                raise RuntimeError(
-                    f"daily_acquisition_stream: batch {batch_id} carries "
-                    f"{n_early} row(s) on days before the open day "
-                    f"{open_day} — closed days are immutable; batches "
-                    f"must arrive in event-day order"
-                )
+            raise RuntimeError(
+                f"daily_acquisition_stream: batch {batch_id} carries "
+                f"{n_early} row(s) on days before the open day "
+                f"{open_day} — closed days are immutable; batches "
+                f"must arrive in event-day order"
+            )
 
         # first-seen: landed rows are immutable (day-order contract);
         # only genuinely-new users append, at their batch-min day
@@ -226,9 +235,8 @@ def daily_acquisition_stream(
             f"{out_dir}/out/batch={batch_id}"
         )
 
-        # new state: firsts + the NEW open day (global max) and its
-        # distinct actives
-        new_open_day = rows.agg(F.max("day")).first()[0]
+        # new state: firsts + the NEW open day (global max, computed
+        # in the up-front span agg) and its distinct actives
         if open_day is not None and open_day > new_open_day:
             new_open_day = open_day  # defensive; contract rules this out
         snap = (

@@ -77,12 +77,15 @@ def main() -> int:
     # the bronze write itself (one-time) while the filter/shingle/
     # gopher scans drop to the shuffle-balance floor.
     ap.add_argument("--prechunk", action="store_true")
-    # the span stages REWRITE text, which (correctly) forces the
-    # near-dup and gopher stages back onto the in-task salted path —
-    # bronze reflects ingest text. Disable them to measure the FULL
-    # bronze path (filter + shingles + gopher all reading chunk rows);
-    # the metrics envelope then differs from the span-stage soaks and
-    # is only comparable within a same-flag A/B.
+    # the span stages REWRITE text. Since round 12 the pipeline
+    # re-chunks the rewritten survivors once (bronze_rechunked), so
+    # near-dup reads chunk rows in EVERY config; only the gopher gate
+    # under strip_spans still uses the in-task salted path (text is
+    # rewritten a second time after near-dup). Disable the span
+    # stages to measure the no-rewrite path (filter + shingles +
+    # gopher all reading the single ingest bronze); the metrics
+    # envelope then differs from the span-stage soaks and is only
+    # comparable within a same-flag A/B.
     ap.add_argument("--no-span-stages", action="store_true")
     args = ap.parse_args()
 

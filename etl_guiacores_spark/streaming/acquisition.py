@@ -140,9 +140,26 @@ def daily_acquisition_stream(
         # early-row COUNT for the error message runs only on the
         # violation path)
         span = rows.agg(
-            F.min("day").alias("lo"), F.max("day").alias("hi")
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+            F.sum(
+                F.col("day").isNull().cast("long")
+            ).alias("n_null"),
         ).first()
         new_open_day = span["hi"]
+        if span["n_null"]:
+            # a NULL event time has no day: it can neither satisfy the
+            # event-day-order contract nor land in any day's report —
+            # fail loud like the closed-day guard (grouping under a
+            # NULL day would silently corrupt the open-day state; the
+            # pre-round-12 code crashed on this input with a bare
+            # TypeError)
+            raise RuntimeError(
+                f"daily_acquisition_stream: batch {batch_id} carries "
+                f"{span['n_null']} row(s) with NULL {time_col} — "
+                "event times must be non-null; filter or repair them "
+                "upstream"
+            )
         if open_day is not None and span["lo"] < open_day:
             n_early = rows.filter(F.col("day") < F.lit(open_day)).count()
             raise RuntimeError(

@@ -179,8 +179,17 @@ def compact_snapshots(
     root_p = jvm.org.apache.hadoop.fs.Path(state_root)
     if fs.exists(root_p):
         listing = [st.getPath() for st in fs.listStatus(root_p)]
+
+        def _suffix_id(name: str, prefix: str) -> int | None:
+            """Batch id from ``<prefix><int>``, None for foreign names
+            (a non-integer suffix wasn't written by this protocol —
+            skip it rather than crash on or delete someone else's
+            dir)."""
+            tail = name.split(prefix, 1)[1]
+            return int(tail) if tail.isdigit() else None
+
         marker_bids = {
-            int(p.getName().split("_COMPACTING_", 1)[1])
+            _suffix_id(p.getName(), "_COMPACTING_")
             for p in listing
             if p.getName().startswith("_COMPACTING_")
         }
@@ -192,8 +201,8 @@ def compact_snapshots(
         for p in listing:
             name = p.getName()
             if name.startswith(".compact-tmp-"):
-                bid = int(name.split(".compact-tmp-", 1)[1])
-                if bid not in marker_bids:
+                bid = _suffix_id(name, ".compact-tmp-")
+                if bid is not None and bid not in marker_bids:
                     _delete_dir(spark, f"{state_root}/{name}")
         for p in listing:
             name = p.getName()

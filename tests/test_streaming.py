@@ -466,6 +466,39 @@ class TestAcquisitionStream:
         finally:
             q.stop()
 
+    def test_null_ts_rows_fail_loud(self, spark, tmp_path):
+        """A NULL event time has no day: it can't satisfy the
+        event-day-order contract, and grouping it under a NULL day
+        would corrupt the open-day state. The guard must raise a
+        CLEAR error (writing this test found the pre-round-12 code
+        crashed on such input with a bare TypeError)."""
+        from datetime import datetime as dt
+
+        from etl_guiacores_spark.streaming import daily_acquisition_stream
+
+        src = str(tmp_path / "nullts_src")
+        out = str(tmp_path / "nullts_out")
+        spark.createDataFrame(
+            [(1, dt(2024, 1, 5, 8), 1, "click", 1.0)], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = daily_acquisition_stream(
+            stream, out, checkpoint_dir=str(tmp_path / "nullts_ckpt"))
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [(2, None, 2, "click", 1.0)], EVENTS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+            raised = None
+            try:
+                q.processAllAvailable()
+            except Exception as e:
+                raised = str(e)
+            assert raised and "NULL ts" in raised, raised
+        finally:
+            q.stop()
+
     def test_string_user_ids_round_trip_state(self, spark, tmp_path):
         """The state schema derives user_id's type from the stream
         (round-8 advice): with string ids, batch 0's snapshot must

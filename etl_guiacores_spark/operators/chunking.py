@@ -264,6 +264,158 @@ def require_chunk_coverage(
         )
 
 
+def chunk_head(chunk_col: Column, n: int) -> Column:
+    """First ``n - 1`` tokens of a chunk as an array, built straight
+    off the chunk STRING with a limit-split (O(prefix), stops after
+    n - 1 tokens) instead of :func:`prechunked_tokens` — boundary
+    consumers join this onto the PREVIOUS chunk to cover n-grams that
+    straddle the split, and deriving the head from the tokenized
+    relation would tokenize every chunk twice (no CSE across join
+    sides; measured +34% on the near-dup soak stage). The expression
+    reproduces the exact-slice prefix: heads are only taken from
+    pos >= 1 chunks (never the doc-leading chunk), the leading
+    ``\\s+`` strip plus space-trim mirrors prechunked_tokens, and a
+    final chunk's trailing ``\\t``/``\\n`` phantom survives the
+    limit-split exactly as it does full tokenization."""
+    return F.slice(
+        F.split(
+            F.trim(F.regexp_replace(chunk_col, r"^\s+", "")),
+            r"\s+",
+            n,
+        ),
+        1,
+        n - 1,
+    )
+
+
+def require_boundary_tokens(
+    chunks: DataFrame,
+    n: int,
+    id_col: str,
+    pos_col: str,
+    chunk_col: str,
+    op_name: str,
+) -> None:
+    """Eagerly enforce the cross-boundary n-gram requirement every
+    pre-chunked n-gram consumer shares: every NON-FINAL chunk must
+    hold >= ``n - 1`` tokens, or an n-gram could span three chunks
+    and silently vanish (loud-contract stance). The probe is a
+    limit-split prefix count (O(n) per chunk, not a full tokenize)
+    and a LIMIT 1 violation collect."""
+    if n < 2:
+        return
+    prefix_n = F.size(chunk_head(F.col(chunk_col), n))
+    mx = chunks.groupBy(id_col).agg(F.max(pos_col).alias("__mx"))
+    bad = (
+        chunks.join(mx, id_col)
+        .filter((F.col(pos_col) < F.col("__mx")) & (prefix_n < n - 1))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"{op_name}: non-final chunk ({id_col}={r[id_col]!r}, "
+            f"{pos_col}={r[pos_col]}) holds fewer than n-1={n - 1} "
+            f"tokens, so boundary {n}-grams would silently vanish — "
+            f"rewrite the bronze table with chunk_tokens >= {n}"
+        )
+
+
+def prechunked_positional_grams(
+    chunks: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+    validate: bool = True,
+    op_name: str = "prechunked_positional_grams",
+    keep_ids: DataFrame | None = None,
+) -> DataFrame:
+    """``(id_col, __pos, __g)`` — every document token n-gram with its
+    GLOBAL 0-based start position and md5 gram hash, derived from a
+    pre-chunked bronze table instead of whole-document rows: the
+    bit-identical pre-chunked twin of the positional-gram pass the
+    span operators share (dedupe.repeated_spans and
+    decontam.cross_span_contamination both posexplode
+    ``kgrams(tokens(text))``; the reference has no span machinery —
+    this is engine-original, following Lee et al.).
+
+    Mechanics mirror similarity.prechunked_minhash: each chunk is
+    augmented with the first ``n - 1`` tokens of the NEXT chunk (one
+    narrow (id, pos+1) self-join via :func:`chunk_head`) so boundary
+    n-grams exist; an augmented chunk of ``s`` own tokens plus an
+    (n-1)-token head yields grams at local starts 0..s-1 — exactly
+    the grams whose start lies in THIS chunk, so no gram is produced
+    twice and no exclusion filter is needed. Global position = the
+    running token-count offset of preceding chunks (a per-document
+    window over chunk ROWS — bounded by the chunk count, never the
+    token count) plus the local start. Documents shorter than ``n``
+    tokens yield no grams, matching the per-row builders' size
+    filter. Requires every non-final chunk to hold >= ``n - 1``
+    tokens (:func:`require_boundary_tokens`).
+
+    ``keep_ids`` restricts output to those documents; pass it here
+    rather than pre-filtering ``chunks`` — the heads side reads the
+    raw chunk relation and heads of dropped documents fall out of
+    the left join (the prechunked_minhash lesson: no CSE across
+    self-join sides)."""
+    from pyspark.sql import Window
+
+    from etl_guiacores_spark.operators.textstats import kgrams
+
+    if n < 1:
+        raise ValueError(f"{op_name}: need n >= 1")
+    if validate:
+        require_chunk_contract(chunks, id_col, pos_col, op_name)
+        require_boundary_tokens(
+            chunks, n, id_col, pos_col, chunk_col, op_name
+        )
+    kept = chunks
+    if keep_ids is not None:
+        kept = chunks.join(keep_ids.select(id_col), id_col, "left_semi")
+    toked = kept.select(
+        F.col(id_col),
+        F.col(pos_col),
+        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
+            "__toks"
+        ),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toked = toked.withColumn(
+        "__off", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0))
+    )
+    heads = chunks.select(
+        F.col(id_col),
+        (F.col(pos_col) - 1).alias(pos_col),
+        chunk_head(F.col(chunk_col), n).alias("__next_head"),
+    ).filter(F.col(pos_col) >= 0)
+    aug = toked.join(heads, [id_col, pos_col], "left").withColumn(
+        "__aug",
+        F.concat(
+            F.col("__toks"),
+            F.coalesce(
+                F.col("__next_head"), F.array().cast("array<string>")
+            ),
+        ),
+    )
+    return aug.select(
+        id_col,
+        "__off",
+        F.posexplode(kgrams(F.col("__aug"), n)).alias(
+            "__lpos", "__gram"
+        ),
+    ).select(
+        id_col,
+        (F.col("__off") + F.col("__lpos")).cast("int").alias("__pos"),
+        F.md5("__gram").alias("__g"),
+    )
+
+
 def salted_explode(
     df: DataFrame, id_col: str, chunks: Column, out_col: str
 ) -> DataFrame:

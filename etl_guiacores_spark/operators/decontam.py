@@ -14,7 +14,7 @@ repetition scoring.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_guiacores_spark.operators.similarity import word_shingles
@@ -129,6 +129,8 @@ def cross_span_contamination(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunks: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """SPAN-level cross-set decontamination: maximal token spans of a
     training document that appear verbatim (as sliding n-gram
@@ -154,7 +156,18 @@ def cross_span_contamination(
     Returns (id_col, span_start 0-based, span_end exclusive,
     span_tokens, n_grams) — one row per maximal contaminated span
     per training document.
+
+    ``chunks`` (a pre-chunked bronze table covering ``train``'s ids
+    with text identical to what the chunks were written from) derives
+    the TRAIN-side positional grams from balanced chunk rows instead
+    of whole documents — bit-identical spans, no task kgram-walks a
+    fat document (chunking.prechunked_positional_grams; requires a
+    bronze written with chunk_tokens >= n - 1). The eval side stays
+    per-row: benchmarks are KBs-to-MBs.
     """
+    from etl_guiacores_spark.operators.dedupe import (
+        coalesce_span_islands,
+    )
     from etl_guiacores_spark.operators.textstats import kgrams, tokens
 
     if n < 1:
@@ -171,30 +184,20 @@ def cross_span_contamination(
             ),
         ).select(id_col, "__pos", F.md5("__gram").alias("__g"))
 
+    if chunks is not None:
+        from etl_guiacores_spark.operators.chunking import (
+            prechunked_positional_grams,
+        )
+
+        train_grams = prechunked_positional_grams(
+            chunks, n, id_col, "chunk_pos", "chunk_text",
+            validate=validate, op_name="cross_span_contamination",
+            keep_ids=train,
+        )
+    else:
+        train_grams = grams(train)
     eval_grams = grams(eval_docs).select("__g").distinct()
-    hits = grams(train).join(
+    hits = train_grams.join(
         F.broadcast(eval_grams), "__g", "left_semi"
     ).select(id_col, "__pos")
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    flagged = hits.withColumn(
-        "__new",
-        F.when(
-            F.coalesce(
-                F.col("__pos") - F.lag("__pos").over(w), F.lit(n + 1)
-            )
-            > n,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    islands = flagged.withColumn(
-        "__isl",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return islands.groupBy(id_col, "__isl").agg(
-        F.min("__pos").cast("long").alias("span_start"),
-        (F.max("__pos") + n).cast("long").alias("span_end"),
-        (F.max("__pos") + n - F.min("__pos")).cast("long").alias(
-            "span_tokens"
-        ),
-        F.count("*").cast("long").alias("n_grams"),
-    ).drop("__isl")
+    return coalesce_span_islands(hits, n, id_col)

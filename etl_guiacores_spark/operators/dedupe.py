@@ -110,6 +110,18 @@ def repeated_spans(
     grams = base.select(
         id_col, F.posexplode(kgrams(F.col("__toks"), n)).alias("__pos", "__gram")
     ).select(id_col, "__pos", F.md5("__gram").alias("__g"))
+    return _spans_from_grams(grams, n, min_docs, id_col)
+
+
+def _spans_from_grams(
+    grams: DataFrame, n: int, min_docs: int, id_col: str
+) -> DataFrame:
+    """The repeated-span core over a ``(id_col, __pos, __g)`` gram
+    relation — factored so the whole-document and pre-chunked gram
+    builders share ONE copy of the count-distinct test and the
+    constant-width island coalesce (see :func:`repeated_spans` for
+    the algebra; decontam.cross_span_contamination shares
+    :func:`coalesce_span_islands` with a membership test instead)."""
     dup = (
         grams.groupBy("__g")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -117,6 +129,21 @@ def repeated_spans(
         .select("__g")
     )
     hits = grams.join(dup, "__g").select(id_col, "__pos")
+    return coalesce_span_islands(hits, n, id_col)
+
+
+def coalesce_span_islands(
+    hits: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Merge constant-width-``n`` gram hits ``(id_col, __pos)`` into
+    maximal spans: because all intervals share width ``n`` and
+    per-document positions are unique, the classic
+    "start > running max(end)" island test reduces to
+    ``start - lag(start) > n`` — one LAG instead of a running-max
+    frame. Window is PARTITIONED BY document and bounded by that
+    document's HIT count. Returns (id_col, span_start, span_end,
+    span_tokens, n_grams); one copy shared by repeated_spans,
+    cross_span_contamination, and their pre-chunked twins."""
     w = Window.partitionBy(id_col).orderBy("__pos")
     flagged = hits.withColumn(
         "__new",
@@ -140,6 +167,40 @@ def repeated_spans(
         ),
         F.count("*").cast("long").alias("n_grams"),
     ).drop("__isl")
+
+
+def prechunked_repeated_spans(
+    chunks: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+    validate: bool = True,
+    keep_ids: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`repeated_spans` from a PRE-CHUNKED bronze table
+    (chunking.prechunk_documents) — bit-identical spans, but the scan
+    reads balanced chunk rows: no task tokenizes or kgram-walks a
+    whole fat document (the same storage-layer skew bound as
+    similarity.prechunked_minhash, extended to the span-dedup family
+    — the last per-row whole-document compute path in the corpus
+    pipeline). Global gram positions come from
+    chunking.prechunked_positional_grams; requires every non-final
+    chunk to hold >= ``n - 1`` tokens (enforced under ``validate``),
+    i.e. a bronze written with ``chunk_tokens >= n - 1``."""
+    from etl_guiacores_spark.operators.chunking import (
+        prechunked_positional_grams,
+    )
+
+    if min_docs < 2:
+        raise ValueError("prechunked_repeated_spans: need min_docs >= 2")
+    grams = prechunked_positional_grams(
+        chunks, n, id_col, pos_col, chunk_col,
+        validate=validate, op_name="prechunked_repeated_spans",
+        keep_ids=keep_ids,
+    )
+    return _spans_from_grams(grams, n, min_docs, id_col)
 
 
 def strip_repeated_spans(
@@ -240,3 +301,142 @@ def strip_given_spans(
             )
         )
     return joined.select(*cols)
+
+
+def prechunked_strip_given_spans(
+    chunks: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+    keep_text: bool = False,
+    validate: bool = True,
+    keep_ids: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`strip_given_spans` from a PRE-CHUNKED bronze table —
+    bit-identical output (same columns, same retained_md5), but the
+    token filtering runs per CHUNK with global offsets: no task walks
+    a whole fat document's token array (the apply half of the span
+    family's storage-layer skew bound; the detection halves are
+    :func:`prechunked_repeated_spans` /
+    decontam.cross_span_contamination(chunks=)).
+
+    Mechanics: each chunk's exact token slice
+    (chunking.prechunked_tokens) gets GLOBAL indices from the running
+    token-count offset (a per-document window over chunk ROWS), the
+    per-document span array joins on and the positional filter drops
+    covered tokens chunk-locally; the per-document reassembly joins
+    the per-chunk retained strings in chunk order, skipping chunks
+    whose retained token count is ZERO (so separators appear exactly
+    between kept tokens — a chunk whose only retained token is a
+    phantom empty string still contributes its separator, matching
+    the flat per-row join). The reassembly's collect_list is bounded
+    by the document's CHUNK COUNT and concatenates already-filtered
+    strings — string IO, not token compute. Spans must be
+    non-overlapping per document (producer contract, same as
+    :func:`strip_given_spans`); documents with zero tokens are
+    excluded by contract. ``chunks`` must cover every document the
+    spans reference AND every keep_ids document (the bronze coverage
+    contract)."""
+    from etl_guiacores_spark.operators.chunking import (
+        prechunked_tokens,
+        require_chunk_contract,
+    )
+
+    if validate:
+        require_chunk_contract(
+            chunks, id_col, pos_col, "prechunked_strip_given_spans"
+        )
+    kept_rel = chunks
+    if keep_ids is not None:
+        kept_rel = chunks.join(
+            keep_ids.select(id_col), id_col, "left_semi"
+        )
+    toked = kept_rel.select(
+        F.col(id_col),
+        F.col(pos_col),
+        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
+            "__toks"
+        ),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toked = toked.withColumn(
+        "__off", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0))
+    )
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias(
+            "__spans"
+        ),
+        F.sum("span_tokens").cast("long").alias("__dup"),
+    )
+    joined = toked.join(sp, id_col, "left").withColumn(
+        "__spans", F.coalesce("__spans", F.array())
+    )
+    kept = F.filter(
+        F.transform(
+            "__toks",
+            lambda t, i: F.struct(
+                t.alias("t"), (i + F.col("__off")).alias("i")
+            ),
+        ),
+        lambda s: ~F.exists(
+            "__spans",
+            lambda span: (s["i"] >= span["span_start"])
+            & (s["i"] < span["span_end"]),
+        ),
+    )
+    pieces = joined.select(
+        F.col(id_col),
+        F.col(pos_col),
+        F.size("__toks").alias("__n"),
+        F.size(kept).alias("__kn"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "__piece"
+        ),
+        F.col("__dup"),
+    )
+    ret = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(pos_col).alias("p"),
+                            F.col("__kn").alias("k"),
+                            F.col("__piece").alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["k"] > 0,
+            ),
+            lambda x: x["s"],
+        ),
+        " ",
+    )
+    agg = (
+        pieces.groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.coalesce(F.max("__dup"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            ret.alias("__ret"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("dup_tokens"),
+        (F.col("n_tokens") - F.col("dup_tokens"))
+        .cast("long")
+        .alias("retained_tokens"),
+        F.md5("__ret").alias("retained_md5"),
+    ]
+    if keep_text:
+        cols.append(F.col("__ret").alias("retained_text"))
+    return agg.select(*cols)

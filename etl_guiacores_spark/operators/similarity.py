@@ -390,49 +390,24 @@ def prechunked_minhash(
     left join.
     """
     from etl_guiacores_spark.operators.chunking import (
+        chunk_head,
         prechunked_tokens,
+        require_boundary_tokens,
         require_chunk_contract,
     )
 
     if validate:
         require_chunk_contract(chunks, id_col, pos_col,
                                "prechunked_minhash")
-    if validate and n >= 2:
         # the documented boundary requirement, ENFORCED (loud-contract
         # stance): every NON-FINAL chunk must hold >= n-1 tokens, or a
         # cross-boundary n-gram could span three chunks and silently
-        # vanish from the signatures. The probe is a limit-split
-        # prefix count (O(n) per chunk, not a full tokenize) and a
-        # LIMIT 1 violation collect.
-        prefix_n = F.size(
-            F.slice(
-                F.split(
-                    F.trim(
-                        F.regexp_replace(F.col(chunk_col), r"^\s+", "")
-                    ),
-                    r"\s+",
-                    n,
-                ),
-                1,
-                n - 1,
-            )
+        # vanish from the signatures — the check (and the head
+        # expression below) is shared with chunking's positional-gram
+        # builder so the two can never drift
+        require_boundary_tokens(
+            chunks, n, id_col, pos_col, chunk_col, "prechunked_minhash"
         )
-        mx = chunks.groupBy(id_col).agg(F.max(pos_col).alias("__mx"))
-        bad = (
-            chunks.join(mx, id_col)
-            .filter((F.col(pos_col) < F.col("__mx")) & (prefix_n < n - 1))
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            r = bad[0]
-            raise ValueError(
-                f"prechunked_minhash: non-final chunk ({id_col}="
-                f"{r[id_col]!r}, {pos_col}={r[pos_col]}) holds fewer "
-                f"than n-1={n - 1} tokens, so boundary {n}-grams "
-                "would silently vanish — rewrite the bronze table "
-                f"with chunk_tokens >= {n}"
-            )
     hasher = _hasher if portable else _hasher_fast
     kept = chunks
     if keep_ids is not None:
@@ -446,30 +421,17 @@ def prechunked_minhash(
             "__toks"
         ),
     )
-    # heads are built straight off the chunk STRING with a
-    # limit-split (O(prefix), stops after n-1 tokens) instead of
-    # prechunked_tokens — the join sides share no CSE, so deriving
-    # both from the tokenized relation would tokenize every chunk
-    # twice (measured +34% on the near-dup soak stage). The
-    # expression reproduces the exact-slice prefix: heads only come
-    # from pos>=1 chunks (never the doc-leading chunk), the leading
-    # \s+ strip plus space-trim mirrors prechunked_tokens, and a
-    # final chunk's trailing \t/\n phantom survives the limit-split
-    # exactly as it does full tokenization.
+    # heads are built straight off the chunk STRING via
+    # chunking.chunk_head (a limit-split: O(prefix), stops after n-1
+    # tokens) instead of prechunked_tokens — the join sides share no
+    # CSE, so deriving both from the tokenized relation would
+    # tokenize every chunk twice (measured +34% on the near-dup soak
+    # stage); see chunk_head's docstring for the phantom-parity
+    # details.
     heads = chunks.select(
         F.col(id_col),
         (F.col(pos_col) - 1).alias(pos_col),
-        F.slice(
-            F.split(
-                F.trim(
-                    F.regexp_replace(F.col(chunk_col), r"^\s+", "")
-                ),
-                r"\s+",
-                n,
-            ),
-            1,
-            n - 1,
-        ).alias("__next_head"),
+        chunk_head(F.col(chunk_col), n).alias("__next_head"),
     ).filter(F.col(pos_col) >= 0)
     shingled = (
         toked.join(heads, [id_col, pos_col], "left")

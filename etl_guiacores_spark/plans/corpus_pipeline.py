@@ -82,17 +82,19 @@ class CorpusConfig:
     #: tokenize a fat document before the salt spreads its chunks —
     #: the ~20x max/median residual in the round-10 soak): after the
     #: one-time bronze write, every salted stage scans balanced
-    #: chunk-sized parquet rows. Outputs are bit-identical. When
-    #: ``decontam_spans`` rewrites survivor text upstream of near-dup,
-    #: the pipeline re-chunks the rewritten survivors ONCE (landed +
-    #: fenced as ``bronze_rechunked``) so the near-dup leg still reads
-    #: balanced chunk rows — no stage falls back to tokenizing whole
-    #: documents in-task. The one remaining fallback: the gopher gate
-    #: under ``strip_spans`` (its input is rewritten a second time
-    #: after near-dup; a third landed chunk table would cost a full
-    #: corpus write to serve that single cheap pass, and the span
-    #: stage immediately upstream already walks whole documents by
-    #: its nature) uses the in-task salted path.
+    #: chunk-sized parquet rows. Outputs are bit-identical. The SPAN
+    #: stages read chunk rows too (prechunked_repeated_spans /
+    #: cross_span_contamination(chunks=) / prechunked_strip_given_
+    #: spans — round 12), provided ``salt_chunk_tokens >= n - 1`` for
+    #: that stage's gram width (``decontam_span_n`` / ``span_n``;
+    #: below that the stage falls back to the bit-identical per-row
+    #: path). After each text REWRITE the pipeline re-chunks the
+    #: landed rewritten survivors once (``bronze_rechunked`` after
+    #: the eval-span excision, ``bronze_restripped`` after the
+    #: repeated-span strip — both fenced, both cheap because the
+    #: funnel narrows), so near-dup and the gopher gate always read
+    #: chunk rows: no stage in ANY config tokenizes a whole document
+    #: in-task after the ingest bronze write.
     prechunk: bool = False
     #: True = connected-components clustering (one survivor per
     #: component, exact); False = greedy drop-higher-id per pair
@@ -726,6 +728,7 @@ _LANDED_STAGES = (
     "clean",
     "span_accounting",
     "span_stripped",
+    "bronze_restripped",
     "gopher_gated",
     "sampled",
     "chunks",
@@ -1010,18 +1013,44 @@ def run_corpus_pipeline(
                 cross_span_contamination,
             )
             from etl_guiacores_spark.operators.dedupe import (
+                prechunked_strip_given_spans,
                 strip_given_spans,
             )
             from etl_guiacores_spark.operators.textstats import (
                 tokens as _dtoks,
             )
 
+            # pre-chunked span leg: detection AND apply read the
+            # ingest bronze's balanced chunk rows (exact's text is
+            # still ingest text here) — bit-identical spans/strips
+            # with no whole-document token walk. The boundary
+            # requirement (non-final chunks hold >= n-1 tokens) must
+            # be checked HERE because the operators run validate=False
+            # on the pipeline's own bronze: an undersized chunk would
+            # silently lose boundary n-grams.
+            span_bronze = (
+                bronze
+                if bronze is not None
+                and config.salt_chunk_tokens
+                >= config.decontam_span_n - 1
+                else None
+            )
             ev_spans = cross_span_contamination(
                 exact,
                 bench.select(F.lit(0).alias("doc_id"), "text"),
                 n=config.decontam_span_n,
+                chunks=span_bronze,  # None -> whole-document leg
+                validate=False,
             )
-            excised = strip_given_spans(exact, ev_spans, keep_text=True)
+            if span_bronze is not None:
+                excised = prechunked_strip_given_spans(
+                    span_bronze, ev_spans, keep_text=True,
+                    validate=False, keep_ids=exact,
+                )
+            else:
+                excised = strip_given_spans(
+                    exact, ev_spans, keep_text=True
+                )
             ev_acct, _ = _land(
                 excised.select(
                     "doc_id", "n_tokens", "dup_tokens",
@@ -1135,14 +1164,42 @@ def run_corpus_pipeline(
 
     span_totals = None
     if config.strip_spans:
-        from etl_guiacores_spark.operators.dedupe import strip_repeated_spans
-
-        stripped = strip_repeated_spans(
-            survivors,
-            n=config.span_n,
-            min_docs=config.span_min_docs,
-            keep_text=True,
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_repeated_spans,
+            prechunked_strip_given_spans,
+            strip_repeated_spans,
         )
+
+        # pre-chunked span leg: at this point bronze (when on) is
+        # CURRENT for the survivors — the ingest table, or the
+        # bronze_rechunked refresh when decontam_spans rewrote text —
+        # so both the repeated-span detection and the strip read
+        # balanced chunk rows. keep_ids matters for CORRECTNESS here,
+        # not just cost: min_docs counts distinct docs and must count
+        # survivors only. Boundary requirement checked here
+        # (validate=False on our own bronze), as in the decontam leg.
+        if (
+            bronze is not None
+            and config.salt_chunk_tokens >= config.span_n - 1
+        ):
+            rep_spans = prechunked_repeated_spans(
+                bronze,
+                n=config.span_n,
+                min_docs=config.span_min_docs,
+                validate=False,
+                keep_ids=survivors,
+            )
+            stripped = prechunked_strip_given_spans(
+                bronze, rep_spans, keep_text=True,
+                validate=False, keep_ids=survivors,
+            )
+        else:
+            stripped = strip_repeated_spans(
+                survivors,
+                n=config.span_n,
+                min_docs=config.span_min_docs,
+                keep_text=True,
+            )
         accounting, _ = _land(
             stripped.select(
                 "doc_id", "n_tokens", "dup_tokens", "retained_tokens",
@@ -1195,6 +1252,25 @@ def run_corpus_pipeline(
         }
         emit("span_strip", {"records": n_span})
 
+        if bronze is not None and config.gopher_gate:
+            # the strip rewrote survivor text a second time — refresh
+            # the chunk table once more from the landed span_stripped
+            # artifact (cheap: the funnel is narrow here) so the
+            # gopher gate below reads balanced chunk rows too; with
+            # the pre-chunked span legs above, NO stage in any config
+            # now tokenizes a whole document in-task after ingest
+            from etl_guiacores_spark.operators.chunking import (
+                prechunk_documents as _prechunk_post,
+            )
+
+            bronze, n_restrip = _land(
+                _prechunk_post(
+                    survivors, chunk_tokens=config.salt_chunk_tokens
+                ),
+                "bronze_restripped",
+            )
+            emit("bronze_restripped", {"records": n_restrip})
+
     n_before_gopher = n_clean if span_totals is None else span_totals["span_docs"]
     n_gopher = None
     if config.gopher_gate:
@@ -1203,14 +1279,12 @@ def run_corpus_pipeline(
             salted_gopher_quality,
         )
 
-        if bronze is not None and not config.strip_spans:
+        if bronze is not None:
             # bronze path: survivor text matches the chunk table
-            # (untouched since ingest, or re-chunked after the span
-            # excision), so the gate reads balanced chunk rows keyed
-            # down to the survivor ids — identical metrics and flags.
-            # strip_spans rewrites text AGAIN after near-dup, so that
-            # one config keeps the in-task salted fallback (see the
-            # CorpusConfig.prechunk note)
+            # (untouched since ingest, or refreshed after whichever
+            # span stage rewrote it last), so the gate reads balanced
+            # chunk rows keyed down to the survivor ids — identical
+            # metrics and flags
             from etl_guiacores_spark.operators.textstats import (
                 prechunked_gopher_quality,
             )

@@ -359,7 +359,11 @@ class TestPrechunkedConsumers:
         base = dict(
             min_quality=0.0, near_dup_jaccard=0.6, chunk_tokens=16,
             chunk_overlap=4, gopher_gate=True, strip_spans=True,
-            span_min_docs=2, benchmark_path=bench_p,
+            # span_n=6 <= salt_chunk_tokens-1+... activates the
+            # PRE-CHUNKED repeated-span leg (needs chunks >= n-1=5
+            # tokens; salt is 8); decontam_span_n=8 needs >= 7 —
+            # also active. Both legs must stay envelope-identical.
+            span_n=6, span_min_docs=2, benchmark_path=bench_p,
             decontam_min_overlaps=10_000,  # only the SPAN stage acts
             decontam_spans=True, decontam_span_n=8,
         )
@@ -378,6 +382,7 @@ class TestPrechunkedConsumers:
         )
         assert m_bronze == m_salted == m_plain
         assert "bronze_rechunked" in stages
+        assert "bronze_restripped" in stages  # post-strip gopher feed
         for stage in ("clean", "gopher_gated", "eval_span_stripped"):
             ids = {
                 v: sorted(
@@ -604,3 +609,159 @@ class TestPrechunkedConsumers:
         ):
             with pytest.raises(ValueError, match="chunk contract"):
                 op(bad).collect()
+
+
+#: span-family fixtures: shared passages across documents (so
+#: repeated_spans fires), a doc QUOTING a benchmark, phantom edges,
+#: short docs, and a doc whose entire text is one shared passage
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"
+SPAN_DOCS = [
+    (1, "intro words here " + SHARED + " closing words after"),
+    (2, "other leading text " + SHARED + " unrelated tail content"),
+    (3, SHARED),
+    (4, "a perfectly ordinary document with nothing shared at all"),
+    (5, "tiny doc"),
+    (6, ""),
+    (7, None),
+    (8, SHARED + "\n"),           # trailing phantom edge
+    (9, "\t" + SHARED + " x y " + SHARED),  # two islands + leading phantom
+    (10, ("repeat me now please " * 6).strip()),
+    (11, ("repeat me now please " * 6).strip() + " suffix bits"),
+]
+
+
+class TestPrechunkedSpans:
+    """The pre-chunked span family (round 12): detection
+    (prechunked_repeated_spans, cross_span_contamination(chunks=))
+    and apply (prechunked_strip_given_spans) must be BIT-identical to
+    their whole-document twins over edge-case fixtures at several
+    chunk sizes — the same parity discipline as the round-11
+    prechunked consumers."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            SPAN_DOCS, "doc_id long, text string"
+        )
+
+    def _rows(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    @pytest.mark.parametrize("n", [3, 4])
+    @pytest.mark.parametrize("size", [3, 5, 17, 4096])
+    def test_repeated_spans_bit_identical(self, spark, n, size):
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_repeated_spans,
+            repeated_spans,
+        )
+
+        if size < n - 1:
+            pytest.skip("chunk below the boundary requirement")
+        docs = self._docs(spark)
+        chunks = prechunk_documents(docs, chunk_tokens=size)
+        want = self._rows(repeated_spans(docs, n=n, min_docs=2))
+        got = self._rows(
+            prechunked_repeated_spans(chunks, n=n, min_docs=2)
+        )
+        assert got == want and want, (n, size)
+
+    @pytest.mark.parametrize("size", [3, 5, 17, 4096])
+    def test_cross_span_contamination_bit_identical(self, spark, size):
+        from etl_guiacores_spark.operators.decontam import (
+            cross_span_contamination,
+        )
+
+        n = 4
+        docs = self._docs(spark)
+        bench = spark.createDataFrame(
+            [("preamble " + SHARED + " postamble",),
+             ("repeat me now please repeat me now",)],
+            "text string",
+        ).select(F.lit(0).alias("doc_id"), "text")
+        chunks = prechunk_documents(docs, chunk_tokens=size)
+        want = self._rows(cross_span_contamination(docs, bench, n=n))
+        got = self._rows(
+            cross_span_contamination(docs, bench, n=n, chunks=chunks)
+        )
+        assert got == want and want, size
+
+    @pytest.mark.parametrize("size", [3, 5, 17, 4096])
+    def test_strip_given_spans_bit_identical(self, spark, size):
+        """Same spans (from the per-row detector), both apply halves:
+        every column — counts, retained_md5, retained_text — must
+        match exactly, including phantom-edge docs and the
+        fully-excised doc 3 (its whole text is one shared span)."""
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_strip_given_spans,
+            repeated_spans,
+            strip_given_spans,
+        )
+
+        docs = self._docs(spark)
+        spans = repeated_spans(docs, n=3, min_docs=2)
+        chunks = prechunk_documents(docs, chunk_tokens=size)
+        want = self._rows(
+            strip_given_spans(docs, spans, keep_text=True)
+        )
+        got = self._rows(
+            prechunked_strip_given_spans(chunks, spans, keep_text=True)
+        )
+        assert got == want and want, size
+        # sanity: doc 3 is fully excised (retained_text empty)
+        full = {r[0]: r for r in want}
+        assert full[3][2] == full[3][1]  # dup_tokens == n_tokens
+
+    def test_strip_keep_ids_restricts_output(self, spark):
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_strip_given_spans,
+            repeated_spans,
+        )
+
+        docs = self._docs(spark)
+        spans = repeated_spans(docs, n=3, min_docs=2)
+        chunks = prechunk_documents(docs, chunk_tokens=5)
+        keep = docs.filter("doc_id in (1, 3, 4)")
+        got = prechunked_strip_given_spans(
+            chunks, spans, keep_ids=keep
+        )
+        assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 4]
+
+    def test_positional_grams_match_whole_doc(self, spark):
+        """The shared gram builder itself: (id, pos, hash) triples
+        from chunks equal the whole-document posexplode, for every
+        fixture doc at a boundary-stressing chunk size."""
+        from etl_guiacores_spark.operators.chunking import (
+            prechunked_positional_grams,
+        )
+        from etl_guiacores_spark.operators.textstats import (
+            kgrams,
+            tokens,
+        )
+
+        n = 3
+        docs = self._docs(spark)
+        base = docs.select(
+            "doc_id", tokens(F.col("text")).alias("__toks")
+        ).filter(F.size("__toks") >= n)
+        want = self._rows(
+            base.select(
+                "doc_id",
+                F.posexplode(kgrams(F.col("__toks"), n)).alias(
+                    "__pos", "__gram"
+                ),
+            ).select("doc_id", "__pos", F.md5("__gram").alias("__g"))
+        )
+        chunks = prechunk_documents(docs, chunk_tokens=3)
+        got = self._rows(
+            prechunked_positional_grams(chunks, n)
+        )
+        assert got == want and want
+
+    def test_boundary_guard_fires(self, spark):
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_repeated_spans,
+        )
+
+        docs = self._docs(spark)
+        tiny = prechunk_documents(docs, chunk_tokens=2)
+        with pytest.raises(ValueError, match="non-final chunk"):
+            prechunked_repeated_spans(tiny, n=5, min_docs=2).collect()

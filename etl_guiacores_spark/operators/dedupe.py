@@ -376,6 +376,22 @@ def prechunked_strip_given_spans(
     joined = toked.join(sp, id_col, "left").withColumn(
         "__spans", F.coalesce("__spans", F.array())
     )
+    # localize first: only spans OVERLAPPING this chunk's global token
+    # range can cover its tokens, so the per-token exists test runs
+    # over the (usually empty or tiny) local subset instead of the
+    # document's full span array — one O(|spans|) pass per chunk
+    # rather than one per token
+    joined = joined.withColumn(
+        "__local",
+        F.filter(
+            "__spans",
+            lambda span: (span["span_end"] > F.col("__off"))
+            & (
+                span["span_start"]
+                < F.col("__off") + F.size("__toks")
+            ),
+        ),
+    )
     kept = F.filter(
         F.transform(
             "__toks",
@@ -384,7 +400,7 @@ def prechunked_strip_given_spans(
             ),
         ),
         lambda s: ~F.exists(
-            "__spans",
+            "__local",
             lambda span: (s["i"] >= span["span_start"])
             & (s["i"] < span["span_end"]),
         ),

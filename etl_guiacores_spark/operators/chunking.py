@@ -166,8 +166,36 @@ def prechunk_documents(
     arr = F.when(
         text.isNull(), F.array(F.lit(None).cast("string"))
     ).otherwise(arr)
-    return docs.select(
-        id_col, F.posexplode(arr).alias("chunk_pos", "chunk_text")
+    # tok_off: the chunk's GLOBAL token offset — the cumulative
+    # prechunked_tokens size of all preceding chunks — written at
+    # build time where it is a closed form, so positional consumers
+    # (the span family) never shuffle the chunk-text table just to
+    # compute a running sum. Every non-final chunk holds exactly
+    # ``chunk_tokens`` pieces, so off_i = i * chunk_tokens, plus 1
+    # for every chunk after the first when the document carries a
+    # LEADING phantom empty token (tokens() leaves one when the
+    # leading whitespace run survives the space-only trim, i.e.
+    # contains a non-space character; trailing phantoms live on the
+    # final chunk and precede nothing). Pinned against the
+    # per-chunk prechunked_tokens sizes in tests.
+    lead_ph = (
+        F.length(F.trim(F.regexp_extract(text, r"^\s*", 0))) > 0
+    ).cast("long")
+    out = docs.select(
+        id_col,
+        F.coalesce(lead_ph, F.lit(0)).alias("__lp"),
+        F.posexplode(arr).alias("chunk_pos", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        "chunk_pos",
+        "chunk_text",
+        F.when(F.col("chunk_pos") == 0, F.lit(0))
+        .otherwise(
+            F.col("chunk_pos") * F.lit(chunk_tokens) + F.col("__lp")
+        )
+        .cast("long")
+        .alias("tok_off"),
     ).repartition(F.col(id_col), F.col("chunk_pos"))
 
 
@@ -322,6 +350,57 @@ def require_boundary_tokens(
         )
 
 
+def tokenized_with_offsets(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "chunk_pos",
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """``(id_col, pos_col, __toks, __off)`` — each chunk's exact token
+    slice plus its GLOBAL token offset. When the chunk table carries
+    the ``tok_off`` column :func:`prechunk_documents` writes, the
+    offset is read straight off the scan (NO shuffle); a foreign
+    pre-chunked table without it falls back to a per-document
+    running-sum window over chunk ROWS (bounded by the chunk count,
+    but a full shuffle of the chunk relation — the reason bronze
+    writes the offset). One copy shared by the positional span
+    consumers."""
+    from pyspark.sql import Window
+
+    cols = [
+        F.col(id_col),
+        F.col(pos_col),
+        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
+            "__toks"
+        ),
+    ]
+    if "tok_off" in chunks.columns:
+        # a pre-tok_off artifact read back under a schema that names
+        # the column comes out ALL NULL (parquet missing-column
+        # semantics) — positions computed from it would be silently
+        # garbage, so consuming a NULL offset fails loud instead
+        off = F.when(
+            F.col("tok_off").isNull(),
+            F.raise_error(
+                F.lit(
+                    "tokenized_with_offsets: NULL tok_off — the chunk "
+                    "table predates the offset column; rebuild it "
+                    "with prechunk_documents"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("tok_off").cast("long"))
+        return chunks.select(*cols, off.alias("__off"))
+    toked = chunks.select(*cols)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toked.withColumn(
+        "__off", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0))
+    )
+
+
 def prechunked_positional_grams(
     chunks: DataFrame,
     n: int,
@@ -348,9 +427,11 @@ def prechunked_positional_grams(
     (n-1)-token head yields grams at local starts 0..s-1 — exactly
     the grams whose start lies in THIS chunk, so no gram is produced
     twice and no exclusion filter is needed. Global position = the
-    running token-count offset of preceding chunks (a per-document
-    window over chunk ROWS — bounded by the chunk count, never the
-    token count) plus the local start. Documents shorter than ``n``
+    chunk's global token offset (read straight off the bronze's
+    ``tok_off`` column when present — no shuffle; a per-document
+    window over chunk ROWS otherwise, see
+    :func:`tokenized_with_offsets`) plus the local start. Documents
+    shorter than ``n``
     tokens yield no grams, matching the per-row builders' size
     filter. Requires every non-final chunk to hold >= ``n - 1``
     tokens (:func:`require_boundary_tokens`).
@@ -374,21 +455,7 @@ def prechunked_positional_grams(
     kept = chunks
     if keep_ids is not None:
         kept = chunks.join(keep_ids.select(id_col), id_col, "left_semi")
-    toked = kept.select(
-        F.col(id_col),
-        F.col(pos_col),
-        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
-            "__toks"
-        ),
-    )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy(pos_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    toked = toked.withColumn(
-        "__off", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0))
-    )
+    toked = tokenized_with_offsets(kept, id_col, pos_col, chunk_col)
     heads = chunks.select(
         F.col(id_col),
         (F.col(pos_col) - 1).alias(pos_col),

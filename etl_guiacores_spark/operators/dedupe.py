@@ -339,8 +339,8 @@ def prechunked_strip_given_spans(
     spans reference AND every keep_ids document (the bronze coverage
     contract)."""
     from etl_guiacores_spark.operators.chunking import (
-        prechunked_tokens,
         require_chunk_contract,
+        tokenized_with_offsets,
     )
 
     if validate:
@@ -352,21 +352,7 @@ def prechunked_strip_given_spans(
         kept_rel = chunks.join(
             keep_ids.select(id_col), id_col, "left_semi"
         )
-    toked = kept_rel.select(
-        F.col(id_col),
-        F.col(pos_col),
-        prechunked_tokens(F.col(chunk_col), F.col(pos_col)).alias(
-            "__toks"
-        ),
-    )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy(pos_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    toked = toked.withColumn(
-        "__off", F.coalesce(F.sum(F.size("__toks")).over(w), F.lit(0))
-    )
+    toked = tokenized_with_offsets(kept_rel, id_col, pos_col, chunk_col)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias(
             "__spans"

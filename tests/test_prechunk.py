@@ -104,6 +104,35 @@ class TestPrechunkLayout:
                 got = [t for _, tk in sorted(byid[did]) for t in tk]
                 assert got == want[did], (ct, did, got, want[did])
 
+    def test_tok_off_matches_cumulative_token_sizes(self, spark):
+        """The write-time global token offset (round 12) must equal
+        the cumulative prechunked_tokens size of preceding chunks for
+        EVERY fixture doc at every chunk size — including the
+        leading-phantom docs (9, 12, 13, 14) whose every non-first
+        chunk shifts by one."""
+        df = _docs(spark)
+        for ct in (1, 2, 3, 7, 4096):
+            rows = (
+                prechunk_documents(df, chunk_tokens=ct)
+                .withColumn(
+                    "tk",
+                    prechunked_tokens(
+                        F.col("chunk_text"), F.col("chunk_pos")
+                    ),
+                )
+                .collect()
+            )
+            byid: dict = {}
+            for r in rows:
+                byid.setdefault(r["doc_id"], []).append(
+                    (r["chunk_pos"], len(r["tk"]), r["tok_off"])
+                )
+            for did, _ in DOCS:
+                run = 0
+                for pos, sz, off in sorted(byid[did]):
+                    assert off == run, (ct, did, pos, off, run)
+                    run += sz
+
     def test_chunk_tokens_guard(self, spark):
         with pytest.raises(ValueError, match="chunk_tokens"):
             prechunk_documents(_docs(spark), chunk_tokens=0)
@@ -311,7 +340,9 @@ class TestPrechunkedConsumers:
             assert ids["bronze"] == ids["salted"] == ids["plain"], stage
         # the bronze artifact itself landed, fenced, and reconstructs
         bronze = spark.read.parquet(str(tmp_path / "bronze/bronze_chunks"))
-        assert bronze.columns == ["doc_id", "chunk_pos", "chunk_text"]
+        assert bronze.columns == [
+            "doc_id", "chunk_pos", "chunk_text", "tok_off",
+        ]
         assert (tmp_path / "bronze/bronze_chunks/_SUCCESS").exists()
 
     def test_pipeline_full_config_rechunks_after_span_excision(

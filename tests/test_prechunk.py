@@ -796,3 +796,21 @@ class TestPrechunkedSpans:
         tiny = prechunk_documents(docs, chunk_tokens=2)
         with pytest.raises(ValueError, match="non-final chunk"):
             prechunked_repeated_spans(tiny, n=5, min_docs=2).collect()
+
+    def test_null_tok_off_fails_loud(self, spark):
+        """A pre-tok_off artifact read back under the new schema
+        yields ALL-NULL offsets (parquet missing-column semantics) —
+        positions computed from them would be silently garbage, so
+        consuming one must raise, not coalesce."""
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_repeated_spans,
+        )
+
+        docs = self._docs(spark)
+        stale = prechunk_documents(docs, chunk_tokens=5).withColumn(
+            "tok_off", F.lit(None).cast("long")
+        )
+        with pytest.raises(Exception, match="NULL tok_off"):
+            prechunked_repeated_spans(
+                stale, n=3, min_docs=2, validate=False
+            ).collect()

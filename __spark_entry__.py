@@ -45,6 +45,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tests/test_rotation.py red mid-boundary. Every row is also locally
 # re-verified every round (tools/check_oracle.py 200/200 at sf0.01).
 _FIRST = [
+    "q200_prechunked_span_strip",
     "q14_phone_normalize",
     "q15_email_validate",
     "q16_url_pipeline",

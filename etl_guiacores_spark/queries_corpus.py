@@ -3279,6 +3279,76 @@ def q135_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_repeated_spans(_docs(spark, sf_dir), n=_SPAN_N, min_docs=2)
 
 
+@register(
+    "q200_prechunked_span_strip",
+    f"""
+    WITH {_SPANS_CORE},
+    allb AS (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE LENGTH(trim(text)) > 0)
+        WHERE len(toks) > 0
+    ),
+    tokpos AS (
+        SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+        FROM allb, LATERAL unnest(range(1, len(toks) + 1)) u(i)
+    ),
+    kept AS (
+        SELECT t.doc_id,
+               md5(COALESCE(string_agg(tok, ' ' ORDER BY t.pos)
+                            FILTER (WHERE NOT EXISTS (
+                                SELECT 1 FROM spans sp
+                                WHERE sp.doc_id = t.doc_id
+                                  AND t.pos >= sp.span_start
+                                  AND t.pos < sp.span_end)), ''))
+                   AS retained_md5
+        FROM tokpos t GROUP BY t.doc_id
+    ),
+    dupagg AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(b.toks) - COALESCE(d.dup_tokens, 0) AS BIGINT)
+               AS retained_tokens,
+           k.retained_md5
+    FROM allb b
+    LEFT JOIN dupagg d USING (doc_id)
+    JOIN kept k ON k.doc_id = b.doc_id
+    """,
+    doc="q135's span-strip accounting computed ENTIRELY through the "
+    "pre-chunked bronze layout (round 12): the corpus is chunked once "
+    "(chunking.prechunk_documents, 64-token chunks carrying the "
+    "write-time tok_off global offsets), the maximal repeated spans "
+    "are detected from chunk rows (dedupe.prechunked_repeated_spans — "
+    "positional 10-grams with next-chunk heads, shared island "
+    "coalesce), and the strip applies per chunk with global offsets "
+    "(dedupe.prechunked_strip_given_spans). The oracle is q135's SQL "
+    "verbatim, so the driver hash-checks that the storage-layout "
+    "twins are value-identical end-to-end — the same equivalence "
+    "class q69 gives salted MinHash. At 100 TB this is the plan that "
+    "runs: no task tokenizes or kgram-walks a whole document; "
+    "per-task work is bounded by the 64-token chunk, and the global "
+    "positions ride the scan instead of a corpus-wide window.",
+)
+def q200_prechunked_span_strip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_guiacores_spark.operators.chunking import prechunk_documents
+    from etl_guiacores_spark.operators.dedupe import (
+        prechunked_repeated_spans,
+        prechunked_strip_given_spans,
+    )
+
+    chunks = prechunk_documents(_docs(spark, sf_dir), chunk_tokens=64)
+    spans = prechunked_repeated_spans(
+        chunks, n=_SPAN_N, min_docs=2, validate=True
+    )
+    return prechunked_strip_given_spans(chunks, spans, validate=False)
+
+
 # ---------------------------------------------------------------------------
 # q136: PMI collocations in exact integer ppm (phrase-mining signal)
 # ---------------------------------------------------------------------------

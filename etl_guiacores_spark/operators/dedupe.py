@@ -312,6 +312,7 @@ def prechunked_strip_given_spans(
     keep_text: bool = False,
     validate: bool = True,
     keep_ids: DataFrame | None = None,
+    chunk_tokens: int | None = None,
 ) -> DataFrame:
     """:func:`strip_given_spans` from a PRE-CHUNKED bronze table —
     bit-identical output (same columns, same retained_md5), but the
@@ -353,31 +354,90 @@ def prechunked_strip_given_spans(
             keep_ids.select(id_col), id_col, "left_semi"
         )
     toked = tokenized_with_offsets(kept_rel, id_col, pos_col, chunk_col)
-    sp = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias(
-            "__spans"
-        ),
-        F.sum("span_tokens").cast("long").alias("__dup"),
-    )
-    joined = toked.join(sp, id_col, "left").withColumn(
-        "__spans", F.coalesce("__spans", F.array())
-    )
-    # localize first: only spans OVERLAPPING this chunk's global token
-    # range can cover its tokens, so the per-token exists test runs
-    # over the (usually empty or tiny) local subset instead of the
-    # document's full span array — one O(|spans|) pass per chunk
-    # rather than one per token
-    joined = joined.withColumn(
-        "__local",
-        F.filter(
-            "__spans",
-            lambda span: (span["span_end"] > F.col("__off"))
-            & (
-                span["span_start"]
-                < F.col("__off") + F.size("__toks")
+    if chunk_tokens is not None and "tok_off" in chunks.columns:
+        # assign-by-arithmetic path: the bronze layout makes every
+        # chunk's global token range a closed form (tok_off =
+        # pos * chunk_tokens + leading-phantom), so each span can be
+        # EXPLODED to exactly the chunk positions it overlaps — a
+        # span ships once per covered chunk instead of the whole
+        # per-document span array shipping once per chunk (the
+        # array path's |spans| x |chunks| fan-out on a heavily
+        # duplicated fat document — the very case this operator
+        # exists for). The leading-phantom shift is recovered from
+        # the pos-1 chunk's tok_off; both endpoints clamp into
+        # [0, max_pos] (a span covering the trailing phantom token
+        # would otherwise index one past the final chunk).
+        meta = (
+            chunks.groupBy(id_col)
+            .agg(
+                F.max(pos_col).alias("__mx"),
+                F.max(
+                    F.when(F.col(pos_col) == 1, F.col("tok_off"))
+                ).alias("__off1"),
+            )
+            .withColumn(
+                "__lp",
+                F.coalesce(
+                    F.col("__off1") - F.lit(chunk_tokens), F.lit(0)
+                ).cast("long"),
+            )
+            .select(id_col, "__mx", "__lp")
+        )
+
+        def clamp(pos_expr):
+            return F.least(
+                F.col("__mx").cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(pos_expr / F.lit(chunk_tokens)),
+                ),
+            ).cast("int")
+
+        assigned = (
+            spans.join(meta, id_col)
+            .withColumn(
+                "__c0", clamp(F.col("span_start") - F.col("__lp"))
+            )
+            .withColumn(
+                "__c1", clamp(F.col("span_end") - 1 - F.col("__lp"))
+            )
+            .select(
+                id_col,
+                F.explode(F.sequence("__c0", "__c1")).alias(pos_col),
+                F.struct("span_start", "span_end").alias("__sp"),
+            )
+        )
+        sp_local = assigned.groupBy(id_col, pos_col).agg(
+            F.collect_list("__sp").alias("__local")
+        )
+        joined = toked.join(
+            sp_local, [id_col, pos_col], "left"
+        ).withColumn("__local", F.coalesce("__local", F.array()))
+    else:
+        # generic path (foreign chunk tables / unknown chunk size):
+        # ship the per-document span array to each chunk, then
+        # localize — only spans OVERLAPPING this chunk's global token
+        # range can cover its tokens, so the per-token exists test
+        # still runs over the (usually empty or tiny) local subset
+        sp = spans.groupBy(id_col).agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias(
+                "__spans"
             ),
-        ),
-    )
+        )
+        joined = toked.join(sp, id_col, "left").withColumn(
+            "__spans", F.coalesce("__spans", F.array())
+        )
+        joined = joined.withColumn(
+            "__local",
+            F.filter(
+                "__spans",
+                lambda span: (span["span_end"] > F.col("__off"))
+                & (
+                    span["span_start"]
+                    < F.col("__off") + F.size("__toks")
+                ),
+            ),
+        )
     kept = F.filter(
         F.transform(
             "__toks",
@@ -399,7 +459,6 @@ def prechunked_strip_given_spans(
         F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
             "__piece"
         ),
-        F.col("__dup"),
     )
     ret = F.array_join(
         F.transform(
@@ -419,16 +478,21 @@ def prechunked_strip_given_spans(
         ),
         " ",
     )
+    dup = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("long").alias("__dup")
+    )
     agg = (
         pieces.groupBy(id_col)
         .agg(
             F.sum("__n").cast("long").alias("n_tokens"),
-            F.coalesce(F.max("__dup"), F.lit(0))
-            .cast("long")
-            .alias("dup_tokens"),
             ret.alias("__ret"),
         )
         .filter(F.col("n_tokens") > 0)
+        .join(dup, id_col, "left")
+        .withColumn(
+            "dup_tokens",
+            F.coalesce("__dup", F.lit(0)).cast("long"),
+        )
     )
     cols = [
         F.col(id_col),

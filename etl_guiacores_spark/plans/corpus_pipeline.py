@@ -1046,6 +1046,11 @@ def run_corpus_pipeline(
                 excised = prechunked_strip_given_spans(
                     span_bronze, ev_spans, keep_text=True,
                     validate=False, keep_ids=exact,
+                    # the pipeline wrote this bronze at exactly this
+                    # chunk size -> the apply can assign spans to
+                    # chunks arithmetically (no per-chunk span-array
+                    # fan-out)
+                    chunk_tokens=config.salt_chunk_tokens,
                 )
             else:
                 excised = strip_given_spans(
@@ -1192,6 +1197,7 @@ def run_corpus_pipeline(
             stripped = prechunked_strip_given_spans(
                 bronze, rep_spans, keep_text=True,
                 validate=False, keep_ids=survivors,
+                chunk_tokens=config.salt_chunk_tokens,
             )
         else:
             stripped = strip_repeated_spans(

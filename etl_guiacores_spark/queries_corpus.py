@@ -3346,7 +3346,9 @@ def q200_prechunked_span_strip(
     spans = prechunked_repeated_spans(
         chunks, n=_SPAN_N, min_docs=2, validate=True
     )
-    return prechunked_strip_given_spans(chunks, spans, validate=False)
+    return prechunked_strip_given_spans(
+        chunks, spans, validate=False, chunk_tokens=64
+    )
 
 
 # ---------------------------------------------------------------------------

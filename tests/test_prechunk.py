@@ -715,12 +715,17 @@ class TestPrechunkedSpans:
         )
         assert got == want and want, size
 
+    @pytest.mark.parametrize("assign", [False, True])
     @pytest.mark.parametrize("size", [3, 5, 17, 4096])
-    def test_strip_given_spans_bit_identical(self, spark, size):
-        """Same spans (from the per-row detector), both apply halves:
-        every column — counts, retained_md5, retained_text — must
-        match exactly, including phantom-edge docs and the
-        fully-excised doc 3 (its whole text is one shared span)."""
+    def test_strip_given_spans_bit_identical(self, spark, size, assign):
+        """Same spans (from the per-row detector), both apply halves
+        AND both span-distribution paths (generic per-doc array vs
+        the chunk_tokens arithmetic assignment): every column —
+        counts, retained_md5, retained_text — must match exactly,
+        including phantom-edge docs (the leading-phantom shift and
+        the trailing-phantom clamp both bite in the arithmetic path)
+        and the fully-excised doc 3 (its whole text is one shared
+        span)."""
         from etl_guiacores_spark.operators.dedupe import (
             prechunked_strip_given_spans,
             repeated_spans,
@@ -734,9 +739,12 @@ class TestPrechunkedSpans:
             strip_given_spans(docs, spans, keep_text=True)
         )
         got = self._rows(
-            prechunked_strip_given_spans(chunks, spans, keep_text=True)
+            prechunked_strip_given_spans(
+                chunks, spans, keep_text=True,
+                chunk_tokens=size if assign else None,
+            )
         )
-        assert got == want and want, size
+        assert got == want and want, (size, assign)
         # sanity: doc 3 is fully excised (retained_text empty)
         full = {r[0]: r for r in want}
         assert full[3][2] == full[3][1]  # dup_tokens == n_tokens

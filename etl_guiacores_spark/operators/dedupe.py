@@ -344,6 +344,12 @@ def prechunked_strip_given_spans(
         tokenized_with_offsets,
     )
 
+    if chunk_tokens is not None and chunk_tokens < 1:
+        raise ValueError(
+            "prechunked_strip_given_spans: chunk_tokens must be >= 1 "
+            f"when given (the write-time bronze chunk size), got "
+            f"{chunk_tokens}"
+        )
     if validate:
         require_chunk_contract(
             chunks, id_col, pos_col, "prechunked_strip_given_spans"

@@ -45,56 +45,6 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tests/test_rotation.py red mid-boundary. Every row is also locally
 # re-verified every round (tools/check_oracle.py 200/200 at sf0.01).
 _FIRST = [
-    "q200_prechunked_span_strip",
-    "q14_phone_normalize",
-    "q15_email_validate",
-    "q16_url_pipeline",
-    "q17_address_split",
-    "q18_business_id_from_url",
-    "q19_urlgen",
-    "q20_clean_text_documents",
-    "q21_token_quality",
-    "q22_lang_id",
-    "q146_spearman_trend",
-    "q147_last_touch",
-    "q148_gini_tokens",
-    "q149_twap",
-    "q150_auc_roc",
-    "q151_ks_drift",
-    "q152_confusion_metrics",
-    "q153_transition_matrix",
-    "q154_pareto_frontier",
-    "q155_benford_digits",
-    "q156_rrf_fusion",
-    "q157_decile_lift",
-    "q158_vocab_jaccard",
-    "q159_weighted_median",
-    "q160_assoc_rules",
-    "q161_top_paths",
-    "q162_kcore_dedup",
-    "q163_golden_record",
-    "q164_kanonymity",
-    "q165_interval_union",
-    "q166_l_diversity",
-    "q167_column_profile",
-    "q168_countmin_audit",
-    "q169_quantile_normalize",
-    "q170_holt_trend",
-    "q171_position_attribution",
-    "q172_mixture_waterfill",
-    "q173_padding_waste",
-    "q174_pq_assign",
-    "q175_hll_audit",
-    "q176_kmeans_step",
-    "q177_span_decontam",
-    "q178_kaplan_meier",
-    "q179_codebook_balance",
-    "q180_negative_sampling",
-    "q181_cluster_cohesion",
-    "q182_threshold_sweep",
-    "q183_bootstrap_ci",
-    "q184_ab_readout",
-    "q185_gap_percentiles",
     "q186_daily_acquisition",
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -246,6 +196,56 @@ _FIRST = [
     "q145_token_histogram",
     "q198_orc_pushdown_roundtrip",
     "q199_streaming_acquisition_twin",
+    "q14_phone_normalize",
+    "q15_email_validate",
+    "q16_url_pipeline",
+    "q17_address_split",
+    "q18_business_id_from_url",
+    "q19_urlgen",
+    "q20_clean_text_documents",
+    "q21_token_quality",
+    "q22_lang_id",
+    "q146_spearman_trend",
+    "q147_last_touch",
+    "q148_gini_tokens",
+    "q149_twap",
+    "q150_auc_roc",
+    "q151_ks_drift",
+    "q152_confusion_metrics",
+    "q153_transition_matrix",
+    "q154_pareto_frontier",
+    "q155_benford_digits",
+    "q156_rrf_fusion",
+    "q157_decile_lift",
+    "q158_vocab_jaccard",
+    "q159_weighted_median",
+    "q160_assoc_rules",
+    "q161_top_paths",
+    "q162_kcore_dedup",
+    "q163_golden_record",
+    "q164_kanonymity",
+    "q165_interval_union",
+    "q166_l_diversity",
+    "q167_column_profile",
+    "q168_countmin_audit",
+    "q169_quantile_normalize",
+    "q170_holt_trend",
+    "q171_position_attribution",
+    "q172_mixture_waterfill",
+    "q173_padding_waste",
+    "q174_pq_assign",
+    "q175_hll_audit",
+    "q176_kmeans_step",
+    "q177_span_decontam",
+    "q178_kaplan_meier",
+    "q179_codebook_balance",
+    "q180_negative_sampling",
+    "q181_cluster_cohesion",
+    "q182_threshold_sweep",
+    "q183_bootstrap_ci",
+    "q184_ab_readout",
+    "q185_gap_percentiles",
+    "q200_prechunked_span_strip",
 ]
 
 

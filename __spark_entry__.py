@@ -45,6 +45,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # tests/test_rotation.py red mid-boundary. Every row is also locally
 # re-verified every round (tools/check_oracle.py 200/200 at sf0.01).
 _FIRST = [
+    "q201_fetch_parse_roundtrip",
     "q186_daily_acquisition",
     "q01_pricing_summary",
     "q02_top_revenue_orders",

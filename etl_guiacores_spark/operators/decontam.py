@@ -187,8 +187,16 @@ def cross_span_contamination(
     if chunks is not None:
         from etl_guiacores_spark.operators.chunking import (
             prechunked_positional_grams,
+            require_chunk_coverage,
         )
 
+        if validate:
+            # a train doc with no chunk rows yields zero grams, so
+            # its contamination spans silently vanish — the same
+            # stale-bronze failure mode near_dup_removal probes for
+            require_chunk_coverage(
+                train, chunks, id_col, "cross_span_contamination"
+            )
         train_grams = prechunked_positional_grams(
             chunks, n, id_col, "chunk_pos", "chunk_text",
             validate=validate, op_name="cross_span_contamination",

@@ -195,6 +195,17 @@ def prechunked_repeated_spans(
 
     if min_docs < 2:
         raise ValueError("prechunked_repeated_spans: need min_docs >= 2")
+    if validate and keep_ids is not None:
+        # a keep_ids doc with no chunk rows would yield zero grams
+        # and so zero spans SILENTLY (the same stale-bronze vanish
+        # near_dup_removal guards against); probe coverage eagerly
+        from etl_guiacores_spark.operators.chunking import (
+            require_chunk_coverage,
+        )
+
+        require_chunk_coverage(
+            keep_ids, chunks, id_col, "prechunked_repeated_spans"
+        )
     grams = prechunked_positional_grams(
         chunks, n, id_col, pos_col, chunk_col,
         validate=validate, op_name="prechunked_repeated_spans",
@@ -382,10 +393,45 @@ def prechunked_strip_given_spans(
                 ).alias("__off1"),
             )
             .withColumn(
+                # any bronze written by prechunk_documents has
+                # tok_off(pos=1) == chunk_tokens + leading-phantom
+                # (0 or 1); a caller-supplied chunk_tokens that
+                # doesn't reproduce that identity would shift every
+                # derived span position and corrupt retained_text
+                # SILENTLY, so the mismatch fails loud in-plan
+                # (same stance as the NULL-tok_off guard in
+                # chunking.tokenized_with_offsets)
                 "__lp",
-                F.coalesce(
-                    F.col("__off1") - F.lit(chunk_tokens), F.lit(0)
-                ).cast("long"),
+                F.when(F.col("__off1").isNull(), F.lit(0).cast("long"))
+                .when(
+                    (F.col("__off1") - F.lit(chunk_tokens)).between(
+                        0, 1
+                    ),
+                    (F.col("__off1") - F.lit(chunk_tokens)).cast(
+                        "long"
+                    ),
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "prechunked_strip_given_spans: "
+                                f"chunk_tokens={chunk_tokens} does "
+                                "not match the bronze write-time "
+                                f"layout ({id_col}="
+                            ),
+                            F.col(id_col).cast("string"),
+                            F.lit(" has tok_off="),
+                            F.col("__off1").cast("string"),
+                            F.lit(
+                                " at pos=1, expected chunk_tokens"
+                                " + {0,1}) — pass the chunk size "
+                                "prechunk_documents wrote the "
+                                "bronze with"
+                            ),
+                        )
+                    ).cast("long")
+                ),
             )
             .select(id_col, "__mx", "__lp")
         )

@@ -616,6 +616,100 @@ def q19_urlgen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q201_fetch_parse_roundtrip",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS id_negocio,
+           'https://www.guiacores.com.ar/index.php?r=search/detail&id='
+               || CAST(c_custkey AS VARCHAR) AS url,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE 'Negocio ' || CAST(c_custkey AS VARCHAR) END AS nombre,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE 'Calle ' || CAST(c_custkey % 90 + 1 AS VARCHAR)
+                     || ' Nro ' || CAST(c_custkey * 7 % 10000 AS VARCHAR) END AS direccion,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE '+54 342 4' || printf('%06d', c_custkey)
+                     || CASE WHEN c_custkey % 2 = 0
+                             THEN ', 15-4' || printf('%06d', c_custkey + 1)
+                             ELSE '' END END AS telefonos,
+           CASE WHEN c_custkey % 97 = 0 OR c_custkey % 3 = 0 THEN NULL
+                ELSE '549342' || printf('%06d', c_custkey % 1000000) END AS whatsapp,
+           CASE WHEN c_custkey % 97 <> 0 AND c_custkey % 3 = 0
+                THEN 'https://negocio-' || CAST(c_custkey AS VARCHAR) || '.example.com'
+                END AS sitio_web,
+           CASE WHEN c_custkey % 97 <> 0 AND c_custkey % 4 = 0
+                THEN 'contacto' || CAST(c_custkey AS VARCHAR) || '@example.com'
+                END AS email,
+           CASE WHEN c_custkey % 97 <> 0 AND c_custkey % 5 = 0
+                THEN 'https://facebook.com/negocio' || CAST(c_custkey AS VARCHAR)
+                END AS facebook,
+           CASE WHEN c_custkey % 97 <> 0 AND c_custkey % 6 = 0
+                THEN 'https://instagram.com/negocio' || CAST(c_custkey AS VARCHAR)
+                END AS instagram,
+           CASE WHEN c_custkey % 97 <> 0 AND c_custkey % 2 = 1
+                THEN 'Lun a Vie de ' || CAST(8 + c_custkey % 3 AS VARCHAR) || ' a 17'
+                END AS horarios,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE 'Rubro ' || CAST(c_custkey % 7 AS VARCHAR)
+                     || CASE WHEN c_custkey % 10 = 0
+                             THEN ', Extra ' || CAST(c_custkey % 3 AS VARCHAR)
+                             ELSE '' END END AS rubros,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE 'Proveedor numero ' || CAST(c_custkey AS VARCHAR)
+                     || ' de servicios' END AS descripcion,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE '-31.' || printf('%04d', c_custkey % 10000) END AS latitud,
+           CASE WHEN c_custkey % 97 = 0 THEN NULL
+                ELSE '-60.' || printf('%04d', c_custkey * 3 % 10000) END AS longitud,
+           CASE WHEN c_custkey % 97 = 0
+                THEN 'OSError: synthetic outage id=' || CAST(c_custkey AS VARCHAR)
+                END AS fetch_error,
+           CAST(CASE WHEN c_custkey % 97 = 0 THEN 3 ELSE 1 END AS INTEGER) AS attempts
+    FROM customer
+    """,
+    doc="The scrape path END-TO-END under the driver's hash compare "
+    "(S3 fetch + R1 retry + R2 quarantine + X1-X10 parse): the "
+    "customer keys become a detail-URL worklist (S1), fetch_pages "
+    "runs it through the deterministic synthetic guiacores site "
+    "(sources/synthetic.py — every X1-X10 selector populated as a "
+    "closed-form function of the id, ids divisible by 97 raise so "
+    "the retry/quarantine columns are exercised), parse_pages "
+    "extracts all thirteen fields, and the error/attempt columns "
+    "join back from the fetch output. The oracle constant-folds the "
+    "same closed forms in SQL WITHOUT running a parser, so a "
+    "hash-match proves generator -> HTML -> stdlib-HTMLParser -> "
+    "fields is the identity the reference's BeautifulSoup selectors "
+    "define (reference: src/extractors/bulk_scraper.py:64-111). "
+    "Scale shape: fetch parallelism == partition count, one "
+    "transport per partition, Arrow-batched parse; the fetch output "
+    "is persisted because both the parse and the error join consume "
+    "it (a production pipeline lands it as a bronze table instead; "
+    "bench.py reclaims the cache per query).",
+)
+def q201_fetch_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_guiacores_spark.sources.fetch import fetch_pages
+    from etl_guiacores_spark.sources.html_parse import parse_pages
+    from etl_guiacores_spark.sources.synthetic import (
+        DETAIL_URL_BASE,
+        synthetic_site_transport,
+    )
+
+    worklist = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id_negocio"),
+        F.concat(
+            F.lit(DETAIL_URL_BASE), F.col("c_custkey").cast("string")
+        ).alias("url"),
+    )
+    fetched = fetch_pages(
+        worklist, synthetic_site_transport, max_attempts=3, num_partitions=32
+    ).persist()
+    parsed = parse_pages(fetched)
+    return parsed.join(
+        fetched.select("id_negocio", "fetch_error", "attempts"),
+        "id_negocio",
+    )
+
+
+@register(
     "q20_clean_text_documents",
     """
     SELECT doc_id,

@@ -3342,7 +3342,14 @@ def q200_prechunked_span_strip(
         prechunked_strip_given_spans,
     )
 
-    chunks = prechunk_documents(_docs(spark, sf_dir), chunk_tokens=64)
+    # the chunk relation feeds the span detector AND (twice) the
+    # strip — the landed pipeline pays chunking once because bronze
+    # is a parquet table; the self-contained query gets the same
+    # once-only tokenization from a persist (Catalyst won't CSE
+    # across join sides); bench.py reclaims the cache per query
+    chunks = prechunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64
+    ).persist()
     spans = prechunked_repeated_spans(
         chunks, n=_SPAN_N, min_docs=2, validate=True
     )

@@ -189,9 +189,11 @@ def compact_snapshots(
             return int(tail) if tail.isdigit() else None
 
         marker_bids = {
-            _suffix_id(p.getName(), "_COMPACTING_")
+            bid
             for p in listing
             if p.getName().startswith("_COMPACTING_")
+            and (bid := _suffix_id(p.getName(), "_COMPACTING_"))
+            is not None
         }
         # a .compact-tmp-<id> with NO marker is pre-marker garbage: the
         # temp-write job failed or was interrupted before the marker was
@@ -208,7 +210,11 @@ def compact_snapshots(
             name = p.getName()
             if not name.startswith("_COMPACTING_"):
                 continue
-            bid = int(name.split("_COMPACTING_", 1)[1])
+            bid = _suffix_id(name, "_COMPACTING_")
+            if bid is None:
+                # foreign non-integer marker name — same skip-foreign
+                # tolerance as the tmp-dir sweep above
+                continue
             pdir = f"{state_root}/batch={bid}"
             tdir = f"{state_root}/.compact-tmp-{bid}"
             want: int | None = None

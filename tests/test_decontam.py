@@ -183,3 +183,36 @@ def test_cross_span_no_false_positive_within_train(spark):
         "doc_id long, text string",
     )
     assert cross_span_contamination(train, ev, n=8).count() == 0
+
+
+def test_cross_span_chunked_coverage_probe(spark):
+    """Round-12 advice item: a stale/partial bronze silently yields
+    zero grams for uncovered train docs, so their contamination
+    spans would vanish without a trace — under validate=True the
+    chunk-fed path must probe coverage and fail loud (the pipeline's
+    validate=False fast path is unaffected: it wrote the bronze from
+    the same docs this run)."""
+    import pytest
+
+    from etl_guiacores_spark.operators.chunking import (
+        prechunk_documents,
+    )
+    from etl_guiacores_spark.operators.decontam import (
+        cross_span_contamination,
+    )
+
+    bench = "alpha bravo charlie delta echo foxtrot golf hotel"
+    train = spark.createDataFrame(
+        [(1, "one two three " + bench + " tail1 tail2"),
+         (2, "other words that never quote the benchmark anywhere "
+             "in any sliding window at all")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "intro " + bench + " outro")], "doc_id long, text string"
+    )
+    partial = prechunk_documents(
+        train.filter("doc_id <> 1"), chunk_tokens=8
+    )
+    with pytest.raises(ValueError, match="no rows in the pre-chunked"):
+        cross_span_contamination(train, ev, n=8, chunks=partial)

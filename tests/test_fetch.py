@@ -44,3 +44,40 @@ class TestRateLimiter:
         rl = RateLimiter(0.0, clock=lambda: 0.0, sleep=lambda s: (_ for _ in ()).throw(AssertionError))
         rl.wait()
         rl.wait()
+
+
+class TestSyntheticSite:
+    """The driver-facing q201 source (sources/synthetic.py): a
+    deterministic, invertible guiacores-shaped site."""
+
+    def test_page_fields_are_closed_forms(self):
+        from etl_guiacores_spark.sources.html_parse import parse_detail_html
+        from etl_guiacores_spark.sources.synthetic import synthetic_detail_page
+
+        rec = parse_detail_html(synthetic_detail_page(12))
+        assert rec["nombre"] == "Negocio 12"
+        assert rec["telefonos"] == "+54 342 4000012, 15-4000013"
+        assert rec["whatsapp"] is None  # 12 % 3 == 0 -> itemprop site instead
+        assert rec["sitio_web"] == "https://negocio-12.example.com"
+        assert rec["email"] == "contacto12@example.com"
+        assert rec["instagram"] == "https://instagram.com/negocio12"
+        assert rec["latitud"] == "-31.0012" and rec["longitud"] == "-60.0036"
+        # odd id: hours captured with the Abierto badge token stripped
+        rec = parse_detail_html(synthetic_detail_page(5))
+        assert rec["horarios"] == "Lun a Vie de 10 a 17"
+        assert rec["facebook"] == "https://facebook.com/negocio5"
+
+    def test_transport_outage_and_unkeyed_url(self):
+        import pytest
+
+        from etl_guiacores_spark.sources.synthetic import (
+            DETAIL_URL_BASE,
+            synthetic_site_transport,
+        )
+
+        t = synthetic_site_transport()
+        assert "Negocio 5" in t(DETAIL_URL_BASE + "5")
+        with pytest.raises(IOError, match="synthetic outage id=97"):
+            t(DETAIL_URL_BASE + "97")
+        with pytest.raises(IOError, match="404"):
+            t("https://example.com/no-id-param")

@@ -31,6 +31,7 @@ REPRESENTATIVE = [
     "q69_simhash_hamming_pairs",  # byte-banded Hamming pairs
     "q81_span_dedup_reconstruct",  # ordered reconstruction md5
     "q83_zorder_layout",        # 64-bit bit-interleave portability
+    "q201_fetch_parse_roundtrip",  # scrape path end-to-end vs closed forms
 ]
 
 

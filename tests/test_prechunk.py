@@ -805,6 +805,51 @@ class TestPrechunkedSpans:
         with pytest.raises(ValueError, match="non-final chunk"):
             prechunked_repeated_spans(tiny, n=5, min_docs=2).collect()
 
+    def test_wrong_chunk_tokens_fails_loud(self, spark):
+        """Round-12 advice item: the arithmetic span-assignment path
+        derives the leading-phantom shift from tok_off(pos=1) -
+        chunk_tokens, which is 0 or 1 for any bronze written by
+        prechunk_documents — a caller-supplied chunk_tokens that
+        doesn't reproduce that identity would shift every span and
+        corrupt retained_text SILENTLY, so the mismatch must raise
+        in-plan."""
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_repeated_spans,
+            prechunked_strip_given_spans,
+        )
+
+        docs = self._docs(spark)
+        chunks = prechunk_documents(docs, chunk_tokens=5)
+        spans = prechunked_repeated_spans(chunks, n=3, min_docs=2)
+        with pytest.raises(Exception, match="write-time layout"):
+            prechunked_strip_given_spans(
+                chunks, spans, chunk_tokens=7
+            ).collect()
+        # the matching size still passes (identity holds)
+        ok = prechunked_strip_given_spans(
+            chunks, spans, chunk_tokens=5
+        )
+        # 9 = len(SPAN_DOCS) minus the empty and NULL docs, which
+        # zero-token contract excludes
+        assert ok.count() == 9
+
+    def test_repeated_spans_keep_ids_coverage_probe(self, spark):
+        """Round-12 advice item: a keep_ids doc with no chunk rows
+        would yield zero grams and so zero spans SILENTLY; under
+        validate=True the coverage probe must fail loud instead."""
+        from etl_guiacores_spark.operators.dedupe import (
+            prechunked_repeated_spans,
+        )
+
+        docs = self._docs(spark)
+        partial = prechunk_documents(
+            docs.filter("doc_id <> 1"), chunk_tokens=5
+        )
+        with pytest.raises(ValueError, match="no rows in the pre-chunked"):
+            prechunked_repeated_spans(
+                partial, n=3, min_docs=2, keep_ids=docs
+            )
+
     def test_null_tok_off_fails_loud(self, spark):
         """A pre-tok_off artifact read back under the new schema
         yields ALL-NULL offsets (parquet missing-column semantics) —

@@ -1204,6 +1204,35 @@ class TestTwinStateBounds:
         )
         assert got == [1]
 
+    def test_compact_foreign_marker_skipped(self, spark, tmp_path):
+        """Round-12 advice item: the marker recovery loop must skip a
+        foreign non-integer _COMPACTING_ name (not crash with
+        ValueError) — the same skip-foreign tolerance the tmp-dir
+        sweep already has — and must leave both foreign entries on
+        disk (they weren't written by this protocol)."""
+        from etl_guiacores_spark.streaming.drift import (
+            compact_snapshots,
+        )
+
+        root = str(tmp_path / "fstate")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "user_id int, v long"
+        ).write.parquet(f"{root}/batch=0")
+        (tmp_path / "fstate" / "_COMPACTING_final").touch()
+        (tmp_path / "fstate" / ".compact-tmp-backup").mkdir()
+        removed = compact_snapshots(
+            spark, root, spark.createDataFrame([(2,)], "user_id int"),
+            ["user_id"],
+        )
+        assert removed == 1
+        assert (tmp_path / "fstate" / "_COMPACTING_final").exists()
+        assert (tmp_path / "fstate" / ".compact-tmp-backup").exists()
+        got = sorted(
+            r["user_id"]
+            for r in spark.read.parquet(f"{root}/batch=0").collect()
+        )
+        assert got == [1]
+
     def test_compact_corrupt_marker_fails_loud(self, spark, tmp_path):
         """Round-11 advice item: 'marker exists but unreadable' must
         NOT downgrade recovery to a count-less bare-_SUCCESS check

@@ -78,14 +78,14 @@ def main() -> int:
     # gopher scans drop to the shuffle-balance floor.
     ap.add_argument("--prechunk", action="store_true")
     # the span stages REWRITE text. Since round 12 the pipeline
-    # re-chunks the rewritten survivors once (bronze_rechunked), so
-    # near-dup reads chunk rows in EVERY config; only the gopher gate
-    # under strip_spans still uses the in-task salted path (text is
-    # rewritten a second time after near-dup). Disable the span
-    # stages to measure the no-rewrite path (filter + shingles +
-    # gopher all reading the single ingest bronze); the metrics
-    # envelope then differs from the span-stage soaks and is only
-    # comparable within a same-flag A/B.
+    # re-chunks rewritten survivors (bronze_rechunked after the span
+    # strip, bronze_restripped after near-dup), so near-dup AND the
+    # gopher gate read chunk rows in EVERY config — no stage
+    # tokenizes a whole document in-task after ingest. Disabling the
+    # span stages only drops the extra re-chunk writes (filter +
+    # shingles + gopher all read the single ingest bronze); the
+    # metrics envelope then differs from the span-stage soaks and is
+    # only comparable within a same-flag A/B.
     ap.add_argument("--no-span-stages", action="store_true")
     args = ap.parse_args()
 

@@ -11,7 +11,10 @@ Mirrors the argparse surface of the reference
 
 Network is off by default (--transport fake): the fetch stage serves
 deterministic synthetic pages, so every mode runs end-to-end offline.
-``--transport requests`` enables real HTTP for a deployment.
+``--transport synthetic`` swaps in the invertible full-field site
+(sources/synthetic.py — all X1-X10 selectors populated, deterministic
+outages exercising retry + quarantine); ``--transport requests``
+enables real HTTP for a deployment.
 """
 
 from __future__ import annotations
@@ -54,6 +57,15 @@ def _transport_factory(kind: str):
 
     if kind == "requests":
         return f.requests_transport
+    if kind == "synthetic":
+        # the invertible full-field site q201 verifies against: every
+        # X1-X10 selector populated, ids % 97 raising so the retry +
+        # quarantine legs run — the richest offline end-to-end
+        from etl_guiacores_spark.sources.synthetic import (
+            synthetic_site_transport,
+        )
+
+        return synthetic_site_transport
     # deterministic page per URL, keyed by the id in the URL
     def factory():
         def fake(url: str) -> str:
@@ -370,7 +382,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve a live HTML/JSON progress board on this "
                    "port for the duration of the run (0 = pick a free "
                    "port; URL printed to stderr)")
-    p.add_argument("--transport", choices=["fake", "requests"], default="fake")
+    p.add_argument("--transport", choices=["fake", "synthetic", "requests"],
+                   default="fake")
     p.add_argument("--retries", type=int, default=3)
     p.add_argument("--partitions", type=int, default=None)
     sub = p.add_subparsers(dest="mode", required=True)

@@ -18,6 +18,27 @@ def test_bulk_mode(spark, tmp_path):
     assert row["localidad"] == "(8300) Neuquen"
 
 
+def test_bulk_mode_synthetic_transport(spark, tmp_path):
+    """--transport synthetic runs the full-field invertible site
+    (q201's source): all X1-X10 fields populated per the closed
+    forms, id 97's deterministic outage landing in fetch_quarantine
+    with its error — the richest offline end-to-end."""
+    res = main(
+        ["--out", str(tmp_path / "s"), "--transport", "synthetic",
+         "bulk", "--start-id", "95", "--end-id", "100"],
+        spark=spark,
+    )
+    assert res["status"] == "success"
+    assert res["metrics"]["fetch_failed"] == 1
+    silver = spark.read.parquet(str(tmp_path / "s" / "silver"))
+    row = silver.filter("id_negocio = '95'").collect()[0]
+    assert row["nombre"] == "Negocio 95"
+    assert row["facebook"] == "https://facebook.com/negocio95"
+    q = spark.read.parquet(str(tmp_path / "s" / "fetch_quarantine")).collect()
+    assert [r["id_negocio"] for r in q] == ["97"]
+    assert "synthetic outage id=97" in q[0]["fetch_error"]
+
+
 def test_sequential_mode_with_resume(spark, tmp_path):
     out1 = str(tmp_path / "r1")
     res1 = main(

@@ -32,18 +32,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # imported the query packages first and differed between the CLI and
 # pytest). tests/test_rotation.py asserts this committed list matches
 # the derivation, and `python tools/gen_rotation.py --check` verifies
-# it from the shell. Round-10 window (first 50): the two new slack
-# rows q196_salted_quality_lang and q197_salted_gopher (no driver row
-# yet — new-row debt leads), then the round-6 cohort whose driver
-# rows are now the oldest (q34–q43, q47, q87–q105, q119–... by
-# ascending id) — steady-state rotation (registry 200 = 198 + this
-# round's two slack rows; every prior query has a driver row <= 4
-# rounds old, the arithmetic steady state under a 50-row cap, period
-# ceil(200/50)=4).
+# it from the shell. Round-13 window (first 50): the new slack row
+# q201_fetch_parse_roundtrip (no driver row yet — new-row debt
+# leads), then the cohort whose driver rows are now the oldest, by
+# ascending last-green round — steady-state rotation (registry 202;
+# every prior query has a driver row <= 5 rounds old, the arithmetic
+# steady state under a 50-row cap, period ceil(202/50)=5).
 # The derivation reads only git-tracked CORRECTNESS artifacts, so the
-# driver dropping round-10's file after the final commit cannot turn
+# driver dropping the round's file after the final commit cannot turn
 # tests/test_rotation.py red mid-boundary. Every row is also locally
-# re-verified every round (tools/check_oracle.py 200/200 at sf0.01).
+# re-verified every round (tools/check_oracle.py 202/202 at sf0.01
+# AND sf0.1 this round).
 _FIRST = [
     "q201_fetch_parse_roundtrip",
     "q186_daily_acquisition",

@@ -124,7 +124,8 @@ def _run_scrape_pipeline(spark, urls, args) -> dict:
 
 def cmd_bulk(spark, args) -> dict:
     """reference: src/main.py:80-133 — ID-range scrape (S1 -> S3 -> T -> L)."""
-    base = "https://www.guiacores.com.ar/index.php?r=search/detail&id="
+    from etl_guiacores_spark.sources.html_parse import DETAIL_URL_BASE as base
+
     urls = spark.range(args.start_id, args.end_id + 1).select(
         F.col("id").cast("string").alias("id_negocio"),
         F.concat(F.lit(base), F.col("id").cast("string")).alias("url"),

@@ -55,6 +55,11 @@ PARSED_SCHEMA = T.StructType(
     + [T.StructField(f, T.StringType()) for f in DETAIL_FIELDS]
 )
 
+#: canonical detail-page URL prefix — the single source for the URL
+#: shape (cli.py worklists, sources/synthetic.py, q201's oracle all
+#: derive from it; _DETAIL_HREF_RE below recognizes the same shape)
+DETAIL_URL_BASE = "https://www.guiacores.com.ar/index.php?r=search/detail&id="
+
 _DETAIL_HREF_RE = re.compile(r"r=search/detail(?:&|&amp;)id=(\d+)")
 _DIGITS_RE = re.compile(r"\d+")
 _WA_PHONE_RE = re.compile(r"[?&]phone=(\d+)")
@@ -220,7 +225,7 @@ def parse_search_results(html: str) -> list[tuple[str, str]]:
     for m in _DETAIL_HREF_RE.finditer(html or ""):
         bid = m.group(1)
         if bid not in seen:  # D2 keep-first within the page
-            seen[bid] = f"https://www.guiacores.com.ar/index.php?r=search/detail&id={bid}"
+            seen[bid] = f"{DETAIL_URL_BASE}{bid}"
     return list(seen.items())
 
 

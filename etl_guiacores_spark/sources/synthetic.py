@@ -26,8 +26,14 @@ from __future__ import annotations
 import re
 
 from etl_guiacores_spark.sources.fetch import Transport
+from etl_guiacores_spark.sources.html_parse import DETAIL_URL_BASE
 
-DETAIL_URL_BASE = "https://www.guiacores.com.ar/index.php?r=search/detail&id="
+__all__ = [
+    "DETAIL_URL_BASE",
+    "FAIL_MOD",
+    "synthetic_detail_page",
+    "synthetic_site_transport",
+]
 
 _ID_RE = re.compile(r"[?&]id=(\d+)")
 

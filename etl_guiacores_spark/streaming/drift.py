@@ -182,11 +182,16 @@ def compact_snapshots(
 
         def _suffix_id(name: str, prefix: str) -> int | None:
             """Batch id from ``<prefix><int>``, None for foreign names
-            (a non-integer suffix wasn't written by this protocol —
-            skip it rather than crash on or delete someone else's
-            dir)."""
+            (a suffix this protocol never writes — skip it rather
+            than crash on or delete someone else's dir). Canonical
+            form only: a digit-but-zero-padded suffix (``007``) is
+            ALSO foreign — int()ing it would make recovery look for
+            batch=7 and clean up marker _COMPACTING_7, neither of
+            which is the on-disk name, wedging recovery forever."""
             tail = name.split(prefix, 1)[1]
-            return int(tail) if tail.isdigit() else None
+            if tail.isdigit() and str(int(tail)) == tail:
+                return int(tail)
+            return None
 
         marker_bids = {
             bid

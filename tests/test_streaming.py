@@ -1219,6 +1219,10 @@ class TestTwinStateBounds:
             [(1, 10), (2, 20)], "user_id int, v long"
         ).write.parquet(f"{root}/batch=0")
         (tmp_path / "fstate" / "_COMPACTING_final").touch()
+        # zero-padded digits are NOT the canonical name this protocol
+        # writes — int()ing '007' would chase batch=7 and delete the
+        # wrong marker name, so it must be treated as foreign too
+        (tmp_path / "fstate" / "_COMPACTING_007").touch()
         (tmp_path / "fstate" / ".compact-tmp-backup").mkdir()
         removed = compact_snapshots(
             spark, root, spark.createDataFrame([(2,)], "user_id int"),
@@ -1226,6 +1230,7 @@ class TestTwinStateBounds:
         )
         assert removed == 1
         assert (tmp_path / "fstate" / "_COMPACTING_final").exists()
+        assert (tmp_path / "fstate" / "_COMPACTING_007").exists()
         assert (tmp_path / "fstate" / ".compact-tmp-backup").exists()
         got = sorted(
             r["user_id"]

@@ -108,6 +108,11 @@ def main() -> int:
             sdf = qs[name](spark, args.sf)
             srows = [tuple(r) for r in sdf.collect()]
             scols, scount, shash = frame_fingerprint(sdf.columns, srows)
+            # queries that persist an interior relation (q74/q200/
+            # q201/...) rely on the harness reclaiming it per query,
+            # same as bench.py:92 — without this the caches pin
+            # executor storage for the remaining ~200 queries
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)

@@ -228,6 +228,9 @@ def main() -> int:
         # and df.write would spawn a fresh QueryExecution instead
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # reclaim interior persists (q74/q200/q201/...) per query,
+        # same as bench.py:92 / check_oracle.py
+        spark.catalog.clearCache()
         issues = []
         if name not in INTENTIONAL_CROSS:
             if "CartesianProduct" in plan:

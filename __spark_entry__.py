@@ -32,19 +32,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # imported the query packages first and differed between the CLI and
 # pytest). tests/test_rotation.py asserts this committed list matches
 # the derivation, and `python tools/gen_rotation.py --check` verifies
-# it from the shell. Round-13 window (first 50): the new slack row
-# q201_fetch_parse_roundtrip (no driver row yet — new-row debt
-# leads), then the cohort whose driver rows are now the oldest, by
-# ascending last-green round — steady-state rotation (registry 202;
-# every prior query has a driver row <= 5 rounds old, the arithmetic
-# steady state under a 50-row cap, period ceil(202/50)=5).
+# it from the shell. Round-13 window (first 50): the two new slack
+# rows q201_fetch_parse_roundtrip and q202_search_results_discovery
+# (no driver row yet — new-row debt leads), then the cohort whose
+# driver rows are now the oldest, by ascending last-green round —
+# steady-state rotation (registry 203; every prior query has a
+# driver row <= 5 rounds old, the arithmetic steady state under a
+# 50-row cap, period ceil(203/50)=5).
 # The derivation reads only git-tracked CORRECTNESS artifacts, so the
 # driver dropping the round's file after the final commit cannot turn
 # tests/test_rotation.py red mid-boundary. Every row is also locally
-# re-verified every round (tools/check_oracle.py 202/202 at sf0.01
-# AND sf0.1 this round).
+# re-verified every round (tools/check_oracle.py green at sf0.01 AND
+# sf0.1 this round).
 _FIRST = [
     "q201_fetch_parse_roundtrip",
+    "q202_search_results_discovery",
     "q186_daily_acquisition",
     "q01_pricing_summary",
     "q02_top_revenue_orders",

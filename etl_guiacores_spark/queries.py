@@ -710,6 +710,64 @@ def q201_fetch_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q202_search_results_discovery",
+    """
+    WITH links AS (
+        SELECT s.s_suppkey AS k, s.s_suppkey * 10 + u.j AS n
+        FROM supplier s, LATERAL unnest(range(0, 11)) u(j)
+    )
+    SELECT CAST(n AS VARCHAR) AS id_negocio,
+           'https://www.guiacores.com.ar/index.php?r=search/detail&id='
+               || CAST(n AS VARCHAR) AS url,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_pages
+    FROM links
+    GROUP BY n
+    """,
+    doc="The S6 discovery path END-TO-END under the driver's hash "
+    "compare (listing fetch -> search-results parse -> cross-page "
+    "dedupe) — q201's sibling for the LISTING page shape "
+    "(reference: src/extractors/manual_scraper.py:46-78). Each "
+    "supplier key becomes a search-results URL; the synthetic site "
+    "serves page k with detail links for ids k*10..k*10+9 plus an "
+    "intra-page duplicate (D2 keep-first inside the parser — the "
+    "oracle counts DISTINCT pages, so a double-count would "
+    "hash-mismatch) and an overlap link k*10+10 shared with page "
+    "k+1 (the cross-page case, resolved by the groupBy); half the "
+    "hrefs use the HTML-escaped &amp; separator so both branches of "
+    "the parser's href regex are driver-checked. n_pages therefore "
+    "equals 2 exactly for ids on a page boundary covered from both "
+    "sides, else 1 — all constant-folded by the oracle from the "
+    "supplier keys. Same scale shape as q201: partition-parallel "
+    "fetch, Arrow-batched parse, one aggregation shuffle on the "
+    "discovered id.",
+)
+def q202_search_results_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_guiacores_spark.sources.fetch import fetch_pages
+    from etl_guiacores_spark.sources.html_parse import parse_listing_pages
+    from etl_guiacores_spark.sources.synthetic import (
+        LISTING_URL_BASE,
+        synthetic_site_transport,
+    )
+
+    worklist = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id_negocio"),
+        F.concat(
+            F.lit(LISTING_URL_BASE), F.col("s_suppkey").cast("string")
+        ).alias("url"),
+    )
+    fetched = fetch_pages(
+        worklist, synthetic_site_transport, max_attempts=3, num_partitions=32
+    )
+    return (
+        parse_listing_pages(fetched)
+        .groupBy("id_negocio", "url")
+        .agg(F.count_distinct("page_url").alias("n_pages"))
+    )
+
+
+@register(
     "q20_clean_text_documents",
     """
     SELECT doc_id,

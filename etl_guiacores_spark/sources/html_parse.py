@@ -267,6 +267,45 @@ def parse_pages(df: DataFrame, html_col: str = "html", url_col: str = "url") -> 
     return df.mapInPandas(run, PARSED_SCHEMA)
 
 
+LISTING_SCHEMA = T.StructType(
+    [
+        T.StructField("page_url", T.StringType()),
+        T.StructField("id_negocio", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def parse_listing_pages(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """S6 as a batch stage: DataFrame[url, html] of SEARCH-RESULTS
+    pages -> one row per discovered (id_negocio, detail url), with
+    the source listing page kept as ``page_url`` so discovery
+    accounting (which page surfaced which business) stays queryable.
+    Intra-page duplicate links collapse keep-first inside
+    :func:`parse_search_results` (D2); cross-PAGE duplicates are the
+    caller's distinct/groupBy — same split as the reference, which
+    dedupes per page while scrolling and globally when consolidating
+    (reference: src/extractors/manual_scraper.py:46-78). Arrow-batched
+    ``mapInPandas``, one Python worker per partition, like
+    :func:`parse_pages`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for page_url, html in zip(pdf[url_col], pdf[html_col]):
+                for bid, durl in parse_search_results(html):
+                    rows.append(
+                        {"page_url": page_url, "id_negocio": bid, "url": durl}
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in LISTING_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, LISTING_SCHEMA)
+
+
 def scan_html_dir(spark, path: str) -> DataFrame:
     """S5 — local HTML directory scan: one row per file (url=file path,
     html=content). The reference reads these raw without parsing

@@ -30,12 +30,18 @@ from etl_guiacores_spark.sources.html_parse import DETAIL_URL_BASE
 
 __all__ = [
     "DETAIL_URL_BASE",
+    "LISTING_URL_BASE",
     "FAIL_MOD",
     "synthetic_detail_page",
+    "synthetic_listing_page",
     "synthetic_site_transport",
 ]
 
+#: listing (search-results) URL prefix served by the same transport
+LISTING_URL_BASE = "https://www.guiacores.com.ar/index.php?r=search/index&page="
+
 _ID_RE = re.compile(r"[?&]id=(\d+)")
+_PAGE_RE = re.compile(r"[?&]page=(\d+)")
 
 #: every (N % FAIL_MOD == 0) fetch raises — exercises retry + quarantine
 FAIL_MOD = 97
@@ -79,18 +85,49 @@ def synthetic_detail_page(n: int) -> str:
     )
 
 
+def synthetic_listing_page(k: int) -> str:
+    """Search-results page ``k`` (S6 shape): detail links for ids
+    ``k*10 .. k*10+9``, a duplicate link of the first id (the D2
+    keep-first-within-page case), and an overlap link ``k*10+10``
+    (page ``k+1``'s first id — the cross-page dedupe case). Half the
+    hrefs use the HTML-escaped ``&amp;`` separator so both branches
+    of the parser's href regex are exercised."""
+    first = k * 10
+
+    def link(n: int, escaped: bool) -> str:
+        sep = "&amp;" if escaped else "&"
+        return (
+            f'<a href="/index.php?r=search/detail{sep}id={n}">'
+            f"Negocio {n}</a>"
+        )
+
+    links = [link(first + j, escaped=j % 2 == 1) for j in range(10)]
+    links.append(link(first, escaped=True))      # intra-page duplicate
+    links.append(link(first + 10, escaped=False))  # overlap with page k+1
+    return (
+        "<html><body><div class='search-results'>"
+        + "".join(links)
+        + "</div></body></html>"
+    )
+
+
 def synthetic_site_transport() -> Transport:
     """Transport factory for :func:`fetch.fetch_pages` — one per
-    partition, stateless (determinism needs no session)."""
+    partition, stateless (determinism needs no session). Serves
+    detail pages for ``id=`` URLs and search-results pages for
+    ``page=`` URLs."""
 
     def fetch(url: str) -> str:
         m = _ID_RE.search(url or "")
-        if not m:
-            raise IOError(f"404 {url}")
-        n = int(m.group(1))
-        if n % FAIL_MOD == 0:
-            raise IOError(f"synthetic outage id={n}")
-        return synthetic_detail_page(n)
+        if m:
+            n = int(m.group(1))
+            if n % FAIL_MOD == 0:
+                raise IOError(f"synthetic outage id={n}")
+            return synthetic_detail_page(n)
+        m = _PAGE_RE.search(url or "")
+        if m:
+            return synthetic_listing_page(int(m.group(1)))
+        raise IOError(f"404 {url}")
 
     return fetch
 

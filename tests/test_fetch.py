@@ -81,3 +81,32 @@ class TestSyntheticSite:
             t(DETAIL_URL_BASE + "97")
         with pytest.raises(IOError, match="404"):
             t("https://example.com/no-id-param")
+
+    def test_listing_page_and_batch_parse(self, spark):
+        from etl_guiacores_spark.sources.html_parse import (
+            parse_listing_pages,
+            parse_search_results,
+        )
+        from etl_guiacores_spark.sources.synthetic import (
+            LISTING_URL_BASE,
+            synthetic_listing_page,
+            synthetic_site_transport,
+        )
+
+        # page 3 lists 30..39 keep-first (intra-page dup of 30
+        # collapsed) plus the overlap id 40; both & and &amp; hrefs
+        pairs = parse_search_results(synthetic_listing_page(3))
+        assert [int(b) for b, _ in pairs] == list(range(30, 41))
+        t = synthetic_site_transport()
+        assert "search/detail" in t(LISTING_URL_BASE + "3")
+        # batch stage keeps the source page for discovery accounting
+        df = spark.createDataFrame(
+            [(LISTING_URL_BASE + "3", synthetic_listing_page(3)),
+             (LISTING_URL_BASE + "4", synthetic_listing_page(4))],
+            ["url", "html"],
+        )
+        got = parse_listing_pages(df).collect()
+        assert len(got) == 22
+        # id 40 discovered from BOTH pages (overlap + page 4's first)
+        pages_for_40 = {r["page_url"] for r in got if r["id_negocio"] == "40"}
+        assert len(pages_for_40) == 2

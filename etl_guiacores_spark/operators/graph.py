@@ -204,15 +204,25 @@ def pagerank_int(
     # will split the run into multiple jobs (measured on the 42k-edge
     # q101 graph, interleaved same-session A/B):
     #
-    # - SINGLE-JOB (iterations <= checkpoint_interval, the common
-    #   case): nothing persists and nothing materializes mid-loop. The
-    #   final action executes one deep plan in which every round's
-    #   edge-table subtree ends in the IDENTICAL repartition("src")
-    #   exchange, so AQE's ReusedExchange computes it once and replays
-    #   the shuffle blocks for the other rounds — same effect as a
-    #   cache, no cache-population job, no eager-materialization job.
-    #   Forcing materialization instead (eager localCheckpoint of the
-    #   result, or persist+count) measured 2-3x SLOWER end-to-end.
+    # - SINGLE-JOB (iterations <= checkpoint_interval): nothing
+    #   persists and nothing materializes mid-loop. The final action
+    #   executes one deep plan in which every round's edge-table
+    #   subtree ends in the IDENTICAL repartition("src") exchange, so
+    #   AQE's ReusedExchange computes it once and replays the shuffle
+    #   blocks for the other rounds — same effect as a cache, no
+    #   cache-population job, no eager-materialization job. An eager
+    #   localCheckpoint EVERY round measured 2-3x slower end-to-end
+    #   (round 9).
+    #   ROUND-13 re-measure on the same q101 shape (Spark 4.1.2,
+    #   local[32]): at 5 iterations the single-job deep plan (~130
+    #   pre-AQE exchanges) now loses to the multi-job regime by ~2x
+    #   (11.7-20.3 s vs 5.7-6.2 s) — the deep plan's optimizer + AQE
+    #   bookkeeping dominates, while ONE mid-loop truncation plus the
+    #   persisted edge table costs only two small extra jobs. Callers
+    #   running a handful of iterations should pass
+    #   checkpoint_interval < iterations to opt into the multi-job
+    #   regime (q101 passes 4); checkpoint_interval=1 re-creates the
+    #   round-9 every-round barrier and is again slower (10-15 s).
     #
     # - MULTI-JOB (iterations > checkpoint_interval): each checkpoint
     #   is its own job and ReusedExchange cannot reach across jobs, so
@@ -426,13 +436,28 @@ def triangle_counts(
 
     Returns (id, degree, triangles, clustering_ppm) for every node
     incident to at least one edge.
+
+    The degree table and the oriented edge list PERSIST inside the
+    operator: ``deg`` feeds three consumers (both orientation joins +
+    the final left join) and ``oriented`` three more (the two wedge
+    sides + the closing side), each under a DIFFERENT downstream
+    shuffle key, so exchange reuse cannot deduplicate them — without
+    the persist the whole upstream pair plan (often an LSH candidate
+    join) re-executes once per consumer. Measured on the sf0.1 q137
+    shape (round 13): ~8.5 s warm -> ~2.1 s with both persisted,
+    bit-identical output. Both tables are O(|E|) narrow id rows — the
+    same footprint class as connected_components' persisted edge
+    list. The handles ride out on the result as ``staged_deg`` /
+    ``staged_oriented`` (the lsh_candidate_pairs convention): callers
+    unpersist after their consuming action, or clearCache between
+    jobs (bench/oracle/plan tools already do).
     """
     deg = (
         pairs.select(F.col(src_col).alias("id"))
         .unionAll(pairs.select(F.col(dst_col).alias("id")))
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("degree"))
-    )
+    ).persist()
     with_deg = (
         pairs.join(deg.select(F.col("id").alias(src_col),
                               F.col("degree").alias("__da")), src_col)
@@ -445,7 +470,7 @@ def triangle_counts(
     oriented = with_deg.select(
         F.when(a_first, F.col(src_col)).otherwise(F.col(dst_col)).alias("src"),
         F.when(a_first, F.col(dst_col)).otherwise(F.col(src_col)).alias("dst"),
-    )
+    ).persist()
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
@@ -467,7 +492,7 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
-    return deg.join(per_node, "id", "left").select(
+    out = deg.join(per_node, "id", "left").select(
         "id",
         "degree",
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
@@ -479,3 +504,8 @@ def triangle_counts(
             ),
         ).alias("clustering_ppm"),
     )
+    # cache-release handles (see docstring); CacheManager entries are
+    # not GC-reclaimed, so expose them instead of leaking per call
+    out.staged_deg = deg
+    out.staged_oriented = oriented
+    return out

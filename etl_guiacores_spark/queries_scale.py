@@ -1176,8 +1176,18 @@ def q101_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     docs = d.select("doc_id", "text")
     pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    # checkpoint_interval=4 < iterations selects pagerank_int's
+    # MULTI-JOB regime (persisted edge/node tables + one mid-loop
+    # lineage truncation). Round-13 A/B on this exact shape: the
+    # single-job deep-plan regime ran 11.7-20.3 s, the multi-job
+    # regime 5.7-6.2 s — the 5-iteration plan's ~130 pre-AQE
+    # exchanges cost more in planning/AQE bookkeeping than the two
+    # extra materialization jobs. Output is bit-identical (persist/
+    # checkpoint never change the fixed-point arithmetic; 0-diff
+    # join-verified and oracle-hash-checked).
     ranks = pagerank_int(
-        docs.select("doc_id"), pairs, id_col="doc_id", iterations=5
+        docs.select("doc_id"), pairs, id_col="doc_id", iterations=5,
+        checkpoint_interval=4,
     )
     return ranks.select(F.col("id").alias("doc_id"), "rank_scaled")
 

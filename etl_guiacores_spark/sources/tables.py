@@ -76,9 +76,25 @@ def spread_narrow_input(
     return df
 
 
+#: (id(session), sf_dir, name) -> (session, DataFrame). A DataFrame is
+#: an immutable LAZY plan handle — sharing one across queries changes
+#: no result and caches no data (every action still scans the parquet)
+#: — but re-creating it costs a footer read + file listing + the
+#: events-ts schema walk in py4j, ~80-100 ms warm. At ~600 load_table
+#: calls per full bench run that rebuild chatter was ~10% of the whole
+#: suite's wall time. The session object rides along in the value so a
+#: recycled id() from a garbage-collected session can never serve a
+#: stale plan (same defensive shape as _SPREAD_DECISION's memo).
+_TABLE_PLANS: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    cache_key = (id(spark), sf_dir, name)
+    hit = _TABLE_PLANS.get(cache_key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     if name == "events":
         # runtime-settable; without it a raw (non-configure_session)
         # SparkSession refuses the nanos-timestamp parquet outright
@@ -94,6 +110,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     key = _SPREAD_KEYS.get(name)
     if key is not None and key in df.columns:
         df = spread_narrow_input(df, key, memo_key=(sf_dir, name))
+    _TABLE_PLANS[cache_key] = (spark, df)
     return df
 
 

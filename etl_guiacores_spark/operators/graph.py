@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -346,12 +347,49 @@ def _local_union_find(labels: DataFrame, sym: DataFrame) -> DataFrame:
     )
 
 
+def _local_kcore(sym: DataFrame, k: int) -> DataFrame:
+    """Driver-side peel over a SMALL symmetric edge list (the
+    ``_local_union_find`` regime): adjacency sets + a removal queue,
+    O(E) total since each edge is touched once per endpoint removal.
+    The k-core is a unique fixpoint, so peel order cannot change the
+    result — identical to the distributed loop (test-asserted)."""
+    from collections import deque
+
+    adj: dict = {}
+    for row in sym.collect():
+        adj.setdefault(row["src"], set()).add(row["dst"])
+    deg = {v: len(ns) for v, ns in adj.items()}
+    queue = deque(v for v, d in deg.items() if d < k)
+    removed: set = set()
+    while queue:
+        v = queue.popleft()
+        if v in removed:
+            continue
+        removed.add(v)
+        for u in adj[v]:
+            if u in removed:
+                continue
+            deg[u] -= 1
+            if deg[u] < k:
+                queue.append(u)
+    spark = sym.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("id", sym.schema["src"].dataType, True),
+            T.StructField("degree", T.LongType(), True),
+        ]
+    )
+    survivors = [(v, deg[v]) for v in adj if v not in removed]
+    return spark.createDataFrame(survivors, schema=out_schema)
+
+
 def kcore(
     pairs: DataFrame,
     k: int,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 50,
+    local_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """The k-core of an undirected edge list: iteratively peel every
     vertex whose degree is below ``k`` until none remains, and return
@@ -365,10 +403,16 @@ def kcore(
     merges, complementing triangle_counts' per-node density signal
     with a global fixpoint guarantee.
 
-    Engine shape per peel round: one map-side-combinable groupBy for
-    degrees, one scalar count of below-k vertices (the round's single
-    action), and two left-semi joins that keep only edges whose both
-    endpoints survive — every step keyed on the node id, so a
+    Execution is ADAPTIVE on edge count like ``connected_components``:
+    under ``local_edge_threshold`` the materialized edge list peels on
+    the driver in one O(E) pass (the candidate-graph case — edges ~
+    verified-duplicate density, far below node count); both regimes
+    produce the identical unique fixpoint (test-asserted).
+
+    Distributed engine shape per peel round: one map-side-combinable
+    groupBy for degrees, one scalar count of below-k vertices (the
+    round's single action), and two left-semi joins that keep only
+    edges whose both endpoints survive — every step keyed on the node id, so a
     co-partitioned layout runs the loop exchange-free; survivor sets
     are bounded by the node count and broadcast when small. Lineage is
     truncated per round via localCheckpoint like connected_components.
@@ -387,6 +431,15 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # adaptive regime, mirroring connected_components: the peel loop
+    # costs ~3 jobs per round (degree agg + count + semi-join
+    # checkpoint) regardless of data size, so a small candidate graph
+    # pays almost pure scheduling. Under the threshold the (already
+    # materialized) edge list peels on the driver in one pass; the
+    # result is the same unique fixpoint. Set local_edge_threshold=0
+    # to force the distributed loop.
+    if local_edge_threshold and sym.count() <= local_edge_threshold:
+        return _local_kcore(sym, k)
     for _ in range(max_iterations):
         deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("degree"))
         deg = deg.persist()

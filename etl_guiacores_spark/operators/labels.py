@@ -91,6 +91,13 @@ def cohen_kappa(
     conf = df.groupBy(
         *g, F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
     ).agg(F.count("*").cast("long").alias("__n"))
+    # conf feeds THREE consumers (tot, rowt, colt) under different
+    # downstream grouping keys, so without a stage boundary the raw
+    # scan + label expressions replay once per consumer. conf itself
+    # is bounded by |groups| x |classes|^2 — materializing it is a
+    # tiny one-job barrier that makes everything downstream read the
+    # bounded table (the staged-artifact discipline of the LSH family)
+    conf = conf.localCheckpoint(eager=True)
     tot = conf.groupBy(*g).agg(
         F.sum("__n").cast("long").alias("n_items"),
         F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(0))

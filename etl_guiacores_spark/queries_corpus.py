@@ -2431,6 +2431,12 @@ def q118_qgram_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias("title"),
     )
+    # measured round-13: materializing titles here (localCheckpoint or
+    # persist) does NOT pay — the checkpoint erases plan statistics and
+    # AQE then coalesces the levenshtein-heavy verify stages to ~2
+    # tasks (3.4s -> 15-20s); a persist keeps stats but is still a
+    # wash (repeated narrow re-scans are cheaper than the cache
+    # barrier at this width). Leave the lineage alone.
     return resolve_entities(titles, "doc_id", "title", max_dist=2, method="qgram")
 
 

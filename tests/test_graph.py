@@ -210,8 +210,47 @@ class TestKCore:
         edges = [(i, i + 1) for i in range(10)]
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
         import pytest
+        # the iteration budget only applies to the distributed peel
+        # loop; force it (the driver path converges in one pass)
         with pytest.raises(RuntimeError, match="converge"):
-            kcore(df, k=2, max_iterations=2)
+            kcore(df, k=2, max_iterations=2, local_edge_threshold=0)
+
+    def test_local_and_distributed_regimes_identical(self, spark):
+        from etl_guiacores_spark.operators.graph import kcore
+
+        # deterministic pseudo-random graph: triangles, paths, pendants
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    ((i * 7) % 23, (i * i + 3) % 23) for i in range(60)
+                )
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        for k in (2, 3):
+            local = {
+                r["id"]: r["degree"] for r in kcore(df, k=k).collect()
+            }
+            dist = {
+                r["id"]: r["degree"]
+                for r in kcore(df, k=k, local_edge_threshold=0).collect()
+            }
+            assert local == dist
+
+    def test_local_regime_empty_core_schema(self, spark):
+        from etl_guiacores_spark.operators.graph import kcore
+
+        edges = [(1, 2), (2, 3)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        out = kcore(df, k=2)
+        assert out.columns == ["id", "degree"]
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ]
+        assert out.count() == 0
 
 
 def test_pagerank_checkpoint_interval_validated(spark):

@@ -264,6 +264,14 @@ def confusion_metrics(
     conf = df.groupBy(
         *g, F.col(gold_col).alias("__g"), F.col(pred_col).alias("__p")
     ).agg(F.count("*").cast("long").alias("__n"))
+    # conf feeds THREE consumers (gold_m, pred_m, diag) under
+    # different downstream grouping keys, so without a stage boundary
+    # the raw scan + label expressions (q152: a full lang_id regex
+    # pass over the corpus) replay once per consumer. conf itself is
+    # bounded by |groups| x |classes|^2 — materializing it is a tiny
+    # one-job barrier that makes everything downstream read the
+    # bounded table (same measured fix as labels.cohen_kappa)
+    conf = conf.localCheckpoint(eager=True)
     gold_m = (
         conf.groupBy(*g, F.col("__g").alias("class"))
         .agg(F.sum("__n").cast("long").alias("__ng"))

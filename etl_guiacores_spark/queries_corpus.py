@@ -1715,7 +1715,12 @@ def q107_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = grams.filter(F.col("doc_id") < 50).select("g").distinct()
     bits = bloom_build(bench, "g", num_bits=_BLOOM_BITS, num_hashes=3, seed="bloom")
-    probes = grams.filter(F.col("doc_id") >= 50).distinct()
+    # no .distinct() on the probe side: grams is exploded from a
+    # per-document array_distinct, so (doc_id, g) rows are already
+    # unique — the dedup was a full extra shuffle of the data-sized
+    # gram table for provably zero row change (the oracle's DISTINCT
+    # dedups the identical already-unique set)
+    probes = grams.filter(F.col("doc_id") >= 50)
     probed = bloom_probe(
         probes, bits, "g", num_bits=_BLOOM_BITS, num_hashes=3, seed="bloom"
     ).join(bench.withColumn("__true", F.lit(True)), "g", "left")
@@ -3356,9 +3361,24 @@ def q200_prechunked_span_strip(
     chunks = prechunk_documents(
         _docs(spark, sf_dir), chunk_tokens=64
     ).persist()
+    # the strip consumes spans TWICE (span->chunk assignment AND the
+    # per-doc dup_tokens agg), and each consumer would replay the
+    # whole positional-gram detection subtree — persist the bounded
+    # repeated-span table (few rows by construction: maximal spans
+    # shared by >= 2 docs) so detection runs once; the landed
+    # pipeline materializes spans as a parquet stage for the same
+    # reason, and bench.py reclaims the cache per query
+    # validate=False on BOTH halves: the contract probes exist for
+    # EXTERNAL bronze tables (stale/partial parquet), but this query
+    # builds the chunk relation from prechunk_documents in the same
+    # plan, so positions/coverage/boundary-tokens hold by
+    # construction (chunk_tokens=64 >= n-1) — the probes were two
+    # eager jobs that re-executed the chunk lineage before the first
+    # real action (measured: the probe jobs dominated the build
+    # phase; same stance as the pipeline's validate=False fast path)
     spans = prechunked_repeated_spans(
-        chunks, n=_SPAN_N, min_docs=2, validate=True
-    )
+        chunks, n=_SPAN_N, min_docs=2, validate=False
+    ).persist()
     return prechunked_strip_given_spans(
         chunks, spans, validate=False, chunk_tokens=64
     )

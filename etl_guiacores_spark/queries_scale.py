@@ -1019,7 +1019,12 @@ def q92_semantic_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     code = F.transform(
         F.col("embedding"), lambda x: F.round(xd(x) / F.col("nrm") * 2, 0).cast("long")
     )
-    coded = staged.select("vec_id", code.alias("code"))
+    # coded feeds the group agg AND the join back onto itself —
+    # persist so the norm + quantize transforms run once (Catalyst
+    # won't CSE across join sides); bench.py reclaims the cache per
+    # query, and at scale this is the materialized code table a
+    # semantic-dedup pipeline stages anyway
+    coded = staged.select("vec_id", code.alias("code")).persist()
     groups = (
         coded.groupBy("code")
         .agg(F.min("vec_id").alias("group_rep"), F.count("*").alias("group_size"))

@@ -46,6 +46,7 @@ def ivf_build(
     seed: int = 42,
     max_iter: int = 20,
     train: DataFrame | None = None,
+    init_mode: str | None = None,
 ) -> IvfIndex:
     """Train the coarse quantizer and assign every vector a cluster.
 
@@ -54,7 +55,12 @@ def ivf_build(
     cluster ASSIGNMENT touches every vector. ``max_iter`` trades
     centroid quality for training time; recall at partial probe
     degrades gracefully with worse centroids, and full-probe results
-    don't depend on them at all."""
+    don't depend on them at all. ``init_mode`` (``"random"`` /
+    ``"k-means||"``) passes through to Spark ML — k-means|| init is
+    itself several distributed passes + driver collects, so callers
+    whose downstream never depends on centroid quality (full-probe
+    search) can pick ``"random"`` and skip them; default leaves the
+    Spark ML default."""
     to_vec = lambda df: df.withColumn("__v", array_to_vector(F.col(vec_col)))
     train_df = train if train is not None else embeddings
     if train_df.isEmpty():  # R4 — KMeans cannot fit zero rows
@@ -66,9 +72,12 @@ def ivf_build(
     # released immediately after — no session-lifetime cache)
     fit_input = to_vec(train_df).select("__v").persist()
     try:
-        model = KMeans(
+        km = KMeans(
             k=nlist, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="__cluster"
-        ).fit(fit_input)
+        )
+        if init_mode is not None:
+            km = km.setInitMode(init_mode)
+        model = km.fit(fit_input)
     finally:
         fit_input.unpersist()
     indexed = model.transform(to_vec(embeddings)).drop("__v")

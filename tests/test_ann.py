@@ -29,6 +29,20 @@ def test_ivf_recall_vs_brute_force(spark):
     assert {(r["query_id"], r["neighbor_id"]) for r in full.collect()} == truth
 
 
+def test_ivf_random_init_full_probe_exact(spark):
+    # init_mode="random" (the q63 cheap-train path: skips the
+    # k-means|| init passes) must still reproduce brute force
+    # EXACTLY at full probe — centroid quality affects partial-probe
+    # recall only, never the full-probe result
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_brute_force(emb, queries, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    index = ivf_build(emb, nlist=8, max_iter=2, init_mode="random")
+    full = ivf_search(index, queries, k=5, nprobe=8)
+    assert {(r["query_id"], r["neighbor_id"]) for r in full.collect()} == truth
+
+
 def test_ivf_prunes_candidates(spark):
     emb = load_table(spark, "embeddings", SF_DIR)
     index = ivf_build(emb, nlist=8)

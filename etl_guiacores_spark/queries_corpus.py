@@ -2533,6 +2533,28 @@ _BM25_QUERIES_SQL = ", ".join(
     f"({qid}, {terms!r}::VARCHAR[])" for qid, terms in _BM25_QUERIES
 )
 
+
+def _bm25_qdf(spark: SparkSession) -> DataFrame:
+    """The 4-query eval set as a SQL VALUES LocalRelation.
+
+    ``spark.createDataFrame(list)`` builds a Python-RDD-backed scan
+    (``applySchemaToPythonRDD``) that re-pickles through a Python
+    worker on every evaluation — and the bm25 operator evaluates the
+    query table several times (eager distinct-terms contract check,
+    the all-terms semi-join side, the broadcast qterms side).
+    A VALUES relation is a constant-folded LocalTableScan: no Python
+    workers, no RDD, same rows and schema (query_id BIGINT,
+    terms ARRAY<STRING>)."""
+    vals = ", ".join(
+        "({}L, array({}))".format(
+            qid, ", ".join(f"'{t}'" for t in terms)
+        )
+        for qid, terms in _BM25_QUERIES
+    )
+    return spark.sql(
+        f"SELECT query_id, terms FROM VALUES {vals} AS t(query_id, terms)"
+    )
+
 _BM25_BATCH_CORE = f"""
     base AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -2610,9 +2632,7 @@ def q131_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.retrieval import bm25_batch_topk
 
     d = _docs(spark, sf_dir)
-    qdf = spark.createDataFrame(
-        _BM25_QUERIES, "query_id long, terms array<string>"
-    )
+    qdf = _bm25_qdf(spark)
     return bm25_batch_topk(d, qdf, k=10)
 
 
@@ -2649,9 +2669,7 @@ def q132_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_guiacores_spark.operators.retrieval import bm25_batch_topk
 
     d = _docs(spark, sf_dir)
-    qdf = spark.createDataFrame(
-        _BM25_QUERIES, "query_id long, terms array<string>"
-    )
+    qdf = _bm25_qdf(spark)
     ranked = bm25_batch_topk(d, qdf, k=1 << 60)
     nq = qdf.select(
         "query_id", F.size("terms").cast("long").alias("n_terms")

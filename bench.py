@@ -111,7 +111,6 @@ def main() -> None:
     # (BENCH_full_latest.json) so cross-round per-query comparisons
     # stop depending on the driver's tail window — tools/bench_compare
     # prefers it when present.
-    print(json.dumps(payload))
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
@@ -119,6 +118,15 @@ def main() -> None:
     except OSError:
         pass  # a read-only checkout must not fail the bench
     spark.stop()
+    # The JSON line is the LAST bytes this process writes to stdout
+    # (after spark.stop(), flushed), so nothing — JVM shutdown chatter
+    # included — can displace the headline keys from a tail-capturing
+    # artifact window (the r12 artifact loss, r13 verdict item 6).
+    # The output contract stays exactly ONE JSON line: a second
+    # "compact headline" line was considered and rejected because a
+    # driver that parses the last stdout line would then lose the
+    # per-query dict — a far worse failure than the one being fixed.
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

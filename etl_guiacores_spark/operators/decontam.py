@@ -168,7 +168,11 @@ def cross_span_contamination(
     from etl_guiacores_spark.operators.dedupe import (
         coalesce_span_islands,
     )
-    from etl_guiacores_spark.operators.textstats import kgrams, tokens
+    from etl_guiacores_spark.operators.textstats import (
+        gram_key as _gram_key,
+        kgrams,
+        tokens,
+    )
 
     if n < 1:
         raise ValueError("cross_span_contamination: need n >= 1")
@@ -182,7 +186,7 @@ def cross_span_contamination(
             F.posexplode(kgrams(F.col("__toks"), n)).alias(
                 "__pos", "__gram"
             ),
-        ).select(id_col, "__pos", F.md5("__gram").alias("__g"))
+        ).select(id_col, "__pos", _gram_key("__gram").alias("__g"))
 
     if chunks is not None:
         from etl_guiacores_spark.operators.chunking import (

@@ -87,8 +87,9 @@ def repeated_spans(
     not just one n-gram of it.
 
     Plan shape: one posting shuffle on the 128-bit gram key
-    (md5 string here; xxhash64 pairs at 100 TB to halve shuffle
-    bytes — the interval algebra is hash-agnostic), one
+    (textstats.gram_key — the binary md5 digest, half the bytes of
+    the hex string it replaced; the interval algebra is
+    hash-agnostic), one
     count-distinct agg, one co-partitioned join back, then a window
     PARTITIONED BY document — parallel across docs, bounded by
     document length, never corpus-global. Because all intervals have
@@ -100,7 +101,11 @@ def repeated_spans(
     Returns (id_col, span_start 0-based, span_end exclusive,
     span_tokens, n_grams).
     """
-    from etl_guiacores_spark.operators.textstats import kgrams, tokens
+    from etl_guiacores_spark.operators.textstats import (
+        gram_key as _gram_key,
+        kgrams,
+        tokens,
+    )
 
     if n < 1 or min_docs < 2:
         raise ValueError("repeated_spans: need n >= 1 and min_docs >= 2")
@@ -109,7 +114,7 @@ def repeated_spans(
     ).filter(F.size("__toks") >= n)
     grams = base.select(
         id_col, F.posexplode(kgrams(F.col("__toks"), n)).alias("__pos", "__gram")
-    ).select(id_col, "__pos", F.md5("__gram").alias("__g"))
+    ).select(id_col, "__pos", _gram_key("__gram").alias("__g"))
     return _spans_from_grams(grams, n, min_docs, id_col)
 
 

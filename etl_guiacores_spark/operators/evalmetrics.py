@@ -253,6 +253,14 @@ def confusion_metrics(
 
     Returns (group_cols..., class, tp, fp, fn, precision_ppm,
     recall_ppm, f1_ppm).
+
+    Lifecycle note: construction runs one eager Spark job (the
+    bounded confusion table is ``localCheckpoint(eager=True)``-ed so
+    its three consumers share a stage boundary), and the checkpointed
+    RDD blocks are NOT reclaimed by ``spark.catalog.clearCache()`` —
+    they free when the returned DataFrame is garbage-collected, so a
+    long-lived session calling this repeatedly should drop its
+    references (same semantics as labels.cohen_kappa).
     """
     g = list(group_cols)
     _guard_columns(

@@ -658,6 +658,20 @@ def kgrams(toks: Column, k: int) -> Column:
     return F.element_at(F.transform(F.array(toks), build), 1)
 
 
+def gram_key(gram: Column) -> Column:
+    """The span family's shared n-gram grouping/join key: the 16-byte
+    BINARY md5 digest (``unhex(md5(...))``) — bijective with the md5
+    hex string the operators previously carried, so every groupBy /
+    join / semi-join over it produces identical groups, at HALF the
+    shuffled key bytes (guide §2.3 narrower types; the gram table
+    crosses up to three exchanges keyed on this column in
+    repeated_spans). One definition shared by the per-row, pre-chunked
+    and decontamination gram builders so a mixed-builder join
+    (cross_span_contamination's train-vs-eval sides) can never see two
+    encodings."""
+    return F.unhex(F.md5(gram))
+
+
 def gram_hash_u32(gram: Column) -> Column:
     """Engine-portable uniform hash of a gram string: first 8 md5 hex
     digits as a u32 (same family the sampling + MinHash operators use).

@@ -2545,6 +2545,13 @@ def _bm25_qdf(spark: SparkSession) -> DataFrame:
     A VALUES relation is a constant-folded LocalTableScan: no Python
     workers, no RDD, same rows and schema (query_id BIGINT,
     terms ARRAY<STRING>)."""
+    # terms are interpolated into SQL string literals unescaped —
+    # sound only while every term stays plain alphanumeric
+    assert all(
+        t.isascii() and t.isalnum()
+        for _, terms in _BM25_QUERIES
+        for t in terms
+    ), "_BM25_QUERIES terms must be alphanumeric (unescaped SQL literals)"
     vals = ", ".join(
         "({}L, array({}))".format(
             qid, ", ".join(f"'{t}'" for t in terms)
@@ -3185,6 +3192,10 @@ def q125_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_N = 10
 
+# q200's bronze chunk width; must stay >= _SPAN_N - 1 or boundary
+# n-grams fall outside the carried lookahead (asserted at the call)
+_Q200_CHUNK_TOKENS = 64
+
 _SPANS_CORE = f"""
     base AS MATERIALIZED (
         SELECT doc_id, toks
@@ -3376,8 +3387,14 @@ def q200_prechunked_span_strip(
     # is a parquet table; the self-contained query gets the same
     # once-only tokenization from a persist (Catalyst won't CSE
     # across join sides); bench.py reclaims the cache per query
+    # repartition_output=False: the (id, chunk_pos) hash repartition
+    # exists for write-time FILE layout; this query consumes the chunk
+    # relation in-plan (persist, never written), so the exchange moved
+    # data-sized chunk text for nothing (guide §2.4)
     chunks = prechunk_documents(
-        _docs(spark, sf_dir), chunk_tokens=64
+        _docs(spark, sf_dir),
+        chunk_tokens=_Q200_CHUNK_TOKENS,
+        repartition_output=False,
     ).persist()
     # the strip consumes spans TWICE (span->chunk assignment AND the
     # per-doc dup_tokens agg), and each consumer would replay the
@@ -3394,11 +3411,16 @@ def q200_prechunked_span_strip(
     # eager jobs that re-executed the chunk lineage before the first
     # real action (measured: the probe jobs dominated the build
     # phase; same stance as the pipeline's validate=False fast path)
+    # the by-construction claim needs every boundary n-gram to fit in
+    # the lookahead prechunk_documents carries (n-1 tokens of the
+    # next chunk), which holds only while chunk_tokens >= n-1 — keep
+    # it enforced, not just commented
+    assert _Q200_CHUNK_TOKENS >= _SPAN_N - 1
     spans = prechunked_repeated_spans(
         chunks, n=_SPAN_N, min_docs=2, validate=False
     ).persist()
     return prechunked_strip_given_spans(
-        chunks, spans, validate=False, chunk_tokens=64
+        chunks, spans, validate=False, chunk_tokens=_Q200_CHUNK_TOKENS
     )
 
 

@@ -772,6 +772,7 @@ class TestPrechunkedSpans:
             prechunked_positional_grams,
         )
         from etl_guiacores_spark.operators.textstats import (
+            gram_key,
             kgrams,
             tokens,
         )
@@ -787,7 +788,9 @@ class TestPrechunkedSpans:
                 F.posexplode(kgrams(F.col("__toks"), n)).alias(
                     "__pos", "__gram"
                 ),
-            ).select("doc_id", "__pos", F.md5("__gram").alias("__g"))
+            ).select(
+                "doc_id", "__pos", gram_key(F.col("__gram")).alias("__g")
+            )
         )
         chunks = prechunk_documents(docs, chunk_tokens=3)
         got = self._rows(

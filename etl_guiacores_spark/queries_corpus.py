@@ -22,7 +22,7 @@ from etl_guiacores_spark.operators.textstats import (
     winnow_fingerprints,
 )
 from etl_guiacores_spark.queries import register
-from etl_guiacores_spark.sources.tables import load_table
+from etl_guiacores_spark.sources.tables import load_table, table_row_count
 
 #: DuckDB twin of textstats.tokens() — identical token boundaries
 _TOKS = "string_split_regex(trim(text), '[ \\t\\n\\r\\f\\v]+')"
@@ -2871,8 +2871,12 @@ def q127_ewma_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segments must be long enough for the seed interval to contract
     # (~(1-alpha)^rows); ~400+ rows per chunk keeps the speculative
     # candidate set tiny at every SF, degenerating to 1 chunk (plain
-    # exact fold) on tiny samples
-    n = ev.count()
+    # exact fold) on tiny samples. Sizing only — the carry-select
+    # protocol is bit-exact for ANY num_chunks — so the row count
+    # comes from the parquet footer (total/31 for the % 31 == 0
+    # filter over dense ids; was an eager ev.count() job that scanned
+    # the table before the first real action, guide §5.4)
+    n = table_row_count("events", sf_dir) // 31
     chunks = max(1, min(8, n // 400))
     sm = ewma_smooth_global(
         ev, "ts", "v_micro", alpha_ppm=200_000,

@@ -118,6 +118,41 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
+#: (sf_dir, name) -> footer row count; parquet metadata is immutable
+#: for a given file, so the memo never goes stale within a run
+_TABLE_ROWS: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
+    """Exact row count of a catalog table from parquet FOOTER metadata
+    only — a few-ms driver-side read, no Spark job, no data scan.
+
+    For sizing decisions (chunk counts, partition targets) this
+    replaces an eager ``df.count()`` that would run a full cluster job
+    before the first real action; at 100 TB the difference is a
+    footer read vs a complete pass over the table. Handles both a
+    single ``<name>.parquet`` file and a directory of part files."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    key = (sf_dir, name)
+    hit = _TABLE_ROWS.get(key)
+    if hit is not None:
+        return hit
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = (
+        sorted(glob.glob(f"{path}/*.parquet"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _TABLE_ROWS[key] = n
+    return n
+
+
 #: session id -> the sf_dir its views currently point at
 _registered_views: dict[int, str] = {}
 

@@ -47,3 +47,23 @@ def test_stale_session_id_never_serves_foreign_plan(spark):
         assert again.count() == df.count()  # rebuilt, not served stale
     finally:
         tbl._TABLE_PLANS.pop(key, None)
+
+
+def test_table_row_count_matches_spark_count(spark):
+    # footer-only count must agree with an actual scan, and memoize
+    for name in ("events", "region"):
+        n_meta = tbl.table_row_count(name, SF_A)
+        n_scan = tbl.load_table(spark, name, SF_A).count()
+        assert n_meta == n_scan
+        assert tbl._TABLE_ROWS[(SF_A, name)] == n_meta
+    # distinct sf_dirs do not share counts
+    assert tbl.table_row_count("events", SF_A) != tbl.table_row_count(
+        "events", SF_B
+    )
+
+
+def test_table_row_count_rejects_unknown_table():
+    import pytest
+
+    with pytest.raises(KeyError):
+        tbl.table_row_count("nope", SF_A)

@@ -16,7 +16,7 @@ the exact answer instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -103,6 +103,16 @@ def countmin_audit(
     ``depth`` hash rows, sum counts per (row, bucket) — a bounded
     depth*width-cell table that collapses map-side; the audited
     top-k keys join back on (row, bucket) and take the MIN estimate.
+    The top-k probes re-derive their buckets from the shared hash
+    definition (deterministic in (row, key)) rather than re-joining
+    the counts-lineage reps relation, which dropped two of the four
+    replays of the caller's aggregation. The remaining three
+    (sketch, total, top-k) share one job and overlap on idle cores;
+    an eager bounded-sketch barrier was measured SLOWER at sf0.1
+    (serializing the overlapped replays costs more than it saves —
+    the same result as the pmi_collocations persist experiment) and
+    at 100 TB the staging call is the caller handing in a
+    materialized counts table, not a barrier here.
 
     Mergeability is inherited from SUM: the sketch of a union is the
     cell-wise sum of the parts' sketches.
@@ -117,28 +127,35 @@ def countmin_audit(
     if depth < 1 or width < 2:
         raise ValueError("countmin_audit requires depth >= 1, width >= 2")
     key, cnt = F.col(key_col), F.col(count_col).cast("long")
-    reps = counts.select(
-        key.alias("__k"), cnt.alias("__c"),
-        F.explode(
-            F.sequence(F.lit(0), F.lit(depth - 1))
-        ).alias("__r"),
-    ).withColumn(
-        "__bucket",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(seed + ":"),
-                        F.col("__r").cast("string"),
-                        F.lit(":"),
-                        F.col("__k"),
-                    )
+
+    def bucket_of(k: Column, r: Column) -> Column:
+        # the ONE definition of the (row, key) -> bucket hash, used by
+        # both the sketch build and the top-k probes so they can never
+        # drift
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed + ":"),
+                            r.cast("string"),
+                            F.lit(":"),
+                            k,
+                        )
+                    ),
+                    1, 8,
                 ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % width,
+                16, 10,
+            ).cast("long")
+            % width
+        )
+
+    rows_seq = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+        "__r"
     )
+    reps = counts.select(
+        key.alias("__k"), cnt.alias("__c"), rows_seq
+    ).withColumn("__bucket", bucket_of(F.col("__k"), F.col("__r")))
     sketch = reps.groupBy("__r", "__bucket").agg(
         F.sum("__c").cast("long").alias("__cell")
     )
@@ -148,7 +165,13 @@ def countmin_audit(
         .orderBy(F.col("n_exact").desc(), F.col("__k").asc())
         .limit(top_k)
     )
-    probes = top.join(reps.select("__k", "__r", "__bucket"), "__k")
+    # probes re-derive their buckets straight from the top_k keys (the
+    # hash is deterministic in (row, key)) instead of joining the
+    # counts-lineage reps relation — the old join replayed the
+    # caller's aggregation a third and fourth time
+    probes = top.select(
+        "__k", "n_exact", rows_seq
+    ).withColumn("__bucket", bucket_of(F.col("__k"), F.col("__r")))
     est = (
         probes.join(sketch, ["__r", "__bucket"])
         .groupBy("__k", "n_exact")
@@ -187,8 +210,10 @@ def hll_audit(
     max(rho) where rho = leading zeros of the tail in its 54-bit
     field + 1 (tail 0 -> 55). The raw estimator is
     alpha_64 * m^2 / sum(2^-M_b) with EMPTY registers contributing
-    2^0 — a bucket spine (group x sequence(0,63)) left-joins the
-    observed registers so silence counts. All interior arithmetic is
+    2^0 — empties fold arithmetically as (64 - n_present) * 2^60
+    from the bounded register table (present registers always have
+    rho >= 1), so silence counts without a materialized bucket
+    spine. All interior arithmetic is
     exact: 2^(60-M) as BIGINT shifts summed in DECIMAL(38,0)
     (64 * 2^60 overflows BIGINT), alpha frozen at 709365 ppm
     (0.7213/(1+1.079/64)), truncating divisions.
@@ -221,37 +246,61 @@ def hll_audit(
             F.lit(55) - F.length(F.bin(F.col("__rest")))
         ),
     )
-    regs = hashed.groupBy("__g", "__bucket").agg(
-        F.max("__rho").alias("__m")
+    # NULL values hash to a NULL bucket; they never reached a spine
+    # register in the old shape and are filtered identically here
+    regs = (
+        hashed.filter(F.col("__bucket").isNotNull())
+        .groupBy("__g", "__bucket")
+        .agg(F.max("__rho").alias("__m"))
     )
     exact = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.countDistinct(value_col).cast("long").alias("n_exact")
     )
-    spine = exact.select(
-        "__g", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__bucket")
-    )
-    full = spine.join(regs, ["__g", "__bucket"], "left").withColumn(
-        "__m", F.coalesce(F.col("__m"), F.lit(0))
-    )
-    per_group = full.groupBy("__g").agg(
+    # empty registers fold ARITHMETICALLY from the bounded register
+    # table: present registers always have rho >= 1 (rest < 2^54 ->
+    # bin length <= 54), so n_empty = 64 - n_present and each empty
+    # contributes exactly 2^60 to the estimator sum. The old shape
+    # materialized a (group x 64) spine FROM the exact relation and
+    # left-joined the registers — which re-executed the exact
+    # aggregation's corpus lineage a second time (no CSE across join
+    # sides) and paid two extra exchanges for rows whose content was
+    # knowable from a count.
+    pg = regs.groupBy("__g").agg(
         F.sum(
             F.expr(
                 "CAST(shiftleft(CAST(1 AS BIGINT), 60 - CAST(__m AS INT)) "
                 "AS DECIMAL(38,0))"
             )
-        ).alias("__s"),
-        F.sum(F.when(F.col("__m") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_empty"),
-    ).withColumn(
-        "hll_est",
-        F.expr(
-            "CAST(CAST(709365 AS DECIMAL(38,0)) * 4096 "
-            "* CAST(1152921504606846976 AS DECIMAL(38,0)) "
-            "div __s div 1000000 AS BIGINT)"
-        ),
+        ).alias("__sp"),
+        F.count("*").cast("long").alias("__np"),
     )
-    return exact.join(per_group, "__g").select(
+    # LEFT join: a group whose values are all NULL has no register
+    # rows at all; it folds as 64 empty registers, exactly what the
+    # old spine gave it
+    per_group = (
+        exact.join(pg, "__g", "left")
+        .withColumn(
+            "n_empty",
+            (F.lit(64) - F.coalesce(F.col("__np"), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "__s",
+            F.expr(
+                "coalesce(__sp, CAST(0 AS DECIMAL(38,0))) "
+                "+ CAST(n_empty AS DECIMAL(38,0)) "
+                "* CAST(1152921504606846976 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "hll_est",
+            F.expr(
+                "CAST(CAST(709365 AS DECIMAL(38,0)) * 4096 "
+                "* CAST(1152921504606846976 AS DECIMAL(38,0)) "
+                "div __s div 1000000 AS BIGINT)"
+            ),
+        )
+    )
+    return per_group.select(
         F.col("__g").alias(group_col),
         "n_exact",
         "hll_est",

@@ -945,34 +945,70 @@ def vocab_overlap(
     over the groups' distinct lowercased token sets. Exact integer
     ppm (set sizes are counts — plain BIGINT suffices).
 
-    Scale shape: explode to (group, token), ONE distinct (the only
-    data-sized shuffle, map-side combinable), then the intersection
-    self-join keys on token across the deduplicated vocabulary
-    relation — Zipf-hot tokens are exact-once per group after the
-    distinct, so the join fan-out per token is |groups|, not corpus
-    frequency. Output is bounded by C(|groups|, 2).
+    Scale shape: ONE corpus pass — explode to (group, token), then
+    aggregate per TOKEN into its sorted distinct group set
+    (``collect_set`` partial-aggregates map-side, so Zipf-hot tokens
+    shuffle at most |groups| values per map partition — the same
+    dedup the old separate DISTINCT shuffle bought, one exchange
+    earlier). Each token then emits its group PAIRS (the
+    intersection counts) and group SINGLETONS (the vocabulary sizes)
+    into one aggregation over a table bounded by
+    C(|groups|, 2) + |groups| rows, which is checkpointed (the
+    bounded-barrier pattern of cohen_kappa/confusion_metrics) and
+    feeds every downstream relation — the old shape re-executed the
+    tokenize+distinct subtree FOUR times (two self-join sides + two
+    size joins; Catalyst does not CSE across join sides). Output is
+    bounded by C(|groups|, 2).
+
+    Lifecycle note: construction runs one eager Spark job (the
+    bounded stats barrier); its checkpointed blocks free when the
+    returned DataFrame is garbage-collected, not on
+    ``spark.catalog.clearCache()``.
 
     Returns (group_a, group_b, vocab_a, vocab_b, inter, jaccard_ppm).
     """
-    vocab = (
+    g_type = docs.schema[group_col].dataType
+    gsets = (
         docs.select(
             F.col(group_col).alias("g"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
-        .distinct()
+        .groupBy("tok")
+        .agg(F.array_sort(F.collect_set("g")).alias("gs"))
     )
-    sizes = vocab.groupBy("g").agg(F.count("*").cast("long").alias("vs"))
-    inter = (
-        vocab.alias("a")
-        .join(
-            vocab.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.g") < F.col("b.g")),
+    # per token: struct(ga, gb) for every ordered pair ga < gb (the
+    # array_sort makes slice-ahead pairs exactly the a < b pairs of
+    # the old self-join), plus struct(g, NULL) singletons for sizes
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                lambda b: F.struct(a.alias("ga"), b.alias("gb")),
+            ),
         )
-        .groupBy(
-            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+    )
+    single_structs = F.transform(
+        F.col("gs"),
+        lambda g: F.struct(
+            g.alias("ga"), F.lit(None).cast(g_type).alias("gb")
+        ),
+    )
+    stats = (
+        gsets.select(
+            F.explode(F.concat(pair_structs, single_structs)).alias("s")
         )
-        .agg(F.count("*").cast("long").alias("inter"))
+        .groupBy(F.col("s.ga").alias("ga"), F.col("s.gb").alias("gb"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = stats.filter(F.col("gb").isNull()).select(
+        F.col("ga").alias("g"), F.col("n").alias("vs")
+    )
+    inter = stats.filter(F.col("gb").isNotNull()).select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("n").alias("inter"),
     )
     return (
         inter.join(

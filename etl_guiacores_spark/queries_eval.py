@@ -553,11 +553,12 @@ def q157_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pairwise vocabulary Jaccard overlap between sources over "
     "distinct lowercased token sets — 'is the new source adding "
     "vocabulary or repeating what we have', the corpus-comparison "
-    "companion to the per-document near-dup legs. One explode + one "
-    "distinct (the only data-sized shuffle), intersection self-join "
-    "on the DEDUPLICATED vocabulary (Zipf-hot tokens appear once per "
-    "source, so join fan-out is |sources|, not corpus frequency); "
-    "output bounded by C(|sources|, 2) "
+    "companion to the per-document near-dup legs. ONE corpus pass: "
+    "per-token sorted group sets (collect_set partial-aggregates "
+    "map-side, so Zipf-hot tokens shuffle <= |sources| values per "
+    "map partition), then each token's group pairs and singletons "
+    "aggregate into a C(|sources|,2)+|sources|-bounded stats table "
+    "that every downstream relation reads "
     "(operators/textstats.vocab_overlap).",
 )
 def q158_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

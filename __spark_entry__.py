@@ -50,13 +50,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FIRST = [
     "q92_semantic_dup_groups",
     "q101_pagerank_neardup",
+    "q127_ewma_global",
     "q131_bm25_batch",
     "q132_retrieval_metrics",
+    "q134_repeated_spans",
+    "q135_span_strip",
     "q137_triangle_counts",
     "q107_bloom_decontaminate",
     "q143_cohen_kappa",
+    "q199_streaming_acquisition_twin",
     "q152_confusion_metrics",
+    "q158_vocab_jaccard",
     "q162_kcore_dedup",
+    "q168_countmin_audit",
+    "q175_hll_audit",
+    "q177_span_decontam",
     "q200_prechunked_span_strip",
     "q193_lorenz_concentration",
     "q194_quantile_sketch_audit",
@@ -94,13 +102,10 @@ _FIRST = [
     "q124_mad_outliers",
     "q125_mmr_rerank",
     "q126_schema_drift",
-    "q127_ewma_global",
     "q128_winsorize",
     "q129_majority_label",
     "q130_temporal_split",
     "q133_hard_negatives",
-    "q134_repeated_spans",
-    "q135_span_strip",
     "q136_pmi_collocations",
     "q138_exact_quota_sample",
     "q139_ohlc_resample",
@@ -153,7 +158,6 @@ _FIRST = [
     "q144_quantile_report",
     "q145_token_histogram",
     "q198_orc_pushdown_roundtrip",
-    "q199_streaming_acquisition_twin",
     "q14_phone_normalize",
     "q15_email_validate",
     "q16_url_pipeline",
@@ -174,7 +178,6 @@ _FIRST = [
     "q155_benford_digits",
     "q156_rrf_fusion",
     "q157_decile_lift",
-    "q158_vocab_jaccard",
     "q159_weighted_median",
     "q160_assoc_rules",
     "q161_top_paths",
@@ -183,16 +186,13 @@ _FIRST = [
     "q165_interval_union",
     "q166_l_diversity",
     "q167_column_profile",
-    "q168_countmin_audit",
     "q169_quantile_normalize",
     "q170_holt_trend",
     "q171_position_attribution",
     "q172_mixture_waterfill",
     "q173_padding_waste",
     "q174_pq_assign",
-    "q175_hll_audit",
     "q176_kmeans_step",
-    "q177_span_decontam",
     "q178_kaplan_meier",
     "q179_codebook_balance",
     "q180_negative_sampling",

@@ -111,9 +111,6 @@ TOUCHED_SINCE: dict[str, int] = {
     # round-13 optimization session (VERDICT.md r13, correctness gate
     # caveat): plan-shape/persist changes, locally oracle-proven at
     # sf0.01+sf0.1 but not yet re-hashed by the driver's window
-    # round-14 optimization session re-touched (adaptive local
-    # pagerank regime):
-    "q101_pagerank_neardup": 14,
     "q107_bloom_decontaminate": 13,
     "q92_semantic_dup_groups": 13,
     "q131_bm25_batch": 13,
@@ -122,7 +119,21 @@ TOUCHED_SINCE: dict[str, int] = {
     "q143_cohen_kappa": 13,
     "q152_confusion_metrics": 13,
     "q162_kcore_dedup": 13,
-    "q200_prechunked_span_strip": 13,
+    # round-14 optimization session (OPTIMIZATION_r14.md): adaptive
+    # local pagerank, streaming fold trim, gram-key narrowing,
+    # repartition skip, footer-metadata sizing, audit restructures —
+    # each oracle-proven at sf0.01+sf0.1 locally, awaiting a driver
+    # re-hash
+    "q101_pagerank_neardup": 14,
+    "q199_streaming_acquisition_twin": 14,
+    "q200_prechunked_span_strip": 14,
+    "q134_repeated_spans": 14,
+    "q135_span_strip": 14,
+    "q177_span_decontam": 14,
+    "q127_ewma_global": 14,
+    "q158_vocab_jaccard": 14,
+    "q168_countmin_audit": 14,
+    "q175_hll_audit": 14,
 }
 
 
